@@ -1,0 +1,115 @@
+"""Statistics primitives with oracle-exact semantics.
+
+Two concerns drive this module (SURVEY.md §4 "hard parts"):
+
+1. **Order-independent exact aggregation.** Double summation is not
+   associative, so a distributed sum differs in low bits run-to-run and
+   engine-to-engine. Casting to decimal before summing makes the aggregate
+   exact and order-independent — the same technique TPC-H kits use — so a
+   1000-executor run hash-matches a single-threaded oracle. All testdata
+   doubles carry <=4 decimal digits, so ``decimal(38, s)`` casts are lossless.
+
+2. **Sample-adjusted moment statistics.** The reference uses pandas
+   ``skew()``/``kurtosis()`` (bias-corrected G1/G2 — `data_analysis.ipynb`
+   cell a708373b); Spark's ``F.skewness``/``F.kurtosis`` are population-form.
+   We compute G1/G2 from raw power sums, which also makes them
+   order-independent via the decimal trick.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dec_sum(c: Column, scale: int = 4) -> Column:
+    """Exact, order-independent sum of a double column via decimal cast.
+
+    Scale must cover the true decimal precision of the data (4 covers every
+    raw testdata column; use 6-8 for 2-3-way products of 2-decimal values).
+    """
+    return F.sum(c.cast(f"decimal(38,{scale})")).cast("double")
+
+
+def dec_avg(c: Column, scale: int = 4) -> Column:
+    """Exact-numerator mean: decimal sum / count, evaluated in double."""
+    return dec_sum(c, scale) / F.count(c)
+
+
+def power_sums(c: Column, scale: int = 4, upto: int = 4) -> list[Column]:
+    """[n, Σx, Σx², Σx³, Σx⁴] with exact decimal accumulation.
+
+    Powers are formed by explicit double multiplication (``x*x``, ``x*x*x``)
+    so the per-row value is bit-identical to any engine doing the same —
+    then decimal-summed so the reduction order doesn't matter.
+    """
+    out = [F.count(c).cast("double")]
+    p = c
+    for i in range(1, upto + 1):
+        if i > 1:
+            p = p * c
+        out.append(dec_sum(p, scale))
+    return out
+
+
+def sample_variance(n: Column, s1: Column, s2: Column) -> Column:
+    """Unbiased sample variance from power sums (identical FP steps in the
+    DuckDB oracle SQL — see plans/profiling.py)."""
+    return (s2 - s1 * s1 / n) / (n - F.lit(1.0))
+
+
+def skewness_g1(n: Column, s1: Column, s2: Column, s3: Column) -> Column:
+    """Bias-corrected sample skewness G1 (pandas ``skew`` semantics)."""
+    mean = s1 / n
+    m2 = s2 / n - mean * mean
+    m3 = s3 / n - F.lit(3.0) * mean * (s2 / n) + F.lit(2.0) * mean * mean * mean
+    g1 = m3 / F.pow(m2, F.lit(1.5))
+    return g1 * F.sqrt(n * (n - F.lit(1.0))) / (n - F.lit(2.0))
+
+
+def kurtosis_g2(n: Column, s1: Column, s2: Column, s3: Column, s4: Column) -> Column:
+    """Bias-corrected excess kurtosis G2 (pandas ``kurtosis`` semantics)."""
+    mean = s1 / n
+    m2 = s2 / n - mean * mean
+    m4 = (
+        s4 / n
+        - F.lit(4.0) * mean * (s3 / n)
+        + F.lit(6.0) * mean * mean * (s2 / n)
+        - F.lit(3.0) * mean * mean * mean * mean
+    )
+    g2 = m4 / (m2 * m2) - F.lit(3.0)
+    return ((n + F.lit(1.0)) * g2 + F.lit(6.0)) * (n - F.lit(1.0)) / ((n - F.lit(2.0)) * (n - F.lit(3.0)))
+
+
+def pearson_corr_sums(x: Column, y: Column, scale: int = 4) -> dict[str, Column]:
+    """Power/cross sums needed for an order-independent Pearson r."""
+    return {
+        "n": F.count(x).cast("double"),
+        "sx": dec_sum(x, scale),
+        "sy": dec_sum(y, scale),
+        "sxx": dec_sum(x * x, 2 * scale),
+        "syy": dec_sum(y * y, 2 * scale),
+        "sxy": dec_sum(x * y, 2 * scale),
+    }
+
+
+def pearson_corr_from_sums(n: Column, sx: Column, sy: Column, sxx: Column, syy: Column, sxy: Column) -> Column:
+    """r = (nΣxy − ΣxΣy) / sqrt((nΣx²−(Σx)²)(nΣy²−(Σy)²))."""
+    num = n * sxy - sx * sy
+    den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return num / den
+
+
+# ---------------------------------------------------------------------------
+# Oracle-side (DuckDB) SQL snippet builders. Keeping the snippet text next to
+# the Column builders guarantees both sides do the *same* double arithmetic
+# on the *same* exact decimal sums, so results match bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def sql_dec_sum(expr: str, scale: int = 4) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(38,{scale}))) AS DOUBLE)"
+
+
+def sql_dec_avg(expr: str, scale: int = 4) -> str:
+    return f"{sql_dec_sum(expr, scale)} / COUNT({expr})"

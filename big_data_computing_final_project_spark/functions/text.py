@@ -1,0 +1,120 @@
+"""Text-analysis expression builders for the LLM-data-pipeline surface
+(north-star extension; SURVEY.md §2.3 E14 and §7 step 6).
+
+All hot-path logic is built-in Column expressions (split / regexp / md5 /
+higher-order array functions) so it runs JVM-side under whole-stage codegen —
+no Python UDFs. At 100 TB the documents table is the biggest input; every
+function here is a narrow map (no shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Minimal built-in stopword inventories for the language-ID heuristic.
+# Deliberately tiny + deterministic; real deployments would swap in fastText.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "est", "que"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von"],
+    "es": ["el", "la", "de", "y", "los", "que", "un", "una", "es", "en"],
+}
+
+
+def normalize(text: Column) -> Column:
+    """Lowercase + collapse whitespace — canonical form for hashing/dedup."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of normalized text -> array<string>."""
+    return F.split(normalize(text), " ")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (reference-style cheap tokenizer)."""
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-flavored proxy count: word pieces of <=4 chars.
+
+    ceil(len(word)/4) summed over words — a deterministic stand-in for a
+    subword tokenizer's piece count, computed entirely with higher-order
+    array functions (no UDF).
+    """
+    return F.aggregate(
+        tokens(text),
+        F.lit(0),
+        lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4.0)).cast("int"),
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+
+    md5 (not xxhash) so any engine — including the DuckDB oracle — derives
+    the identical key; this is the exact-dedup join key.
+    """
+    return F.md5(normalize(text))
+
+
+def stopword_hits(text: Column, words: list[str]) -> Column:
+    """Number of tokens that are in `words` (language-ID signal)."""
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens(text), lambda t: F.array_contains(arr, t)))
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: argmax over per-language stopword hit counts,
+    'und' (undetermined) when no stopword matches at all."""
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+    for lang, words in STOPWORDS.items():
+        hits = stopword_hits(text, words)
+        is_better = hits > best_hits
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(is_better, hits).otherwise(best_hits)
+    return best_lang
+
+
+def punct_ratio(text: Column) -> Column:
+    """Punctuation chars / total chars (quality signal)."""
+    n = F.length(text)
+    n_punct = n - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    return F.when(n > 0, n_punct / n).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    """Stopword tokens / total tokens (quality signal)."""
+    nt = token_count(text)
+    return F.when(nt > 0, stopword_hits(text, STOPWORDS[lang]) / nt).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite document-quality score in [0, 1].
+
+    Mirrors the reference's weighted-score idiom (`Sol_2.ipynb:373-380`)
+    applied to text-quality signals: length (saturating at 500 chars),
+    low punctuation, and presence of stopwords (fluency proxy).
+    """
+    len_component = F.least(F.length(text) / F.lit(500.0), F.lit(1.0))
+    punct_component = F.lit(1.0) - F.least(punct_ratio(text) * F.lit(5.0), F.lit(1.0))
+    stop_component = F.least(stopword_ratio(text) * F.lit(5.0), F.lit(1.0))
+    # no round(): raw double math is bit-identical across engines
+    return len_component * 0.4 + punct_component * 0.3 + stop_component * 0.3
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Word k-shingles of the normalized text -> array<string> (distinct).
+
+    Built with transform over token indices — stays JVM-side. Documents
+    shorter than k words yield their whole text as the single shingle.
+    """
+    toks = tokens(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    )

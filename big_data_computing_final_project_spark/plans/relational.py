@@ -1,0 +1,490 @@
+"""Relational-core queries (SURVEY.md §2.2, §2.3, §2.5, §2.7 + the
+driver-mandated join/set-op extension surface).
+
+Every query is written scale-first:
+
+- filters/projections sit directly on the parquet scan (pushdown + pruning);
+- dimension joins carry an explicit ``broadcast()`` hint (region/nation/
+  customer/supplier/part are dimension-sized at any SF);
+- fact-fact joins (orders ⋈ lineitem) shuffle on the join key and rely on
+  AQE for skew handling;
+- aggregates use the decimal-sum trick (functions.stats) so results are
+  order-independent — identical on local[32] and on 1000 executors;
+- every ORDER BY carries a unique tiebreaker so top-k sets are deterministic.
+
+Oracle SQL mirrors the exact arithmetic (same decimal casts, same double
+ops) so value hashes match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.expressions import safe_ratio
+from ..functions.stats import dec_sum, sql_dec_sum
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# q01 — flagship: pricing summary (scan → filter → groupBy → agg → sort).
+# Exercises P1/P3 projections+filters, E-series arithmetic, A4/A16 aggregates,
+# O1 sort (SURVEY §7 step 1). TPC-H Q1 shape over the driver's lineitem.
+# ---------------------------------------------------------------------------
+
+_Q01_ORACLE = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {sql_dec_sum('l_quantity')} AS sum_qty,
+  {sql_dec_sum('l_extendedprice')} AS sum_base_price,
+  {sql_dec_sum('l_extendedprice * (1 - l_discount)', 6)} AS sum_disc_price,
+  {sql_dec_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 8)} AS sum_charge,
+  {sql_dec_sum('l_quantity')} / COUNT(l_quantity) AS avg_qty,
+  {sql_dec_sum('l_extendedprice')} / COUNT(l_extendedprice) AS avg_price,
+  {sql_dec_sum('l_discount')} / COUNT(l_discount) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register("q01_pricing_summary", oracle=_Q01_ORACLE)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1) + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum(F.col("l_quantity")).alias("sum_qty"),
+            dec_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dec_sum(disc_price, 6).alias("sum_disc_price"),
+            dec_sum(charge, 8).alias("sum_charge"),
+            (dec_sum(F.col("l_quantity")) / F.count("l_quantity")).alias("avg_qty"),
+            (dec_sum(F.col("l_extendedprice")) / F.count("l_extendedprice")).alias("avg_price"),
+            (dec_sum(F.col("l_discount")) / F.count("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q02 — filter + projection with derived columns (P1/P3, E1-E10 idiom).
+# The reference's safe-ratio feature engineering (`house_predict.py:146-178`)
+# instantiated over lineitem. Narrow map over a pushed-down scan.
+# ---------------------------------------------------------------------------
+
+# NOTE: no ROUND() on scalar projections — IEEE double ops on identical
+# operands are bit-identical across engines, while round() itself diverges
+# (Spark rounds the shortest decimal string half-up, DuckDB rounds the
+# binary value) exactly at representable ties like x.xxx1875.
+_Q02_ORACLE = """
+SELECT
+  l_orderkey,
+  l_linenumber,
+  l_extendedprice * (1 - l_discount) AS net_price,
+  l_extendedprice / (l_quantity + 1) AS price_per_unit,
+  l_tax / (l_discount + 1) AS tax_to_discount
+FROM lineitem
+WHERE l_quantity > 30 AND l_discount >= 0.05
+"""
+
+
+@register("q02_filter_derive", oracle=_Q02_ORACLE)
+def q02_filter_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter((F.col("l_quantity") > 30) & (F.col("l_discount") >= 0.05)).select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias("net_price"),
+        safe_ratio(F.col("l_extendedprice"), F.col("l_quantity")).alias("price_per_unit"),
+        safe_ratio(F.col("l_tax"), F.col("l_discount")).alias("tax_to_discount"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q03 — star join with broadcast dims: revenue by region/nation.
+# lineitem ⋈ orders shuffles on o_orderkey (the only fact-fact edge);
+# customer/nation/region broadcast. At 100 TB this is the canonical plan:
+# one shuffle, all dimension edges broadcast.
+# ---------------------------------------------------------------------------
+
+_Q03_ORACLE = f"""
+SELECT
+  r.r_name AS region_name,
+  n.n_name AS nation_name,
+  {sql_dec_sum('l.l_extendedprice * (1 - l.l_discount)', 6)} AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+ORDER BY region_name, nation_name
+"""
+
+
+@register("q03_star_join_revenue", oracle=_Q03_ORACLE)
+def q03_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(region.r_name.alias("region_name"), nation.n_name.alias("nation_name"))
+        .agg(dec_sum(revenue, 6).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy("region_name", "nation_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q04/q05 — semi/anti joins (driver-mandated extension, SURVEY §2.5).
+# Semi/anti avoid materializing the probe side — at scale this is a
+# broadcast-able existence check, not a full join.
+# ---------------------------------------------------------------------------
+
+_Q04_ORACLE = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F' AND o.o_totalprice > 200000
+)
+ORDER BY c_custkey
+"""
+
+
+@register("q04_semi_join", oracle=_Q04_ORACLE)
+def q04_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 200000)
+    )
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+_Q05_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+ORDER BY c_custkey
+"""
+
+
+@register("q05_anti_join", oracle=_Q05_ORACLE)
+def q05_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q06 — global top-k with deterministic tiebreak (O3; `house_predict.py:536`
+# head(10) idiom done distributively: partial top-k per partition, merged).
+# ---------------------------------------------------------------------------
+
+_Q06_ORACLE = f"""
+SELECT
+  c.c_custkey,
+  c.c_name,
+  {sql_dec_sum('o.o_totalprice')} AS total_spend,
+  COUNT(*) AS n_orders
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_name
+ORDER BY total_spend DESC, c_custkey
+LIMIT 10
+"""
+
+
+@register("q06_topk_customers", oracle=_Q06_ORACLE)
+def q06_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        F.broadcast(customer)
+        .join(orders, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(dec_sum(F.col("o_totalprice")).alias("total_spend"), F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("total_spend").desc(), F.col("c_custkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q07 — grouped top-k via ranking window (O3 grouped variant; SURVEY §2.7).
+# row_number over (status, price desc) — no global sort, one shuffle on the
+# partition key.
+# ---------------------------------------------------------------------------
+
+_Q07_ORACLE = """
+SELECT o_orderstatus, o_orderkey, o_totalprice, rk
+FROM (
+  SELECT o_orderstatus, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+) t
+WHERE rk <= 5
+ORDER BY o_orderstatus, rk
+"""
+
+
+@register("q07_grouped_topk", oracle=_Q07_ORACLE)
+def q07_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("o_orderstatus", "o_orderkey", "o_totalprice", "rk")
+        .orderBy("o_orderstatus", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q08/q09/q10 — set operations (J1 union + driver-mandated intersect/except).
+# The reference's only set-op is the encoder-domain union
+# (`house_predict.py:123`); generalized here over the star schema.
+# ---------------------------------------------------------------------------
+
+_Q08_ORACLE = """
+SELECT c_custkey AS custkey, c_acctbal AS acctbal, 'customer' AS side FROM customer WHERE c_acctbal > 9000
+UNION ALL
+SELECT s_suppkey AS custkey, s_acctbal AS acctbal, 'supplier' AS side FROM supplier WHERE s_acctbal > 9000
+"""
+
+
+@register("q08_union_accounts", oracle=_Q08_ORACLE)
+def q08_union_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    supplier = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 9000)
+    a = customer.select(
+        F.col("c_custkey").alias("custkey"), F.col("c_acctbal").alias("acctbal"), F.lit("customer").alias("side")
+    )
+    b = supplier.select(
+        F.col("s_suppkey").alias("custkey"), F.col("s_acctbal").alias("acctbal"), F.lit("supplier").alias("side")
+    )
+    return a.unionByName(b)
+
+
+_Q09_ORACLE = """
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
+INTERSECT
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+ORDER BY custkey
+"""
+
+
+@register("q09_intersect_active", oracle=_Q09_ORACLE)
+def q09_intersect_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    y95 = orders.filter(F.year("o_orderdate") == 1995).select(F.col("o_custkey").alias("custkey"))
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select(F.col("o_custkey").alias("custkey"))
+    return y95.intersect(y96).orderBy("custkey")
+
+
+_Q10_ORACLE = """
+SELECT o_custkey AS custkey FROM orders
+EXCEPT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+ORDER BY custkey
+"""
+
+
+@register("q10_except_unfinished", oracle=_Q10_ORACLE)
+def q10_except_unfinished(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    all_c = orders.select(F.col("o_custkey").alias("custkey"))
+    f_c = orders.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    return all_c.subtract(f_c).orderBy("custkey")
+
+
+# ---------------------------------------------------------------------------
+# q11/q12 — rollup & cube (SURVEY §2.6 closing note: in-scope extensions;
+# Catalyst expands these into grouping-set unions with partial aggregation).
+# ---------------------------------------------------------------------------
+
+_Q11_ORACLE = f"""
+SELECT
+  o_orderstatus,
+  o_orderpriority,
+  {sql_dec_sum('o_totalprice')} AS total_price,
+  COUNT(*) AS n_orders
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
+@register("q11_rollup", oracle=_Q11_ORACLE)
+def q11_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(dec_sum(F.col("o_totalprice")).alias("total_price"), F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("o_orderstatus").asc_nulls_first(), F.col("o_orderpriority").asc_nulls_first())
+    )
+
+
+_Q12_ORACLE = f"""
+SELECT
+  c_mktsegment,
+  c_nationkey,
+  {sql_dec_sum('c_acctbal')} AS total_bal,
+  COUNT(*) AS n_customers
+FROM customer
+GROUP BY CUBE (c_mktsegment, c_nationkey)
+ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST
+"""
+
+
+@register("q12_cube", oracle=_Q12_ORACLE)
+def q12_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        customer.cube("c_mktsegment", "c_nationkey")
+        .agg(dec_sum(F.col("c_acctbal")).alias("total_bal"), F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.col("c_mktsegment").asc_nulls_first(), F.col("c_nationkey").asc_nulls_first())
+    )
+
+
+# ---------------------------------------------------------------------------
+# q13/q14/q15 — analytic windows (SURVEY §2.7 note: windows enter via the
+# driver surface). Running totals, lag/lead deltas, ranking.
+# ---------------------------------------------------------------------------
+
+_Q13_ORACLE = """
+SELECT
+  o_custkey,
+  o_orderkey,
+  CAST(o_orderdate AS DATE) AS order_date,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+FROM orders
+ORDER BY o_custkey, o_orderdate, o_orderkey
+"""
+
+
+@register("q13_running_total", oracle=_Q13_ORACLE)
+def q13_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,4)")).over(w).cast("double").alias("running_spend"),
+    ).orderBy("o_custkey", "order_date", "o_orderkey")
+
+
+_Q14_ORACLE = """
+SELECT
+  o_custkey,
+  o_orderkey,
+  date_diff('day',
+            lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+            o_orderdate) AS days_since_prev
+FROM orders
+ORDER BY o_custkey, o_orderdate, o_orderkey
+"""
+
+
+@register("q14_lag_days_between", oracle=_Q14_ORACLE)
+def q14_lag_days_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), prev).alias("days_since_prev"),
+    ).orderBy("o_custkey", F.col("o_orderdate"), "o_orderkey")
+
+
+_Q15_ORACLE = """
+SELECT
+  c_nationkey,
+  c_custkey,
+  c_acctbal,
+  RANK()       OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS bal_rank,
+  DENSE_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS bal_dense_rank
+FROM customer
+ORDER BY c_nationkey, bal_rank, c_custkey
+"""
+
+
+@register("q15_rank_in_nation", oracle=_Q15_ORACLE)
+def q15_rank_in_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc())
+    return customer.select(
+        "c_nationkey",
+        "c_custkey",
+        "c_acctbal",
+        F.rank().over(w).alias("bal_rank"),
+        F.dense_rank().over(w).alias("bal_dense_rank"),
+    ).orderBy("c_nationkey", "bal_rank", "c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# q16 — crosstab / pivot (A9: `pd.crosstab` at `data_analysis.ipynb:727-729`).
+# groupBy().pivot() with explicit value list — at scale an implicit pivot
+# needs an extra distinct pass, so values are pinned.
+# ---------------------------------------------------------------------------
+
+_Q16_ORACLE = """
+SELECT
+  c_mktsegment,
+  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P
+FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@register("q16_crosstab_segment_status", oracle=_Q16_ORACLE)
+def q16_crosstab_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        F.broadcast(customer)
+        .join(orders, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0, ["F", "O", "P"])
+        .orderBy("c_mktsegment")
+    )
