@@ -41,14 +41,16 @@ def power_sums(c: Column, scale: int = 4, upto: int = 4) -> list[Column]:
 
     Powers are formed by explicit double multiplication (``x*x``, ``x*x*x``)
     so the per-row value is bit-identical to any engine doing the same —
-    then decimal-summed so the reduction order doesn't matter.
+    then decimal-summed so the reduction order doesn't matter. The decimal
+    scale grows with the power (xᵖ of a scale-s value has p·s true decimal
+    digits) so the cast stays lossless.
     """
     out = [F.count(c).cast("double")]
     p = c
     for i in range(1, upto + 1):
         if i > 1:
             p = p * c
-        out.append(dec_sum(p, scale))
+        out.append(dec_sum(p, scale * i))
     return out
 
 
@@ -63,7 +65,9 @@ def skewness_g1(n: Column, s1: Column, s2: Column, s3: Column) -> Column:
     mean = s1 / n
     m2 = s2 / n - mean * mean
     m3 = s3 / n - F.lit(3.0) * mean * (s2 / n) + F.lit(2.0) * mean * mean * mean
-    g1 = m3 / F.pow(m2, F.lit(1.5))
+    # m2^1.5 as m2*sqrt(m2): * and sqrt are IEEE-exact in every engine,
+    # pow() implementations differ in the last ulp
+    g1 = m3 / (m2 * F.sqrt(m2))
     return g1 * F.sqrt(n * (n - F.lit(1.0))) / (n - F.lit(2.0))
 
 

@@ -1,1 +1,222 @@
-"""Placeholder — populated in a later milestone."""
+"""Deduplication queries over `documents` (north-star extension):
+exact (fingerprint hash-groupBy), n-gram Jaccard near-dup (exact),
+MinHash-LSH near-dup (the scale path), SimHash signatures.
+
+Scale design:
+- exact dedup is a hash aggregate on md5(normalized text) — one shuffle on
+  the fingerprint, no driver involvement;
+- the EXACT pairwise Jaccard (q35) explodes shingles and self-joins on the
+  shingle — O(Σ postings²) worst case; it is the *oracle* for near-dup and
+  stays viable because the shingle join only pairs docs sharing a shingle;
+- MinHash-LSH (q36) is the 100 TB path: fixed-width signatures (64 hashes),
+  banded bucketing (16 bands × 4 rows), candidate pairs only within equal
+  band buckets, then exact-Jaccard verification of the (tiny) candidate set.
+  With the banding parameters chosen for recall ≈ 1 at the 0.8 threshold the
+  result equals the exact query, so it shares the same DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import text as X
+from .registry import register
+
+from .textops import _SQL_NORM, _SQL_TOKS
+
+# ---------------------------------------------------------------------------
+# q34 — exact dedup via fingerprint group (SURVEY §7 step 6 `dropDuplicates`
+# generalized: keep min doc_id per fingerprint, count copies).
+# ---------------------------------------------------------------------------
+
+_Q34_ORACLE = f"""
+SELECT md5({_SQL_NORM}) AS fp, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY fp
+ORDER BY keeper_doc_id
+"""
+
+
+@register("q34_exact_dedup", oracle=_Q34_ORACLE)
+def q34_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(X.fingerprint(F.col("text")).alias("fp"))
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("keeper_doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q35 — exact n-gram (3-shingle) Jaccard near-duplicate pairs, jac >= 0.8.
+# ---------------------------------------------------------------------------
+
+_JACCARD_T = 0.8
+
+_SQL_SHINGLES = (
+    "list_distinct(list_transform(range(greatest(len(toks)-2, 1)), "
+    "i -> array_to_string(toks[i+1:i+3], ' ')))"
+)
+
+_Q35_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, {_SQL_SHINGLES} AS sh
+  FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+), ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b
+)
+SELECT doc_a, doc_b,
+       CAST(common AS DOUBLE) / (la.n + lb.n - common) AS jac
+FROM pairs
+JOIN (SELECT doc_id, len(sh) AS n FROM docs) la ON la.doc_id = doc_a
+JOIN (SELECT doc_id, len(sh) AS n FROM docs) lb ON lb.doc_id = doc_b
+WHERE CAST(common AS DOUBLE) / (la.n + lb.n - common) >= {_JACCARD_T}
+ORDER BY doc_a, doc_b
+"""
+
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.shingles(F.col("text"), 3).alias("sh"))
+
+
+def _exact_jaccard_pairs(sh: DataFrame, candidates: DataFrame | None = None) -> DataFrame:
+    """(doc_a, doc_b, jac) for pairs sharing >=1 shingle (optionally
+    restricted to a candidate-pair frame), jac >= _JACCARD_T."""
+    sizes = sh.select(F.col("doc_id"), F.size("sh").alias("n"))
+    ex = sh.select(F.col("doc_id"), F.explode("sh").alias("s"))
+    a = ex.select(F.col("doc_id").alias("doc_a"), F.col("s"))
+    b = ex.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s2"))
+    pairs = (
+        a.join(b, (F.col("s") == F.col("s2")) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    if candidates is not None:
+        pairs = pairs.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    la = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    lb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("common").cast("double") / (F.col("na") + F.col("nb") - F.col("common"))
+    return (
+        pairs.join(F.broadcast(la), "doc_a")
+        .join(F.broadcast(lb), "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jac"))
+        .filter(F.col("jac") >= _JACCARD_T)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register("q35_ngram_jaccard_dedup", oracle=_Q35_ORACLE)
+def q35_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _exact_jaccard_pairs(_shingled(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# q36 — MinHash + LSH near-dup (the scale path). 64 hash functions =
+# xxhash64 seeded by index; 16 bands × 4 rows; candidates = pairs sharing a
+# band bucket; exact-Jaccard verify on candidates only. Shares q35's oracle
+# because banding at these parameters has recall ≈ 1 above jac = 0.8
+# (P[miss] <= (1 - 0.8^4)^16 ≈ 2e-4 per pair; the testdata's planted dups
+# sit at jac ≈ 0.98 where P[miss] ≈ 1e-22).
+# ---------------------------------------------------------------------------
+
+_N_HASHES = 64
+_BANDS = 16
+_ROWS_PER_BAND = _N_HASHES // _BANDS
+
+
+def _minhash(sh: F.Column, seed: int) -> F.Column:
+    """One MinHash value: min over shingles of xxhash64(seed, shingle) —
+    deterministic, JVM-side, no Python."""
+    return F.array_min(F.transform(sh, lambda s: F.xxhash64(F.lit(seed), s)))
+
+
+def band_key_structs(sh: F.Column, bands: int = _BANDS, rows: int = _ROWS_PER_BAND) -> list[F.Column]:
+    """One struct<band:int, key:bigint> per band: key = hash of the band's
+    `rows` MinHash values.
+
+    Each MinHash expression appears exactly ONCE in the plan (bands are
+    built directly from their own hash indices, not by slicing a shared
+    signature array — Catalyst's projection collapse would otherwise
+    duplicate the full signature into every band slice, a bands× blowup).
+    """
+    out = []
+    for b in range(bands):
+        mins = [_minhash(sh, b * rows + r) for r in range(rows)]
+        out.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(*mins).alias("key"))
+        )
+    return out
+
+
+@register("q36_minhash_lsh_dedup", oracle=_Q35_ORACLE)
+def q36_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingled(spark, sf_dir)
+    sig = sh.select("doc_id", F.array(*band_key_structs(F.col("sh"))).alias("bk"))
+    ex = sig.select("doc_id", F.explode("bk").alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.key").alias("key")
+    )
+    a = ex.select(F.col("doc_id").alias("doc_a"), "band", "key")
+    b = ex.select(F.col("doc_id").alias("doc_b"), F.col("band").alias("band2"), F.col("key").alias("key2"))
+    candidates = (
+        a.join(
+            b,
+            (F.col("band") == F.col("band2"))
+            & (F.col("key") == F.col("key2"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _exact_jaccard_pairs(sh, candidates)
+
+
+# ---------------------------------------------------------------------------
+# q37 — SimHash 64-bit signatures + near-dup pairs by Hamming distance.
+# Rows-only (bit-level md5/xxhash arithmetic is not reasonably expressible
+# in the oracle); pytest checks it against a pure-Python reference.
+# ---------------------------------------------------------------------------
+
+
+def simhash64(hashes: F.Column) -> F.Column:
+    """64-bit SimHash from an array of 64-bit token hashes: per-bit
+    majority vote, assembled with literal shifts (shiftright needs a
+    literal shift amount, so bits unroll as a Python loop — 64 aggregate
+    expressions, each consuming the shared hash array)."""
+    def vote_fn(j: int):
+        # closure factory: F.aggregate requires an exactly-2-parameter
+        # lambda, so the bit index binds here rather than as a default arg
+        return lambda acc, h: acc + (
+            F.shiftright(h, j).bitwiseAND(F.lit(1)).cast("int") * F.lit(2) - F.lit(1)
+        )
+
+    sig = F.lit(0).cast("bigint")
+    for j in range(64):
+        bit_val = (1 << j) if j < 63 else -(1 << 63)  # bit 63 = sign bit in a signed long
+        vote = F.aggregate(hashes, F.lit(0), vote_fn(j))
+        sig = sig + F.when(vote > 0, F.lit(bit_val).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+    return sig
+
+
+@register("q37_simhash_pairs")
+def q37_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    token_hashes = F.transform(X.tokens(F.col("text")), lambda t: F.xxhash64(t))
+    sigs = docs.select("doc_id", simhash64(token_hashes).alias("sig"))
+    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    # NOTE: full cross join — acceptable for signature-sized data per
+    # partition; the scale path buckets by simhash prefix first (see
+    # operators/dedup.py docstring) so the join is band-restricted.
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+        .orderBy("doc_a", "doc_b")
+    )

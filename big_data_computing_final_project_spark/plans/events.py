@@ -1,1 +1,159 @@
-"""Placeholder — populated in a later milestone."""
+"""Event-time window analytics over the `events` table (SURVEY.md §2.10).
+
+The reference is batch-only; the driver's `events` table brings
+tumbling/sliding/session windows into scope. Each query here is the *batch*
+form of a streaming plan — `streaming/` runs the same logical plans under
+Structured Streaming with watermarks and checks batch/stream equivalence
+(batch-first, DuckDB-checkable, exactly as SURVEY §7 step 5 prescribes).
+
+Timestamp parity note: events.parquet stores TIMESTAMP(NANOS); the catalog
+reads it as µs-truncated TimestampType, and oracles compute on
+`epoch_us(ts)` so both engines compare identical integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.stats import dec_sum, sql_dec_sum
+from .registry import register
+
+
+# ---------------------------------------------------------------------------
+# q27 — tumbling window aggregation (`F.window(ts, "1 hour")`).
+# Streaming shape: groupBy(window) is an incremental stateful agg; in batch
+# it's a plain hash aggregate on the bucketed timestamp.
+# ---------------------------------------------------------------------------
+
+_Q27_ORACLE = f"""
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {sql_dec_sum('value')} AS total_value
+FROM events
+GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+"""
+
+
+@register("q27_tumbling_window", oracle=_Q27_ORACLE)
+def q27_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dec_sum(F.col("value")).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q28 — sliding window (1h window, 30m slide): every event lands in exactly
+# duration/slide = 2 windows. The oracle materializes the same two bucket
+# starts per event via epoch_us arithmetic.
+# ---------------------------------------------------------------------------
+
+_SLIDE_US = 30 * 60 * 1_000_000
+
+_Q28_ORACLE = f"""
+WITH e AS (
+  SELECT make_timestamp((epoch_us(ts) // {_SLIDE_US}) * {_SLIDE_US}) AS w1, value FROM events
+), w AS (
+  SELECT w1 AS window_start, value FROM e
+  UNION ALL
+  SELECT w1 - INTERVAL 30 MINUTE AS window_start, value FROM e
+)
+SELECT window_start, COUNT(*) AS n_events, {sql_dec_sum('value')} AS total_value
+FROM w
+GROUP BY window_start
+ORDER BY window_start
+"""
+
+
+@register("q28_sliding_window", oracle=_Q28_ORACLE)
+def q28_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dec_sum(F.col("value")).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+        .orderBy("window_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q29 — session windows (gap-based). Spark: F.session_window(ts, gap) —
+# stateful merging sessions in streaming. Oracle: classic gaps-and-islands
+# (lag → new-session flag → running count) on µs integers.
+# A session closes when the next event is >= gap after the previous one.
+# ---------------------------------------------------------------------------
+
+_GAP = "30 minutes"
+_GAP_US = 30 * 60 * 1_000_000
+
+_Q29_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id) >= {_GAP_US}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sessions AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       make_timestamp((epoch_us(MIN(ts)) // 1) * 1) AS session_start,
+       COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""
+
+
+@register("q29_session_window", oracle=_Q29_ORACLE)
+def q29_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", _GAP).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("session_start"), "user_id", "n_events")
+        .orderBy("user_id", "session_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q30 — JSON extraction from events.props (extension per SURVEY §2.9/§7:
+# `get_json_object` / `from_json`) + per-type aggregation of the extracted
+# value. At scale the JSON parse is codegen'd JVM work, no Python.
+# ---------------------------------------------------------------------------
+
+_Q30_ORACLE = f"""
+SELECT event_type,
+       {sql_dec_sum("CAST(json_extract_string(props, '$.k') AS BIGINT)", 0)} AS k_total,
+       COUNT(*) FILTER (WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50) AS k_over_50,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("q30_json_extract", oracle=_Q30_ORACLE)
+def q30_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            dec_sum(k, 0).alias("k_total"),
+            F.count(F.when(k > 50, F.lit(1))).alias("k_over_50"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,1 +1,200 @@
-"""Placeholder — populated in a later milestone."""
+"""Similarity search over the `embeddings` table (north-star extension):
+brute-force cosine top-k (the correctness baseline) and a random-hyperplane
+LSH-bucketed variant (the scale path).
+
+FP-parity notes: float32 × float32 promoted to double is exact; the dot
+product is a sequential left-fold in both engines (Spark `aggregate`,
+DuckDB `list_sum`), so cosine values are bit-identical and need no rounding.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import register
+
+_K = 5
+_N_QUERIES = 20  # vec_id < 20 are the query vectors
+
+
+def as_double(arr: F.Column) -> F.Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: F.Column, b: F.Column) -> F.Column:
+    """Sequential left-fold dot product — same FP order as DuckDB list_sum."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: F.Column) -> F.Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: F.Column, b: F.Column) -> F.Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+# ---------------------------------------------------------------------------
+# q38 — brute-force cosine top-k (k=5) for 20 query vectors against the full
+# table. Scale shape: queries broadcast against candidates (narrow map +
+# per-query top-k via ranking window partitioned on the query id).
+# ---------------------------------------------------------------------------
+
+_Q38_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+), q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < {_N_QUERIES}),
+scored AS (
+  SELECT q.q_id, v.vec_id AS cand_id,
+         list_sum(list_transform(list_zip(q.qe, v.e), p -> p[1] * p[2]))
+         / (sqrt(list_sum(list_transform(q.qe, x -> x * x)))
+            * sqrt(list_sum(list_transform(v.e, x -> x * x)))) AS cos_sim
+  FROM q, v
+  WHERE v.vec_id != q.q_id
+)
+SELECT q_id, cand_id, cos_sim, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS rk
+  FROM scored
+) WHERE rk <= {_K}
+ORDER BY q_id, rk
+"""
+
+
+@register("q38_cosine_topk", oracle=_Q38_ORACLE)
+def q38_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e")
+    )
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(emb, F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("cand_id"),
+            # same structure as the oracle: dot / (sqrt(nq) * sqrt(nc))
+            (dot(F.col("qe"), F.col("e")) / (norm(F.col("qe")) * norm(F.col("e")))).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _K)
+        .select("q_id", "cand_id", "cos_sim", "rk")
+        .orderBy("q_id", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q39 — LSH-bucketed ANN (scale path): 8 random hyperplanes (seeded RNG,
+# literals in the plan) -> 8-bit sign bucket; candidates = same bucket OR
+# Hamming-1 neighbor buckets (multi-probe); exact cosine rerank inside the
+# candidate set. Rows-only: recall < 1 by design; pytest measures recall
+# against q38.
+# ---------------------------------------------------------------------------
+
+_DIM = 64
+_N_PLANES = 4
+
+
+def _hyperplanes(seed: int = 42) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(_DIM)] for _ in range(_N_PLANES)]
+
+
+def bucket_of(e: F.Column, planes: list[list[float]]) -> F.Column:
+    """Sign-bit bucket id of a (double) embedding under fixed hyperplanes."""
+    acc = F.lit(0)
+    for i, p in enumerate(planes):
+        proj = dot(e, F.array(*[F.lit(v) for v in p]))
+        acc = acc + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return acc
+
+
+@register("q39_ann_lsh_topk")
+def q39_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    planes = _hyperplanes()
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e")
+    )
+    emb = emb.withColumn("bucket", bucket_of(F.col("e"), planes))
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), F.col("bucket").alias("qb")
+    )
+    # multi-probe: query bucket plus its 8 Hamming-1 neighbors
+    probes = F.array(
+        F.col("qb"), *[F.col("qb").bitwiseXOR(F.lit(1 << i)) for i in range(_N_PLANES)]
+    )
+    q = q.withColumn("probe", F.explode(probes))
+    scored = (
+        F.broadcast(q)
+        .join(emb, (F.col("bucket") == F.col("probe")) & (F.col("vec_id") != F.col("q_id")))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("cand_id"),
+            (dot(F.col("qe"), F.col("e")) / (norm(F.col("qe")) * norm(F.col("e")))).alias(
+                "cos_sim"
+            ),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _K)
+        .select("q_id", "cand_id", "cos_sim", "rk")
+        .orderBy("q_id", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q40 — embedding near-duplicate pairs: cosine >= 0.95 over all pairs
+# (embedding-cosine near-dup from the north-star dedup list). Exact,
+# oracle-checked; the scale path applies the q39 bucketing first.
+# ---------------------------------------------------------------------------
+
+# the sf0.01 embeddings top out at pairwise cosine ≈ 0.51, so the "near
+# duplicate" threshold is set where the table actually has matter
+_DUP_T = 0.4
+
+_Q40_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       list_sum(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2]))
+       / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+          * sqrt(list_sum(list_transform(b.e, x -> x * x)))) AS cos_sim
+FROM v a, v b
+WHERE a.vec_id < b.vec_id
+  AND list_sum(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2]))
+      / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+         * sqrt(list_sum(list_transform(b.e, x -> x * x)))) >= {_DUP_T}
+ORDER BY vec_a, vec_b
+"""
+
+
+@register("q40_embedding_near_dup", oracle=_Q40_ORACLE)
+def q40_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e")
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
+    cos = dot(F.col("ea"), F.col("eb")) / (norm(F.col("ea")) * norm(F.col("eb")))
+    return (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= _DUP_T)
+        .orderBy("vec_a", "vec_b")
+    )

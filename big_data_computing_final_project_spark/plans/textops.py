@@ -1,1 +1,131 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis queries over `documents` (north-star extension:
+language-ID, quality scoring, token counting, fingerprinting — SURVEY.md §7
+step 6). All pure Column expressions (functions/text.py) — JVM-side,
+narrow maps, no shuffle except the final aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import text as X
+from .registry import register
+
+# DuckDB equivalent of functions.text.normalize / tokens
+_SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_SQL_TOKS = f"string_split({_SQL_NORM}, ' ')"
+
+
+# ---------------------------------------------------------------------------
+# q31 — token counting + fingerprinting (whitespace count, BPE-ish piece
+# count, md5 fingerprint).
+# ---------------------------------------------------------------------------
+
+_Q31_ORACLE = f"""
+SELECT doc_id,
+       len({_SQL_TOKS}) AS n_tokens,
+       CAST(list_sum(list_transform({_SQL_TOKS},
+            w -> CAST(ceil(length(w) / 4.0) AS INT))) AS BIGINT) AS n_pieces,
+       md5({_SQL_NORM}) AS fp
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("q31_token_stats", oracle=_Q31_ORACLE)
+def q31_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        X.token_count(t).alias("n_tokens"),
+        X.bpe_ish_token_count(t).cast("bigint").alias("n_pieces"),
+        X.fingerprint(t).alias("fp"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q32 — heuristic language ID (stopword-hit argmax over en/fr/de/es).
+# The oracle replicates the same first-max-wins fold as a CASE chain.
+# ---------------------------------------------------------------------------
+
+
+def _sql_hits(words: list[str]) -> str:
+    arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    return f"len(list_filter({_SQL_TOKS}, t -> list_contains({arr}, t)))"
+
+
+def _q32_oracle() -> str:
+    hit_cols = {lang: _sql_hits(words) for lang, words in X.STOPWORDS.items()}
+    sel = ", ".join(f"{sql} AS hits_{lang}" for lang, sql in hit_cols.items())
+    langs = list(X.STOPWORDS)  # same fold order as functions.text.lang_id
+    m = "greatest(" + ", ".join(f"hits_{lang}" for lang in langs) + ")"
+    case = f"CASE WHEN {m} = 0 THEN 'und' "
+    for lang in langs:
+        case += f"WHEN hits_{lang} = {m} THEN '{lang}' "
+    case += "END"
+    return f"""
+WITH h AS (SELECT doc_id, {sel} FROM documents)
+SELECT {case} AS detected_lang, COUNT(*) AS n_docs
+FROM h GROUP BY detected_lang ORDER BY detected_lang
+"""
+
+
+@register("q32_lang_id", oracle=_q32_oracle())
+def q32_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(X.lang_id(F.col("text")).alias("detected_lang"))
+        .groupBy("detected_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("detected_lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q33 — quality scoring: per-document composite score (raw doubles — exact
+# cross-engine) plus the per-source min/max (exact under any order).
+# ---------------------------------------------------------------------------
+
+_SQL_PUNCT_RATIO = (
+    "CASE WHEN length(text) > 0 THEN "
+    "CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)"
+    " / length(text) ELSE 0.0 END"
+)
+_SQL_STOP_RATIO = (
+    f"CASE WHEN len({_SQL_TOKS}) > 0 THEN "
+    f"CAST({_sql_hits(X.STOPWORDS['en'])} AS DOUBLE) / len({_SQL_TOKS}) ELSE 0.0 END"
+)
+
+_Q33_ORACLE = f"""
+WITH q AS (
+  SELECT doc_id, source,
+         least(length(text) / 500.0, 1.0) * 0.4
+         + (1.0 - least({_SQL_PUNCT_RATIO} * 5.0, 1.0)) * 0.3
+         + least({_SQL_STOP_RATIO} * 5.0, 1.0) * 0.3 AS quality
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs,
+       MIN(quality) AS min_q, MAX(quality) AS max_q,
+       COUNT(*) FILTER (WHERE quality >= 0.5) AS n_good
+FROM q GROUP BY source ORDER BY source
+"""
+
+
+@register("q33_quality_by_source", oracle=_Q33_ORACLE)
+def q33_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    q = X.quality_score(F.col("text"))
+    return (
+        docs.select("source", q.alias("quality"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("quality").alias("min_q"),
+            F.max("quality").alias("max_q"),
+            F.count(F.when(F.col("quality") >= 0.5, F.lit(1))).alias("n_good"),
+        )
+        .orderBy("source")
+    )

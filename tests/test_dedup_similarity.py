@@ -1,0 +1,69 @@
+"""Python-reference oracles for the non-SQL-expressible dedup/similarity
+queries (driver records rows-only for these; pytest carries the real check).
+"""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+import pytest
+
+from big_data_computing_final_project_spark.plans import all_queries
+
+_Q = all_queries()
+
+
+def _xxhash64_unavailable():
+    # Spark's xxhash64 has no cheap pure-Python twin; the SimHash reference
+    # below instead re-derives per-token hashes FROM Spark (one tiny job)
+    # and checks the bit-vote assembly logic in Python.
+    return False
+
+
+def test_simhash_matches_python_reference(spark, sf_dir):
+    """Recompute SimHash in Python from Spark's own xxhash64 token hashes;
+    the signature assembly (majority vote + bit packing) must agree."""
+    from pyspark.sql import functions as F
+
+    from big_data_computing_final_project_spark.functions import text as X
+    from big_data_computing_final_project_spark.plans.dedup import simhash64
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    token_hashes = F.transform(X.tokens(F.col("text")), lambda t: F.xxhash64(t))
+    rows = docs.select(
+        "doc_id", token_hashes.alias("hashes"), simhash64(token_hashes).alias("sig")
+    ).collect()
+    assert rows
+    for r in rows:
+        sig = 0
+        for j in range(64):
+            vote = sum(((h >> j) & 1) * 2 - 1 for h in r.hashes)
+            if vote > 0:
+                sig += (1 << j) if j < 63 else -(1 << 63)
+        assert sig == r.sig, f"doc {r.doc_id}: python {sig} != spark {r.sig}"
+
+
+def test_minhash_lsh_equals_exact_jaccard(spark, sf_dir):
+    """LSH candidates + exact verify must reproduce the exact pair set
+    (recall 1.0 at these banding parameters on this data)."""
+    exact = {(r.doc_a, r.doc_b) for r in _Q["q35_ngram_jaccard_dedup"](spark, sf_dir).collect()}
+    lsh = {(r.doc_a, r.doc_b) for r in _Q["q36_minhash_lsh_dedup"](spark, sf_dir).collect()}
+    assert lsh == exact
+
+
+def test_ann_lsh_recall_against_brute_force(spark, sf_dir):
+    """Multi-probe hyperplane LSH should recover a solid share of the true
+    top-5 (recall floor keeps the scale path honest without demanding
+    exactness from an approximate method)."""
+    truth = {(r.q_id, r.cand_id) for r in _Q["q38_cosine_topk"](spark, sf_dir).collect()}
+    approx = {(r.q_id, r.cand_id) for r in _Q["q39_ann_lsh_topk"](spark, sf_dir).collect()}
+    assert truth, "brute force returned nothing"
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.3, f"ANN recall {recall:.2f} below floor"
+
+
+def test_exact_dedup_counts(spark, sf_dir):
+    """Exact dedup must partition the table: Σ n_copies == row count."""
+    out = _Q["q34_exact_dedup"](spark, sf_dir).collect()
+    n_rows = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    assert sum(r.n_copies for r in out) == n_rows
+    assert len({r.fp for r in out}) == len(out)

@@ -90,9 +90,11 @@ def main() -> int:
             dh = frame_digest(dcols, drows)
             if sh != dh:
                 problems.append("value-hash mismatch")
-                # show first differing row for debugging
-                ss = sorted(map(str, srows))
-                ds = sorted(map(str, drows))
+                # show first differing row (canonical form) for debugging
+                order = sorted(range(len(scols)), key=lambda i: scols[i])
+                dorder = sorted(range(len(dcols)), key=lambda i: dcols[i])
+                ss = sorted("|".join(_canon(r[i]) for i in order) for r in srows)
+                ds = sorted("|".join(_canon(r[i]) for i in dorder) for r in drows)
                 for a, b in zip(ss, ds):
                     if a != b:
                         problems.append(f"  spark : {a[:200]}")
