@@ -1,0 +1,147 @@
+"""Multimodal (image/audio/video) column plumbing (north-star extension).
+
+Design for 100 TB: media payloads are opaque `binary` columns with typed
+metadata alongside; decode / feature-extraction / resize / frame-sampling
+run as **mapInPandas** stages — Arrow-batched, one Python worker per
+partition, schema declared up front so Catalyst can prune around them.
+Partitioning guidance: media tables should be written with
+`spark.sql.files.maxPartitionBytes` sized so one batch of payloads fits
+executor memory (payloads dominate row width).
+
+The actual codec is STUBBED: this container ships no image/audio libs, so
+`decode_media` parses the deterministic synthetic header produced by
+`attach_synthetic_media` and raises `NotImplementedError` for real formats.
+The Spark-side plumbing — schema, batching, UDF signature — is real and
+oracle-tested end-to-end (plans/multimodal.py q51).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Synthetic header: 8 ASCII chars = %04d width + %04d height, then payload.
+_HEADER_LEN = 8
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_payload_bytes", T.LongType()),
+        T.StructField("content_md5", T.StringType()),
+    ]
+)
+
+
+def attach_synthetic_media(docs: DataFrame) -> DataFrame:
+    """Add a deterministic fake media column to the documents table:
+    content = ascii header (width, height derived from doc_id) + utf-8 text.
+    Pure Column expressions — the binary is born distributed."""
+    width = (F.col("doc_id") * 37 % 640 + 16).cast("int")
+    height = (F.col("doc_id") * 53 % 480 + 16).cast("int")
+    header = F.format_string("%04d%04d", width, height)
+    return docs.select(
+        "doc_id",
+        F.encode(F.concat(header, F.col("text")), "utf-8").alias("content"),
+        F.struct(
+            width.alias("width"), height.alias("height"), F.lit("synthetic/v1").alias("codec")
+        ).alias("media_meta"),
+    )
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """mapInPandas decode: binary -> (dims, payload size, content hash).
+
+    Real codecs (PIL/librosa/ffmpeg) would slot into `_decode_one`; only the
+    synthetic codec is implemented here (see module docstring).
+    """
+
+    def _decode_one(content: bytes) -> tuple[int, int, int, str]:
+        if len(content) < _HEADER_LEN:
+            raise NotImplementedError(
+                "real media decode is stubbed: only the synthetic/v1 header codec "
+                "is available in this environment"
+            )
+        try:
+            width = int(content[:4].decode("ascii"))
+            height = int(content[4:8].decode("ascii"))
+        except (UnicodeDecodeError, ValueError) as e:
+            raise NotImplementedError(f"unsupported media format: {e}") from e
+        return width, height, len(content) - _HEADER_LEN, hashlib.md5(content).hexdigest()
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = [_decode_one(c) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "n_payload_bytes": [d[2] for d in decoded],
+                    "content_md5": [d[3] for d in decoded],
+                }
+            )
+
+    return media.mapInPandas(_batches, DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def resize_media(decoded: DataFrame, max_side: int = 256) -> DataFrame:
+    """Vectorized 'resize': scale dims so max(side) == max_side, preserving
+    aspect ratio — pandas-side arithmetic standing in for a pixel resample
+    (same batch shape a real resampler would use)."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            scale = max_side / pdf[["width", "height"]].max(axis=1)
+            scale = scale.clip(upper=1.0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "width": (pdf["width"] * scale).round().astype("int32"),
+                    "height": (pdf["height"] * scale).round().astype("int32"),
+                }
+            )
+
+    return decoded.select("doc_id", "width", "height").mapInPandas(_batches, RESIZED_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:
+    """'Video frame sampling' over the synthetic payload: take a byte every
+    `every_n_bytes` as a stand-in frame grab — exercises the
+    one-row-to-many-rows (UDTF-shaped) mapInPandas pattern."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame_byte", T.IntegerType()),
+        ]
+    )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, vals = [], [], []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                payload = content[_HEADER_LEN:]
+                for k in range(min(max_frames, max(len(payload) // every_n_bytes, 0))):
+                    ids.append(doc_id)
+                    idxs.append(k)
+                    vals.append(payload[k * every_n_bytes])
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_byte": vals})
+
+    return media.mapInPandas(_batches, out_schema)

@@ -1,0 +1,65 @@
+"""File sources/sinks (SURVEY.md §2.1).
+
+S1 (CSV scan): the reference does `pd.read_csv(path)` with inference
+(`house_predict.py:565-566`); the engine's default takes an explicit
+StructType (inference = an extra full scan at 100 TB) but exposes the
+inference path for parity.
+
+S2 (CSV sink): `df.to_csv(name, index=False)` (`house_predict.py:627-628`).
+Spark writes a directory of part files; `single_file=True` coalesces to one
+partition — correct for submission-sized outputs, documented as a
+deliberate anti-pattern for large results.
+
+S4 (Parquet): the engine's native format; writes support partition columns
+so downstream scans prune.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    header: bool = True,
+) -> DataFrame:
+    """S1 — CSV scan. Explicit schema by default; falls back to inference
+    (one extra pass) when none is given, matching the reference's reader."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """S4 — Parquet scan (pushdown + pruning come free)."""
+    return spark.read.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """S2 — CSV sink with header, no index column (Spark has none)."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option("header", "true").csv(path)
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_submission(pred_df: DataFrame, path: str, id_col: str = "id", pred_col: str = "prediction") -> None:
+    """The reference's submission sink done key-safe: ids flow through the
+    pipeline as a column (never positional zip — `house_predict.py:622-625`
+    has no shuffle-safe analogue, SURVEY §4 hard parts)."""
+    out = pred_df.select(
+        F.col(id_col).alias("id"), F.col(pred_col).cast("long").alias("label")
+    ).orderBy("id")
+    write_csv(out, path, single_file=True)

@@ -1,0 +1,78 @@
+"""Structured Streaming over the events table (SURVEY.md §2.10).
+
+The reference has no streaming; the engine defines the streaming surface as
+*the same logical plans as plans/events.py* executed incrementally:
+
+    readStream (file source) → withWatermark → window agg → writeStream
+
+Batch/stream equivalence is the correctness contract: a tumbling-window
+aggregation run with an ``availableNow`` trigger over the static events
+file must produce exactly the batch result (tests/test_streaming.py), which
+itself is DuckDB-oracle-checked (q27). Late-data semantics (watermark) and
+stateful dedup (`dropDuplicatesWithinWatermark`) follow Spark's documented
+model — SURVEY §4 notes there is no reference behavior to copy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.stats import dec_sum
+
+# physical schema of events.parquet under nanosAsLong (see catalog.py)
+_EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos-as-long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str, watermark: str = "1 hour") -> DataFrame:
+    """File-source stream of the events table with event-time watermark.
+
+    At scale the source would be Kafka/queue; the file source keeps the
+    identical downstream plan. ts arrives as long nanos (same reader quirk
+    the batch catalog handles) and is truncated to µs timestamps.
+    """
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).withWatermark(
+        "ts", watermark
+    )
+
+
+def tumbling_counts(events: DataFrame, duration: str = "1 hour") -> DataFrame:
+    """The q27 plan, streaming-ready: incremental stateful window agg."""
+    return (
+        events.groupBy(F.window("ts", duration).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dec_sum(F.col("value")).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+def run_stream_to_memory(
+    result: DataFrame, query_name: str, checkpoint_dir: str, timeout_sec: int = 120
+) -> None:
+    """Execute a streaming result with trigger(availableNow): process the
+    full backlog incrementally, then stop — the batch-equivalence harness."""
+    q = (
+        result.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()

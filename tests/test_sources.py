@@ -1,0 +1,85 @@
+"""Sources/sinks round-trips (SURVEY §2.1 S1-S4)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from big_data_computing_final_project_spark.sources import (
+    load_pipeline_model,
+    read_csv,
+    read_parquet,
+    save_pipeline_model,
+    write_csv,
+    write_parquet,
+    write_submission,
+)
+
+
+def test_csv_round_trip_with_schema(spark, sf_dir):
+    tmp = tempfile.mkdtemp(prefix="csv_rt_")
+    try:
+        nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        write_csv(nation, f"{tmp}/nation_csv")
+        schema = T.StructType(
+            [
+                T.StructField("n_nationkey", T.IntegerType()),
+                T.StructField("n_name", T.StringType()),
+                T.StructField("n_regionkey", T.IntegerType()),
+            ]
+        )
+        back = read_csv(spark, f"{tmp}/nation_csv", schema=schema)
+        assert {tuple(r) for r in back.collect()} == {tuple(r) for r in nation.collect()}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_parquet_round_trip_partitioned(spark, sf_dir):
+    tmp = tempfile.mkdtemp(prefix="pq_rt_")
+    try:
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        write_parquet(orders, f"{tmp}/orders_pq", partition_by=["o_orderstatus"])
+        back = read_parquet(spark, f"{tmp}/orders_pq")
+        assert back.count() == orders.count()
+        # partition pruning: reading one status must scan fewer rows
+        one = back.filter(F.col("o_orderstatus") == "F")
+        assert 0 < one.count() < orders.count()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_submission_sink_key_based(spark, sf_dir):
+    tmp = tempfile.mkdtemp(prefix="sub_")
+    try:
+        pred = spark.range(100).select(
+            F.col("id"), (F.col("id") % 2).cast("double").alias("prediction")
+        )
+        write_submission(pred, f"{tmp}/submission")
+        back = spark.read.option("header", "true").csv(f"{tmp}/submission")
+        assert back.columns == ["id", "label"]
+        assert back.count() == 100
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_pipeline_model_persistence(spark, sf_dir):
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import StringIndexer
+
+    tmp = tempfile.mkdtemp(prefix="model_")
+    try:
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        pipe = Pipeline(
+            stages=[StringIndexer(inputCol="c_mktsegment", outputCol="seg_idx", handleInvalid="keep")]
+        )
+        model = pipe.fit(cust)
+        save_pipeline_model(model, f"{tmp}/m")
+        back = load_pipeline_model(f"{tmp}/m")
+        a = {tuple(r) for r in model.transform(cust).select("c_custkey", "seg_idx").collect()}
+        b = {tuple(r) for r in back.transform(cust).select("c_custkey", "seg_idx").collect()}
+        assert a == b
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
