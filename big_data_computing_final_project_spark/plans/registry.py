@@ -49,6 +49,7 @@ def _load_plans() -> None:
     from . import (  # noqa: F401
         dedup,
         events,
+        impurity,
         ml_queries,
         multimodal_queries,
         profiling,
