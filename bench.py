@@ -20,15 +20,22 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from big_data_computing_final_project_spark.plans import all_queries
 from big_data_computing_final_project_spark.session import get_spark
 
-# Headline set: one per workload family (scan-agg, star join, window,
-# set-op, profiling/dedup/similarity families join as they land).
+# Headline set: one per workload family.
 HEADLINE = [
-    "q01_pricing_summary",
-    "q02_filter_derive",
-    "q03_star_join_revenue",
-    "q06_topk_customers",
-    "q07_grouped_topk",
-    "q13_running_total",
+    "q01_pricing_summary",     # scan -> filter -> agg (TPC-H Q1 shape)
+    "q02_filter_derive",       # narrow projection w/ derived columns
+    "q03_star_join_revenue",   # star join, broadcast dims
+    "q06_topk_customers",      # join + agg + global top-k
+    "q07_grouped_topk",        # ranking window
+    "q13_running_total",       # running-frame window
+    "q17_value_counts",        # profiling: group counts + share
+    "q22_corr_pairs",          # profiling: single-pass corr matrix
+    "q27_tumbling_window",     # event-time window agg
+    "q31_token_stats",         # text: tokenize/fingerprint map
+    "q36_minhash_lsh_dedup",   # MinHash-LSH near-dup (scale path)
+    "q38_cosine_topk",         # embedding similarity brute-force
+    "q51_multimodal_decode",   # mapInPandas Arrow path
+    "q58_brand_revenue",       # dim join + agg
 ]
 
 

@@ -85,9 +85,9 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", X.shingles(F.col("text"), 3).alias("sh"))
 
 
-def _exact_jaccard_pairs(sh: DataFrame, candidates: DataFrame | None = None) -> DataFrame:
-    """(doc_a, doc_b, jac) for pairs sharing >=1 shingle (optionally
-    restricted to a candidate-pair frame), jac >= _JACCARD_T."""
+def _exact_jaccard_pairs(sh: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, jac) for ALL pairs sharing >=1 shingle, jac >=
+    _JACCARD_T — the exact (oracle) path: explode + shingle self-join."""
     sizes = sh.select(F.col("doc_id"), F.size("sh").alias("n"))
     ex = sh.select(F.col("doc_id"), F.explode("sh").alias("s"))
     a = ex.select(F.col("doc_id").alias("doc_a"), F.col("s"))
@@ -97,14 +97,33 @@ def _exact_jaccard_pairs(sh: DataFrame, candidates: DataFrame | None = None) -> 
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    if candidates is not None:
-        pairs = pairs.join(candidates, ["doc_a", "doc_b"], "left_semi")
     la = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     lb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("common").cast("double") / (F.col("na") + F.col("nb") - F.col("common"))
     return (
         pairs.join(F.broadcast(la), "doc_a")
         .join(F.broadcast(lb), "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jac"))
+        .filter(F.col("jac") >= _JACCARD_T)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _verify_candidate_pairs(sh: DataFrame, candidates: DataFrame) -> DataFrame:
+    """Exact-Jaccard verification restricted to candidate pairs: join each
+    pair to its two shingle ARRAYS and intersect per pair. Cost is
+    O(|candidates| · shingles-per-doc) — independent of the corpus-wide
+    shingle collision structure, which is the whole point of LSH. (The
+    explode/self-join of _exact_jaccard_pairs over ALL co-shingled pairs
+    would throw the LSH pruning away.)"""
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - common
+    jac = common.cast("double") / union
+    return (
+        candidates.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jac"))
         .filter(F.col("jac") >= _JACCARD_T)
         .orderBy("doc_a", "doc_b")
@@ -156,7 +175,9 @@ def band_key_structs(sh: F.Column, bands: int = _BANDS, rows: int = _ROWS_PER_BA
 
 @register("q36_minhash_lsh_dedup", oracle=_Q35_ORACLE)
 def q36_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingled(spark, sf_dir)
+    # the shingle frame feeds the signature pass AND both verify legs —
+    # cache it so shingling runs once (`cache()` discipline, SURVEY §7.7)
+    sh = _shingled(spark, sf_dir).cache()
     sig = sh.select("doc_id", F.array(*band_key_structs(F.col("sh"))).alias("bk"))
     ex = sig.select("doc_id", F.explode("bk").alias("b")).select(
         "doc_id", F.col("b.band").alias("band"), F.col("b.key").alias("key")
@@ -173,7 +194,7 @@ def q36_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    return _exact_jaccard_pairs(sh, candidates)
+    return _verify_candidate_pairs(sh, candidates)
 
 
 # ---------------------------------------------------------------------------
