@@ -6,6 +6,8 @@ package holds the operators with real machinery of their own:
 
 - :mod:`.multimodal` — binary media columns + mapInPandas decode/feature
   pipeline (Arrow-batched; the sanctioned Python path per SURVEY §2.9)
+- :mod:`.profiling` — the generic describe/value_counts/corr/crosstab API
+  with exact (oracle-parity) and sketch (100 TB) modes
 """
 
-from . import multimodal  # noqa: F401
+from . import multimodal, profiling  # noqa: F401

@@ -1,0 +1,153 @@
+"""Remaining inventory queries: group-collect (A10), the generic describe
+API in exact mode (A2), bootstrap sampling (J4), tree-rule dump (M13).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.profiling import bootstrap_sample, describe
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# q59 — group-by collect (A10: `groupby(...)` per-group listing,
+# `data_analysis.ipynb` cell 58736659): sorted distinct nation set per
+# market segment. collect_set shuffles only the distinct values.
+# ---------------------------------------------------------------------------
+
+_Q59_ORACLE = """
+SELECT c_mktsegment,
+       list_sort(list(DISTINCT c_nationkey)) AS nations,
+       COUNT(DISTINCT c_nationkey) AS n_nations
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@register("q59_group_collect", oracle=_Q59_ORACLE)
+def q59_group_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        customer.groupBy("c_mktsegment")
+        .agg(
+            F.sort_array(F.collect_set("c_nationkey")).alias("nations"),
+            F.countDistinct("c_nationkey").alias("n_nations"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q60 — the generic describe API, exact mode (A2/A4/A6/A7 in one call).
+# ---------------------------------------------------------------------------
+
+_Q60_COLS = ["l_quantity", "l_discount", "l_extendedprice"]
+
+
+def _q60_oracle() -> str:
+    parts = []
+    for c in _Q60_COLS:
+        s1 = f"CAST(SUM(CAST({c} AS DECIMAL(38,4))) AS DOUBLE)"
+        s2 = f"CAST(SUM(CAST({c} * {c} AS DECIMAL(38,8))) AS DOUBLE)"
+        n = f"CAST(COUNT({c}) AS DOUBLE)"
+        parts.append(
+            f"""
+SELECT '{c}' AS column_name,
+       COUNT({c}) AS count,
+       {s1} / {n} AS mean,
+       sqrt(({s2} - {s1} * {s1} / {n}) / ({n} - 1.0)) AS stddev,
+       CAST(MIN({c}) AS DOUBLE) AS min,
+       CAST(quantile_cont({c}, 0.25) AS DOUBLE) AS p25,
+       CAST(quantile_cont({c}, 0.50) AS DOUBLE) AS p50,
+       CAST(quantile_cont({c}, 0.75) AS DOUBLE) AS p75,
+       CAST(MAX({c}) AS DOUBLE) AS max,
+       COUNT(DISTINCT {c}) AS n_distinct
+FROM lineitem"""
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY column_name"
+
+
+@register("q60_describe_exact", oracle=_q60_oracle())
+def q60_describe_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return describe(li, _Q60_COLS, exact=True)
+
+
+# ---------------------------------------------------------------------------
+# q61 — bootstrap sample aggregate (J4). Rows-only: Spark's Poisson-based
+# with-replacement sampling has no DuckDB twin; pytest asserts the
+# seed-determinism + size distribution instead.
+# ---------------------------------------------------------------------------
+
+
+@register("q61_bootstrap_sample")
+def q61_bootstrap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    boot = bootstrap_sample(orders, seed=42)
+    return boot.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n")).orderBy("o_orderstatus")
+
+
+# ---------------------------------------------------------------------------
+# q62 — decision-path rule dump (M13: `get_tree_rules`,
+# `house_predict_model.ipynb` cell 2ccce02e → `toDebugString`). Rows-only:
+# one row per rule line, stable ordering.
+# ---------------------------------------------------------------------------
+
+
+@register("q62_tree_rules")
+def q62_tree_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.models import decision_tree
+    from .ml_queries import _embedding_features
+
+    df = _embedding_features(spark, sf_dir)
+    model = decision_tree(max_depth=4, min_instances_per_node=5).fit(df)
+    lines = [
+        (i, line.strip()) for i, line in enumerate(model.toDebugString.splitlines()) if line.strip()
+    ]
+    return spark.createDataFrame(lines, "line_no int, rule string").orderBy("line_no")
+
+
+# ---------------------------------------------------------------------------
+# q63 — sort by expression key (O2: `sort_values('correlation', key=abs)`,
+# `Sol_2.ipynb` cell f0d404e5): correlation pairs ranked by |r|.
+# ---------------------------------------------------------------------------
+
+_Q63_ORACLE = """
+WITH m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sq,
+         CAST(SUM(CAST(l_discount AS DECIMAL(38,4))) AS DOUBLE) AS sd,
+         CAST(SUM(CAST(l_tax AS DECIMAL(38,4))) AS DOUBLE) AS st,
+         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS sqq,
+         CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(38,8))) AS DOUBLE) AS sdd,
+         CAST(SUM(CAST(l_tax * l_tax AS DECIMAL(38,8))) AS DOUBLE) AS stt,
+         CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(38,8))) AS DOUBLE) AS sqd,
+         CAST(SUM(CAST(l_quantity * l_tax AS DECIMAL(38,8))) AS DOUBLE) AS sqt,
+         CAST(SUM(CAST(l_discount * l_tax AS DECIMAL(38,8))) AS DOUBLE) AS sdt
+  FROM lineitem
+), r AS (
+  SELECT 'l_quantity' AS col_x, 'l_discount' AS col_y,
+         (n*sqd - sq*sd) / sqrt((n*sqq - sq*sq) * (n*sdd - sd*sd)) AS r FROM m
+  UNION ALL
+  SELECT 'l_quantity', 'l_tax',
+         (n*sqt - sq*st) / sqrt((n*sqq - sq*sq) * (n*stt - st*st)) FROM m
+  UNION ALL
+  SELECT 'l_discount', 'l_tax',
+         (n*sdt - sd*st) / sqrt((n*sdd - sd*sd) * (n*stt - st*st)) FROM m
+)
+SELECT col_x, col_y, r FROM r
+ORDER BY abs(r) DESC, col_x, col_y
+"""
+
+
+@register("q63_sort_by_abs_corr", oracle=_Q63_ORACLE)
+def q63_sort_by_abs_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profiling import corr_matrix
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return corr_matrix(li, ["l_quantity", "l_discount", "l_tax"]).orderBy(
+        F.abs(F.col("r")).desc(), "col_x", "col_y"
+    )

@@ -50,6 +50,7 @@ def _load_plans() -> None:
         dedup,
         events,
         impurity,
+        misc,
         ml_queries,
         multimodal_queries,
         profiling,

@@ -100,3 +100,33 @@ def test_binning_strategy_chooser(spark, sf_dir):
     by_col = {d.column: d for d in decisions}
     assert 5 <= by_col["l_quantity"].n_bins <= 10
     assert by_col["l_extendedprice"].strategy in ("equal_width", "quantile")
+
+
+def test_random_search_samples_seeded(spark, sf_dir):
+    """M9 — seeded random search: same seed -> same param maps; CV runs."""
+    from big_data_computing_final_project_spark.ml.models import decision_tree
+    from big_data_computing_final_project_spark.ml.selection import random_search
+    from big_data_computing_final_project_spark.plans.ml_queries import _embedding_features
+
+    dt = decision_tree()
+    dist = {dt.maxDepth: [3, 4, 5, 6], dt.maxBins: [8, 16, 32]}
+    cv1 = random_search(dt, dist, n_iter=3, num_folds=2, seed=7)
+    cv2 = random_search(dt, dist, n_iter=3, num_folds=2, seed=7)
+    maps1 = [{p.name: v for p, v in m.items()} for m in cv1.getEstimatorParamMaps()]
+    maps2 = [{p.name: v for p, v in m.items()} for m in cv2.getEstimatorParamMaps()]
+    assert maps1 == maps2
+    df = _embedding_features(spark, sf_dir)
+    model = cv1.fit(df)
+    assert len(model.avgMetrics) == 3
+
+
+def test_bootstrap_sample_seed_deterministic(spark, sf_dir):
+    from big_data_computing_final_project_spark.operators.profiling import bootstrap_sample
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    a = bootstrap_sample(orders, seed=42).count()
+    b = bootstrap_sample(orders, seed=42).count()
+    assert a == b
+    # with-replacement fraction=1.0 resamples roughly n rows
+    n = orders.count()
+    assert 0.8 * n < a < 1.2 * n
