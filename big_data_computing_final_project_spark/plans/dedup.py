@@ -179,8 +179,12 @@ def q36_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache it so shingling runs once (`cache()` discipline, SURVEY §7.7)
     sh = _shingled(spark, sf_dir).cache()
     sig = sh.select("doc_id", F.array(*band_key_structs(F.col("sh"))).alias("bk"))
-    ex = sig.select("doc_id", F.explode("bk").alias("b")).select(
-        "doc_id", F.col("b.band").alias("band"), F.col("b.key").alias("key")
+    # cache the exploded band keys: both legs of the candidate self-join
+    # consume them, and recomputation would re-run the full MinHash pass
+    ex = (
+        sig.select("doc_id", F.explode("bk").alias("b"))
+        .select("doc_id", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+        .cache()
     )
     a = ex.select(F.col("doc_id").alias("doc_a"), "band", "key")
     b = ex.select(F.col("doc_id").alias("doc_b"), F.col("band").alias("band2"), F.col("key").alias("key2"))
