@@ -198,3 +198,73 @@ def q40_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_sim") >= _DUP_T)
         .orderBy("vec_a", "vec_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q64 — IVF ANN (scale path #2): KMeans coarse quantizer (k=16, seeded) over
+# the embeddings, queries probe their 4 nearest centroids, exact cosine
+# rerank inside the probed cells. Rows-only (KMeans fit isn't
+# SQL-expressible); pytest measures recall against brute-force q38.
+# At 100 TB this is the IVF pattern: centroids are tiny broadcast state,
+# the probe join prunes the candidate scan to nprobe/nlist of the corpus.
+# ---------------------------------------------------------------------------
+
+_IVF_NLIST = 16
+_IVF_NPROBE = 4
+
+
+@register("q64_ann_ivf_topk")
+def q64_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        as_double(F.col("embedding")).alias("e"),
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("vec"),
+    )
+    km = KMeans(featuresCol="vec", k=_IVF_NLIST, seed=42, predictionCol="cell").fit(emb)
+    assigned = km.transform(emb).select("vec_id", "e", "cell").cache()
+
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())],
+        "cell int, centroid array<double>",
+    )
+    q = assigned.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe")
+    )
+    # rank centroids per query by cosine, keep the top nprobe cells
+    qc = (
+        q.join(F.broadcast(centroids))
+        .select(
+            "q_id",
+            "qe",
+            "cell",
+            (dot(F.col("qe"), F.col("centroid"))
+             / (norm(F.col("qe")) * norm(F.col("centroid")))).alias("c_sim"),
+        )
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.col("c_sim").desc(), F.col("cell"))
+    probes = (
+        qc.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= _IVF_NPROBE)
+        .select("q_id", "qe", "cell")
+    )
+    scored = (
+        probes.join(assigned, "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("cand_id"),
+            (dot(F.col("qe"), F.col("e")) / (norm(F.col("qe")) * norm(F.col("e")))).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _K)
+        .select("q_id", "cand_id", "cos_sim", "rk")
+        .orderBy("q_id", "rk")
+    )

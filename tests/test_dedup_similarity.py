@@ -67,3 +67,11 @@ def test_exact_dedup_counts(spark, sf_dir):
     n_rows = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
     assert sum(r.n_copies for r in out) == n_rows
     assert len({r.fp for r in out}) == len(out)
+
+
+def test_ivf_ann_recall_against_brute_force(spark, sf_dir):
+    """IVF (KMeans quantizer, nprobe=4/16) recall floor vs brute force."""
+    truth = {(r.q_id, r.cand_id) for r in _Q["q38_cosine_topk"](spark, sf_dir).collect()}
+    approx = {(r.q_id, r.cand_id) for r in _Q["q64_ann_ivf_topk"](spark, sf_dir).collect()}
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.2, f"IVF recall {recall:.2f} below floor"
