@@ -125,9 +125,9 @@ def corr_matrix(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     aggs = [F.count(F.lit(1)).cast("double").alias("__n")]
     for c in cols:
         aggs.append(dec_sum(F.col(c)).alias(f"{c}__s"))
-        aggs.append(dec_sum(F.col(c) * F.col(c), 8).alias(f"{c}__ss"))
+        aggs.append(dec_sum(F.col(c) * F.col(c), 8, wide=True).alias(f"{c}__ss"))
     for a, b in pairs:
-        aggs.append(dec_sum(F.col(a) * F.col(b), 8).alias(f"{a}__{b}__sxy"))
+        aggs.append(dec_sum(F.col(a) * F.col(b), 8, wide=True).alias(f"{a}__{b}__sxy"))
     one = df.agg(*aggs)
     rows = []
     for a, b in pairs:

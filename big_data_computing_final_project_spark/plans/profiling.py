@@ -130,7 +130,7 @@ def q19_describe_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs += [
             F.count(col).alias(f"{c}__n"),
             dec_sum(col).alias(f"{c}__s1"),
-            dec_sum(col * col, 8).alias(f"{c}__s2"),
+            dec_sum(col * col, 8, wide=True).alias(f"{c}__s2"),
             F.min(col).cast("double").alias(f"{c}__min"),
             F.max(col).cast("double").alias(f"{c}__max"),
         ]
@@ -282,13 +282,17 @@ _Q22_PAIRS = [
 def _q22_oracle() -> str:
     sums, outs = [], []
     for i, (x, y) in enumerate(_Q22_PAIRS):
+        # products at scale 4: the 2-decimal x 2-decimal true values are
+        # scale-4-exact, and |x*x|*10^4 stays within the limb fast path's
+        # magnitude contract (scale 8 would put the rounding position in
+        # double-noise digits AND overflow the 2^53 window)
         sums += [
             f"CAST(COUNT(*) AS DOUBLE) AS n{i}",
             f"{sql_dec_sum(x)} AS sx{i}",
             f"{sql_dec_sum(y)} AS sy{i}",
-            f"{sql_dec_sum(f'{x} * {x}', 8)} AS sxx{i}",
-            f"{sql_dec_sum(f'{y} * {y}', 8)} AS syy{i}",
-            f"{sql_dec_sum(f'{x} * {y}', 8)} AS sxy{i}",
+            f"{sql_dec_sum(f'{x} * {x}', 4)} AS sxx{i}",
+            f"{sql_dec_sum(f'{y} * {y}', 4)} AS syy{i}",
+            f"{sql_dec_sum(f'{x} * {y}', 4)} AS sxy{i}",
         ]
         outs.append(
             f"SELECT '{x}' AS col_x, '{y}' AS col_y, "
@@ -305,22 +309,22 @@ def _q22_oracle() -> str:
 @register("q22_corr_pairs", oracle=_q22_oracle())
 def q22_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    aggs = []
+    # Shared-moment dedup: each distinct column contributes sum/sum-of-squares
+    # ONCE (not once per pair) — n + 2·|cols| + |pairs| decimal aggregates
+    # instead of 6·|pairs|. Same single pass, same exact decimal math.
+    cols = sorted({c for pair in _Q22_PAIRS for c in pair})
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for c in cols:
+        aggs.append(dec_sum(F.col(c)).alias(f"s_{c}"))
+        aggs.append(dec_sum(F.col(c) * F.col(c), 4).alias(f"ss_{c}"))
     for i, (x, y) in enumerate(_Q22_PAIRS):
-        cx, cy = F.col(x), F.col(y)
-        aggs += [
-            F.count(F.lit(1)).cast("double").alias(f"n{i}"),
-            dec_sum(cx).alias(f"sx{i}"),
-            dec_sum(cy).alias(f"sy{i}"),
-            dec_sum(cx * cx, 8).alias(f"sxx{i}"),
-            dec_sum(cy * cy, 8).alias(f"syy{i}"),
-            dec_sum(cx * cy, 8).alias(f"sxy{i}"),
-        ]
+        aggs.append(dec_sum(F.col(x) * F.col(y), 4).alias(f"sxy{i}"))
     one = li.agg(*aggs)
     rows = []
     for i, (x, y) in enumerate(_Q22_PAIRS):
-        n, sx, sy = F.col(f"n{i}"), F.col(f"sx{i}"), F.col(f"sy{i}")
-        sxx, syy, sxy = F.col(f"sxx{i}"), F.col(f"syy{i}"), F.col(f"sxy{i}")
+        n = F.col("n")
+        sx, sy = F.col(f"s_{x}"), F.col(f"s_{y}")
+        sxx, syy, sxy = F.col(f"ss_{x}"), F.col(f"ss_{y}"), F.col(f"sxy{i}")
         r = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
         rows.append(F.struct(F.lit(x).alias("col_x"), F.lit(y).alias("col_y"), r.alias("r")))
     return (
