@@ -56,5 +56,6 @@ def _load_plans() -> None:
         profiling,
         relational,
         similarity,
+        temporal,
         textops,
     )
