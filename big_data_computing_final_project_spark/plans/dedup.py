@@ -202,16 +202,20 @@ def q36_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q37 — SimHash 64-bit signatures + near-dup pairs by Hamming distance.
-# Rows-only (bit-level md5/xxhash arithmetic is not reasonably expressible
-# in the oracle); pytest checks it against a pure-Python reference.
+# q37 — SimHash signatures + near-dup pairs by Hamming distance.
+# Oracle-checked: token hashes are the first 60 bits of md5 (the one hash
+# both engines compute identically — parsed `conv(hex,16,10)` on Spark,
+# `('0x'||hex)::BIGINT` in DuckDB), so the oracle can rebuild the exact
+# signatures with explode × bit-position SQL. The production-scale variant
+# would swap md5 for xxhash64 (cheaper, JVM-side) with identical structure —
+# `simhash64` + the pytest python-reference covers that path.
 # ---------------------------------------------------------------------------
 
 
-def simhash64(hashes: F.Column) -> F.Column:
-    """64-bit SimHash from an array of 64-bit token hashes: per-bit
-    majority vote, assembled with literal shifts (shiftright needs a
-    literal shift amount, so bits unroll as a Python loop — 64 aggregate
+def simhash(hashes: F.Column, nbits: int = 64) -> F.Column:
+    """SimHash from an array of token hashes: per-bit majority vote,
+    assembled with literal shifts (shiftright needs a literal shift
+    amount, so bits unroll as a Python loop — nbits aggregate
     expressions, each consuming the shared hash array)."""
     def vote_fn(j: int):
         # closure factory: F.aggregate requires an exactly-2-parameter
@@ -221,18 +225,51 @@ def simhash64(hashes: F.Column) -> F.Column:
         )
 
     sig = F.lit(0).cast("bigint")
-    for j in range(64):
+    for j in range(nbits):
         bit_val = (1 << j) if j < 63 else -(1 << 63)  # bit 63 = sign bit in a signed long
         vote = F.aggregate(hashes, F.lit(0), vote_fn(j))
         sig = sig + F.when(vote > 0, F.lit(bit_val).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
     return sig
 
 
-@register("q37_simhash_pairs")
+def simhash64(hashes: F.Column) -> F.Column:
+    """64-bit SimHash (scale path: pair with xxhash64 token hashes)."""
+    return simhash(hashes, 64)
+
+
+_SIMHASH_BITS = 60
+_SIMHASH_MAX_HAMMING = 3
+
+_Q37_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS t
+  FROM documents
+), th AS (
+  SELECT doc_id, ('0x' || substring(md5(t), 1, 15))::BIGINT AS h FROM tok
+), votes AS (
+  SELECT doc_id, j,
+         CASE WHEN SUM(((h >> j) & 1) * 2 - 1) > 0 THEN 1 ELSE 0 END AS bit
+  FROM th CROSS JOIN range({_SIMHASH_BITS}) r(j)
+  GROUP BY doc_id, j
+), sigs AS (
+  SELECT doc_id, CAST(SUM(bit * (1::BIGINT << j)) AS BIGINT) AS sig
+  FROM votes GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.sig, b.sig)) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= {_SIMHASH_MAX_HAMMING}
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("q37_simhash_pairs", oracle=_Q37_ORACLE)
 def q37_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    token_hashes = F.transform(X.tokens(F.col("text")), lambda t: F.xxhash64(t))
-    sigs = docs.select("doc_id", simhash64(token_hashes).alias("sig"))
+    md5_60 = lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")  # noqa: E731
+    token_hashes = F.transform(X.tokens(F.col("text")), md5_60)
+    sigs = docs.select("doc_id", simhash(token_hashes, _SIMHASH_BITS).alias("sig"))
     a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
@@ -242,6 +279,6 @@ def q37_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", ham.alias("hamming"))
-        .filter(F.col("hamming") <= 3)
+        .filter(F.col("hamming") <= _SIMHASH_MAX_HAMMING)
         .orderBy("doc_a", "doc_b")
     )
