@@ -129,3 +129,65 @@ def q33_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q67 — TF-IDF top terms (SURVEY §7 step 6: Tokenizer / StopWordsRemover /
+# TF-IDF, expressed relationally instead of via ml.feature so it is
+# oracle-checkable). idf is constant per term, so the per-term score
+# collapses to total_tf * ln(N/df) — ONE double multiply per output row,
+# no summation-order hazard. Corpus size N comes from a broadcast 1-row
+# aggregate, not a driver collect, so the plan scales unchanged.
+# Scale shape: explode -> one hash aggregate on term; top-k via
+# TakeOrderedAndProject (no global sort).
+# ---------------------------------------------------------------------------
+
+_TFIDF_K = 20
+
+# union of every language's stopword list — the filter a StopWordsRemover
+# stage would apply
+_ALL_STOPWORDS = sorted({w for words in X.STOPWORDS.values() for w in words})
+_SQL_STOPLIST = "[" + ", ".join(f"'{w}'" for w in _ALL_STOPWORDS) + "]"
+
+_Q67_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
+), filtered AS (
+  SELECT doc_id, term FROM tok
+  WHERE term <> '' AND NOT list_contains({_SQL_STOPLIST}, term)
+), n AS (
+  SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents
+), stats AS (
+  SELECT term, COUNT(*) AS total_tf, COUNT(DISTINCT doc_id) AS df
+  FROM filtered GROUP BY term
+)
+SELECT term, total_tf, df
+FROM stats, n
+ORDER BY total_tf * ln(CAST(n_docs AS DOUBLE) / df) DESC, term
+LIMIT {_TFIDF_K}
+"""
+
+
+@register("q67_tfidf_top_terms", oracle=_Q67_ORACLE)
+def q67_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    terms = (
+        docs.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("term"))
+        .filter((F.col("term") != "") & ~F.col("term").isin(_ALL_STOPWORDS))
+    )
+    stats = terms.groupBy("term").agg(
+        F.count(F.lit(1)).alias("total_tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    # the double score orders the result but is NOT an output column:
+    # Java Math.log and DuckDB's libm ln disagree in the last ulp, which
+    # would poison the value hash; rank flips need two terms within 1 ulp,
+    # and exact score ties (equal tf and df) fall to the term tiebreaker.
+    tfidf = F.col("total_tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))
+    return (
+        stats.join(F.broadcast(n_docs))
+        .orderBy(tfidf.desc(), "term")
+        .limit(_TFIDF_K)
+        .select("term", "total_tf", "df")
+    )
