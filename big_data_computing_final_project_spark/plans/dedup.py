@@ -282,3 +282,66 @@ def q37_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= _SIMHASH_MAX_HAMMING)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q68 — near-dup CLUSTER assignment: connected components over the jac>=0.8
+# pair graph (pairs say "a~b"; clusters say "keep one of {a,b,c}" even when
+# a~b and b~c but a!~c). Spark side: iterative min-label propagation
+# (operators/graph.py, one shuffle join per round, localCheckpoint'd);
+# oracle: DuckDB recursive CTE transitive closure over the same pairs.
+# At scale the edge input would be q36's LSH candidates — identical pairs
+# at these banding parameters (recall ~= 1, see q36 note).
+# ---------------------------------------------------------------------------
+
+_Q68_ORACLE = f"""
+WITH RECURSIVE docs AS (
+  SELECT doc_id, {_SQL_SHINGLES} AS sh
+  FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+), ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+co AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM co
+  JOIN (SELECT doc_id, len(sh) AS n FROM docs) la ON la.doc_id = doc_a
+  JOIN (SELECT doc_id, len(sh) AS n FROM docs) lb ON lb.doc_id = doc_b
+  WHERE CAST(common AS DOUBLE) / (la.n + lb.n - common) >= {_JACCARD_T}
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach AS (
+  SELECT doc_id, doc_id AS x FROM documents
+  UNION
+  SELECT r.doc_id, e.b AS x FROM reach r JOIN edges e ON e.a = r.x
+),
+labels AS (SELECT doc_id, MIN(x) AS cluster_id FROM reach GROUP BY doc_id)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM labels
+ORDER BY doc_id
+"""
+
+
+@register("q68_dedup_clusters", oracle=_Q68_ORACLE)
+def q68_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    pairs = _exact_jaccard_pairs(_shingled(spark, sf_dir)).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    labels = connected_components(docs, pairs)
+    return (
+        labels.select(F.col("id").alias("doc_id"), F.col("component").alias("cluster_id"))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(Window.partitionBy("cluster_id")))
+        .orderBy("doc_id")
+    )

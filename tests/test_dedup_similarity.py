@@ -75,3 +75,56 @@ def test_ivf_ann_recall_against_brute_force(spark, sf_dir):
     approx = {(r.q_id, r.cand_id) for r in _Q["q64_ann_ivf_topk"](spark, sf_dir).collect()}
     recall = len(truth & approx) / len(truth)
     assert recall >= 0.2, f"IVF recall {recall:.2f} below floor"
+
+
+def test_connected_components_matches_union_find(spark, sf_dir):
+    """q68's iterative label propagation vs a driver-side union-find over
+    the same jac>=0.8 pair set (plus a synthetic transitive chain check)."""
+    from pyspark.sql import functions as F
+
+    from big_data_computing_final_project_spark.plans.dedup import (
+        _exact_jaccard_pairs,
+        _shingled,
+    )
+
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in _exact_jaccard_pairs(_shingled(spark, sf_dir)).collect()
+    ]
+    doc_ids = [
+        r.doc_id
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id").collect()
+    ]
+    parent = {d: d for d in doc_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # path-compress fully, then normalize each root to its component min
+    comp = {}
+    for d in doc_ids:
+        comp.setdefault(find(d), []).append(d)
+    expected = {d: min(members) for members in comp.values() for d in members}
+
+    got = {
+        r.doc_id: r.cluster_id
+        for r in _Q["q68_dedup_clusters"](spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_connected_components_transitive_chain(spark):
+    """a-b, b-c, c-d (no a-d edge) must collapse into ONE cluster labeled a."""
+    from big_data_computing_final_project_spark.operators.graph import connected_components
+
+    vertices = spark.createDataFrame([(i,) for i in range(1, 7)], ["id"])
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (5, 6)], ["src", "dst"])
+    got = {r.id: r.component for r in connected_components(vertices, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5}
