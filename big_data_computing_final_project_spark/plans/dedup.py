@@ -345,3 +345,174 @@ def q68_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cluster_size", F.count(F.lit(1)).over(Window.partitionBy("cluster_id")))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q69 — winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+# MOSS local document-fingerprinting algorithm): hash every k-gram, slide a
+# w-window over the hash sequence, keep the RIGHTMOST MINIMUM of each
+# window. Guarantees: every match of length >= w+k-1 shares a fingerprint,
+# density ~ 2/(w+1).
+#
+# Scale shape: winnowing is document-local, so it compiles to per-row JVM
+# array expressions (sequence/slice/array_min/transform) — ZERO shuffle,
+# embarrassingly parallel, no UDF. Hashes are the md5-60bit engine-portable
+# form (see q37) so the oracle rebuilds identical values; the xxhash64 swap
+# is the cheaper production variant with identical structure.
+# ---------------------------------------------------------------------------
+
+_WINNOW_K = 3  # tokens per gram
+_WINNOW_W = 4  # window length in grams
+
+_Q69_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         list_transform(range(1, len(toks) - {_WINNOW_K - 1} + 1),
+                        i -> ('0x' || substring(md5(array_to_string(toks[i:i+{_WINNOW_K - 1}], ' ')), 1, 15))::BIGINT) AS h
+  FROM t WHERE len(toks) >= {_WINNOW_K}
+),
+grams AS (SELECT doc_id, unnest(range(1, len(h) + 1)) AS pos, unnest(h) AS hv FROM g),
+starts AS (
+  SELECT doc_id,
+         least({_WINNOW_W}, len(h)) AS wlen,
+         unnest(range(1, len(h) - least({_WINNOW_W}, len(h)) + 2)) AS ws
+  FROM g
+),
+win AS (
+  SELECT s.doc_id, s.ws, gr.pos, gr.hv
+  FROM starts s JOIN grams gr
+    ON gr.doc_id = s.doc_id AND gr.pos BETWEEN s.ws AND s.ws + s.wlen - 1
+),
+mins AS (SELECT doc_id, ws, MIN(hv) AS fp FROM win GROUP BY doc_id, ws),
+sel AS (
+  SELECT w.doc_id, MAX(w.pos) AS pos, m.fp
+  FROM win w JOIN mins m ON m.doc_id = w.doc_id AND m.ws = w.ws AND w.hv = m.fp
+  GROUP BY w.doc_id, w.ws, m.fp
+)
+SELECT DISTINCT doc_id, pos, fp FROM sel ORDER BY doc_id, pos
+"""
+
+
+def winnow_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, fp): the winnowing fingerprint set per document.
+
+    Takes any frame with (doc_id, text); pure per-row array expressions.
+    """
+    md5_60 = lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")  # noqa: E731
+    toks = X.tokens(F.col("text"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(_WINNOW_K - 1)),
+        lambda i: md5_60(F.array_join(F.slice(toks, i, _WINNOW_K), " ")),
+    )
+    d = docs.filter(F.size(toks) >= _WINNOW_K).select("doc_id", grams.alias("h"))
+    h = F.col("h")
+    wlen = F.least(F.lit(_WINNOW_W), F.size(h))
+
+    def rightmost_min(i):
+        minh = F.array_min(F.slice(h, i, wlen))
+        pos = F.array_max(
+            F.transform(
+                F.sequence(F.lit(0), wlen - F.lit(1)),
+                lambda j: F.when(F.element_at(h, i + j) == minh, i + j),
+            )
+        )
+        return F.struct(pos.alias("pos"), minh.alias("fp"))
+
+    starts = F.sequence(F.lit(1), F.size(h) - wlen + F.lit(1))
+    fps = F.array_distinct(F.transform(starts, rightmost_min))
+    return (
+        d.select("doc_id", F.explode(fps).alias("s"))
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp"))
+    )
+
+
+def _winnowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+@register("q69_winnowing_fingerprints", oracle=_Q69_ORACLE)
+def q69_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _winnowed(spark, sf_dir).orderBy("doc_id", "pos")
+
+
+# ---------------------------------------------------------------------------
+# q70 — copy detection over winnowing fingerprints: doc pairs sharing >= 3
+# fingerprint values, with containment = shared/|F_a| resp. shared/|F_b|
+# (Broder's containment measure — catches subset copies that symmetric
+# Jaccard misses). Join is on the fingerprint value — the postings join of
+# every fingerprint index; at 100 TB the hot fingerprints (boilerplate
+# runs) get df-capped before the self-join, same discipline as a shingle
+# index.
+# ---------------------------------------------------------------------------
+
+_CONTAIN_MIN_SHARED = 3
+_CONTAIN_T = 0.5
+
+_Q70_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         list_transform(range(1, len(toks) - {_WINNOW_K - 1} + 1),
+                        i -> ('0x' || substring(md5(array_to_string(toks[i:i+{_WINNOW_K - 1}], ' ')), 1, 15))::BIGINT) AS h
+  FROM t WHERE len(toks) >= {_WINNOW_K}
+),
+grams AS (SELECT doc_id, unnest(range(1, len(h) + 1)) AS pos, unnest(h) AS hv FROM g),
+starts AS (
+  SELECT doc_id,
+         least({_WINNOW_W}, len(h)) AS wlen,
+         unnest(range(1, len(h) - least({_WINNOW_W}, len(h)) + 2)) AS ws
+  FROM g
+),
+win AS (
+  SELECT s.doc_id, s.ws, gr.pos, gr.hv
+  FROM starts s JOIN grams gr
+    ON gr.doc_id = s.doc_id AND gr.pos BETWEEN s.ws AND s.ws + s.wlen - 1
+),
+mins AS (SELECT doc_id, ws, MIN(hv) AS fp FROM win GROUP BY doc_id, ws),
+fpsets AS (SELECT DISTINCT doc_id, fp FROM mins),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM fpsets GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM fpsets a JOIN fpsets b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b
+)
+SELECT doc_a, doc_b, shared,
+       CAST(shared AS DOUBLE) / sa.n AS containment_a,
+       CAST(shared AS DOUBLE) / sb.n AS containment_b
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE shared >= {_CONTAIN_MIN_SHARED}
+  AND greatest(CAST(shared AS DOUBLE) / sa.n, CAST(shared AS DOUBLE) / sb.n) >= {_CONTAIN_T}
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("q70_fingerprint_containment", oracle=_Q70_ORACLE)
+def q70_fingerprint_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fpsets = _winnowed(spark, sf_dir).select("doc_id", "fp").distinct()
+    sizes = fpsets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = fpsets.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fpsets.select(F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp2"))
+    pairs = (
+        a.join(b, (F.col("fp") == F.col("fp2")) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    ca = F.col("shared").cast("double") / F.col("na")
+    cb = F.col("shared").cast("double") / F.col("nb")
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(
+            (F.col("shared") >= _CONTAIN_MIN_SHARED)
+            & (F.greatest(ca, cb) >= _CONTAIN_T)
+        )
+        .select(
+            "doc_a", "doc_b", "shared", ca.alias("containment_a"), cb.alias("containment_b")
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -128,3 +128,63 @@ def test_connected_components_transitive_chain(spark):
     edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (5, 6)], ["src", "dst"])
     got = {r.id: r.component for r in connected_components(vertices, edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5}
+
+
+def test_winnowing_moss_guarantee(spark):
+    """MOSS guarantee: any shared token run of length >= w+k-1 (= 6 here)
+    yields a shared fingerprint; and every doc with >= k tokens gets at
+    least one fingerprint."""
+    from big_data_computing_final_project_spark.plans.dedup import (
+        _WINNOW_K,
+        _WINNOW_W,
+        winnow_fingerprints,
+    )
+
+    shared_run = "alpha beta gamma delta epsilon zeta"  # 6 = W + K - 1 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"unrelated prefix one {shared_run} suffix aaa"),
+            (2, f"totally different words here {shared_run} tail bbb ccc"),
+            (3, "short doc"),  # 2 tokens < k=3 -> no fingerprints
+            (4, "exactly three tokens"),  # k tokens -> 1 gram -> 1 fingerprint
+        ],
+        ["doc_id", "text"],
+    )
+    fps = winnow_fingerprints(docs).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "shared 6-token run must share a fingerprint"
+    assert 3 not in by_doc
+    assert len(by_doc[4]) == 1
+    assert _WINNOW_W + _WINNOW_K - 1 == 6
+
+
+def test_winnowing_matches_python_reference(spark):
+    """Rightmost-min window selection re-implemented in Python over the
+    same md5-60bit gram hashes must give the identical (pos, fp) set."""
+    import hashlib
+
+    from big_data_computing_final_project_spark.plans.dedup import (
+        _WINNOW_K,
+        _WINNOW_W,
+        winnow_fingerprints,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog the quick brown fox again"
+    toks = text.split()
+    hashes = [
+        int(hashlib.md5(" ".join(toks[i : i + _WINNOW_K]).encode()).hexdigest()[:15], 16)
+        for i in range(len(toks) - _WINNOW_K + 1)
+    ]
+    w = min(_WINNOW_W, len(hashes))
+    expected = set()
+    for i in range(len(hashes) - w + 1):
+        window = hashes[i : i + w]
+        mn = min(window)
+        pos = max(j for j in range(i, i + w) if hashes[j] == mn)
+        expected.add((pos + 1, mn))  # engine positions are 1-based
+
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    got = {(r.pos, r.fp) for r in winnow_fingerprints(docs).collect()}
+    assert got == expected
