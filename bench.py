@@ -36,7 +36,13 @@ HEADLINE = [
     "q38_cosine_topk",         # embedding similarity brute-force
     "q51_multimodal_decode",   # mapInPandas Arrow path
     "q58_brand_revenue",       # dim join + agg
+    "q65_asof_join",           # as-of (temporal) join
+    "q67_tfidf_top_terms",     # explode -> term agg -> top-k
+    "q69_winnowing_fingerprints",  # per-row array-expr fingerprinting (zero shuffle)
 ]
+# Deliberately not benched: q68 (iterative CC — timing at this SF is
+# convergence-loop job overhead, not throughput) and exact pairwise
+# baselines whose scale path is already represented (q35->q36, q38->q64).
 
 
 def _bench_dt_fit(spark, sf_dir: str, t0: float) -> float:

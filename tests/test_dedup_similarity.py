@@ -188,3 +188,17 @@ def test_winnowing_matches_python_reference(spark):
     docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
     got = {(r.pos, r.fp) for r in winnow_fingerprints(docs).collect()}
     assert got == expected
+
+
+def test_winnowing_arrow_equals_expression_path(spark, sf_dir):
+    """The vectorized mapInPandas winnower and the Column-expression
+    reference must produce identical (doc_id, pos, fp) rows."""
+    from big_data_computing_final_project_spark.plans.dedup import (
+        winnow_fingerprints,
+        winnow_fingerprints_arrow,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    expr = {(r.doc_id, r.pos, r.fp) for r in winnow_fingerprints(docs).collect()}
+    arrow = {(r.doc_id, r.pos, r.fp) for r in winnow_fingerprints_arrow(docs).collect()}
+    assert expr == arrow
