@@ -191,3 +191,95 @@ def q67_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_TFIDF_K)
         .select("term", "total_tf", "df")
     )
+
+
+# ---------------------------------------------------------------------------
+# q71 — rule-based quality filtering funnel (C4/Gopher-style): every doc is
+# tested against ordered rules — token-count bounds, mean-word-length
+# bounds, symbol ratio, duplicate-bigram repetition — and attributed to its
+# FIRST failing rule; output is the per-source funnel (how much each source
+# loses to which rule), the report a training-data pipeline ships with
+# every crawl snapshot. One narrow scan + one hash aggregate on source;
+# every rule is a JVM Column expression over the token array (no UDF, no
+# shuffle before the final per-source agg).
+# ---------------------------------------------------------------------------
+
+_QF_MIN_TOKS, _QF_MAX_TOKS = 20, 90
+_QF_MIN_WL, _QF_MAX_WL = 3.0, 5.0
+_QF_MAX_SYM = 0.1
+_QF_MAX_DUP_BIGRAM = 0.1
+
+_Q71_ORACLE = f"""
+WITH d AS (
+  SELECT source, {_SQL_TOKS} AS t, {_SQL_NORM} AS nm FROM documents
+), s AS (
+  SELECT source, len(t) AS n,
+         CAST(length(nm) - (len(t) - 1) AS DOUBLE) / len(t) AS mean_wl,
+         CAST(length(regexp_replace(nm, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(nm) AS sym,
+         CASE WHEN len(t) >= 2
+              THEN 1 - CAST(len(list_distinct(list_transform(range(1, len(t)),
+                        i -> t[i] || ' ' || t[i+1]))) AS DOUBLE) / (len(t) - 1)
+              ELSE 0.0 END AS dup_bg
+  FROM d
+), flagged AS (
+  SELECT source,
+         CASE
+           WHEN n < {_QF_MIN_TOKS} OR n > {_QF_MAX_TOKS} THEN 'length'
+           WHEN mean_wl < {_QF_MIN_WL} OR mean_wl > {_QF_MAX_WL} THEN 'word_length'
+           WHEN sym > {_QF_MAX_SYM} THEN 'symbol'
+           WHEN dup_bg > {_QF_MAX_DUP_BIGRAM} THEN 'repetition'
+           ELSE 'kept'
+         END AS verdict
+  FROM s
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(*) FILTER (verdict = 'kept') AS kept,
+       COUNT(*) FILTER (verdict = 'length') AS drop_length,
+       COUNT(*) FILTER (verdict = 'word_length') AS drop_word_length,
+       COUNT(*) FILTER (verdict = 'symbol') AS drop_symbol,
+       COUNT(*) FILTER (verdict = 'repetition') AS drop_repetition
+FROM flagged
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("q71_quality_filter_funnel", oracle=_Q71_ORACLE)
+def q71_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = X.tokens(F.col("text"))
+    nm = X.normalize(F.col("text"))
+    n = F.size(t)
+    mean_wl = (F.length(nm) - (n - F.lit(1))).cast("double") / n
+    sym = F.length(F.regexp_replace(nm, "[a-z0-9 ]", "")).cast("double") / F.length(nm)
+    # bigrams via slice (bounds-safe under ANSI); guard n<2 where the
+    # sequence would go descending
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - F.lit(1)),
+        lambda i: F.concat_ws(" ", F.slice(t, i, 2)),
+    )
+    dup_bg = F.when(
+        n >= 2,
+        F.lit(1) - F.size(F.array_distinct(bigrams)).cast("double") / (n - F.lit(1)),
+    ).otherwise(F.lit(0.0))
+    verdict = (
+        F.when((n < _QF_MIN_TOKS) | (n > _QF_MAX_TOKS), F.lit("length"))
+        .when((mean_wl < _QF_MIN_WL) | (mean_wl > _QF_MAX_WL), F.lit("word_length"))
+        .when(sym > _QF_MAX_SYM, F.lit("symbol"))
+        .when(dup_bg > _QF_MAX_DUP_BIGRAM, F.lit("repetition"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        docs.select("source", verdict.alias("verdict"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("verdict") == "kept", 1)).alias("kept"),
+            F.count(F.when(F.col("verdict") == "length", 1)).alias("drop_length"),
+            F.count(F.when(F.col("verdict") == "word_length", 1)).alias("drop_word_length"),
+            F.count(F.when(F.col("verdict") == "symbol", 1)).alias("drop_symbol"),
+            F.count(F.when(F.col("verdict") == "repetition", 1)).alias("drop_repetition"),
+        )
+        .orderBy("source")
+    )

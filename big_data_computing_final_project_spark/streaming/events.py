@@ -76,3 +76,23 @@ def run_stream_to_memory(
     q.awaitTermination(timeout_sec)
     if q.isActive:
         q.stop()
+
+
+def run_stream_to_parquet(
+    result: DataFrame, out_dir: str, checkpoint_dir: str, timeout_sec: int = 120
+) -> None:
+    """Append-mode parquet file sink with checkpointing — the streaming
+    twin of sources/io.write_parquet (S2 for streams). The checkpoint's
+    WAL + file-manifest commit protocol gives exactly-once file output
+    across restarts; availableNow drains the backlog then stops."""
+    q = (
+        result.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()

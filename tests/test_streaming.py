@@ -29,3 +29,36 @@ def test_stream_equals_batch_tumbling(spark, sf_dir):
     batch = {tuple(r) for r in all_queries()["q27_tumbling_window"](spark, sf_dir).collect()}
     assert streamed == batch
     assert len(batch) > 0
+
+
+def test_stream_parquet_sink_round_trip(spark, sf_dir, tmp_path):
+    """Stateless stream -> parquet file sink == the same batch plan.
+
+    Covers the S2-sink surface for streams: append mode, checkpointed
+    exactly-once file commits, availableNow backlog drain."""
+    from pyspark.sql import functions as F
+
+    from big_data_computing_final_project_spark.catalog import load_table
+    from big_data_computing_final_project_spark.streaming.events import (
+        run_stream_to_parquet,
+        stream_events,
+    )
+
+    stream = stream_events(spark, sf_dir).filter(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    out = str(tmp_path / "out")
+    run_stream_to_parquet(stream, out, str(tmp_path / "ckpt"))
+
+    got = sorted(
+        (r.event_id, r.ts, r.user_id, r.value)
+        for r in spark.read.parquet(out).collect()
+    )
+    want = sorted(
+        (r.event_id, r.ts, r.user_id, r.value)
+        for r in load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "ts", "user_id", "value")
+        .collect()
+    )
+    assert got == want and len(got) > 0
