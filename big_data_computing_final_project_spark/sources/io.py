@@ -63,3 +63,30 @@ def write_submission(pred_df: DataFrame, path: str, id_col: str = "id", pred_col
         F.col(id_col).alias("id"), F.col(pred_col).cast("long").alias("label")
     ).orderBy("id")
     write_csv(out, path, single_file=True)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    path: str | None = None,
+) -> None:
+    """S4+ — bucketed table sink: pre-shuffles data into `num_buckets`
+    hash buckets on `bucket_cols` at WRITE time, so every later
+    join/aggregation on those keys is exchange-free (the scan reports
+    bucketing and Catalyst drops the shuffle). This is the 100 TB pattern
+    for fact-fact joins read many times (orders ⋈ lineitem on orderkey):
+    pay one shuffle once, at ingest, instead of per query.
+
+    Buckets are also sorted on the keys, so sort-merge joins skip their
+    sort. `path` makes it an external table (tests point this at tmp)."""
+    writer = (
+        df.write.mode("overwrite")
+        .bucketBy(num_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .format("parquet")
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)

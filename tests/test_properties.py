@@ -1,0 +1,102 @@
+"""Property-based tests (hypothesis) for the invariants the engine's
+correctness story leans on: exact order-independent summation, winnowing's
+selection rule, and the macro-F1 aggregate. Each example runs one tiny
+Spark job, so example counts are kept small; the properties — not volume —
+carry the weight.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from decimal import Decimal
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# money-like values: <=2 decimal digits, magnitudes through the fast-path
+# contract (|c| * 10^4 <= ~1e14)
+money = st.integers(min_value=-(10**9), max_value=10**9).map(lambda c: c / 100.0)
+
+
+@given(st.lists(money, min_size=1, max_size=40))
+@settings(**_SETTINGS)
+def test_dec_sum_is_exact_and_order_independent(spark, xs):
+    """dec_sum == the true decimal sum, regardless of row order or
+    partitioning — the invariant that makes distributed results
+    hash-match a single-threaded oracle."""
+    from pyspark.sql import functions as F
+
+    from big_data_computing_final_project_spark.functions.stats import dec_sum
+
+    exact = float(sum(Decimal(str(x)) for x in xs))
+    for data in (xs, list(reversed(xs))):
+        df = spark.createDataFrame([(v,) for v in data], ["v"]).repartition(4)
+        got = df.agg(dec_sum(F.col("v")).alias("s")).first().s
+        assert got == exact, (got, exact)
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=3), min_size=3, max_size=30
+    )
+)
+@settings(**_SETTINGS)
+def test_winnowing_selection_rule_on_random_docs(spark, toks):
+    """For ANY token sequence: the Arrow winnower returns exactly the
+    rightmost-min-per-window fingerprint set of the Python reference."""
+    from big_data_computing_final_project_spark.plans.dedup import (
+        _WINNOW_K,
+        _WINNOW_W,
+        winnow_fingerprints_arrow,
+    )
+
+    text = " ".join(toks)
+    hashes = [
+        int(hashlib.md5(" ".join(toks[i : i + _WINNOW_K]).encode()).hexdigest()[:15], 16)
+        for i in range(len(toks) - _WINNOW_K + 1)
+    ]
+    w = min(_WINNOW_W, len(hashes))
+    expected = set()
+    for i in range(len(hashes) - w + 1):
+        window = hashes[i : i + w]
+        mn = min(window)
+        pos = max(j for j in range(i, i + w) if hashes[j] == mn)
+        expected.add((pos + 1, mn))
+
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    got = {(r.pos, r.fp) for r in winnow_fingerprints_arrow(docs).collect()}
+    assert got == expected
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 3)), min_size=1, max_size=60
+    )
+)
+@settings(**_SETTINGS)
+def test_macro_f1_matches_python_on_random_confusions(spark, pairs):
+    """summary_metrics' macro-F1 == the from-scratch Python computation on
+    arbitrary (label, prediction) multisets — including classes that are
+    only ever predicted or only ever true (the zero-division edges)."""
+    from big_data_computing_final_project_spark.ml.evaluation import summary_metrics
+
+    classes = sorted({l for l, _ in pairs} | {p for _, p in pairs})
+    f1s = []
+    for c in classes:
+        tp = sum(1 for l, p in pairs if l == c and p == c)
+        predicted = sum(1 for _, p in pairs if p == c)
+        support = sum(1 for l, _ in pairs if l == c)
+        prec = tp / predicted if predicted else 0.0
+        rec = tp / support if support else 0.0
+        f1s.append(2 * prec * rec / (prec + rec) if prec + rec else 0.0)
+    expected = sum(f1s) / len(f1s)
+
+    df = spark.createDataFrame(pairs, ["label", "prediction"])
+    got = summary_metrics(df).first().macro_f1
+    assert abs(got - expected) < 1e-12, (got, expected)

@@ -83,3 +83,40 @@ def test_pipeline_model_persistence(spark, sf_dir):
         assert a == b
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    """orders ⋈ lineitem both bucketed on orderkey: the join plan must
+    contain NO Exchange — the whole point of paying the shuffle at write
+    time. Also checks result parity against the plain join."""
+    import io as _io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from big_data_computing_final_project_spark.catalog import load_table
+    from big_data_computing_final_project_spark.sources.io import write_bucketed
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(orders, "t_orders_b", ["o_orderkey"], 8, str(tmp_path / "ob"))
+    write_bucketed(li, "t_lineitem_b", ["l_orderkey"], 8, str(tmp_path / "lb"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a non-broadcast join so the exchange-elision is observable
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        ob, lb = spark.table("t_orders_b"), spark.table("t_lineitem_b")
+        joined = ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+        buf = _io.StringIO()
+        with redirect_stdout(buf):
+            joined.explain()
+        plan = buf.getvalue()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        n_bucketed = joined.count()
+        n_plain = orders.join(li, orders.o_orderkey == li.l_orderkey).count()
+        assert n_bucketed == n_plain > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
