@@ -157,3 +157,76 @@ def q30_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q73 — ordered conversion funnel (view -> click -> purchase): a user
+# counts for step N only with an event at or after their step-N-1 time.
+# Three chained (filter -> per-user min -> join) stages — each one shuffle
+# on user_id, reusing the same partitioning; at scale the per-user step
+# frames are tiny projections of the events fact, and AQE picks
+# shuffle-vs-broadcast per stage. epoch_us comparisons keep the oracle on
+# integer microseconds (ns-truncation parity, see module docstring).
+# ---------------------------------------------------------------------------
+
+_Q73_ORACLE = """
+WITH s1 AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+  FROM events e JOIN s1 ON s1.user_id = e.user_id
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) >= s1.t1
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+  FROM events e JOIN s2 ON s2.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s2.t2
+  GROUP BY e.user_id
+)
+SELECT step_no, step, n_users FROM (
+  SELECT 1 AS step_no, 'view' AS step, (SELECT COUNT(*) FROM s1) AS n_users
+  UNION ALL
+  SELECT 2, 'click_after_view', (SELECT COUNT(*) FROM s2)
+  UNION ALL
+  SELECT 3, 'purchase_after_click', (SELECT COUNT(*) FROM s3)
+) ORDER BY step_no
+"""
+
+
+@register("q73_event_funnel", oracle=_Q73_ORACLE)
+def q73_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def stage(no: int, name: str, frame: DataFrame) -> DataFrame:
+        return frame.agg(
+            F.lit(no).alias("step_no"),
+            F.lit(name).alias("step"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+
+    return (
+        stage(1, "view", s1)
+        .unionByName(stage(2, "click_after_view", s2))
+        .unionByName(stage(3, "purchase_after_click", s3))
+        .orderBy("step_no")
+    )

@@ -268,3 +268,40 @@ def q64_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "cand_id", "cos_sim", "rk")
         .orderBy("q_id", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# q72 — per-label embedding centroids in long form (label, dim, centroid):
+# the class-centroid primitive behind nearest-centroid classification,
+# cluster summaries, and IVF coarse-quantizer seeding. posexplode -> one
+# hash aggregate on (label, dim) — fully distributed, no driver math.
+#
+# FP parity: a distributed double sum is reduction-order-dependent, so the
+# oracle-parity mode folds a SORTED collect_list left-to-right (both
+# engines fold identically — same trick as q38's dot product). At scale
+# swap the fold for plain F.avg and accept last-ulp noise, or run the
+# Kahan-compensated pandas_udf variant; the plan shape is unchanged.
+# ---------------------------------------------------------------------------
+
+_Q72_ORACLE = """
+WITH v AS (
+  SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings WHERE label IS NOT NULL
+), ex AS (SELECT label, unnest(range(len(e))) AS dim, unnest(e) AS val FROM v)
+SELECT label, dim, list_sum(list_sort(list(val))) / COUNT(*) AS centroid
+FROM ex GROUP BY label, dim ORDER BY label, dim
+"""
+
+
+@register("q72_embedding_centroids", oracle=_Q72_ORACLE)
+def q72_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = load_table(spark, sf_dir, "embeddings").filter(F.col("label").isNotNull())
+    ex = v.select("label", F.posexplode(as_double(F.col("embedding"))).alias("dim", "val"))
+    centroid = F.aggregate(
+        F.array_sort(F.collect_list("val")), F.lit(0.0), lambda acc, x: acc + x
+    ) / F.count(F.lit(1))
+    return (
+        ex.groupBy("label", "dim")
+        .agg(centroid.alias("centroid"))
+        .orderBy("label", "dim")
+    )
