@@ -305,3 +305,83 @@ def q72_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(centroid.alias("centroid"))
         .orderBy("label", "dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# q74 — nearest-centroid assignment (the E-step of Lloyd's KMeans, and the
+# router of an IVF index): every vector joins the 10-row centroid dim
+# (broadcast — centroids are always tiny) and takes the argmin-L2 label.
+# Distances fold sequentially over the zipped arrays (deterministic FP,
+# same as q38); ties break to the smallest label via min(struct).
+# ---------------------------------------------------------------------------
+
+_Q74_ORACLE = """
+WITH v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings WHERE label IS NOT NULL
+), ex AS (SELECT label, unnest(range(len(e))) AS dim, unnest(e) AS val FROM v),
+cent AS (
+  SELECT label, list_transform(
+           list_sort(list(struct_pack(dim := dim, c := c))), s -> s.c) AS ce
+  FROM (
+    SELECT label, dim, list_sum(list_sort(list(val))) / COUNT(*) AS c
+    FROM ex GROUP BY label, dim
+  ) GROUP BY label
+), scored AS (
+  SELECT v.vec_id, v.label AS true_label, cent.label AS cand_label,
+         list_sum(list_transform(list_zip(v.e, cent.ce),
+                                 p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+  FROM v, cent
+)
+SELECT vec_id, true_label,
+       MIN(struct_pack(d2 := d2, l := cand_label)).l AS nearest_label,
+       MIN(d2) AS min_d2
+FROM scored
+GROUP BY vec_id, true_label
+ORDER BY vec_id
+"""
+
+
+@register("q74_nearest_centroid", oracle=_Q74_ORACLE)
+def q74_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("label").isNotNull())
+        .select("vec_id", "label", as_double(F.col("embedding")).alias("e"))
+    )
+    ex = v.select("label", F.posexplode("e").alias("dim", "val"))
+    per_dim = ex.groupBy("label", "dim").agg(
+        (
+            F.aggregate(F.array_sort(F.collect_list("val")), F.lit(0.0), lambda a, x: a + x)
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    cent = per_dim.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s.c
+        ).alias("ce")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("e"), F.col("ce"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        v.join(F.broadcast(cent.select(F.col("label").alias("cand_label"), "ce")))
+        .select(
+            "vec_id",
+            F.col("label").alias("true_label"),
+            "cand_label",
+            d2.alias("d2"),
+        )
+    )
+    return (
+        scored.groupBy("vec_id", "true_label")
+        .agg(
+            F.min(F.struct(F.col("d2"), F.col("cand_label").alias("l")))["l"].alias(
+                "nearest_label"
+            ),
+            F.min("d2").alias("min_d2"),
+        )
+        .orderBy("vec_id")
+    )

@@ -283,3 +283,64 @@ def q71_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q75 — deterministic hash split (train/val/test 80/10/10): split membership
+# = md5(doc_id) mod 100, so assignment is a pure function of the key —
+# reproducible across runs, engines, cluster sizes, and data re-shuffles,
+# and new documents never move existing ones between splits (the property
+# random-fraction sampling lacks, and the reason production corpus
+# pipelines split by hash). Output: per-source x split counts with shares.
+# md5-60bit keeps the oracle bit-identical (same portability trick as q37);
+# the xxhash64 swap is the cheap production variant.
+# ---------------------------------------------------------------------------
+
+_SPLIT_TRAIN, _SPLIT_VAL = 80, 90  # <80 train, <90 val, else test
+
+_Q75_ORACLE = f"""
+WITH d AS (
+  SELECT source,
+         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+  FROM documents
+), labeled AS (
+  SELECT source,
+         CASE WHEN bucket < {_SPLIT_TRAIN} THEN 'train'
+              WHEN bucket < {_SPLIT_VAL} THEN 'val'
+              ELSE 'test' END AS split
+  FROM d
+)
+SELECT source, split, COUNT(*) AS n_docs,
+       CAST(COUNT(*) AS DOUBLE)
+         / SUM(COUNT(*)) OVER (PARTITION BY source) AS share
+FROM labeled
+GROUP BY source, split
+ORDER BY source, split
+"""
+
+
+@register("q75_hash_split", oracle=_Q75_ORACLE)
+def q75_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    ) % 100
+    split = (
+        F.when(bucket < _SPLIT_TRAIN, "train")
+        .when(bucket < _SPLIT_VAL, "val")
+        .otherwise("test")
+    )
+    counts = (
+        docs.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = Window.partitionBy("source")
+    return (
+        counts.withColumn(
+            "share", F.col("n_docs").cast("double") / F.sum("n_docs").over(w)
+        )
+        .orderBy("source", "split")
+    )
