@@ -264,22 +264,79 @@ ORDER BY doc_a, doc_b
 """
 
 
+def simhash_votes(tok: DataFrame, id_col: str = "doc_id", hash_col: str = "h",
+                  nbits: int = 60) -> DataFrame:
+    """(id, sig) from exploded (id, token_hash) rows via ONE codegen'd hash
+    aggregate: 60 ±1-vote sums per id, then bit assembly on the id-level
+    frame. Same math as `simhash` but the hot loop is whole-stage-codegen
+    sums over rows instead of 60 interpreted array folds per document —
+    ~20x at sf0.1. Vote sums are integer, so any reduction order is exact.
+    """
+    aggs = []
+    for j in range(nbits):
+        bit = F.shiftright(F.col(hash_col), j).bitwiseAND(F.lit(1)).cast("int")
+        aggs.append(F.sum(bit * F.lit(2) - F.lit(1)).alias(f"v{j}"))
+    votes = tok.groupBy(id_col).agg(*aggs)
+    sig = F.lit(0).cast("bigint")
+    for j in range(nbits):
+        bit_val = (1 << j) if j < 63 else -(1 << 63)  # sign bit of a long
+        sig = sig + F.when(F.col(f"v{j}") > 0, F.lit(bit_val).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return votes.select(F.col(id_col), sig.alias("sig"))
+
+
+# Banding for the Hamming join: 60 bits in (max_hamming + 1) = 4 bands of
+# 15. Pigeonhole: <= 3 differing bits can touch at most 3 bands, so every
+# qualifying pair matches EXACTLY on >= 1 band — candidate generation via
+# equi-join on (band, 15-bit key) is lossless, no cross join anywhere.
+# E[candidates] for random sigs ~ bands * C(n,2) / 2^15 — linear-ish in n.
+_SIMHASH_BANDS = _SIMHASH_MAX_HAMMING + 1
+_SIMHASH_BAND_BITS = _SIMHASH_BITS // _SIMHASH_BANDS
+
+
 @register("q37_simhash_pairs", oracle=_Q37_ORACLE)
 def q37_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     md5_60 = lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")  # noqa: E731
-    token_hashes = F.transform(X.tokens(F.col("text")), md5_60)
-    sigs = docs.select("doc_id", simhash(token_hashes, _SIMHASH_BITS).alias("sig"))
-    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
-    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    tok = docs.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("t")).select(
+        "doc_id", md5_60(F.col("t")).alias("h")
+    )
+    sigs = simhash_votes(tok, nbits=_SIMHASH_BITS).cache()
+    band_mask = (1 << _SIMHASH_BAND_BITS) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright(F.col("sig"), i * _SIMHASH_BAND_BITS)
+                .bitwiseAND(F.lit(band_mask))
+                .alias("key"),
+            )
+            for i in range(_SIMHASH_BANDS)
+        ]
+    )
+    ex = (
+        sigs.select("doc_id", "sig", F.explode(bands).alias("b"))
+        .select("doc_id", "sig", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    )
+    a = ex.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "key")
+    b = ex.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sig").alias("sig_b"),
+        F.col("band").alias("band2"),
+        F.col("key").alias("key2"),
+    )
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    # NOTE: full cross join — acceptable for signature-sized data per
-    # partition; the scale path buckets by simhash prefix first (see
-    # operators/dedup.py docstring) so the join is band-restricted.
     return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        a.join(
+            b,
+            (F.col("band") == F.col("band2"))
+            & (F.col("key") == F.col("key2"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
         .select("doc_a", "doc_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= _SIMHASH_MAX_HAMMING)
+        .distinct()
         .orderBy("doc_a", "doc_b")
     )
 
