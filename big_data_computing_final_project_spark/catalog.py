@@ -129,11 +129,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS), which Spark rejects by
+        # default (PARQUET_TYPE_ILLEGAL). Set the legacy nanos-as-long conf
+        # here — not only in session.get_spark() — because callers (e.g. an
+        # external driver) may hand us a session we didn't configure. The
+        # conf is read at scan planning, so a runtime set works.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # the file stores TIMESTAMP(NANOS); with nanosAsLong the column
-        # arrives as long — truncate to microseconds (matching engines that
-        # read ns-parquet into µs timestamps) and restore TimestampType
+        # with nanosAsLong the column arrives as long — truncate to
+        # microseconds (matching engines that read ns-parquet into µs
+        # timestamps) and restore TimestampType
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

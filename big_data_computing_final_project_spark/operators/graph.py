@@ -66,4 +66,17 @@ def connected_components(
         labels = new_labels.select("id", "component")
         if changed == 0:
             break
+    else:
+        # exhausted max_iterations with labels still moving: components of
+        # diameter > max_iterations would come back split into several ids.
+        # Surface it instead of silently returning a wrong clustering.
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge in {max_iterations} "
+            f"rounds ({changed} labels still changing); labels may split "
+            "large components — raise max_iterations",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels

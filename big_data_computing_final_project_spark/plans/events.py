@@ -160,6 +160,47 @@ def q30_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q76 — semi-structured props via Spark 4 VariantType (SURVEY §2.9 JSON
+# extension, scale path next to q30's get_json_object): parse_json() builds
+# a binary Variant ONCE per row, then any number of typed variant_get()
+# extractions are O(field) reads of that binary — at 100 TB with wide JSON,
+# one parse + N cheap reads beats N re-parses of the raw string (which is
+# what N get_json_object calls cost). Oracle: DuckDB json_extract.
+# ---------------------------------------------------------------------------
+
+_Q76_ORACLE = f"""
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_decade,
+       COUNT(*) AS n,
+       COUNT(DISTINCT user_id) AS n_users,
+       {sql_dec_sum('value')} AS total_value
+FROM events
+WHERE json_extract_string(props, '$.k') IS NOT NULL
+GROUP BY k_decade
+ORDER BY k_decade
+"""
+
+
+@register("q76_variant_json", oracle=_Q76_ORACLE)
+def q76_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "user_id", "value", F.try_parse_json("props").alias("v")
+    )
+    k = F.try_variant_get("v", "$.k", "bigint")
+    return (
+        parsed.select("user_id", "value", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy(F.floor(F.col("k") / 10).alias("k_decade"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            dec_sum(F.col("value")).alias("total_value"),
+        )
+        .orderBy("k_decade")
+    )
+
+
+# ---------------------------------------------------------------------------
 # q73 — ordered conversion funnel (view -> click -> purchase): a user
 # counts for step N only with an event at or after their step-N-1 time.
 # Three chained (filter -> per-user min -> join) stages — each one shuffle

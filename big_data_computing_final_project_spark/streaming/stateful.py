@@ -54,7 +54,13 @@ def _sessionize(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterato
         total_value = 0.0
 
     closed: list[tuple[int, int, int, int, float]] = []
-    for pdf in pdfs:
+    # Materialize the whole group before sorting: Arrow hands the group over
+    # in ~10k-row chunks, and per-chunk sorts do NOT give a global order when
+    # one user's events span chunks — sessions would be mis-split. A single
+    # user's micro-batch slice is bounded, so the concat is safe.
+    batch = [pdf for pdf in pdfs if len(pdf)]
+    if batch:
+        pdf = pd.concat(batch, ignore_index=True) if len(batch) > 1 else batch[0]
         pdf = pdf.sort_values("ts")
         for ts, value in zip(pdf["ts"], pdf["value"]):
             ts_us = int(ts.value // 1_000)  # pandas ns -> µs

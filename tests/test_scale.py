@@ -1,0 +1,90 @@
+"""Tests for the skew-safe aggregation patterns (plans/scale.py), the
+variant JSON path (q76), and the round-2 hardening fixes: LSH dim guard,
+connected-components convergence warning, cross-chunk sessionizer sort.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from big_data_computing_final_project_spark.plans import all_queries
+
+from tests.test_plan_shape import plan_of
+
+
+def test_q79_sketch_distinct_error_bound(spark, sf_dir):
+    approx = {
+        r.event_type: r.n_users_approx
+        for r in all_queries()["q79_sketch_distinct"](spark, sf_dir).collect()
+    }
+    exact = {
+        r.event_type: r.n_users
+        for r in all_queries()["q77_skew_distinct_twophase"](spark, sf_dir).collect()
+    }
+    assert set(approx) == set(exact)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(2, 0.05 * n), (k, approx[k], n)
+
+
+def test_q78_salt_in_plan(spark, sf_dir):
+    plan = plan_of(all_queries()["q78_salted_agg"](spark, sf_dir), mode="simple")
+    assert "pmod" in plan  # stage-1 grouping really includes the salt
+    # two aggregation stages (each partial+final) => >= 4 HashAggregates
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_q76_variant_stays_jvm_side(spark, sf_dir):
+    plan = plan_of(all_queries()["q76_variant_json"](spark, sf_dir), mode="simple")
+    assert "variant_get" in plan or "try_variant_get" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_assert_dim_fails_loudly_on_width_mismatch(spark):
+    from big_data_computing_final_project_spark.plans.similarity import assert_dim
+
+    df = spark.createDataFrame([(1, [1.0, 2.0, 3.0])], "id long, e array<double>")
+    bad = df.select(assert_dim(F.col("e"), 64).alias("e"))
+    with pytest.raises(Exception, match="dim mismatch"):
+        bad.collect()
+
+
+def test_connected_components_warns_when_unconverged(spark):
+    from big_data_computing_final_project_spark.operators.graph import connected_components
+
+    # a path graph 0-1-2-...-9 has diameter 9; 2 rounds cannot converge
+    vertices = spark.range(10).toDF("id")
+    edges = spark.createDataFrame([(i, i + 1) for i in range(9)], "src long, dst long")
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        connected_components(vertices, edges, max_iterations=2)
+
+
+def test_sessionize_sorts_across_arrow_chunks():
+    """One user's events split over two Arrow chunks, second chunk holding
+    the EARLIER half: per-chunk sorting would mis-split sessions; the global
+    sort must reassemble one continuous session before gap detection."""
+    from big_data_computing_final_project_spark.streaming.stateful import _sessionize
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.value = v
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    late = pd.DataFrame(
+        {"ts": [base + pd.Timedelta(minutes=m) for m in (10, 15)], "value": [1.0, 1.0]}
+    )
+    early = pd.DataFrame(
+        {"ts": [base + pd.Timedelta(minutes=m) for m in (0, 5)], "value": [1.0, 1.0]}
+    )
+    state = FakeState()
+    closed = list(_sessionize((7,), iter([late, early]), state))
+    # all 4 events are within 5-minute gaps of each other once globally
+    # sorted -> ONE open session of 4 events, nothing closed
+    assert closed == []
+    start_us, last_us, n_events, total = state.value
+    assert n_events == 4
+    assert (last_us - start_us) == 15 * 60 * 1_000_000

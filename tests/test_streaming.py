@@ -62,3 +62,40 @@ def test_stream_parquet_sink_round_trip(spark, sf_dir, tmp_path):
         .collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_stream_upsert_sink_converges_to_batch(spark, sf_dir, tmp_path):
+    """foreachBatch upsert sink: after draining the backlog, the keyed
+    table equals the batch aggregate — update-mode rows with the same key
+    replaced, not appended."""
+    from pyspark.sql import functions as F
+
+    from big_data_computing_final_project_spark.catalog import load_table
+    from big_data_computing_final_project_spark.functions.stats import dec_sum
+    from big_data_computing_final_project_spark.streaming.events import (
+        run_stream_upsert,
+        stream_events,
+    )
+
+    agg = (
+        stream_events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dec_sum(F.col("value")).alias("total_value"))
+    )
+    out = str(tmp_path / "upsert")
+    run_stream_upsert(agg, ["event_type"], out, str(tmp_path / "ckpt"))
+
+    got = sorted(
+        (r.event_type, r.n, r.total_value)
+        for r in spark.read.parquet(out + "/data").collect()
+    )
+    want = sorted(
+        (r.event_type, r.n, r.total_value)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dec_sum(F.col("value")).alias("total_value"))
+        .collect()
+    )
+    assert got == want and len(got) > 0
+    # keys are unique — upsert replaced, never appended
+    assert len({k for k, _, _ in got}) == len(got)
