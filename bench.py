@@ -39,6 +39,9 @@ HEADLINE = [
     "q65_asof_join",           # as-of (temporal) join
     "q67_tfidf_top_terms",     # explode -> term agg -> top-k
     "q69_winnowing_fingerprints",  # per-row array-expr fingerprinting (zero shuffle)
+    "q76_variant_json",        # VariantType: parse once, typed variant reads
+    "q77_skew_distinct_twophase",  # skew-safe exact distinct (hot keys)
+    "q82_pack_sequences",      # sequence packing: window cumsum -> bin agg
 ]
 # Deliberately not benched: q68 (iterative CC — timing at this SF is
 # convergence-loop job overhead, not throughput) and exact pairwise

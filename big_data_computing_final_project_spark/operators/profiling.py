@@ -66,11 +66,11 @@ def describe(df: DataFrame, columns: list[str] | None = None, exact: bool = Fals
     """
     cols = columns or numeric_columns(df)
     aggs = []
+    distinct_aggs = []
     for c in cols:
         col = F.col(c)
         n, s1, s2 = power_sums(col, 4, upto=2)
         pct_fn = "percentile" if exact else "percentile_approx"
-        cnt_fn = F.countDistinct(col) if exact else F.approx_count_distinct(col)
         aggs += [
             n.alias(f"{c}__n"),
             (s1 / n).alias(f"{c}__mean"),
@@ -78,9 +78,20 @@ def describe(df: DataFrame, columns: list[str] | None = None, exact: bool = Fals
             F.min(col).cast("double").alias(f"{c}__min"),
             F.max(col).cast("double").alias(f"{c}__max"),
             F.expr(f"{pct_fn}({c}, array(0.25, 0.5, 0.75))").alias(f"{c}__q"),
-            cnt_fn.alias(f"{c}__distinct"),
         ]
+        if exact:
+            # exact distinct counts go in a SEPARATE aggregate: multiple
+            # COUNT(DISTINCT col) trigger the Expand rewrite (input ×
+            # n_cols), and dragging the exact-percentile buffers through
+            # that expansion roughly doubles the whole job (measured 8.2 s
+            # vs 3.2+1.5 s split at sf0.1). Two 1-row aggs + cross join
+            # scan the input twice but each pass is the cheap shape.
+            distinct_aggs.append(F.countDistinct(col).alias(f"{c}__distinct"))
+        else:
+            aggs.append(F.approx_count_distinct(col).alias(f"{c}__distinct"))
     one = df.agg(*aggs)
+    if distinct_aggs:
+        one = one.crossJoin(df.agg(*distinct_aggs))
     rows = []
     for c in cols:
         rows.append(

@@ -275,6 +275,8 @@ def q49_house_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     median = orders.agg(F.expr("percentile_approx(o_totalprice, 0.5)")).first()[0]
+    # base feeds four separate job trees (bucketizer min/max, split label
+    # scan, train, test) — cache it so the join runs once
     base = (
         orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
         .select(
@@ -287,6 +289,7 @@ def q49_house_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").cast("double").alias("order_year"),
             (F.col("o_totalprice") > median).cast("double").alias("label"),
         )
+        .cache()
     )
     features = build_feature_pipeline(
         categorical=["o_orderpriority", "c_mktsegment"],
@@ -307,6 +310,7 @@ def q49_house_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("macro_f1", float(m.macro_f1)),
     ]
     train.unpersist()
+    base.unpersist()
     return spark.createDataFrame(rows, "metric string, value double")
 
 

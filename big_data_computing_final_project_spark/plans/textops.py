@@ -319,6 +319,163 @@ ORDER BY source, split
 """
 
 
+# ---------------------------------------------------------------------------
+# q80 — denylist redaction (the masking pass of a PII/toxicity scrub): every
+# match of a term denylist is replaced with a mask token; the report is the
+# per-source redaction audit (docs touched, matches masked, chars removed)
+# that ships with a scrub run. regexp_count/regexp_replace are codegen'd
+# JVM ops — one narrow scan, one agg; at 100 TB the rewrite pass is
+# scan-bound, exactly what you want. The \b word-boundary pattern means
+# identical semantics in Java regex (Spark) and RE2 (DuckDB).
+# ---------------------------------------------------------------------------
+
+_DENYLIST_RE = r"\b(customer|spark|secret)\b"
+
+_Q80_ORACLE = f"""
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(*) FILTER (len(regexp_extract_all(text, '{_DENYLIST_RE}')) > 0)
+         AS docs_redacted,
+       CAST(SUM(len(regexp_extract_all(text, '{_DENYLIST_RE}'))) AS BIGINT)
+         AS total_hits,
+       CAST(SUM(length(text)
+                - length(regexp_replace(text, '{_DENYLIST_RE}', '', 'g'))) AS BIGINT)
+         AS chars_removed
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("q80_denylist_redact", oracle=_Q80_ORACLE)
+def q80_denylist_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hits = F.regexp_count(F.col("text"), F.lit(_DENYLIST_RE))
+    removed = F.length("text") - F.length(F.regexp_replace("text", _DENYLIST_RE, ""))
+    return (
+        docs.select("source", hits.alias("hits"), removed.alias("removed"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("hits") > 0, 1)).alias("docs_redacted"),
+            F.sum("hits").alias("total_hits"),
+            F.sum("removed").alias("chars_removed"),
+        )
+        .orderBy("source")
+    )
+
+
+def redact(text: F.Column, pattern: str = _DENYLIST_RE, mask: str = "[MASK]") -> F.Column:
+    """The rewrite itself (q80 reports on it): denylist matches -> mask."""
+    return F.regexp_replace(text, pattern, mask)
+
+
+# ---------------------------------------------------------------------------
+# q81 — fixed-size document chunking (tokenize -> split every doc into
+# 32-token chunks), the 1-row -> N-rows shaping step before embedding or
+# context-window packing. Pure array exprs: sequence over chunk indices +
+# explode — a narrow map with no shuffle; chunk rows inherit the parent's
+# partitioning, which is exactly how a 100 TB chunking pass should behave.
+# ---------------------------------------------------------------------------
+
+_CHUNK = 32
+
+_Q81_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+), c AS (
+  SELECT doc_id, len(t) AS n,
+         unnest(range(CAST(ceil(len(t) / {_CHUNK}.0) AS BIGINT))) AS chunk_id,
+         t
+  FROM d
+)
+SELECT doc_id, chunk_id,
+       least({_CHUNK}, n - chunk_id * {_CHUNK}) AS n_chunk_tokens,
+       t[chunk_id * {_CHUNK} + 1] AS head_token
+FROM c
+ORDER BY doc_id, chunk_id
+"""
+
+
+@register("q81_chunk_documents", oracle=_Q81_ORACLE)
+def q81_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = X.tokens(F.col("text"))
+    base = docs.select("doc_id", t.alias("t"), F.size(t).alias("n"))
+    chunk_ids = F.sequence(
+        F.lit(0), F.ceil(F.col("n") / F.lit(float(_CHUNK))).cast("long") - 1
+    )
+    return (
+        base.select("doc_id", "n", "t", F.explode(chunk_ids).alias("chunk_id"))
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.least(F.lit(_CHUNK), F.col("n") - F.col("chunk_id") * _CHUNK).alias(
+                "n_chunk_tokens"
+            ),
+            F.element_at("t", (F.col("chunk_id") * _CHUNK + 1).cast("int")).alias(
+                "head_token"
+            ),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q82 — greedy sequence packing (GPT-style concat-then-split): documents are
+# concatenated in deterministic order (doc_id) per source and cut into
+# 1024-token context bins; a doc belongs to the bin where it STARTS
+# (start offset = running token sum minus own length). One window cumsum
+# per source partition + one hash agg — integer arithmetic end-to-end, so
+# the oracle matches exactly. The packing report (bins, docs/bin, fill
+# level) is what a pretraining data loader derives its sampling plan from.
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 1024
+
+_Q82_ORACLE = f"""
+WITH d AS (
+  SELECT source, doc_id, len({_SQL_TOKS}) AS n_tokens FROM documents
+), placed AS (
+  SELECT source, doc_id, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS start_off
+  FROM d
+)
+SELECT source,
+       start_off // {_PACK_BUDGET} AS bin_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM placed
+GROUP BY source, bin_id
+ORDER BY source, bin_id
+"""
+
+
+@register("q82_pack_sequences", oracle=_Q82_ORACLE)
+def q82_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source", "doc_id", X.token_count(F.col("text")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = d.withColumn("start_off", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return (
+        placed.groupBy(
+            "source", F.floor(F.col("start_off") / _PACK_BUDGET).alias("bin_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
+        .orderBy("source", "bin_id")
+    )
+
+
 @register("q75_hash_split", oracle=_Q75_ORACLE)
 def q75_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
