@@ -622,3 +622,85 @@ def q70_fingerprint_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q87 — incremental-ingest dedup: a new batch of documents is deduplicated
+# against the EXISTING corpus fingerprint store (and within itself) — the
+# shape every continuously-ingesting corpus pipeline runs per crawl drop.
+# Existing/incoming split reuses q75's deterministic md5 hash split
+# (bucket < 80 = already-ingested corpus, >= 80 = the new drop).
+# Attribution order: a hit in the store wins over a within-batch dup.
+# Scale shape: the store side reduces to DISTINCT fingerprints before the
+# join (shuffle carries one row per unique fp, not per doc); the incoming
+# batch is a left join on fp + one ranking window within the batch — both
+# shuffles are on the fingerprint, the natural dedup key.
+# ---------------------------------------------------------------------------
+
+_Q87_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, source, md5({_SQL_NORM}) AS fp,
+         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+  FROM documents
+), store AS (
+  SELECT DISTINCT fp FROM d WHERE bucket < 80
+), incoming AS (
+  SELECT doc_id, source, fp,
+         ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+  FROM d WHERE bucket >= 80
+), verdicts AS (
+  SELECT i.source,
+         CASE WHEN s.fp IS NOT NULL THEN 'dup_of_existing'
+              WHEN i.rn > 1 THEN 'dup_within_batch'
+              ELSE 'kept' END AS verdict
+  FROM incoming i LEFT JOIN store s ON i.fp = s.fp
+)
+SELECT source,
+       COUNT(*) AS n_incoming,
+       COUNT(*) FILTER (verdict = 'kept') AS kept,
+       COUNT(*) FILTER (verdict = 'dup_of_existing') AS dup_of_existing,
+       COUNT(*) FILTER (verdict = 'dup_within_batch') AS dup_within_batch
+FROM verdicts
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("q87_incremental_dedup", oracle=_Q87_ORACLE)
+def q87_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    ) % 100
+    d = docs.select(
+        "doc_id", "source", X.fingerprint(F.col("text")).alias("fp"), bucket.alias("bucket")
+    )
+    store = d.filter(F.col("bucket") < 80).select("fp").distinct()
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    incoming = (
+        d.filter(F.col("bucket") >= 80)
+        .withColumn("rn", F.row_number().over(w))
+    )
+    joined = incoming.join(
+        store.withColumnRenamed("fp", "store_fp"),
+        incoming.fp == F.col("store_fp"),
+        "left",
+    )
+    verdict = (
+        F.when(F.col("store_fp").isNotNull(), "dup_of_existing")
+        .when(F.col("rn") > 1, "dup_within_batch")
+        .otherwise("kept")
+    )
+    return (
+        joined.select("source", verdict.alias("verdict"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_incoming"),
+            F.count(F.when(F.col("verdict") == "kept", 1)).alias("kept"),
+            F.count(F.when(F.col("verdict") == "dup_of_existing", 1)).alias("dup_of_existing"),
+            F.count(F.when(F.col("verdict") == "dup_within_batch", 1)).alias("dup_within_batch"),
+        )
+        .orderBy("source")
+    )

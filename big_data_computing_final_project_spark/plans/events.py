@@ -160,6 +160,85 @@ def q30_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q83 — event enrichment against the customer dim (batch form of the
+# stream-static join: streaming/events.enrich_stream runs THIS plan with a
+# streaming fact side; the static dim broadcasts in both worlds, so the
+# streaming query has no shuffle on the fact). The equivalence test pins
+# stream == batch == this oracle.
+# ---------------------------------------------------------------------------
+
+_Q83_ORACLE = f"""
+SELECT c.c_mktsegment, e.event_type,
+       COUNT(*) AS n_events,
+       {sql_dec_sum('e.value')} AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment, e.event_type
+ORDER BY c.c_mktsegment, e.event_type
+"""
+
+
+@register("q83_event_enrich", oracle=_Q83_ORACLE)
+def q83_event_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dec_sum(F.col("value")).alias("total_value"))
+        .orderBy("c_mktsegment", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q84 — view->click attribution pairs (batch form of the stream-stream
+# interval join): every (view, click) of the same user with the click in
+# (view_ts, view_ts + 10 min]. In streaming this is the watermarked
+# stream-stream join whose time bound lets Spark expire join state; in
+# batch it's a plain equi-join on user plus a range predicate — AQE picks
+# the shuffle join on user_id and the band predicate prunes post-join.
+# ---------------------------------------------------------------------------
+
+_ATTR_WINDOW_US = 10 * 60 * 1_000_000
+
+_Q84_ORACLE = f"""
+SELECT v.user_id,
+       v.event_id AS view_id,
+       c.event_id AS click_id,
+       epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON v.user_id = c.user_id
+ AND epoch_us(c.ts) > epoch_us(v.ts)
+ AND epoch_us(c.ts) <= epoch_us(v.ts) + {_ATTR_WINDOW_US}
+ORDER BY v.user_id, view_id, click_id
+"""
+
+
+@register("q84_view_click_join", oracle=_Q84_ORACLE)
+def q84_view_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id"), F.col("event_id").alias("view_id"), F.col("ts").alias("v_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    gap = F.unix_micros(F.col("c_ts")) - F.unix_micros(F.col("v_ts"))
+    return (
+        views.join(
+            clicks,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("c_ts") > F.col("v_ts"))
+            & (F.unix_micros(F.col("c_ts"))
+               <= F.unix_micros(F.col("v_ts")) + _ATTR_WINDOW_US),
+        )
+        .select("user_id", "view_id", "click_id", gap.alias("gap_us"))
+        .orderBy("user_id", "view_id", "click_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # q76 — semi-structured props via Spark 4 VariantType (SURVEY §2.9 JSON
 # extension, scale path next to q30's get_json_object): parse_json() builds
 # a binary Variant ONCE per row, then any number of typed variant_get()

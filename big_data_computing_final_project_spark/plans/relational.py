@@ -488,3 +488,37 @@ def q16_crosstab_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         .na.fill(0, ["F", "O", "P"])
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# q86 — distribution-rank window suite (O4 extension rounding out the
+# window-function surface next to q15's rank/dense_rank): ntile quartiles,
+# percent_rank, cume_dist per nation. The window order carries c_custkey as
+# a unique tiebreaker — without it ntile on tied acctbals is
+# engine-dependent. percent_rank/cume_dist are single IEEE divisions of
+# integer rank/count values, so they hash-match exactly cross-engine.
+# ---------------------------------------------------------------------------
+
+_Q86_ORACLE = """
+SELECT c_nationkey, c_custkey, c_acctbal,
+       ntile(4)       OVER w AS bal_quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist()    OVER w AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+ORDER BY c_nationkey, c_acctbal DESC, c_custkey
+"""
+
+
+@register("q86_window_rank_suite", oracle=_Q86_ORACLE)
+def q86_window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return customer.select(
+        "c_nationkey",
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("bal_quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    ).orderBy("c_nationkey", F.col("c_acctbal").desc(), "c_custkey")

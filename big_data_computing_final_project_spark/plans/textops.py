@@ -476,6 +476,60 @@ def q82_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q85 — Python UDTF surface (SURVEY §2.9 extension): a table-generating
+# function (1 doc row -> N positional-bigram rows) via the Spark 4 UDTF API
+# under a lateral join, Arrow-batched (ArrowEvalPythonUDTF — NOT the
+# forbidden row-at-a-time BatchEvalPython path; the conf is set at runtime
+# so an external driver session gets it too). The same rows are expressible
+# with JVM array exprs (q81's approach) — this query exists to pin the UDTF
+# plumbing: schema declaration, outer-column lateral reference, Arrow
+# batching, and downstream aggregation over UDTF output.
+# ---------------------------------------------------------------------------
+
+_Q85_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+), bg AS (
+  SELECT doc_id,
+         list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS bigrams
+  FROM d WHERE len(t) >= 2
+)
+SELECT doc_id,
+       len(bigrams) AS n_bigrams,
+       len(list_distinct(bigrams)) AS n_distinct
+FROM bg
+ORDER BY doc_id
+"""
+
+
+@register("q85_udtf_ngrams", oracle=_Q85_ORACLE)
+def q85_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+
+    @udtf(returnType="pos int, ngram string")
+    class NGramUDTF:
+        def eval(self, text: str, n: int):
+            toks = text.split()
+            for i in range(len(toks) - n + 1):
+                yield i, " ".join(toks[i : i + n])
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", X.normalize(F.col("text")).alias("nm")
+    )
+    grams = docs.lateralJoin(NGramUDTF(F.col("nm").outer(), F.lit(2)))
+    return (
+        grams.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.countDistinct("ngram").alias("n_distinct"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @register("q75_hash_split", oracle=_Q75_ORACLE)
 def q75_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window

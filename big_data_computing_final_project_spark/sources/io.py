@@ -42,6 +42,28 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """S1+ — JSON-lines scan (the interchange format of text-corpus
+    pipelines). Explicit schema by default — JSON inference is a full
+    extra scan AND can mistype sparse fields; pass none only for
+    exploration."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, compression: str | None = "gzip") -> None:
+    """S2+ — JSON-lines sink, gzip by default (JSONL is ~3-5x larger than
+    parquet; compress unless a downstream line-reader needs raw)."""
+    writer = df.write.mode("overwrite")
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)
+
+
 def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
     """S2 — CSV sink with header, no index column (Spark has none)."""
     out = df.coalesce(1) if single_file else df

@@ -60,6 +60,51 @@ def tumbling_counts(events: DataFrame, duration: str = "1 hour") -> DataFrame:
     )
 
 
+def enrich_stream(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static join + aggregate (the q83 plan with a streaming fact):
+    the static customer dim broadcasts to every micro-batch, so the only
+    stateful operator is the final windowless aggregate. At scale the dim
+    refreshes by re-resolving the batch side per trigger — Spark re-plans
+    stream-static joins each micro-batch."""
+    cust = customer.select("c_custkey", "c_mktsegment")
+    return (
+        events.join(F.broadcast(cust), events.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dec_sum(F.col("value")).alias("total_value"))
+    )
+
+
+def view_click_join_stream(
+    views: DataFrame, clicks: DataFrame, window: str = "10 minutes"
+) -> DataFrame:
+    """Stream-stream interval join (the q84 plan, incremental): clicks
+    attribute to a same-user view within (v_ts, v_ts + window]. Both sides
+    must carry a watermark; the time bound lets Spark expire view-side
+    state once the click watermark passes v_ts + window — bounded state,
+    the thing an unconstrained stream-stream join can't promise."""
+    v = views.select(
+        F.col("user_id"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    return v.join(
+        c,
+        F.expr(
+            f"user_id = c_user AND c_ts > v_ts AND c_ts <= v_ts + interval {window}"
+        ),
+    ).select(
+        "user_id",
+        "view_id",
+        "click_id",
+        (F.unix_micros(F.col("c_ts")) - F.unix_micros(F.col("v_ts"))).alias("gap_us"),
+    )
+
+
 def run_stream_to_memory(
     result: DataFrame, query_name: str, checkpoint_dir: str, timeout_sec: int = 120
 ) -> None:

@@ -11,12 +11,34 @@ from pyspark.sql import types as T
 from big_data_computing_final_project_spark.sources import (
     load_pipeline_model,
     read_csv,
+    read_jsonl,
     read_parquet,
     save_pipeline_model,
     write_csv,
+    write_jsonl,
     write_parquet,
     write_submission,
 )
+
+
+def test_jsonl_round_trip_with_schema(spark, sf_dir):
+    tmp = tempfile.mkdtemp(prefix="jsonl_rt_")
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        write_jsonl(docs, f"{tmp}/docs_jsonl")
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+                T.StructField("lang", T.StringType()),
+                T.StructField("source", T.StringType()),
+                T.StructField("n_chars", T.LongType()),
+            ]
+        )
+        back = read_jsonl(spark, f"{tmp}/docs_jsonl", schema=schema).select(*docs.columns)
+        assert {tuple(r) for r in back.collect()} == {tuple(r) for r in docs.collect()}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def test_csv_round_trip_with_schema(spark, sf_dir):

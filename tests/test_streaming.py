@@ -99,3 +99,58 @@ def test_stream_upsert_sink_converges_to_batch(spark, sf_dir, tmp_path):
     assert got == want and len(got) > 0
     # keys are unique — upsert replaced, never appended
     assert len({k for k, _, _ in got}) == len(got)
+
+
+def test_stream_static_enrich_equals_batch(spark, sf_dir):
+    """Stream-static join: streaming events against the batch customer dim
+    must equal the batch q83 plan (which is DuckDB-oracle-checked)."""
+    import shutil
+    import tempfile
+
+    from big_data_computing_final_project_spark.catalog import load_table
+    from big_data_computing_final_project_spark.streaming.events import (
+        enrich_stream,
+        run_stream_to_memory,
+        stream_events,
+    )
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_enrich_")
+    try:
+        result = enrich_stream(
+            stream_events(spark, sf_dir), load_table(spark, sf_dir, "customer")
+        )
+        run_stream_to_memory(result, "stream_enrich", ckpt)
+        streamed = {tuple(r) for r in spark.sql("SELECT * FROM stream_enrich").collect()}
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    batch = {
+        tuple(r) for r in all_queries()["q83_event_enrich"](spark, sf_dir).collect()
+    }
+    assert streamed == batch and len(batch) > 0
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir, tmp_path):
+    """Watermarked stream-stream interval join == the batch q84 plan."""
+    from big_data_computing_final_project_spark.streaming.events import (
+        stream_events,
+        view_click_join_stream,
+    )
+    from pyspark.sql import functions as F
+
+    views = stream_events(spark, sf_dir).filter(F.col("event_type") == "view")
+    clicks = stream_events(spark, sf_dir).filter(F.col("event_type") == "click")
+    joined = view_click_join_stream(views, clicks)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("stream_vc_join")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    if q.isActive:
+        q.stop()
+    streamed = {tuple(r) for r in spark.sql("SELECT * FROM stream_vc_join").collect()}
+    batch = {tuple(r) for r in all_queries()["q84_view_click_join"](spark, sf_dir).collect()}
+    assert streamed == batch and len(batch) > 0
