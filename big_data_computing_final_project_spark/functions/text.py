@@ -68,15 +68,24 @@ def stopword_hits(text: Column, words: list[str]) -> Column:
 
 def lang_id(text: Column) -> Column:
     """Heuristic language ID: argmax over per-language stopword hit counts,
-    'und' (undetermined) when no stopword matches at all."""
-    best_lang = F.lit("und")
-    best_hits = F.lit(0)
-    for lang, words in STOPWORDS.items():
-        hits = stopword_hits(text, words)
-        is_better = hits > best_hits
-        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
-        best_hits = F.when(is_better, hits).otherwise(best_hits)
-    return best_lang
+    'und' (undetermined) when no stopword matches at all.
+
+    Shaped as array_max over (hits, -order, lang) structs rather than a
+    when-chain fold: the fold nests every earlier hits-expression inside
+    each comparison (the tree grows quadratically with languages), while
+    the struct array evaluates each hits count exactly once. Lexicographic
+    struct max = highest hits, ties to the LOWEST order index — identical
+    first-max-wins semantics to the original fold (and the q32 oracle)."""
+    entries = [
+        F.struct(
+            stopword_hits(text, words).alias("h"),
+            F.lit(-i).alias("neg_order"),
+            F.lit(lang).alias("l"),
+        )
+        for i, (lang, words) in enumerate(STOPWORDS.items())
+    ]
+    best = F.array_max(F.array(*entries))
+    return F.when(best["h"] > 0, best["l"]).otherwise(F.lit("und"))
 
 
 def punct_ratio(text: Column) -> Column:

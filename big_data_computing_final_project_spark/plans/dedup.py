@@ -132,7 +132,11 @@ def _verify_candidate_pairs(sh: DataFrame, candidates: DataFrame) -> DataFrame:
 
 @register("q35_ngram_jaccard_dedup", oracle=_Q35_ORACLE)
 def q35_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _exact_jaccard_pairs(_shingled(spark, sf_dir))
+    # the shingled frame feeds three consumers (sizes + both sides of the
+    # self-join); without materialization the regex-normalize + shingle
+    # transform re-runs per consumer — measured 3x the query's total cost
+    # at sf0.1. localCheckpoint truncates lineage AND caches the blocks.
+    return _exact_jaccard_pairs(_shingled(spark, sf_dir).localCheckpoint(eager=True))
 
 
 # ---------------------------------------------------------------------------

@@ -61,6 +61,62 @@ def test_connected_components_warns_when_unconverged(spark):
         connected_components(vertices, edges, max_iterations=2)
 
 
+def test_chunking_partitions_every_token_exactly_once(spark, sf_dir):
+    """q81 invariant: per doc, chunk sizes sum to the token count, chunk ids
+    are dense from 0, and only the last chunk may be short."""
+    from pyspark.sql import functions as F
+
+    from big_data_computing_final_project_spark.catalog import load_table
+    from big_data_computing_final_project_spark.functions import text as X
+
+    chunks = all_queries()["q81_chunk_documents"](spark, sf_dir)
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.sum("n_chunk_tokens").alias("tok_sum"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.max("chunk_id").alias("max_id"),
+        F.sum(F.when(F.col("n_chunk_tokens") < 32, 1).otherwise(0)).alias("n_short"),
+    )
+    truth = load_table(spark, sf_dir, "documents").select(
+        "doc_id", X.token_count(F.col("text")).alias("n_tokens")
+    )
+    joined = per_doc.join(truth, "doc_id")
+    bad = joined.filter(
+        (F.col("tok_sum") != F.col("n_tokens"))
+        | (F.col("max_id") != F.col("n_chunks") - 1)
+        | (F.col("n_short") > 1)
+    )
+    assert bad.count() == 0
+    assert per_doc.count() == truth.count()
+
+
+def test_packing_conserves_tokens_and_fills_bins(spark, sf_dir):
+    """q82 invariant: bin token totals sum to the corpus token total per
+    source, and every bin except possibly the last holds >= the budget's
+    worth of started content (bins are dense: 0..max)."""
+    from pyspark.sql import functions as F
+
+    from big_data_computing_final_project_spark.catalog import load_table
+    from big_data_computing_final_project_spark.functions import text as X
+
+    bins = all_queries()["q82_pack_sequences"](spark, sf_dir)
+    per_source = bins.groupBy("source").agg(
+        F.sum("n_tokens").alias("tok_sum"),
+        F.count(F.lit(1)).alias("n_bins"),
+        F.max("bin_id").alias("max_bin"),
+    )
+    truth = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum(X.token_count(F.col("text"))).alias("n_tokens"))
+    )
+    joined = per_source.join(truth, "source")
+    bad = joined.filter(
+        (F.col("tok_sum") != F.col("n_tokens"))
+        | (F.col("max_bin") != F.col("n_bins") - 1)
+    )
+    assert bad.count() == 0
+
+
 def test_sessionize_sorts_across_arrow_chunks():
     """One user's events split over two Arrow chunks, second chunk holding
     the EARLIER half: per-chunk sorting would mis-split sessions; the global

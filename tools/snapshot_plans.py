@@ -27,6 +27,7 @@ def normalize(plan: str) -> str:
     plan = re.sub(r"/root/testdata/sf[0-9.]+", "<SF_DIR>", plan)
     plan = re.sub(r"#\d+L?", "#N", plan)  # expression ids differ run-to-run
     plan = re.sub(r"plan_id=\d+", "plan_id=N", plan)
+    plan = re.sub(r"RDD\[\d+\]", "RDD[N]", plan)  # RDD ids depend on job history
     return plan
 
 
