@@ -1,0 +1,159 @@
+"""Mergeable quantile sketch (t-digest) as a first-class distributed
+aggregate.
+
+Spark's built-in ``percentile_approx`` is a KLL-style sketch locked inside
+the JVM aggregate; this module provides an *open* mergeable sketch whose
+partial state (centroid arrays) is a plain DataFrame, so it can be
+
+- built incrementally (per partition / per file / per micro-batch),
+- persisted and unioned across runs (the property that matters at 100 TB:
+  sketch 100 TB once, answer any later quantile query from kilobytes),
+- merged associatively without revisiting raw data.
+
+Algorithm: Dunning's merging t-digest (public paper: "Computing Extremely
+Accurate Quantiles Using t-Digests", Dunning & Ertl). Centroid budget is
+bounded by the k1 scale function k(q) = δ/(2π)·asin(2q−1), which keeps
+centroids small near the tails (high accuracy at p99) and wide in the
+middle.
+
+Execution shape (two-phase, mirrors Spark's partial aggregation):
+
+  phase 1  mapInPandas        — per-partition, per-key centroid build;
+                                 output rows are (key, means[], weights[])
+                                 ~δ floats per key per partition
+  phase 2  groupBy.applyInPandas — shuffle only the sketches (not the data),
+                                 merge-compress, interpolate quantiles
+
+Reference parity: the reference computes exact quantiles on a 140k-row
+pandas frame (sol_2/data_analysis.ipynb quantile cells); this is the
+scale-path replacement for the same question at data sizes where exact
+multi-quantile computation would need a full sort.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["tdigest_quantiles", "build_centroids", "merge_centroids", "quantile_from_centroids"]
+
+
+def _k_scale(q: np.ndarray | float, delta: float) -> np.ndarray | float:
+    """k1 scale function; monotone in q, range [-δ/4, δ/4]."""
+    return delta / (2.0 * np.pi) * np.arcsin(np.clip(2.0 * q - 1.0, -1.0, 1.0))
+
+
+def merge_centroids(
+    means: np.ndarray, weights: np.ndarray, delta: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """One merging pass: sort by mean, then greedily merge neighbours while
+    the merged centroid's k-span stays within 1 (the t-digest invariant)."""
+    if means.size == 0:
+        return means, weights
+    order = np.argsort(means, kind="mergesort")
+    means, weights = means[order], weights[order]
+    total = float(weights.sum())
+    out_m: list[float] = []
+    out_w: list[float] = []
+    cur_m, cur_w = float(means[0]), float(weights[0])
+    w_before = 0.0  # weight fully emitted so far
+    k_lower = _k_scale(0.0, delta)
+    for m, w in zip(means[1:], weights[1:]):
+        q_upper = (w_before + cur_w + w) / total
+        if _k_scale(q_upper, delta) - k_lower <= 1.0:
+            cur_m += (m - cur_m) * (w / (cur_w + w))
+            cur_w += w
+        else:
+            out_m.append(cur_m)
+            out_w.append(cur_w)
+            w_before += cur_w
+            k_lower = _k_scale(w_before / total, delta)
+            cur_m, cur_w = float(m), float(w)
+    out_m.append(cur_m)
+    out_w.append(cur_w)
+    return np.asarray(out_m), np.asarray(out_w)
+
+
+def build_centroids(values: np.ndarray, delta: float) -> tuple[np.ndarray, np.ndarray]:
+    """Build a digest from raw values (each value starts as a unit centroid)."""
+    v = np.asarray(values, dtype=np.float64)
+    v = v[~np.isnan(v)]
+    return merge_centroids(v, np.ones_like(v), delta)
+
+
+def quantile_from_centroids(means: np.ndarray, weights: np.ndarray, q: float) -> float:
+    """Interpolated quantile: centroid i sits at cumulative rank
+    cumw[i] − w[i]/2; linear interpolation between neighbouring centroids,
+    clamped to the extreme centroid means at the tails."""
+    if means.size == 0:
+        return float("nan")
+    if means.size == 1:
+        return float(means[0])
+    total = float(weights.sum())
+    target = q * total
+    centers = np.cumsum(weights) - weights / 2.0
+    if target <= centers[0]:
+        return float(means[0])
+    if target >= centers[-1]:
+        return float(means[-1])
+    idx = int(np.searchsorted(centers, target) - 1)
+    span = centers[idx + 1] - centers[idx]
+    frac = 0.0 if span <= 0 else (target - centers[idx]) / span
+    return float(means[idx] + frac * (means[idx + 1] - means[idx]))
+
+
+_SKETCH_SCHEMA = "key string, means array<double>, weights array<double>"
+
+
+def tdigest_quantiles(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    probs: Sequence[float],
+    delta: float = 200.0,
+) -> DataFrame:
+    """Per-key t-digest quantile estimates.
+
+    Two-phase plan: partial sketches per input partition (map-side, no
+    shuffle), then a shuffle of only the δ-bounded sketch rows for the
+    final merge. Raw values never cross the network.
+    """
+    probs = [float(p) for p in probs]
+    src = df.select(F.col(key_col).cast("string").alias("key"), F.col(value_col).alias("val"))
+
+    def _partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # one digest per key per worker: accumulate across Arrow batches,
+        # compress once at the end so output size is O(keys * delta)
+        acc: dict[str, list[np.ndarray]] = {}
+        for pdf in batches:
+            for key, grp in pdf.groupby("key", sort=False):
+                acc.setdefault(key, []).append(grp["val"].to_numpy(dtype=np.float64))
+        rows = []
+        for key, chunks in acc.items():
+            m, w = build_centroids(np.concatenate(chunks), delta)
+            rows.append({"key": key, "means": m.tolist(), "weights": w.tolist()})
+        if rows:
+            yield pd.DataFrame(rows)
+
+    partials = src.mapInPandas(_partial, schema=_SKETCH_SCHEMA)
+
+    out_fields = ", ".join(f"p{int(p * 100):02d} double" for p in probs)
+
+    def _final(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.concatenate([np.asarray(x, dtype=np.float64) for x in pdf["means"]])
+        w = np.concatenate([np.asarray(x, dtype=np.float64) for x in pdf["weights"]])
+        m, w = merge_centroids(m, w, delta)
+        row = {"key": pdf["key"].iloc[0]}
+        for p in probs:
+            row[f"p{int(p * 100):02d}"] = quantile_from_centroids(m, w, p)
+        return pd.DataFrame([row])
+
+    return (
+        partials.groupBy("key")
+        .applyInPandas(_final, schema=f"key string, {out_fields}")
+        .orderBy("key")
+    )

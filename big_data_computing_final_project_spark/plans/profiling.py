@@ -475,3 +475,21 @@ def q26_argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_nationkey", "c_custkey", "c_acctbal")
         .orderBy("c_nationkey", "c_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# q88 — mergeable t-digest quantile sketch (A7 scale path, pairs with q21's
+# exact quartiles the way q79's HLL pairs with exact distinct): per return
+# flag, sketched p50/p90/p99 of l_extendedprice. Raw values never shuffle —
+# only delta-bounded centroid arrays do. Rows-only for the driver (sketch
+# estimates are not bit-exact); tests/test_sketches.py bounds the rank error
+# against the exact percentiles.
+# ---------------------------------------------------------------------------
+
+
+@register("q88_tdigest_quantiles")
+def q88_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import tdigest_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    return tdigest_quantiles(li, "l_returnflag", "l_extendedprice", [0.5, 0.9, 0.99])

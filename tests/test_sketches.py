@@ -1,0 +1,96 @@
+"""Oracle tests for the mergeable t-digest quantile sketch (q88).
+
+The driver's gate is rows-only here (sketches are not bit-exact); the real
+correctness statement is a rank-error bound: the estimated quantile's true
+rank must sit within EPS of the target rank. t-digest's k1 scale function
+gives tighter error at the tails, so the p99 bound is stricter than p50's.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_computing_final_project_spark.operators.sketches import (
+    build_centroids,
+    merge_centroids,
+    quantile_from_centroids,
+    tdigest_quantiles,
+)
+from big_data_computing_final_project_spark.plans import all_queries
+
+
+def _rank_of(values: np.ndarray, x: float) -> float:
+    return float(np.searchsorted(np.sort(values), x, side="left")) / len(values)
+
+
+def test_tdigest_rank_error_bounded_single_digest():
+    rng = np.random.default_rng(42)
+    values = rng.lognormal(mean=10, sigma=1.5, size=200_000)
+    m, w = build_centroids(values, delta=200.0)
+    assert len(m) <= 200, "centroid budget must be bounded by delta"
+    for q, eps in [(0.5, 0.01), (0.9, 0.005), (0.99, 0.002)]:
+        est = quantile_from_centroids(m, w, q)
+        assert abs(_rank_of(values, est) - q) < eps, (q, est)
+
+
+def test_tdigest_merge_is_associative_in_accuracy():
+    """Sketching 8 shards then merging must be as accurate as one pass —
+    the property that lets partial sketches persist across runs."""
+    rng = np.random.default_rng(7)
+    values = rng.gamma(shape=2.0, scale=3.0, size=160_000)
+    shards = np.array_split(values, 8)
+    parts = [build_centroids(s, 200.0) for s in shards]
+    m = np.concatenate([p[0] for p in parts])
+    w = np.concatenate([p[1] for p in parts])
+    m, w = merge_centroids(m, w, 200.0)
+    assert float(w.sum()) == pytest.approx(len(values))
+    for q in (0.5, 0.9, 0.99):
+        est = quantile_from_centroids(m, w, q)
+        assert abs(_rank_of(values, est) - q) < 0.01, q
+
+
+def test_q88_matches_exact_percentiles_within_rank_eps(spark, sf_dir):
+    got = {r["key"]: r for r in all_queries()["q88_tdigest_quantiles"](spark, sf_dir).collect()}
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    for flag, row in got.items():
+        vals = np.array(
+            [
+                r[0]
+                for r in li.filter(F.col("l_returnflag") == flag)
+                .select("l_extendedprice")
+                .collect()
+            ]
+        )
+        for q in (0.5, 0.9, 0.99):
+            est = row[f"p{int(q * 100):02d}"]
+            assert abs(_rank_of(vals, est) - q) < 0.01, (flag, q, est)
+
+
+def test_tdigest_edge_cases():
+    m, w = build_centroids(np.array([]), 100.0)
+    assert np.isnan(quantile_from_centroids(m, w, 0.5))
+    m, w = build_centroids(np.array([3.5]), 100.0)
+    assert quantile_from_centroids(m, w, 0.5) == 3.5
+    # constant column: every quantile is the constant
+    m, w = build_centroids(np.full(10_000, 7.0), 100.0)
+    for q in (0.01, 0.5, 0.99):
+        assert quantile_from_centroids(m, w, q) == 7.0
+
+
+def test_tdigest_spark_groups_match_numpy_reference(spark, sf_dir):
+    """The distributed two-phase result must equal a single-machine digest
+    built from the same values with the same delta (same algorithm, no
+    dependence on partitioning) to within the sketch's own resolution."""
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    got = {
+        r["key"]: r
+        for r in tdigest_quantiles(df, "o_orderstatus", "o_totalprice", [0.5, 0.9]).collect()
+    }
+    pdf = df.select("o_orderstatus", "o_totalprice").toPandas()
+    for status, grp in pdf.groupby("o_orderstatus"):
+        vals = grp["o_totalprice"].to_numpy()
+        for q in (0.5, 0.9):
+            est = got[status][f"p{int(q * 100):02d}"]
+            assert abs(_rank_of(vals, est) - q) < 0.01, (status, q)
