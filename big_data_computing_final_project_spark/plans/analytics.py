@@ -1,0 +1,423 @@
+"""Analytics extension queries (round 2): reshaping (unpivot/pivot),
+time-series gap filling, multi-way fact joins, share-of-total windows,
+robust statistics (MAD), per-group mode, and event-sequence transitions.
+
+These generalize reference idioms to the multi-table star schema the same
+way §2.5's join surface does: the reference reshapes with pandas
+``crosstab``/``melt``-style cells (`data_analysis.ipynb` crosstab cell
+ecc79c39) and computes robust spread on flat frames; here every operator is
+expressed as a Catalyst plan that survives a 100 TB fact table — dimension
+sides broadcast, aggregates pre-shuffle (partial aggregation), exact
+decimal sums keep results order-independent across any executor count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.stats import dec_sum, sql_dec_sum
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# q89 — unpivot / melt (wide → long). The reference holds per-measure stats
+# in wide pandas frames (`data_analysis.ipynb` describe cells); the long
+# form is the relational equivalent. Aggregate FIRST (4 exact sums per
+# flag), then unpivot the tiny result — the melt never touches fact rows.
+# ---------------------------------------------------------------------------
+
+_Q89_ORACLE = f"""
+WITH agg AS (
+  SELECT l_returnflag,
+         {sql_dec_sum('l_quantity')} AS sum_qty,
+         {sql_dec_sum('l_extendedprice')} AS sum_price,
+         {sql_dec_sum('l_discount')} AS sum_disc,
+         {sql_dec_sum('l_tax')} AS sum_tax
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, measure, value FROM agg
+UNPIVOT (value FOR measure IN (sum_qty, sum_price, sum_disc, sum_tax))
+ORDER BY l_returnflag, measure
+"""
+
+
+@register("q89_unpivot_measures", oracle=_Q89_ORACLE)
+def q89_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        dec_sum(F.col("l_quantity")).alias("sum_qty"),
+        dec_sum(F.col("l_extendedprice")).alias("sum_price"),
+        dec_sum(F.col("l_discount")).alias("sum_disc"),
+        dec_sum(F.col("l_tax")).alias("sum_tax"),
+    )
+    return agg.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "sum_disc", "sum_tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    ).orderBy("l_returnflag", "measure")
+
+
+# ---------------------------------------------------------------------------
+# q90 — date-spine gap fill: daily order revenue with zero-filled missing
+# days over the table's full date range. The spine is generated from the
+# aggregated bounds (a handful of rows), so the plan is: one partial-agg
+# scan for daily totals, one for bounds, then a broadcast-joinable
+# spine ⟕ daily join — no fact-side shuffle beyond the daily groupBy.
+# ---------------------------------------------------------------------------
+
+_Q90_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         COUNT(*) AS n_orders,
+         {sql_dec_sum('o_totalprice')} AS revenue
+  FROM orders GROUP BY 1
+),
+spine AS (
+  SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily)
+)
+SELECT spine.day, COALESCE(daily.n_orders, 0) AS n_orders,
+       COALESCE(daily.revenue, 0.0) AS revenue
+FROM spine LEFT JOIN daily ON spine.day = daily.day
+ORDER BY spine.day
+"""
+
+
+@register("q90_date_spine_gapfill", oracle=_Q90_ORACLE)
+def q90_date_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dec_sum(F.col("o_totalprice")).alias("revenue"),
+    )
+    spine = (
+        daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    )
+    return (
+        spine.join(daily, "day", "left")
+        .select(
+            "day",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q91 — priority line counts (TPC-H Q12 shape on available columns): for
+# lineitems shipped in 1996, high- vs low-priority order counts per line
+# status. Orders ⋈ lineitem is the schema's one fact-fact join: both sides
+# shuffle on the order key (AQE splits skewed partitions); the shipdate
+# filter is pushed to the lineitem scan so only 1996 rows shuffle.
+# ---------------------------------------------------------------------------
+
+_Q91_ORACLE = """
+SELECT l_linestatus,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+@register("q91_priority_line_counts", oracle=_Q91_ORACLE)
+def q91_priority_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_linestatus")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q92 — market share (TPC-H Q8 shape): per order year, the share of AMERICA-
+# region customers' revenue supplied by suppliers of one nation. Exercises a
+# 5-way join where Catalyst must broadcast every dimension (supplier,
+# customer, nation, region) and shuffle only orders ⋈ lineitem, plus a
+# conditional-aggregate ratio of two exact decimal sums.
+# ---------------------------------------------------------------------------
+
+_Q92_ORACLE = f"""
+WITH t AS (
+  SELECT year(o.o_orderdate) AS order_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume,
+         sn.n_name AS supp_nation
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+  JOIN region r   ON cn.n_regionkey = r.r_regionkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+  WHERE r.r_name = (SELECT MIN(r_name) FROM region)
+)
+SELECT order_year,
+       {sql_dec_sum("CASE WHEN supp_nation = (SELECT MIN(n_name) FROM nation) THEN volume ELSE 0 END", 6)}
+         / {sql_dec_sum('volume', 6)} AS mkt_share
+FROM t GROUP BY order_year ORDER BY order_year
+"""
+
+
+@register("q92_market_share", oracle=_Q92_ORACLE)
+def q92_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+
+    # deterministic pick of the target region/nation without hardcoding
+    # generator-specific names (same MIN() scalar subqueries the oracle
+    # uses) — 1-row aggregates joined in, no driver-side collect
+    min_region = region.agg(F.min("r_name").alias("target_region"))
+    min_nation = nation.agg(F.min("n_name").alias("target_nation"))
+
+    cust_in_region = (
+        customer.select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                region.join(F.broadcast(min_region), F.col("r_name") == F.col("target_region"))
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_nation = supplier.join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("sn_key"),
+                                  F.col("n_name").alias("supp_nation"))),
+        supplier.s_nationkey == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    t = (
+        li.join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(cust_in_region), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(min_nation))
+        .select(
+            F.year("o_orderdate").alias("order_year"),
+            volume.alias("volume"),
+            F.col("supp_nation"),
+            F.col("target_nation"),
+        )
+    )
+    national = F.when(F.col("supp_nation") == F.col("target_nation"), F.col("volume")).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        t.groupBy("order_year")
+        .agg((dec_sum(national, 6) / dec_sum(F.col("volume"), 6)).alias("mkt_share"))
+        .orderBy("order_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q95 — percent of total (window share): each nation's share of its region's
+# customer account balance. The window runs over the 25-row aggregate, not
+# the fact table — aggregate first, window second is the scale-safe order.
+# ---------------------------------------------------------------------------
+
+_Q95_ORACLE = f"""
+WITH per_nation AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         {sql_dec_sum('c.c_acctbal')} AS nation_bal
+  FROM customer c
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY r.r_name, n.n_name
+)
+SELECT region, nation, nation_bal,
+       nation_bal / SUM(nation_bal) OVER (PARTITION BY region) AS region_share
+FROM per_nation ORDER BY region, nation
+"""
+
+
+@register("q95_percent_of_total", oracle=_Q95_ORACLE)
+def q95_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    per_nation = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(dec_sum(F.col("c_acctbal")).alias("nation_bal"))
+    )
+    w = Window.partitionBy("region")
+    # the share denominator re-sums already-exact doubles; decimal cast keeps
+    # the window sum order-independent too
+    return per_nation.select(
+        "region",
+        "nation",
+        "nation_bal",
+        (
+            F.col("nation_bal")
+            / F.sum(F.col("nation_bal").cast("decimal(38,4)")).over(w).cast("double")
+        ).alias("region_share"),
+    ).orderBy("region", "nation")
+
+
+# ---------------------------------------------------------------------------
+# q96 — median absolute deviation (robust spread, complements q19/q60's
+# std): MAD of order totals per order status. Two exact-percentile passes
+# with a broadcast join of the 3-row median table between them.
+# ---------------------------------------------------------------------------
+
+_Q96_ORACLE = """
+WITH med AS (
+  SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS med
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT o.o_orderstatus, med.med AS median_price,
+       quantile_cont(abs(o.o_totalprice - med.med), 0.5) AS mad
+FROM orders o JOIN med ON o.o_orderstatus = med.o_orderstatus
+GROUP BY o.o_orderstatus, med.med
+ORDER BY o.o_orderstatus
+"""
+
+
+@register("q96_median_abs_deviation", oracle=_Q96_ORACLE)
+def q96_median_abs_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice")
+    med = orders.groupBy(F.col("o_orderstatus").alias("st")).agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("med")
+    )
+    return (
+        orders.join(F.broadcast(med), orders.o_orderstatus == med.st)
+        .groupBy("o_orderstatus", F.col("med").alias("median_price"))
+        .agg(F.expr("percentile(abs(o_totalprice - med), 0.5)").alias("mad"))
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q97 — per-group mode (most frequent value, deterministic ties): the
+# modal part type per brand. count → rank window over the small aggregate;
+# tie broken toward the lexicographically first type, matching DuckDB.
+# ---------------------------------------------------------------------------
+
+_Q97_ORACLE = """
+WITH counts AS (
+  SELECT p_brand, p_type, COUNT(*) AS n FROM part GROUP BY p_brand, p_type
+),
+ranked AS (
+  SELECT p_brand, p_type, n,
+         ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY n DESC, p_type) AS rk
+  FROM counts
+)
+SELECT p_brand, p_type AS mode_type, n AS mode_count
+FROM ranked WHERE rk = 1 ORDER BY p_brand
+"""
+
+
+@register("q97_mode_per_group", oracle=_Q97_ORACLE)
+def q97_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    counts = part.groupBy("p_brand", "p_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("p_brand").orderBy(F.desc("n"), F.asc("p_type"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("p_brand", F.col("p_type").alias("mode_type"), F.col("n").alias("mode_count"))
+        .orderBy("p_brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q98 — event-sequence transitions: top 10 (previous → current) event-type
+# bigrams across user timelines. lag() partitions by user with a unique
+# (ts, event_id) sort so ties are deterministic; the pair count then
+# aggregates 25 distinct bigrams — the window is the only fact shuffle.
+# ---------------------------------------------------------------------------
+
+_Q98_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type, COUNT(*) AS n
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+ORDER BY n DESC, prev_type, event_type
+LIMIT 10
+"""
+
+
+@register("q98_event_transitions", oracle=_Q98_ORACLE)
+def q98_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "prev_type", "event_type")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q99 — pivot with a non-count aggregate (A9 generalization of q16's
+# crosstab): average order total per priority × order status. Pivot values
+# are pinned explicitly so the plan needs no discovery pass and the output
+# schema is stable at any scale.
+# ---------------------------------------------------------------------------
+
+_Q99_ORACLE = f"""
+SELECT o_orderpriority,
+       {sql_dec_sum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")}
+         / COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS avg_f,
+       {sql_dec_sum("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")}
+         / COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS avg_o,
+       {sql_dec_sum("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")}
+         / COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS avg_p
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@register("q99_pivot_avg_price", oracle=_Q99_ORACLE)
+def q99_pivot_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    out = orders.groupBy("o_orderpriority")
+    aggs = []
+    for status in ("F", "O", "P"):
+        cond = F.when(F.col("o_orderstatus") == status, F.col("o_totalprice"))
+        aggs.append(
+            (dec_sum(cond) / F.count(cond)).alias(f"avg_{status.lower()}")
+        )
+    return out.agg(*aggs).orderBy("o_orderpriority")

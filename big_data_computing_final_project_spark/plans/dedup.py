@@ -708,3 +708,52 @@ def q87_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q93 — edit-distance near-dup pairs (complements the set-based q35/q36 and
+# bit-based q37 with a character-level measure, the classic record-linkage
+# primitive): part-name pairs within the same brand at Levenshtein <= 2.
+# Scale shape: the brand key BLOCKS the quadratic self-join (pairs only
+# form inside a block, like q35's shingle blocking) and the length band
+# |len(a)-len(b)| <= 2 — a necessary condition for distance <= 2 — prunes
+# candidates before the O(len^2) distance runs. All JVM-side built-ins.
+# ---------------------------------------------------------------------------
+
+_Q93_ORACLE = """
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b, a.p_brand,
+       levenshtein(a.p_name, b.p_name) AS edit_dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
+  AND levenshtein(a.p_name, b.p_name) <= 2
+ORDER BY id_a, id_b
+"""
+
+
+@register("q93_editdist_name_pairs", oracle=_Q93_ORACLE)
+def q93_editdist_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_partkey").alias("id_a"), F.col("p_brand"), F.col("p_name").alias("name_a")
+    )
+    b = part.select(
+        F.col("p_partkey").alias("id_b"),
+        F.col("p_brand").alias("brand_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("p_brand") == F.col("brand_b"))
+            & (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.length("name_a") - F.length("name_b")) <= 2),
+        )
+        # threshold form runs the banded O(len * k) algorithm with early
+        # exit (returns -1 past the bound) instead of the full DP matrix —
+        # the distance itself is exact for every surviving pair
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b", 2))
+        .filter(F.col("edit_dist") >= 0)
+        .select("id_a", "id_b", "p_brand", "edit_dist")
+        .orderBy("id_a", "id_b")
+    )

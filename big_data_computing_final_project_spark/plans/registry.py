@@ -47,6 +47,7 @@ def all_oracles() -> dict[str, str]:
 def _load_plans() -> None:
     """Import every plan module exactly once so decorators run."""
     from . import (  # noqa: F401
+        analytics,
         dedup,
         events,
         impurity,

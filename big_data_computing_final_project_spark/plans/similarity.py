@@ -447,3 +447,49 @@ def q74_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q94 — higher-order array functions as the vector feature pipeline
+# (transform / filter / aggregate / zip over array<float> without ever
+# leaving the JVM): per-vector L2 norm, positive-component fraction, and
+# energy; top 20 by energy. Every expression is whole-stage-codegen'd —
+# the Pandas-UDF path (operators/multimodal) is reserved for work Catalyst
+# cannot express; this query is the proof these features don't need it.
+# ---------------------------------------------------------------------------
+
+_Q94_ORACLE = """
+WITH v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+feat AS (
+  SELECT vec_id, label,
+         list_sum(list_transform(e, x -> x * x)) AS energy,
+         sqrt(list_sum(list_transform(e, x -> x * x))) AS l2_norm,
+         CAST(len(list_filter(e, x -> x > 0)) AS DOUBLE) / len(e) AS frac_pos
+  FROM v
+)
+SELECT vec_id, label, energy, l2_norm, frac_pos
+FROM feat ORDER BY energy DESC, vec_id LIMIT 20
+"""
+
+
+@register("q94_array_feature_stats", oracle=_Q94_ORACLE)
+def q94_array_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = as_double(F.col("embedding"))
+    energy = dot(e, e)
+    return (
+        emb.select(
+            "vec_id",
+            "label",
+            energy.alias("energy"),
+            F.sqrt(energy).alias("l2_norm"),
+            (
+                F.size(F.filter(e, lambda x: x > 0)).cast("double") / F.size(e)
+            ).alias("frac_pos"),
+        )
+        .orderBy(F.desc("energy"), "vec_id")
+        .limit(20)
+    )
