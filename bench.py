@@ -42,6 +42,10 @@ HEADLINE = [
     "q76_variant_json",        # VariantType: parse once, typed variant reads
     "q77_skew_distinct_twophase",  # skew-safe exact distinct (hot keys)
     "q82_pack_sequences",      # sequence packing: window cumsum -> bin agg
+    "q88_tdigest_quantiles",   # mergeable t-digest sketch (two-phase Arrow)
+    "q92_market_share",        # 5-way star join + conditional ratio agg
+    "q93_editdist_name_pairs", # blocked bounded-Levenshtein self-join
+    "q100_vocab_heavy_hitters",  # SpaceSaving counters (bounded shuffle)
 ]
 # Deliberately not benched: q68 (iterative CC — timing at this SF is
 # convergence-loop job overhead, not throughput) and exact pairwise

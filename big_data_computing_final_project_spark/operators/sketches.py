@@ -36,10 +36,16 @@ from collections.abc import Iterator, Sequence
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["tdigest_quantiles", "build_centroids", "merge_centroids", "quantile_from_centroids"]
+__all__ = [
+    "tdigest_quantiles",
+    "build_centroids",
+    "merge_centroids",
+    "quantile_from_centroids",
+    "heavy_hitters_topk",
+]
 
 
 def _k_scale(q: np.ndarray | float, delta: float) -> np.ndarray | float:
@@ -156,4 +162,79 @@ def tdigest_quantiles(
         partials.groupBy("key")
         .applyInPandas(_final, schema=f"key string, {out_fields}")
         .orderBy("key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters (SpaceSaving-style truncated counters), the frequency
+# companion to the t-digest above and the HLL distinct sketch (q79):
+# per-partition exact counts truncated to a capacity, with the truncation
+# bound carried alongside so the merge yields certified [lo, hi] intervals
+# (Metwally et al.'s SpaceSaving guarantee, phrased as mergeable summaries).
+# At 100 TB the full token explode would shuffle ~10^12 rows; this shuffles
+# at most `capacity` rows per partition.
+# ---------------------------------------------------------------------------
+
+_HH_PARTIAL_SCHEMA = "pid long, item string, cnt long, dmax long"
+
+
+def heavy_hitters_topk(
+    df: DataFrame, items_col: str, k: int = 20, capacity: int = 4096
+) -> DataFrame:
+    """Top-k most frequent items of an array<string> column, with certified
+    count bounds.
+
+    Returns (item, count_lo, count_hi, rank): count_lo <= true count <=
+    count_hi always; an item's true count can exceed a *reported* item's
+    only if intervals overlap. With capacity >> k (and Zipf-ish data) the
+    intervals collapse and top-k is exact.
+    """
+
+    def _partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        counts: dict[str, int] = {}
+        for pdf in batches:
+            for items in pdf[items_col]:
+                for it in items:
+                    counts[it] = counts.get(it, 0) + 1
+        if not counts:
+            return
+        s = pd.Series(counts).sort_values(ascending=False, kind="mergesort")
+        if len(s) > capacity:
+            kept, dropped = s.iloc[:capacity], s.iloc[capacity:]
+            dmax = int(dropped.iloc[0])
+        else:
+            kept, dmax = s, 0
+        yield pd.DataFrame(
+            {"pid": pid, "item": kept.index, "cnt": kept.to_numpy(), "dmax": dmax}
+        )
+
+    partials = df.select(items_col).mapInPandas(_partial, schema=_HH_PARTIAL_SCHEMA)
+    # total truncation mass across partitions: one row per partition
+    total_drop = (
+        partials.select("pid", "dmax")
+        .dropDuplicates(["pid"])
+        .agg(F.sum("dmax").alias("drop_total"))
+    )
+    per_item = partials.groupBy("item").agg(
+        F.sum("cnt").alias("count_lo"),
+        F.sum("dmax").alias("present_dmax"),
+    )
+    ranked = (
+        per_item.join(F.broadcast(total_drop))
+        .select(
+            "item",
+            "count_lo",
+            (F.col("count_lo") + F.col("drop_total") - F.col("present_dmax")).alias("count_hi"),
+        )
+        .orderBy(F.desc("count_lo"), "item")
+        .limit(k)
+    )
+    return ranked.select(
+        "item",
+        "count_lo",
+        "count_hi",
+        F.row_number().over(Window.orderBy(F.desc("count_lo"), "item")).alias("rank"),
     )

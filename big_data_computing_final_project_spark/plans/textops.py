@@ -555,3 +555,24 @@ def q75_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "split")
     )
+
+
+# ---------------------------------------------------------------------------
+# q100 — corpus vocabulary heavy hitters (SpaceSaving-style mergeable
+# counters, operators/sketches.heavy_hitters_topk): top 20 words with
+# certified [lo, hi] count bounds. The scale story mirrors q79's HLL:
+# q67's exact TF path explodes every token through a shuffle; here each
+# partition ships at most `capacity` truncated counters, so the shuffle is
+# O(partitions × capacity) regardless of corpus size. Rows-only for the
+# driver (bounds depend on partitioning); tests/test_sketches.py certifies
+# lo <= exact <= hi and exact top-k containment at ample capacity.
+# ---------------------------------------------------------------------------
+
+
+@register("q100_vocab_heavy_hitters")
+def q100_vocab_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import heavy_hitters_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(X.tokens(F.col("text")).alias("toks"))
+    return heavy_hitters_topk(toks, "toks", k=20, capacity=4096)

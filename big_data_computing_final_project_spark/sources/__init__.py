@@ -3,10 +3,12 @@
 from .io import (  # noqa: F401
     read_csv,
     read_jsonl,
+    read_orc,
     read_parquet,
     write_bucketed,
     write_csv,
     write_jsonl,
+    write_orc,
     write_parquet,
     write_submission,
 )

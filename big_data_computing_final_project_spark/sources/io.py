@@ -64,6 +64,19 @@ def write_jsonl(df: DataFrame, path: str, compression: str | None = "gzip") -> N
     writer.json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """S4+ — ORC scan (the other columnar interchange format; predicate
+    pushdown and column pruning work the same as parquet)."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
     """S2 — CSV sink with header, no index column (Spark has none)."""
     out = df.coalesce(1) if single_file else df

@@ -94,3 +94,52 @@ def test_tdigest_spark_groups_match_numpy_reference(spark, sf_dir):
         for q in (0.5, 0.9):
             est = got[status][f"p{int(q * 100):02d}"]
             assert abs(_rank_of(vals, est) - q) < 0.01, (status, q)
+
+
+def test_heavy_hitters_bounds_and_containment(spark, sf_dir):
+    """Certified bounds: lo <= exact <= hi for every reported item; with
+    capacity far above the per-partition vocabulary, intervals collapse and
+    the reported top-k IS the exact top-k."""
+    from pyspark.sql import functions as F
+
+    from big_data_computing_final_project_spark.functions import text as X
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(X.tokens(F.col("text")).alias("toks"))
+    got = all_queries()["q100_vocab_heavy_hitters"](spark, sf_dir).collect()
+    exact = {
+        r["item"]: r["n"]
+        for r in toks.select(F.explode("toks").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in got:
+        assert r["count_lo"] <= exact[r["item"]] <= r["count_hi"], r
+    true_topk = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert {it for it, _ in true_topk} == {r["item"] for r in got}
+    # at ample capacity nothing is truncated anywhere: bounds are tight
+    assert all(r["count_lo"] == r["count_hi"] for r in got)
+
+
+def test_heavy_hitters_truncation_keeps_bounds_valid(spark, sf_dir):
+    """With a deliberately tiny capacity the counters truncate; the interval
+    must still contain the exact count for every reported item."""
+    from pyspark.sql import functions as F
+
+    from big_data_computing_final_project_spark.functions import text as X
+    from big_data_computing_final_project_spark.operators.sketches import heavy_hitters_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(X.tokens(F.col("text")).alias("toks"))
+    got = heavy_hitters_topk(toks, "toks", k=10, capacity=30).collect()
+    exact = {
+        r["item"]: r["n"]
+        for r in toks.select(F.explode("toks").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert len(got) == 10
+    for r in got:
+        assert r["count_lo"] <= exact[r["item"]] <= r["count_hi"], r

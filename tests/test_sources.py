@@ -12,10 +12,12 @@ from big_data_computing_final_project_spark.sources import (
     load_pipeline_model,
     read_csv,
     read_jsonl,
+    read_orc,
     read_parquet,
     save_pipeline_model,
     write_csv,
     write_jsonl,
+    write_orc,
     write_parquet,
     write_submission,
 )
@@ -67,6 +69,21 @@ def test_parquet_round_trip_partitioned(spark, sf_dir):
         back = read_parquet(spark, f"{tmp}/orders_pq")
         assert back.count() == orders.count()
         # partition pruning: reading one status must scan fewer rows
+        one = back.filter(F.col("o_orderstatus") == "F")
+        assert 0 < one.count() < orders.count()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_orc_round_trip_with_pushdown(spark, sf_dir):
+    tmp = tempfile.mkdtemp(prefix="orc_rt_")
+    try:
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        write_orc(orders, f"{tmp}/orders_orc", partition_by=["o_orderstatus"])
+        back = read_orc(spark, f"{tmp}/orders_orc")
+        assert back.count() == orders.count()
+        assert sorted(back.columns) == sorted(orders.columns)
+        # partition pruning applies to ORC exactly as to parquet
         one = back.filter(F.col("o_orderstatus") == "F")
         assert 0 < one.count() < orders.count()
     finally:

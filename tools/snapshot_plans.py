@@ -28,6 +28,8 @@ def normalize(plan: str) -> str:
     plan = re.sub(r"#\d+L?", "#N", plan)  # expression ids differ run-to-run
     plan = re.sub(r"plan_id=\d+", "plan_id=N", plan)
     plan = re.sub(r"RDD\[\d+\]", "RDD[N]", plan)  # RDD ids depend on job history
+    plan = re.sub(r"lambda ([a-z]+)_\d+", r"lambda \1_N", plan)  # session-global counter
+    plan = re.sub(r" at \S+:\d+", " at <SITE>:0", plan)  # call-site string is JIT-dependent
     return plan
 
 
