@@ -734,9 +734,14 @@ ORDER BY id_a, id_b
 @register("q93_editdist_name_pairs", oracle=_Q93_ORACLE)
 def q93_editdist_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
+    # part is dimension-sized, so the scan is one input split — but the
+    # blocked self-join below evaluates O(rows^2 / brands) bounded edit
+    # distances, so spread the PROBE side across the cluster first (the
+    # build side broadcasts); without this the whole quadratic runs in one
+    # task regardless of executor count
     a = part.select(
         F.col("p_partkey").alias("id_a"), F.col("p_brand"), F.col("p_name").alias("name_a")
-    )
+    ).repartition(32, F.col("id_a"))  # explicit N: AQE won't coalesce it away
     b = part.select(
         F.col("p_partkey").alias("id_b"),
         F.col("p_brand").alias("brand_b"),
@@ -744,7 +749,7 @@ def q93_editdist_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         a.join(
-            b,
+            F.broadcast(b),
             (F.col("p_brand") == F.col("brand_b"))
             & (F.col("id_a") < F.col("id_b"))
             & (F.abs(F.length("name_a") - F.length("name_b")) <= 2),
