@@ -115,20 +115,14 @@ def quantile_from_centroids(means: np.ndarray, weights: np.ndarray, q: float) ->
 _SKETCH_SCHEMA = "key string, means array<double>, weights array<double>"
 
 
-def tdigest_quantiles(
-    df: DataFrame,
-    key_col: str,
-    value_col: str,
-    probs: Sequence[float],
-    delta: float = 200.0,
+def tdigest_partials(
+    df: DataFrame, key_col: str, value_col: str, delta: float = 200.0
 ) -> DataFrame:
-    """Per-key t-digest quantile estimates.
-
-    Two-phase plan: partial sketches per input partition (map-side, no
-    shuffle), then a shuffle of only the δ-bounded sketch rows for the
-    final merge. Raw values never cross the network.
-    """
-    probs = [float(p) for p in probs]
+    """Phase 1: per-partition, per-key centroid build (map-side, no
+    shuffle). The output is the sketch's open partial state — rows of
+    (key, means[], weights[]) — which can be merged now (tdigest_finalize),
+    persisted and unioned with later partials (incremental/streaming
+    sketching), or both."""
     src = df.select(F.col(key_col).cast("string").alias("key"), F.col(value_col).alias("val"))
 
     def _partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -145,8 +139,15 @@ def tdigest_quantiles(
         if rows:
             yield pd.DataFrame(rows)
 
-    partials = src.mapInPandas(_partial, schema=_SKETCH_SCHEMA)
+    return src.mapInPandas(_partial, schema=_SKETCH_SCHEMA)
 
+
+def tdigest_finalize(
+    partials: DataFrame, probs: Sequence[float], delta: float = 200.0
+) -> DataFrame:
+    """Phase 2: shuffle only the δ-bounded sketch rows, merge-compress per
+    key, interpolate quantiles."""
+    probs = [float(p) for p in probs]
     out_fields = ", ".join(f"p{int(p * 100):02d} double" for p in probs)
 
     def _final(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -163,6 +164,22 @@ def tdigest_quantiles(
         .applyInPandas(_final, schema=f"key string, {out_fields}")
         .orderBy("key")
     )
+
+
+def tdigest_quantiles(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    probs: Sequence[float],
+    delta: float = 200.0,
+) -> DataFrame:
+    """Per-key t-digest quantile estimates.
+
+    Two-phase plan: partial sketches per input partition (map-side, no
+    shuffle), then a shuffle of only the δ-bounded sketch rows for the
+    final merge. Raw values never cross the network.
+    """
+    return tdigest_finalize(tdigest_partials(df, key_col, value_col, delta), probs, delta)
 
 
 # ---------------------------------------------------------------------------

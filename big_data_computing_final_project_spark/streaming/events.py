@@ -15,6 +15,8 @@ model — SURVEY §4 notes there is no reference behavior to copy.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -193,3 +195,57 @@ def run_stream_upsert(
     q.awaitTermination(timeout_sec)
     if q.isActive:
         q.stop()
+
+
+def run_stream_tdigest(
+    events: DataFrame,
+    key_col: str,
+    value_col: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    delta: float = 200.0,
+    timeout_sec: int = 120,
+) -> None:
+    """foreachBatch incremental sketching: every micro-batch appends its
+    t-digest PARTIALS (key, means[], weights[]) to a parquet store; any
+    later reader answers quantile queries from the store alone via
+    ``sketch_store_quantiles`` — no raw event is ever revisited.
+
+    This is the streaming face of the mergeable-summary property
+    (operators/sketches): partial states are associative, so
+    batch-at-a-time appends commute with one big batch build. The store
+    grows O(batches × keys × δ) rows; a periodic compaction (read store →
+    merge per key → overwrite) bounds it, same shape as the upsert sink
+    above. foreachBatch may replay a batch on recovery; appends are staged
+    per-batch-id so a replay overwrites its own directory instead of
+    double-counting (exactly-once effect on the store).
+    """
+    from ..operators.sketches import tdigest_partials
+
+    def append_partials(batch: DataFrame, batch_id: int) -> None:
+        (
+            tdigest_partials(batch, key_col, value_col, delta)
+            .write.mode("overwrite")
+            .parquet(os.path.join(store_dir, f"batch_id={batch_id}"))
+        )
+
+    q = (
+        events.writeStream.foreachBatch(append_partials)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()
+
+
+def sketch_store_quantiles(
+    spark: SparkSession, store_dir: str, probs: list[float], delta: float = 200.0
+) -> DataFrame:
+    """Answer per-key quantiles from an incremental sketch store (KBs),
+    merging all appended partials — the 100 TB corpus itself is not read."""
+    from ..operators.sketches import tdigest_finalize
+
+    partials = spark.read.parquet(store_dir).select("key", "means", "weights")
+    return tdigest_finalize(partials, probs, delta)

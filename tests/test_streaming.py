@@ -154,3 +154,31 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir, tmp_path):
     streamed = {tuple(r) for r in spark.sql("SELECT * FROM stream_vc_join").collect()}
     batch = {tuple(r) for r in all_queries()["q84_view_click_join"](spark, sf_dir).collect()}
     assert streamed == batch and len(batch) > 0
+
+
+def test_stream_tdigest_store_answers_quantiles(spark, sf_dir, tmp_path):
+    """Incremental sketching: stream -> per-batch t-digest partials store;
+    quantiles answered from the store match exact batch percentiles within
+    the sketch's rank-error bound, without re-reading events."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from big_data_computing_final_project_spark.catalog import load_table
+    from big_data_computing_final_project_spark.streaming.events import (
+        run_stream_tdigest,
+        sketch_store_quantiles,
+        stream_events,
+    )
+
+    store, ckpt = str(tmp_path / "store"), str(tmp_path / "ckpt")
+    run_stream_tdigest(stream_events(spark, sf_dir), "event_type", "value", store, ckpt)
+
+    got = {r["key"]: r for r in sketch_store_quantiles(spark, store, [0.5, 0.9]).collect()}
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value").toPandas()
+    assert set(got) == set(ev["event_type"].unique())
+    for etype, grp in ev.groupby("event_type"):
+        vals = np.sort(grp["value"].to_numpy())
+        for q in (0.5, 0.9):
+            est = got[etype][f"p{int(q * 100):02d}"]
+            rank = np.searchsorted(vals, est, side="left") / len(vals)
+            assert abs(rank - q) < 0.02, (etype, q, est)
