@@ -84,11 +84,38 @@ def merge_centroids(
     return np.asarray(out_m), np.asarray(out_w)
 
 
+def _k_inverse(k: np.ndarray | float, delta: float) -> np.ndarray | float:
+    """Inverse of the k1 scale function: q = (sin(2πk/δ) + 1) / 2."""
+    return (np.sin(np.clip(k * (2.0 * np.pi) / delta, -np.pi / 2.0, np.pi / 2.0)) + 1.0) / 2.0
+
+
 def build_centroids(values: np.ndarray, delta: float) -> tuple[np.ndarray, np.ndarray]:
-    """Build a digest from raw values (each value starts as a unit centroid)."""
+    """Build a digest from raw values (each value starts as a unit centroid).
+
+    Unit weights let the greedy merging pass be computed directly: after
+    sorting, each centroid spans the largest value range whose k-span stays
+    within 1, so its right edge is ``n * K⁻¹(K(q_left) + 1)``. That is ~δ
+    boundary computations + one ``np.add.reduceat``, instead of a Python
+    loop over every raw value — the hot path of phase-1 partial sketching.
+    """
     v = np.asarray(values, dtype=np.float64)
     v = v[~np.isnan(v)]
-    return merge_centroids(v, np.ones_like(v), delta)
+    n = v.size
+    if n == 0:
+        return v, v.copy()
+    v = np.sort(v, kind="mergesort")
+    edges = [0]
+    pos = 0
+    while pos < n:
+        q_limit = _k_inverse(_k_scale(pos / n, delta) + 1.0, delta)
+        # largest j with k((pos+j)/n) − k(pos/n) ≤ 1; always advance ≥ 1
+        nxt = max(pos + 1, int(np.floor(q_limit * n + 1e-9)))
+        pos = min(nxt, n)
+        edges.append(pos)
+    idx = np.asarray(edges[:-1])
+    weights = np.diff(np.asarray(edges)).astype(np.float64)
+    means = np.add.reduceat(v, idx) / weights
+    return means, weights
 
 
 def quantile_from_centroids(means: np.ndarray, weights: np.ndarray, q: float) -> float:
@@ -211,14 +238,15 @@ def heavy_hitters_topk(
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        counts: dict[str, int] = {}
-        for pdf in batches:
-            for items in pdf[items_col]:
-                for it in items:
-                    counts[it] = counts.get(it, 0) + 1
-        if not counts:
+        chunks = [
+            pd.Series(np.concatenate(pdf[items_col].to_numpy())).value_counts(sort=False)
+            for pdf in batches
+            if len(pdf)
+        ]
+        if not chunks:
             return
-        s = pd.Series(counts).sort_values(ascending=False, kind="mergesort")
+        s = chunks[0] if len(chunks) == 1 else pd.concat(chunks).groupby(level=0).sum()
+        s = s.sort_values(ascending=False, kind="mergesort")
         if len(s) > capacity:
             kept, dropped = s.iloc[:capacity], s.iloc[capacity:]
             dmax = int(dropped.iloc[0])
