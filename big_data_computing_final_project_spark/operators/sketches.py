@@ -44,6 +44,8 @@ __all__ = [
     "build_centroids",
     "merge_centroids",
     "quantile_from_centroids",
+    "heavy_hitters_partials",
+    "heavy_hitters_finalize",
     "heavy_hitters_topk",
 ]
 
@@ -222,17 +224,15 @@ def tdigest_quantiles(
 _HH_PARTIAL_SCHEMA = "pid long, item string, cnt long, dmax long"
 
 
-def heavy_hitters_topk(
-    df: DataFrame, items_col: str, k: int = 20, capacity: int = 4096
+def heavy_hitters_partials(
+    df: DataFrame, items_col: str, capacity: int = 4096
 ) -> DataFrame:
-    """Top-k most frequent items of an array<string> column, with certified
-    count bounds.
-
-    Returns (item, count_lo, count_hi, rank): count_lo <= true count <=
-    count_hi always; an item's true count can exceed a *reported* item's
-    only if intervals overlap. With capacity >> k (and Zipf-ish data) the
-    intervals collapse and top-k is exact.
-    """
+    """Phase 1: per-partition truncated counters (pid, item, cnt, dmax) —
+    the SpaceSaving sketch's open partial state. Like tdigest_partials,
+    these rows are mergeable: they can be finalized now, or persisted per
+    micro-batch and merged across batches later (streaming/events.
+    run_stream_heavy_hitters), provided each partial carries a distinct
+    partial id (here pid; plus batch_id in a store)."""
 
     def _partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -256,11 +256,22 @@ def heavy_hitters_topk(
             {"pid": pid, "item": kept.index, "cnt": kept.to_numpy(), "dmax": dmax}
         )
 
-    partials = df.select(items_col).mapInPandas(_partial, schema=_HH_PARTIAL_SCHEMA)
-    # total truncation mass across partitions: one row per partition
+    return df.select(items_col).mapInPandas(_partial, schema=_HH_PARTIAL_SCHEMA)
+
+
+def heavy_hitters_finalize(
+    partials: DataFrame, k: int = 20, partial_id_cols: Sequence[str] = ("pid",)
+) -> DataFrame:
+    """Phase 2: merge truncated-counter partials into certified top-k.
+
+    ``partial_id_cols`` must uniquely identify one partial sketch — (pid,)
+    for a single pass, ("batch_id", "pid") for an incremental store — so
+    each partial's truncation mass (dmax) is counted exactly once."""
+    id_cols = list(partial_id_cols)
+    # total truncation mass across partials: one row per partial sketch
     total_drop = (
-        partials.select("pid", "dmax")
-        .dropDuplicates(["pid"])
+        partials.select(*id_cols, "dmax")
+        .dropDuplicates(id_cols)
         .agg(F.sum("dmax").alias("drop_total"))
     )
     per_item = partials.groupBy("item").agg(
@@ -283,3 +294,17 @@ def heavy_hitters_topk(
         "count_hi",
         F.row_number().over(Window.orderBy(F.desc("count_lo"), "item")).alias("rank"),
     )
+
+
+def heavy_hitters_topk(
+    df: DataFrame, items_col: str, k: int = 20, capacity: int = 4096
+) -> DataFrame:
+    """Top-k most frequent items of an array<string> column, with certified
+    count bounds.
+
+    Returns (item, count_lo, count_hi, rank): count_lo <= true count <=
+    count_hi always; an item's true count can exceed a *reported* item's
+    only if intervals overlap. With capacity >> k (and Zipf-ish data) the
+    intervals collapse and top-k is exact.
+    """
+    return heavy_hitters_finalize(heavy_hitters_partials(df, items_col, capacity), k)

@@ -249,3 +249,47 @@ def sketch_store_quantiles(
 
     partials = spark.read.parquet(store_dir).select("key", "means", "weights")
     return tdigest_finalize(partials, probs, delta)
+
+
+def run_stream_heavy_hitters(
+    stream: DataFrame,
+    items_col: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    capacity: int = 4096,
+    timeout_sec: int = 120,
+) -> None:
+    """foreachBatch incremental heavy hitters: each micro-batch appends its
+    SpaceSaving partials (pid, item, cnt, dmax) to a parquet store under
+    ``batch_id=N``; ``hh_store_topk`` answers certified top-k from the
+    store alone. Partial ids become (batch_id, pid) so every partial's
+    truncation mass counts exactly once in the merged bounds; per-batch-id
+    staged writes make replays idempotent, same as run_stream_tdigest."""
+    from ..operators.sketches import heavy_hitters_partials
+
+    def append_partials(batch: DataFrame, batch_id: int) -> None:
+        (
+            heavy_hitters_partials(batch, items_col, capacity)
+            .write.mode("overwrite")
+            .parquet(os.path.join(store_dir, f"batch_id={batch_id}"))
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(append_partials)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()
+
+
+def hh_store_topk(spark: SparkSession, store_dir: str, k: int = 20) -> DataFrame:
+    """Certified top-k from an incremental heavy-hitters store: merges all
+    appended truncated-counter partials; batch_id comes back as a partition
+    column from the ``batch_id=N`` directory layout."""
+    from ..operators.sketches import heavy_hitters_finalize
+
+    partials = spark.read.parquet(store_dir)
+    return heavy_hitters_finalize(partials, k, partial_id_cols=("batch_id", "pid"))

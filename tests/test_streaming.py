@@ -182,3 +182,47 @@ def test_stream_tdigest_store_answers_quantiles(spark, sf_dir, tmp_path):
             est = got[etype][f"p{int(q * 100):02d}"]
             rank = np.searchsorted(vals, est, side="left") / len(vals)
             assert abs(rank - q) < 0.02, (etype, q, est)
+
+
+def test_stream_heavy_hitters_store_certified_bounds(spark, sf_dir, tmp_path):
+    """Incremental heavy hitters: token stream split over 3 micro-batches ->
+    per-batch SpaceSaving partials store; merged [lo, hi] bounds from the
+    store contain the exact counts even at tight capacity, and at ample
+    capacity the store's top-k IS the exact top-k."""
+    from pyspark.sql import functions as F
+
+    from big_data_computing_final_project_spark.catalog import load_table
+    from big_data_computing_final_project_spark.functions import text as X
+    from big_data_computing_final_project_spark.streaming.events import (
+        hh_store_topk,
+        run_stream_heavy_hitters,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(X.tokens(F.col("text")).alias("toks"))
+    src = str(tmp_path / "src")
+    docs.repartition(3).write.parquet(src)
+    exact = {
+        r["t"]: r["n"]
+        for r in docs.select(F.explode("toks").alias("t")).groupBy("t").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+    stream = (
+        spark.readStream.schema("toks array<string>").option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    store, ckpt = str(tmp_path / "hh_tight"), str(tmp_path / "ckpt_tight")
+    run_stream_heavy_hitters(stream, "toks", store, ckpt, capacity=50)
+    tight = hh_store_topk(spark, store, k=10).collect()
+    assert len(tight) == 10
+    for r in tight:
+        assert r["count_lo"] <= exact[r["item"]] <= r["count_hi"], r
+
+    store2, ckpt2 = str(tmp_path / "hh_ample"), str(tmp_path / "ckpt_ample")
+    stream2 = (
+        spark.readStream.schema("toks array<string>").option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    run_stream_heavy_hitters(stream2, "toks", store2, ckpt2, capacity=100_000)
+    ample = hh_store_topk(spark, store2, k=10).collect()
+    want = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(r["item"], r["count_lo"], r["count_hi"]) for r in ample] == [
+        (t, n, n) for t, n in want
+    ]
