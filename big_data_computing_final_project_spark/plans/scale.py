@@ -90,6 +90,51 @@ def q78_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q101_ORACLE = f"""
+SELECT l_returnflag,
+       COUNT(*) AS n_lines,
+       {sql_dec_sum('l_extendedprice')} AS total_price
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1995-04-01 00:00:00'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("q101_bloom_pruned_join", oracle=_Q101_ORACLE)
+def q101_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join with explicit Bloom-filter pruning (operators/bloom):
+    the ~0.7%-selective σ(orders) key set compresses to a 16 KB bitmap that
+    filters lineitem BEFORE its shuffle, so the exchange carries only
+    probable matches instead of the full fact table. False positives are
+    removed by the join itself — the result is exactly the plain join's
+    (the oracle), the bloom only moves work off the wire. At 100 TB this is
+    the pattern for selective fact-fact joins where the filtered side is
+    still too big to broadcast as rows but its keys fit a bitmap."""
+    from ..operators.bloom import bloom_prune
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    sel = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01 00:00:00").cast("timestamp"))
+    )
+    pruned = bloom_prune(li, "l_orderkey", sel.select("o_orderkey"), "o_orderkey")
+    return (
+        pruned.join(sel.select("o_orderkey"), pruned.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dec_sum(F.col("l_extendedprice")).alias("total_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 @register("q79_sketch_distinct")
 def q79_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted HLL distinct: mergeable sketches make the non-algebraic

@@ -52,6 +52,8 @@ def _normalize(plan: str) -> str:
     plan = re.sub(r"RDD\[\d+\]", "RDD[N]", plan)
     plan = re.sub(r"lambda ([a-z]+)_\d+", r"lambda \1_N", plan)
     plan = re.sub(r" at \S+:\d+", " at <SITE>:0", plan)  # call-site string is JIT-dependent
+    # collected-state literals (e.g. bloom bitmap word arrays) are data-dependent
+    plan = re.sub(r"\[[0-9,\- ]{500,}\]", "<LIT_ARRAY>", plan)
     return plan
 
 

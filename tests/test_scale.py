@@ -144,3 +144,37 @@ def test_sessionize_sorts_across_arrow_chunks():
     start_us, last_us, n_events, total = state.value
     assert n_events == 4
     assert (last_us - start_us) == 15 * 60 * 1_000_000
+
+
+def test_bloom_prune_no_false_negatives_and_effective(spark, sf_dir):
+    """operators/bloom: every true match survives pruning (no false
+    negatives — the correctness contract), and the bitmap actually prunes
+    (the scale contract: pruned size near the true match count, far below
+    the full probe side)."""
+    from big_data_computing_final_project_spark.catalog import load_table
+    from big_data_computing_final_project_spark.operators.bloom import bloom_prune
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    sel = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+
+    pruned = bloom_prune(li, "l_orderkey", sel, "o_orderkey")
+    n_total = li.count()
+    n_pruned = pruned.count()
+    n_true = li.join(sel, li.l_orderkey == sel.o_orderkey, "left_semi").count()
+    n_pruned_true = pruned.join(sel, pruned.l_orderkey == sel.o_orderkey, "left_semi").count()
+
+    assert n_pruned_true == n_true  # no false negatives
+    assert n_true <= n_pruned < n_total
+    # fpp bound: extras over true matches stay under a loose 5% of non-matches
+    assert (n_pruned - n_true) <= max(10, 0.05 * (n_total - n_true))
+
+
+def test_bloom_filter_applies_before_probe_shuffle(spark, sf_dir):
+    """q101's plan must show the xxhash64 bitmap predicate on the lineitem
+    side BELOW the join — pruning reaches the scan stage, not post-shuffle."""
+    plan = plan_of(all_queries()["q101_bloom_pruned_join"](spark, sf_dir))
+    assert "xxhash64" in plan
+    # the membership test is a Filter, not a Join condition
+    filter_pos = plan.find("xxhash64")
+    assert "Filter" in plan[:filter_pos] or "Filter" in plan[filter_pos - 200 : filter_pos]
