@@ -762,3 +762,71 @@ def q93_editdist_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "p_brand", "edit_dist")
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q102 — test-set decontamination (cross-split shingle containment).
+# The training-pipeline twin of q35: before training, every candidate
+# training document is checked for n-gram overlap against the held-out
+# benchmark split; a training doc containing >=50% of a benchmark doc's
+# 3-shingles is contamination (the doc would leak eval answers into the
+# corpus). Splits come from q75's deterministic md5 bucket, so the check is
+# reproducible corpus-wide.
+#
+# Scale shape: the benchmark split is small by construction (here the 10%
+# 'test' bucket; in practice a fixed eval suite), so its exploded shingle
+# postings BROADCAST — the 100 TB training side streams map-side against
+# them, aggregates per (train_doc, bench_doc), and never shuffles raw text.
+# ---------------------------------------------------------------------------
+
+_CONTAIN_T = 0.5
+_B_TRAIN, _B_BENCH = 80, 90  # q75's split: <80 train, >=90 test(=benchmark)
+
+_SQL_BUCKET = "('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100"
+
+_Q102_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, {_SQL_BUCKET} AS b, {_SQL_SHINGLES} AS sh
+  FROM (SELECT doc_id, {_SQL_TOKS} AS toks, text FROM documents)
+),
+ext AS (SELECT doc_id, unnest(sh) AS s FROM d WHERE b < {_B_TRAIN}),
+exb AS (SELECT doc_id, unnest(sh) AS s FROM d WHERE b >= {_B_BENCH}),
+pairs AS (
+  SELECT ext.doc_id AS train_doc, exb.doc_id AS bench_doc, COUNT(*) AS common
+  FROM ext JOIN exb ON ext.s = exb.s
+  GROUP BY train_doc, bench_doc
+)
+SELECT train_doc, bench_doc,
+       CAST(common AS DOUBLE) / lb.n AS containment
+FROM pairs
+JOIN (SELECT doc_id, len(sh) AS n FROM d WHERE b >= {_B_BENCH}) lb
+  ON lb.doc_id = bench_doc
+WHERE CAST(common AS DOUBLE) / lb.n >= {_CONTAIN_T}
+ORDER BY train_doc, bench_doc
+"""
+
+
+@register("q102_decontamination", oracle=_Q102_ORACLE)
+def q102_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast("bigint")
+        % 100
+    )
+    sh = docs.select("doc_id", X.shingles(F.col("text"), 3).alias("sh"), bucket.alias("b"))
+    train = sh.filter(F.col("b") < _B_TRAIN)
+    bench = sh.filter(F.col("b") >= _B_BENCH)
+    ex_t = train.select(F.col("doc_id").alias("train_doc"), F.explode("sh").alias("s"))
+    ex_b = bench.select(F.col("doc_id").alias("bench_doc"), F.col("sh").alias("sh_b"))
+    ex_b = ex_b.select("bench_doc", F.size("sh_b").alias("n_b"), F.explode("sh_b").alias("s_b"))
+    pairs = (
+        ex_t.join(F.broadcast(ex_b), F.col("s") == F.col("s_b"))
+        .groupBy("train_doc", "bench_doc", "n_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    containment = F.col("common").cast("double") / F.col("n_b")
+    return (
+        pairs.select("train_doc", "bench_doc", containment.alias("containment"))
+        .filter(F.col("containment") >= _CONTAIN_T)
+        .orderBy("train_doc", "bench_doc")
+    )

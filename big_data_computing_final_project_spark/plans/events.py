@@ -350,3 +350,48 @@ def q73_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(3, "purchase_after_click", s3))
         .orderBy("step_no")
     )
+
+
+# ---------------------------------------------------------------------------
+# q104 — weekly cohort retention over events: users grouped by the week of
+# their first activity (the cohort), then counted as active per (cohort,
+# weeks-since-cohort) — the standard retention triangle. Weeks are epoch-µs
+# integer buckets (not calendar weeks) so both engines bucket identically.
+#
+# Scale shape: one shuffle keyed by user_id serves BOTH the first-activity
+# min (window) and the per-(cohort, offset) distinct count's dedup — the
+# distinct pair set (cohort, offset, user) falls out of the same partition-
+# local state, then only tiny (cohort, offset) partials shuffle again.
+# ---------------------------------------------------------------------------
+
+_WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+_Q104_ORACLE = f"""
+WITH wk AS (
+  SELECT user_id, epoch_us(ts) // {_WEEK_US} AS w FROM events
+), coh AS (
+  SELECT user_id, MIN(w) AS cw FROM wk GROUP BY user_id
+)
+SELECT cw AS cohort_week, w - cw AS week_offset,
+       COUNT(DISTINCT wk.user_id) AS n_active
+FROM wk JOIN coh USING (user_id)
+GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+"""
+
+
+@register("q104_cohort_retention", oracle=_Q104_ORACLE)
+def q104_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wk = ev.select(
+        "user_id", F.expr(f"unix_micros(ts) div {_WEEK_US}").alias("w")
+    )
+    cw = F.min("w").over(Window.partitionBy("user_id"))
+    return (
+        wk.select("user_id", "w", cw.alias("cw"))
+        .groupBy(F.col("cw").alias("cohort_week"), (F.col("w") - F.col("cw")).alias("week_offset"))
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )

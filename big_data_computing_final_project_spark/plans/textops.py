@@ -576,3 +576,137 @@ def q100_vocab_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(X.tokens(F.col("text")).alias("toks"))
     return heavy_hitters_topk(toks, "toks", k=20, capacity=4096)
+
+
+# ---------------------------------------------------------------------------
+# q103 — temperature-scaled mixture sampling weights per source (the
+# multilingual-corpus sampling recipe: sample source i proportionally to
+# p_i^alpha with alpha=0.5, upweighting small sources). Emitted as exact
+# per-source stats + temperature weight sqrt(p_i) + the upsampling factor
+# relative to the largest source. Every double here is produced only by
+# correctly-rounded IEEE ops (bigint sums, one division, sqrt), so a
+# 1000-executor run hash-matches the single-threaded oracle — deliberately
+# NO cross-source sum of irrational doubles (not order-reproducible).
+# Scale: one narrow map + one partial-aggregated groupBy on ~dozens of keys.
+# ---------------------------------------------------------------------------
+
+_Q103_ORACLE = f"""
+WITH s AS (
+  SELECT source, COUNT(*) AS n_docs,
+         SUM(len({_SQL_TOKS})) AS n_tokens
+  FROM documents GROUP BY source
+), t AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER () AS tok_share,
+         CAST(n_tokens AS DOUBLE) / MAX(n_tokens) OVER () AS vs_max
+  FROM s
+)
+SELECT source, n_docs, n_tokens, tok_share,
+       sqrt(tok_share) AS temp_weight,
+       sqrt(1.0 / vs_max) AS upsample_vs_max
+FROM t
+ORDER BY source
+"""
+
+
+@register("q103_mixture_weights", oracle=_Q103_ORACLE)
+def q103_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(X.token_count(F.col("text"))).alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    t = s.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w)).alias("tok_share"),
+        (F.col("n_tokens").cast("double") / F.max("n_tokens").over(w)).alias("vs_max"),
+    )
+    return t.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "tok_share",
+        F.sqrt("tok_share").alias("temp_weight"),
+        F.sqrt(F.lit(1.0) / F.col("vs_max")).alias("upsample_vs_max"),
+    ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# q105 — Gopher-style repetition signals per document: duplicate-token
+# fraction and duplicate bigram/trigram fractions (high values flag boiler-
+# plate / degenerate text for corpus filtering). Computed entirely with
+# array expressions (size/array_distinct over transform-built n-grams) —
+# zero explode, zero shuffle except the final sort: per-row work stays in
+# whole-stage codegen no matter the corpus size. Ratios are integer
+# divisions -> bit-exact vs the oracle.
+# ---------------------------------------------------------------------------
+
+def _sql_ngrams(n: int) -> str:
+    # n-grams as joined token slices toks[i .. i+n-1]; empty list when the
+    # doc has fewer than n tokens
+    return (
+        f"list_transform(range(1, greatest(len(toks) - {n - 1}, 0) + 1), "
+        f"i -> array_to_string(toks[i:i+{n - 1}], ' '))"
+    )
+
+
+_Q105_ORACLE = f"""
+WITH d AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id, toks,
+         {_sql_ngrams(2)} AS bg,
+         {_sql_ngrams(3)} AS tg
+  FROM d
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dup_token_frac,
+       CASE WHEN len(bg) > 0
+            THEN 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
+            ELSE 0.0 END AS dup_bigram_frac,
+       CASE WHEN len(tg) > 0
+            THEN 1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg)
+            ELSE 0.0 END AS dup_trigram_frac
+FROM g
+ORDER BY doc_id
+"""
+
+
+def _ngrams(toks, n: int):
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0)))
+    return F.when(F.size(toks) >= n, F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+@register("q105_repetition_signals", oracle=_Q105_ORACLE)
+def q105_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    base = docs.select("doc_id", toks.alias("toks")).select(
+        "doc_id",
+        F.col("toks"),
+        _ngrams(F.col("toks"), 2).alias("bg"),
+        _ngrams(F.col("toks"), 3).alias("tg"),
+    )
+
+    def dup_frac(c):
+        return F.when(
+            F.size(c) > 0,
+            F.lit(1.0) - F.size(F.array_distinct(c)).cast("double") / F.size(c),
+        ).otherwise(F.lit(0.0))
+
+    return base.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        (F.lit(1.0) - F.size(F.array_distinct("toks")).cast("double") / F.size("toks")).alias(
+            "dup_token_frac"
+        ),
+        dup_frac(F.col("bg")).alias("dup_bigram_frac"),
+        dup_frac(F.col("tg")).alias("dup_trigram_frac"),
+    ).orderBy("doc_id")

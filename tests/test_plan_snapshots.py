@@ -36,7 +36,8 @@ PLAN_ONLY = {
     "q57", "q58", "q59", "q63", "q65", "q66", "q67", "q69", "q70", "q71",
     "q73", "q75", "q76", "q77", "q78", "q79", "q80", "q81", "q82", "q83",
     "q84", "q85", "q86", "q87", "q88", "q89", "q90", "q91", "q92", "q93",
-    "q94", "q95", "q96", "q97", "q98", "q99", "q100",
+    "q94", "q95", "q96", "q97", "q98", "q99", "q100", "q102", "q103",
+    "q104", "q105",
 }
 # q60's multi-COUNT(DISTINCT) Expand rewrite orders its column list
 # nondeterministically across sessions (ExpressionSet iteration) — same
