@@ -46,6 +46,9 @@ HEADLINE = [
     "q92_market_share",        # 5-way star join + conditional ratio agg
     "q93_editdist_name_pairs", # blocked bounded-Levenshtein self-join
     "q100_vocab_heavy_hitters",  # SpaceSaving counters (bounded shuffle)
+    "q101_bloom_pruned_join",  # bloom bitmap semi-join pushdown
+    "q102_decontamination",    # cross-split shingle containment (broadcast)
+    "q105_repetition_signals", # zero-shuffle array-expr quality signals
 ]
 # Deliberately not benched: q68 (iterative CC — timing at this SF is
 # convergence-loop job overhead, not throughput) and exact pairwise

@@ -115,15 +115,28 @@ def quality_score(text: Column) -> Column:
     return len_component * 0.4 + punct_component * 0.3 + stop_component * 0.3
 
 
-def shingles(text: Column, k: int = 3) -> Column:
-    """Word k-shingles of the normalized text -> array<string> (distinct).
-
-    Built with transform over token indices — stays JVM-side. Documents
-    shorter than k words yield their whole text as the single shingle.
-    """
-    toks = tokens(text)
+def shingles_of_tokens(toks: Column, k: int = 3) -> Column:
+    """Word k-shingles of a pre-tokenized array column -> array<string>
+    (distinct). ``toks`` MUST be a plain column reference (select
+    ``tokens(text).alias("toks")`` in a prior projection): passing the
+    tokenizer *expression* here would inline it into size() and every
+    transform element — re-running the regex split once per shingle.
+    CollapseProject keeps the staging projection because the alias is
+    referenced more than once, so the tokens evaluate exactly once per row
+    (measured ~8x on q102's shingle build at sf0.1)."""
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
     )
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Word k-shingles of the normalized text -> array<string> (distinct).
+
+    Built with transform over token indices — stays JVM-side. Documents
+    shorter than k words yield their whole text as the single shingle.
+    NOTE: inlines the tokenizer into each shingle element; prefer a
+    two-step select with ``shingles_of_tokens`` on hot paths.
+    """
+    return shingles_of_tokens(tokens(text), k)

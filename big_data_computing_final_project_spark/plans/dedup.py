@@ -813,7 +813,8 @@ def q102_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast("bigint")
         % 100
     )
-    sh = docs.select("doc_id", X.shingles(F.col("text"), 3).alias("sh"), bucket.alias("b"))
+    base = docs.select("doc_id", X.tokens(F.col("text")).alias("toks"), bucket.alias("b"))
+    sh = base.select("doc_id", X.shingles_of_tokens(F.col("toks"), 3).alias("sh"), "b")
     train = sh.filter(F.col("b") < _B_TRAIN)
     bench = sh.filter(F.col("b") >= _B_BENCH)
     ex_t = train.select(F.col("doc_id").alias("train_doc"), F.explode("sh").alias("s"))
