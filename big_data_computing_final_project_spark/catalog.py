@@ -130,20 +130,42 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which Spark rejects by
-        # default (PARQUET_TYPE_ILLEGAL). Set the legacy nanos-as-long conf
-        # here — not only in session.get_spark() — because callers (e.g. an
-        # external driver) may hand us a session we didn't configure. The
-        # conf is read at scan planning, so a runtime set works.
+        # Some generations of events.parquet store TIMESTAMP(NANOS), which
+        # Spark rejects by default (PARQUET_TYPE_ILLEGAL). Set the legacy
+        # nanos-as-long conf here — not only in session.get_spark() —
+        # because callers (e.g. an external driver) may hand us a session we
+        # didn't configure. The conf is read at scan planning, so a runtime
+        # set works; it is a no-op for micros-typed files.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Timestamp semantics (NTZ→LTZ reinterpretation below, and every
+        # downstream unix_micros/window bucket) assume a UTC session. Our
+        # own get_spark() sets this; pin it here too for caller-provided
+        # sessions (e.g. the correctness driver).
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # with nanosAsLong the column arrives as long — truncate to
-        # microseconds (matching engines that read ns-parquet into µs
-        # timestamps) and restore TimestampType
-        from pyspark.sql import functions as F
+        df = normalize_events_ts(df)
+    return df
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize events.ts to TimestampType (µs, UTC session) regardless of
+    how the file stored it:
+
+    - TIMESTAMP(NANOS) + nanosAsLong → long nanos: truncate to µs
+    - TIMESTAMP(MICROS, NTZ)         → TIMESTAMP_NTZ: reinterpret as UTC
+      instant (session TZ is UTC, so the wall clock is kept and
+      unix_micros(ts) equals the file's naive epoch-µs — the same value
+      DuckDB's epoch_us(ts) sees)
+    - TIMESTAMP(MICROS, UTC-adjusted) → already TimestampType: unchanged
+    """
+    from pyspark.sql import functions as F
+
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type != "timestamp":
+        return df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
 
 

@@ -6,9 +6,11 @@ form of a streaming plan — `streaming/` runs the same logical plans under
 Structured Streaming with watermarks and checks batch/stream equivalence
 (batch-first, DuckDB-checkable, exactly as SURVEY §7 step 5 prescribes).
 
-Timestamp parity note: events.parquet stores TIMESTAMP(NANOS); the catalog
-reads it as µs-truncated TimestampType, and oracles compute on
-`epoch_us(ts)` so both engines compare identical integers.
+Timestamp parity note: events.parquet has stored TIMESTAMP(NANOS) in some
+data generations and TIMESTAMP(MICROS, NTZ) in others; the catalog
+normalizes either to µs TimestampType under a UTC session
+(catalog.normalize_events_ts), and oracles compute on `epoch_us(ts)` so
+both engines compare identical integers.
 """
 
 from __future__ import annotations

@@ -50,8 +50,9 @@ def get_spark(app_name: str = "big-data-computing-spark", master: str | None = N
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.legacy.timeParserPolicy", "CORRECTED")
-        # events.parquet stores TIMESTAMP(NANOS) which the vectorized reader
-        # rejects; read as long nanos and convert in the catalog loader
+        # legacy events.parquet generations store TIMESTAMP(NANOS) which the
+        # vectorized reader rejects; read those as long nanos and normalize
+        # in the catalog loader (no-op for native-micros files)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     if master is not None:

@@ -21,36 +21,27 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..catalog import normalize_events_ts
 from ..functions.stats import dec_sum
-
-# physical schema of events.parquet under nanosAsLong (see catalog.py)
-_EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos-as-long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
 
 
 def stream_events(spark: SparkSession, sf_dir: str, watermark: str = "1 hour") -> DataFrame:
     """File-source stream of the events table with event-time watermark.
 
     At scale the source would be Kafka/queue; the file source keeps the
-    identical downstream plan. ts arrives as long nanos (same reader quirk
-    the batch catalog handles) and is truncated to µs timestamps.
+    identical downstream plan. The stream schema is taken from a batch read
+    of the same file (a footer-only operation), so whichever physical
+    timestamp encoding the file uses (nanos-as-long legacy files or native
+    micros) flows through the same normalization as the batch catalog.
     """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")  # legacy files
+    file_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(file_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).withWatermark(
-        "ts", watermark
-    )
+    return normalize_events_ts(raw).withWatermark("ts", watermark)
 
 
 def tumbling_counts(events: DataFrame, duration: str = "1 hour") -> DataFrame:

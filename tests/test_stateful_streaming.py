@@ -45,9 +45,9 @@ def test_stateful_sessionizer_matches_batch(spark, sf_dir):
     }
 
     # batch reference: gaps-and-islands sessions, excluding each user's last
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    from big_data_computing_final_project_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
