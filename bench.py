@@ -49,6 +49,9 @@ HEADLINE = [
     "q101_bloom_pruned_join",  # bloom bitmap semi-join pushdown
     "q102_decontamination",    # cross-split shingle containment (broadcast)
     "q105_repetition_signals", # zero-shuffle array-expr quality signals
+    "q110_large_orders",       # IN-subquery semi-join reduction (Q18 shape)
+    "q115_important_parts",    # scalar-subquery HAVING w/ exchange reuse (Q11 shape)
+    "q116_sole_blame_suppliers",  # EXISTS/NOT EXISTS self-join fold (Q21 shape)
 ]
 # Deliberately not benched: q68 (iterative CC — timing at this SF is
 # convergence-loop job overhead, not throughput) and exact pairwise

@@ -37,12 +37,13 @@ PLAN_ONLY = {
     "q73", "q75", "q76", "q77", "q78", "q79", "q80", "q81", "q82", "q83",
     "q84", "q85", "q86", "q87", "q88", "q89", "q90", "q91", "q92", "q93",
     "q94", "q95", "q96", "q97", "q98", "q99", "q100", "q102", "q103",
-    "q104", "q105",
+    "q104", "q105", "q106", "q107", "q108", "q109", "q110", "q111", "q112",
+    "q113", "q114", "q115", "q116",
 }
-# q60's multi-COUNT(DISTINCT) Expand rewrite orders its column list
+# Multi-COUNT(DISTINCT) Expand rewrites order their column lists
 # nondeterministically across sessions (ExpressionSet iteration) — same
 # plan, shuffled projection order — so exact text comparison is unstable.
-UNSTABLE = {"q60"}
+UNSTABLE = {"q60", "q116"}
 
 
 def _normalize(plan: str) -> str:
