@@ -89,7 +89,13 @@ def _exact_jaccard_pairs(sh: DataFrame) -> DataFrame:
     """(doc_a, doc_b, jac) for ALL pairs sharing >=1 shingle, jac >=
     _JACCARD_T — the exact (oracle) path: explode + shingle self-join."""
     sizes = sh.select(F.col("doc_id"), F.size("sh").alias("n"))
-    ex = sh.select(F.col("doc_id"), F.explode("sh").alias("s"))
+    # explode_outer, deliberately: plain explode triggers
+    # InferFiltersFromGenerate, which injects a `size(sh) > 0` pre-filter
+    # with the WHOLE shingle expression re-inlined below the staging
+    # projection — re-running the tokenizer per transform element (~10x on
+    # this stage). Shingle arrays are never empty (sequence yields >= 1
+    # index), so outer-explode is row-identical here.
+    ex = sh.select(F.col("doc_id"), F.explode_outer("sh").alias("s"))
     a = ex.select(F.col("doc_id").alias("doc_a"), F.col("s"))
     b = ex.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s2"))
     pairs = (
@@ -186,7 +192,7 @@ def q36_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache the exploded band keys: both legs of the candidate self-join
     # consume them, and recomputation would re-run the full MinHash pass
     ex = (
-        sig.select("doc_id", F.explode("bk").alias("b"))
+        sig.select("doc_id", F.explode_outer("bk").alias("b"))  # outer: skip InferFiltersFromGenerate re-inlining the MinHash pass
         .select("doc_id", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
         .cache()
     )
@@ -303,7 +309,7 @@ _SIMHASH_BAND_BITS = _SIMHASH_BITS // _SIMHASH_BANDS
 def q37_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     md5_60 = lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")  # noqa: E731
-    tok = docs.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("t")).select(
+    tok = docs.select("doc_id", F.explode_outer(X.tokens(F.col("text"))).alias("t")).select(
         "doc_id", md5_60(F.col("t")).alias("h")
     )
     sigs = simhash_votes(tok, nbits=_SIMHASH_BITS).cache()
@@ -320,7 +326,7 @@ def q37_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     ex = (
-        sigs.select("doc_id", "sig", F.explode(bands).alias("b"))
+        sigs.select("doc_id", "sig", F.explode_outer(bands).alias("b"))
         .select("doc_id", "sig", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
     )
     a = ex.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "key")
@@ -483,7 +489,10 @@ def winnow_fingerprints(docs: DataFrame) -> DataFrame:
     starts = F.sequence(F.lit(1), F.size(h) - wlen + F.lit(1))
     fps = F.array_distinct(F.transform(starts, rightmost_min))
     return (
-        d.select("doc_id", F.explode(fps).alias("s"))
+        # outer-explode: plain explode would re-inline the whole winnowing
+        # pipeline (rightmost_min lambda per window) into an inferred
+        # size()>0 pre-filter; fps is never empty (sequence yields >= 1)
+        d.select("doc_id", F.explode_outer(fps).alias("s"))
         .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp"))
     )
 
@@ -817,9 +826,11 @@ def q102_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = base.select("doc_id", X.shingles_of_tokens(F.col("toks"), 3).alias("sh"), "b")
     train = sh.filter(F.col("b") < _B_TRAIN)
     bench = sh.filter(F.col("b") >= _B_BENCH)
-    ex_t = train.select(F.col("doc_id").alias("train_doc"), F.explode("sh").alias("s"))
+    # outer-explodes: see _exact_jaccard_pairs — avoids the inferred
+    # size()>0 filter re-running tokenize+shingle per element
+    ex_t = train.select(F.col("doc_id").alias("train_doc"), F.explode_outer("sh").alias("s"))
     ex_b = bench.select(F.col("doc_id").alias("bench_doc"), F.col("sh").alias("sh_b"))
-    ex_b = ex_b.select("bench_doc", F.size("sh_b").alias("n_b"), F.explode("sh_b").alias("s_b"))
+    ex_b = ex_b.select("bench_doc", F.size("sh_b").alias("n_b"), F.explode_outer("sh_b").alias("s_b"))
     pairs = (
         ex_t.join(F.broadcast(ex_b), F.col("s") == F.col("s_b"))
         .groupBy("train_doc", "bench_doc", "n_b")

@@ -173,7 +173,9 @@ def q67_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
     terms = (
-        docs.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("term"))
+        # outer-explode skips InferFiltersFromGenerate's size()>0 filter
+        # (it would re-tokenize every row a second time below the projection)
+        docs.select("doc_id", F.explode_outer(X.tokens(F.col("text"))).alias("term"))
         .filter((F.col("term") != "") & ~F.col("term").isin(_ALL_STOPWORDS))
     )
     stats = terms.groupBy("term").agg(
@@ -406,7 +408,7 @@ def q81_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0), F.ceil(F.col("n") / F.lit(float(_CHUNK))).cast("long") - 1
     )
     return (
-        base.select("doc_id", "n", "t", F.explode(chunk_ids).alias("chunk_id"))
+        base.select("doc_id", "n", "t", F.explode_outer(chunk_ids).alias("chunk_id"))  # outer: skip inferred re-tokenizing filter
         .select(
             "doc_id",
             "chunk_id",
