@@ -422,3 +422,159 @@ def q99_pivot_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dec_sum(cond) / F.count(cond)).alias(f"avg_{status.lower()}")
         )
     return out.agg(*aggs).orderBy("o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# q117 — deterministic stratified sampling (J-series extension of q75's
+# hash split). Per-stratum rates via a seeded md5 bucket on the key: fully
+# reproducible (re-running selects the SAME rows — what a training-data
+# pipeline needs for re-trainable corpus snapshots), no RNG, no driver
+# coordination. The rate table is a literal CASE; at scale it would be a
+# broadcast dim. Output is the per-stratum audit (sampled vs total).
+# ---------------------------------------------------------------------------
+
+_SQL_CBUCKET = "('0x' || substring(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT % 100"
+
+_Q117_ORACLE = f"""
+SELECT c_mktsegment,
+       COUNT(*) AS n_total,
+       COUNT(*) FILTER (WHERE {_SQL_CBUCKET} <
+         CASE c_mktsegment WHEN 'AUTOMOBILE' THEN 10 WHEN 'BUILDING' THEN 25 ELSE 5 END
+       ) AS n_sampled
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@register("q117_stratified_sample", oracle=_Q117_ORACLE)
+def q117_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 15), 16, 10).cast(
+            "bigint"
+        )
+        % 100
+    )
+    rate = (
+        F.when(F.col("c_mktsegment") == "AUTOMOBILE", F.lit(10))
+        .when(F.col("c_mktsegment") == "BUILDING", F.lit(25))
+        .otherwise(F.lit(5))
+    )
+    return (
+        customer.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.when(bucket < rate, F.lit(1))).alias("n_sampled"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q118 — per-group z-score outliers. Mean/std from exact decimal power
+# sums (NOT stddev_samp: its float accumulation is order-dependent in the
+# low bits, so outlier membership at the |z| boundary could differ
+# between engines/executor counts). One aggregate per nation (tiny —
+# broadcast back), then a narrow scan-side filter. (acctbal is ~uniform, so |z| maxes near sqrt(3): 1.65 keeps a real tail.)
+# ---------------------------------------------------------------------------
+
+_Q118_ORACLE = f"""
+WITH cents AS (
+  SELECT c_custkey, c_nationkey, c_acctbal,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS cc
+  FROM customer
+),
+stats AS (
+  SELECT c_nationkey,
+         COUNT(cc) AS n,
+         {sql_dec_sum('c_acctbal')} AS s1,
+         CAST(SUM(cc * cc) AS DOUBLE) / 1e4 AS s2
+  FROM cents GROUP BY c_nationkey
+)
+SELECT c_custkey, c_nationkey,
+       (c_acctbal - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)) AS z
+FROM cents JOIN stats USING (c_nationkey)
+WHERE n > 1 AND abs((c_acctbal - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1))) > 1.65
+ORDER BY c_custkey
+"""
+
+
+@register("q118_group_zscore_outliers", oracle=_Q118_ORACLE)
+def q118_group_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    # s2 from exact integer cents: acctbal carries <= 2 decimals, so
+    # round(bal*100) is an unambiguous integer on both engines and the
+    # squared-cents sum is exact integer math. Casting the DOUBLE bal² to
+    # decimal instead rounds differently in Spark (decimal-string HALF_UP)
+    # vs DuckDB (binary value) at 1-ulp ties — measured on this data.
+    cc = F.round(bal * F.lit(100.0)).cast("long")
+    stats = customer.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.count("c_acctbal").alias("n"),
+        dec_sum(bal).alias("s1"),
+        (F.sum((cc * cc).cast("decimal(38,0)")).cast("double") / F.lit(1e4)).alias("s2"),
+    )
+    j = customer.join(F.broadcast(stats), customer.c_nationkey == F.col("nk"))
+    mean = F.col("s1") / F.col("n")
+    std = F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1))
+    z = (bal - mean) / std
+    return (
+        j.filter((F.col("n") > 1) & (F.abs(z) > 1.65))
+        .select("c_custkey", "c_nationkey", z.alias("z"))
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q119 — view→purchase conversion lag. Per user: first view, first
+# purchase AFTER that view, lag between them — one conditional min-
+# aggregate pass over events (no self-join: min(ts) FILTER per type, the
+# purchase-after-view constraint applied via a second conditional min over
+# a 2-row-per-user reshape... expressed here as two chained aggregates on
+# the SAME shuffle key, so the second agg is exchange-free). Lag sums are
+# integer microseconds — exact without decimal casts.
+# ---------------------------------------------------------------------------
+
+_Q119_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, min(epoch_us(ts)) FILTER (WHERE event_type = 'view') AS first_view
+  FROM events GROUP BY user_id
+),
+conv AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) - any_value(f.first_view) AS lag_us
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+  WHERE e.event_type = 'purchase' AND f.first_view IS NOT NULL
+    AND epoch_us(e.ts) >= f.first_view
+  GROUP BY e.user_id
+)
+SELECT COUNT(*) AS n_converted,
+       CAST(SUM(lag_us) AS DOUBLE) / COUNT(*) / 1e6 AS avg_lag_s,
+       CAST(MIN(lag_us) AS DOUBLE) / 1e6 AS min_lag_s,
+       CAST(MAX(lag_us) AS DOUBLE) / 1e6 AS max_lag_s
+FROM conv
+"""
+
+
+@register("q119_conversion_lag", oracle=_Q119_ORACLE)
+def q119_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    firsts = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("first_view")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), us.alias("p_us")
+    )
+    conv = (
+        purchases.join(firsts, purchases.pu == firsts.user_id)
+        .filter(F.col("first_view").isNotNull() & (F.col("p_us") >= F.col("first_view")))
+        .groupBy("pu")
+        .agg((F.min("p_us") - F.first("first_view")).alias("lag_us"))
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        (F.sum("lag_us").cast("double") / F.count(F.lit(1)) / F.lit(1e6)).alias("avg_lag_s"),
+        (F.min("lag_us").cast("double") / F.lit(1e6)).alias("min_lag_s"),
+        (F.max("lag_us").cast("double") / F.lit(1e6)).alias("max_lag_s"),
+    )
