@@ -467,12 +467,17 @@ def winnow_fingerprints(docs: DataFrame) -> DataFrame:
     Takes any frame with (doc_id, text); pure per-row array expressions.
     """
     md5_60 = lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")  # noqa: E731
-    toks = X.tokens(F.col("text"))
+    # stage the token array first: referencing the tokenizer EXPRESSION
+    # inside the transform lambda would re-run the regex split once per
+    # gram (HOF lambdas get no loop-invariant hoisting); as a staged
+    # attribute the array is computed once per row and only sliced here
+    t = docs.select("doc_id", X.tokens(F.col("text")).alias("toks"))
+    toks = F.col("toks")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - F.lit(_WINNOW_K - 1)),
         lambda i: md5_60(F.array_join(F.slice(toks, i, _WINNOW_K), " ")),
     )
-    d = docs.filter(F.size(toks) >= _WINNOW_K).select("doc_id", grams.alias("h"))
+    d = t.filter(F.size(toks) >= _WINNOW_K).select("doc_id", grams.alias("h"))
     h = F.col("h")
     wlen = F.least(F.lit(_WINNOW_W), F.size(h))
 
