@@ -125,3 +125,27 @@ def write_bucketed(
     if path is not None:
         writer = writer.option("path", path)
     writer.saveAsTable(table)
+
+
+def read_binary_dir(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """S5 — binary-blob ingest (image/audio/video shards) via Spark's
+    ``binaryFile`` source: (path, modificationTime, length, content) per
+    file, projected to a stable media frame keyed by file name.
+
+    Scale notes: the same reader walks object-store prefixes with
+    millions of objects; ``pathGlobFilter`` prunes by extension at listing
+    time (before any byte is read), and each file is one row in one task —
+    pair with ``catalog.fan_out``-style repartition when downstream decode
+    is CPU-bound and files-per-split is low. Files over
+    ``spark.sql.sources.binaryFile.maxLength`` (2 GiB default) fail fast
+    rather than truncate.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    return df.select(
+        F.regexp_extract(F.col("path"), r"([^/]+)$", 1).alias("file_name"),
+        F.col("length").alias("n_bytes"),
+        F.col("content"),
+    )

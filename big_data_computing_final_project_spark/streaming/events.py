@@ -284,3 +284,25 @@ def hh_store_topk(spark: SparkSession, store_dir: str, k: int = 20) -> DataFrame
 
     partials = spark.read.parquet(store_dir)
     return heavy_hitters_finalize(partials, k, partial_id_cols=("batch_id", "pid"))
+
+
+def rate_stream(spark: SparkSession, rows_per_batch: int = 1000) -> DataFrame:
+    """Deterministic synthetic stream (``rate-micro-batch`` source):
+    exactly ``rows_per_batch`` (timestamp, value) rows per trigger, no
+    external infra — the soak/throughput harness for streaming operators.
+    Shaped into the events contract (ts, user_id, event_type, value) so
+    every downstream streaming plan accepts it unchanged."""
+    raw = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+        .load()
+    )
+    return raw.select(
+        F.col("timestamp").alias("ts"),
+        (F.col("value") % 97).alias("user_id"),
+        F.element_at(
+            F.array(F.lit("view"), F.lit("click"), F.lit("purchase")),
+            (F.col("value") % 3 + 1).cast("int"),
+        ).alias("event_type"),
+        (F.col("value") % 1000).cast("double").alias("value"),
+    ).withWatermark("ts", "10 seconds")

@@ -159,3 +159,70 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_binary_dir_ingest_feeds_decode(spark, sf_dir, tmp_path):
+    """S5: write synthetic media blobs as loose binary files, re-ingest via
+    the binaryFile source, and run the standard decode over them — the
+    decoded dims must match the metadata the generator embedded."""
+    import pathlib
+
+    from pyspark.sql import functions as F
+
+    from big_data_computing_final_project_spark.catalog import load_table
+    from big_data_computing_final_project_spark.operators.multimodal import (
+        attach_synthetic_media,
+        decode_media,
+    )
+    from big_data_computing_final_project_spark.sources.io import read_binary_dir
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    media = attach_synthetic_media(docs)
+    out = pathlib.Path(tmp_path) / "blobs"
+    out.mkdir()
+    expected = {}
+    for r in media.collect():
+        (out / f"{r.doc_id}.bin").write_bytes(bytes(r.content))
+        expected[r.doc_id] = (r.media_meta.width, r.media_meta.height)
+    (out / "ignore.txt").write_text("not media")
+
+    blobs = read_binary_dir(spark, str(out), glob="*.bin")
+    assert blobs.count() == len(expected)  # glob pruned the .txt
+    as_media = blobs.select(
+        F.regexp_extract("file_name", r"(\d+)\.bin", 1).cast("long").alias("doc_id"),
+        "content",
+    )
+    decoded = {r.doc_id: (r.width, r.height) for r in decode_media(as_media).collect()}
+    assert decoded == expected
+
+
+def test_rate_stream_flows_through_event_plans(spark):
+    """rate-micro-batch soak source: deterministic rows per trigger, shaped
+    to the events contract; one availableNow batch must flow through a
+    standard streaming aggregation."""
+    import shutil
+    import tempfile
+
+    from big_data_computing_final_project_spark.streaming.events import (
+        rate_stream,
+        tumbling_counts,
+    )
+
+    agg = tumbling_counts(rate_stream(spark, rows_per_batch=500), "1 minute")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_rate_")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("rate_smoke")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        if q.isActive:
+            q.stop()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    rows = spark.sql("SELECT sum(n_events) AS n FROM rate_smoke").collect()
+    assert rows[0].n == 500
