@@ -477,13 +477,18 @@ def q116_sole_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     supplier = _t(spark, sf_dir, "supplier")
     finished = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
-    # one aggregate replaces both correlated EXISTS probes: per order, the
-    # distinct-supplier count and the distinct RETURNING-supplier set
-    order_stats = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))).alias(
-            "n_ret_supp"
-        ),
+    # one aggregate chain replaces both correlated EXISTS probes: per
+    # order, the distinct-supplier count and how many of them returned
+    # anything. Two-level form (pair-distinct, then per-order counts)
+    # instead of two COUNT(DISTINCT)s in one agg: multi-count-distinct
+    # plans through Expand, which doubles every fact row pre-shuffle; the
+    # pair aggregate combines map-side and the second level is tiny.
+    per_pair = li.groupBy(F.col("l_orderkey").alias("ok"), "l_suppkey").agg(
+        F.max((F.col("l_returnflag") == "R").cast("int")).alias("ret")
+    )
+    order_stats = per_pair.groupBy("ok").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("ret").alias("n_ret_supp"),
     )
     r_lines = (
         li.filter(F.col("l_returnflag") == "R")

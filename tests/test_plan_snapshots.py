@@ -43,7 +43,7 @@ PLAN_ONLY = {
 # Multi-COUNT(DISTINCT) Expand rewrites order their column lists
 # nondeterministically across sessions (ExpressionSet iteration) — same
 # plan, shuffled projection order — so exact text comparison is unstable.
-UNSTABLE = {"q60", "q116"}
+UNSTABLE = {"q60"}
 
 
 def _normalize(plan: str) -> str:
