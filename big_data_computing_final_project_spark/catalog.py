@@ -157,7 +157,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _FAN_OUT_KEYS = {"documents": "doc_id", "embeddings": "vec_id"}
 
 
-def fan_out(df: DataFrame, spark: SparkSession, key: str) -> DataFrame:
+def fan_out(df: DataFrame, spark: SparkSession, key: str | None) -> DataFrame:
     """Give CPU-dense narrow stages at least ``defaultParallelism`` tasks.
 
     A small parquet file (or one with a single row group — splits can't cut
@@ -174,7 +174,7 @@ def fan_out(df: DataFrame, spark: SparkSession, key: str) -> DataFrame:
     """
     target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
-        return df.repartition(target, key)
+        return df.repartition(target, key) if key is not None else df.repartition(target)
     return df
 
 

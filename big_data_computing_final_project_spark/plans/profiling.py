@@ -313,6 +313,12 @@ def q22_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONCE (not once per pair) — n + 2·|cols| + |pairs| decimal aggregates
     # instead of 6·|pairs|. Same single pass, same exact decimal math.
     cols = sorted({c for pair in _Q22_PAIRS for c in pair})
+    # ~20 decimal aggregates dominate the scan here, so a single-split file
+    # leaves all that math on one core: prune to the needed columns, then
+    # guarded round-robin fan-out (no-op on any multi-split layout)
+    from ..catalog import fan_out
+
+    li = fan_out(li.select(*cols), spark, None)
     aggs = [F.count(F.lit(1)).cast("double").alias("n")]
     for c in cols:
         aggs.append(dec_sum(F.col(c)).alias(f"s_{c}"))
