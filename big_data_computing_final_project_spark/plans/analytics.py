@@ -578,3 +578,78 @@ def q119_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.min("lag_us").cast("double") / F.lit(1e6)).alias("min_lag_s"),
         (F.max("lag_us").cast("double") / F.lit(1e6)).alias("max_lag_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q120 — data-quality audit (Deequ-style constraint report over the star
+# schema): null/range predicates in one pass per table, PK uniqueness as a
+# count-vs-distinct delta, referential integrity as anti-joins. The long
+# report format is what an ingest gate consumes (`max(n_violations)==0`).
+# ---------------------------------------------------------------------------
+
+_Q120_ORACLE = """
+SELECT * FROM (
+  SELECT 'lineitem.discount_in_[0,1]' AS "constraint",
+         COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 1) AS n_violations,
+         COUNT(*) AS n_checked FROM lineitem
+  UNION ALL
+  SELECT 'lineitem.positive_quantity',
+         COUNT(*) FILTER (WHERE l_quantity IS NULL OR l_quantity <= 0), COUNT(*) FROM lineitem
+  UNION ALL
+  SELECT 'orders.nonnull_key',
+         COUNT(*) FILTER (WHERE o_orderkey IS NULL), COUNT(*) FROM orders
+  UNION ALL
+  SELECT 'orders.positive_totalprice',
+         COUNT(*) FILTER (WHERE o_totalprice IS NULL OR o_totalprice <= 0), COUNT(*) FROM orders
+  UNION ALL
+  SELECT 'unique(o_orderkey)',
+         COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey), COUNT(*) FROM orders
+  UNION ALL
+  SELECT 'l_orderkey->o_orderkey',
+         (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+            (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+         COUNT(*) FROM lineitem
+  UNION ALL
+  SELECT 'o_custkey->c_custkey',
+         (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+            (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+         COUNT(*) FROM orders
+) ORDER BY "constraint"
+"""
+
+
+@register("q120_dq_audit", oracle=_Q120_ORACLE)
+def q120_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality import (
+        check_predicates,
+        combine_reports,
+        referential_orphans,
+        uniqueness_violations,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    li_checks = check_predicates(
+        li,
+        {
+            "lineitem.discount_in_[0,1]": (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
+            "lineitem.positive_quantity": F.col("l_quantity").isNull()
+            | (F.col("l_quantity") <= 0),
+        },
+    )
+    o_checks = check_predicates(
+        orders,
+        {
+            "orders.nonnull_key": F.col("o_orderkey").isNull(),
+            "orders.positive_totalprice": F.col("o_totalprice").isNull()
+            | (F.col("o_totalprice") <= 0),
+        },
+    )
+    return combine_reports(
+        li_checks,
+        o_checks,
+        uniqueness_violations(orders, "o_orderkey"),
+        referential_orphans(li, orders, "l_orderkey", "o_orderkey"),
+        referential_orphans(orders, customer, "o_custkey", "c_custkey"),
+    )

@@ -226,3 +226,40 @@ def test_rate_stream_flows_through_event_plans(spark):
         shutil.rmtree(ckpt, ignore_errors=True)
     rows = spark.sql("SELECT sum(n_events) AS n FROM rate_smoke").collect()
     assert rows[0].n == 500
+
+
+def test_dq_constraint_checkers_count_injected_violations(spark):
+    """quality.* checkers must count exactly the violations we inject."""
+    from pyspark.sql import functions as F
+
+    from big_data_computing_final_project_spark.operators.quality import (
+        check_predicates,
+        combine_reports,
+        referential_orphans,
+        uniqueness_violations,
+    )
+
+    child = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (2, 3.0), (9, None)], "fk long, v double"
+    )
+    parent = spark.createDataFrame([(1,), (2,)], "pk long")
+    report = {
+        r.constraint: (r.n_violations, r.n_checked)
+        for r in combine_reports(
+            check_predicates(
+                child,
+                {
+                    "positive_v": F.col("v").isNull() | (F.col("v") <= 0),
+                    "null_fk": F.col("fk").isNull(),
+                },
+            ),
+            uniqueness_violations(child, "fk"),
+            referential_orphans(child, parent, "fk", "pk"),
+        ).collect()
+    }
+    assert report == {
+        "positive_v": (2, 4),
+        "null_fk": (0, 4),
+        "unique(fk)": (1, 4),
+        "fk->pk": (1, 4),
+    }
