@@ -712,3 +712,67 @@ def q105_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup_frac(F.col("bg")).alias("dup_bigram_frac"),
         dup_frac(F.col("tg")).alias("dup_trigram_frac"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q121 — token-rarity scoring (perplexity-proxy quality signal, CCNet-style
+# LM filtering without the LM): rarity(t) = floor((N + V) / (c_t + 1)) from
+# the corpus's own unigram counts (add-1 smoothed inverse frequency), and a
+# doc's score is its total token rarity. Deliberately ALL-INTEGER until the
+# final per-source average: log-prob scoring would hash-diverge between
+# engines (libm log differs in the last ulp), while integer division of
+# exact counts is bit-identical everywhere — same scale story, zero
+# cross-engine risk.
+#
+# Scale shape: one explode→count pass builds the unigram table (map-side
+# combined), which joins back to the exploded tokens — broadcast at corpus
+# vocab sizes that fit, shuffle-on-token otherwise (Spark picks by stats);
+# per-doc then per-source aggregates ride the same shuffle key chain.
+# ---------------------------------------------------------------------------
+
+_Q121_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS t FROM documents
+),
+vocab AS (SELECT t, COUNT(*) AS c FROM toks GROUP BY t),
+consts AS (SELECT (SELECT COUNT(*) FROM toks) AS n, (SELECT COUNT(*) FROM vocab) AS v),
+doc_scores AS (
+  SELECT toks.doc_id,
+         SUM((consts.n + consts.v) // (vocab.c + 1)) AS rarity
+  FROM toks JOIN vocab USING (t) CROSS JOIN consts
+  GROUP BY toks.doc_id
+)
+SELECT d.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(s.rarity) AS DOUBLE) / COUNT(*) AS avg_rarity
+FROM doc_scores s JOIN documents d USING (doc_id)
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
+@register("q121_token_rarity", oracle=_Q121_ORACLE)
+def q121_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode_outer(X.tokens(F.col("text"))).alias("t")
+    )
+    vocab = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    consts = vocab.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
+    )  # n = total tokens (sum of counts: no second toks pass), v = |vocab|
+    scored = (
+        toks.join(F.broadcast(consts))
+        .join(vocab, "t")
+        .groupBy("doc_id")
+        .agg(F.sum(F.expr("(n + v) div (c + 1)")).alias("rarity"))
+    )
+    return (
+        scored.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum("rarity").cast("double") / F.count(F.lit(1))).alias("avg_rarity"),
+        )
+        .orderBy("source")
+    )

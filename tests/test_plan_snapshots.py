@@ -38,7 +38,7 @@ PLAN_ONLY = {
     "q84", "q85", "q86", "q87", "q88", "q89", "q90", "q91", "q92", "q93",
     "q94", "q95", "q96", "q97", "q98", "q99", "q100", "q102", "q103",
     "q104", "q105", "q106", "q107", "q108", "q109", "q110", "q111", "q112",
-    "q113", "q114", "q115", "q116", "q117", "q118", "q119", "q120",
+    "q113", "q114", "q115", "q116", "q117", "q118", "q119", "q120", "q121",
 }
 # Multi-COUNT(DISTINCT) Expand rewrites order their column lists
 # nondeterministically across sessions (ExpressionSet iteration) — same
