@@ -226,3 +226,37 @@ def test_stream_heavy_hitters_store_certified_bounds(spark, sf_dir, tmp_path):
     assert [(r["item"], r["count_lo"], r["count_hi"]) for r in ample] == [
         (t, n, n) for t, n in want
     ]
+
+
+def test_stream_dq_audit_store_equals_batch_audit(spark, sf_dir, tmp_path):
+    """Streaming DQ audit: per-batch additive violation counts summed from
+    the store must equal the one-shot batch audit of the same data."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from big_data_computing_final_project_spark.catalog import load_table
+    from big_data_computing_final_project_spark.operators.quality import check_predicates
+    from big_data_computing_final_project_spark.streaming import stream_events
+    from big_data_computing_final_project_spark.streaming.events import (
+        dq_store_report,
+        run_stream_dq_audit,
+    )
+
+    checks = {
+        "nonneg_value": F.col("value") < 0,
+        "nonnull_user": F.col("user_id").isNull(),
+        "known_event_type": ~F.col("event_type").isin("view", "click", "purchase", "refund"),
+    }
+    store = os.path.join(tmp_path, "dq_store")
+    ckpt = os.path.join(tmp_path, "ckpt")
+    run_stream_dq_audit(stream_events(spark, sf_dir), checks, store, ckpt)
+    got = {
+        r.constraint: (r.n_violations, r.n_checked)
+        for r in dq_store_report(spark, store).collect()
+    }
+    want = {
+        r.constraint: (r.n_violations, r.n_checked)
+        for r in check_predicates(load_table(spark, sf_dir, "events"), checks).collect()
+    }
+    assert got == want and want["nonnull_user"][1] > 0
