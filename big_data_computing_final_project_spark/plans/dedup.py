@@ -17,7 +17,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -847,3 +847,92 @@ def q102_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("containment") >= _CONTAIN_T)
         .orderBy("train_doc", "bench_doc")
     )
+
+
+# ---------------------------------------------------------------------------
+# q122 — prefix-filtered exact Jaccard join (PPJoin-style; Xiao et al.,
+# "Efficient Similarity Joins for Near Duplicate Detection", WWW 2008).
+# Same results as q35 (shares its oracle), structurally cheaper candidate
+# generation: only each document's PREFIX — its (|d| − ⌈t·|d|⌉ + 1) rarest
+# shingles under a global (df, shingle) order — enters the self-join.
+# Theorem: J(a,b) ≥ t ⇒ the prefixes intersect, so pruning is lossless;
+# a length filter (t·|a| ≤ |b| ≤ |a|/t) cuts further. Exact verification
+# then runs only on surviving pairs via array_intersect.
+#
+# Scale: the full postings self-join explodes on common shingles (its
+# candidate count is the sum of squared posting-list sizes); the prefix
+# join's posting lists hold only rare-shingle entries, collapsing the
+# quadratic hot lists. At 100 TB this is the exact-dedup path when LSH
+# recall < 1 is not acceptable; the df table is one extra groupBy.
+# ---------------------------------------------------------------------------
+
+
+@register("q122_prefix_jaccard", oracle=_Q35_ORACLE)
+def q122_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingled(spark, sf_dir)
+    sizes = sh.select("doc_id", F.size("sh").alias("n"))
+    ex = sh.select("doc_id", F.explode_outer("sh").alias("s"))
+    df_tab = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    # global canonical order = (corpus df ascending, shingle) — rarest
+    # first; materialized per doc via a ranking window, no global rank ids
+    w = Window.partitionBy("doc_id").orderBy("df", "s")
+    pos = (
+        ex.join(df_tab, "s")
+        .withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(sizes), "doc_id")
+    )
+    prefix = pos.filter(
+        F.col("rn") <= F.col("n") - F.ceil(F.lit(_JACCARD_T) * F.col("n")) + F.lit(1)
+    )
+    a = prefix.select(F.col("doc_id").alias("doc_a"), "s", F.col("n").alias("na"))
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"), F.col("s").alias("s2"), F.col("n").alias("nb")
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("s") == F.col("s2"))
+            & (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("nb").cast("double") >= F.lit(_JACCARD_T) * F.col("na"))
+            & (F.col("na").cast("double") >= F.lit(_JACCARD_T) * F.col("nb")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _verify_candidate_pairs(sh, cand)
+
+
+def prefix_candidate_count(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
+    """(prefix-join candidates, full-postings-join candidates) — the
+    pruning ratio the prefix filter buys; pytest asserts it shrinks."""
+    sh = _shingled(spark, sf_dir)
+    ex = sh.select("doc_id", F.explode_outer("sh").alias("s"))
+    full = (
+        ex.alias("x")
+        .join(ex.alias("y"), (F.col("x.s") == F.col("y.s")) & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id"), F.col("y.doc_id"))
+        .distinct()
+        .count()
+    )
+    sizes = sh.select("doc_id", F.size("sh").alias("n"))
+    df_tab = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "s")
+    pos = ex.join(df_tab, "s").withColumn("rn", F.row_number().over(w)).join(sizes, "doc_id")
+    prefix = pos.filter(
+        F.col("rn") <= F.col("n") - F.ceil(F.lit(_JACCARD_T) * F.col("n")) + F.lit(1)
+    )
+    a = prefix.select(F.col("doc_id").alias("doc_a"), "s", F.col("n").alias("na"))
+    b = prefix.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s2"), F.col("n").alias("nb"))
+    pruned = (
+        a.join(
+            b,
+            (F.col("s") == F.col("s2"))
+            & (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("nb").cast("double") >= F.lit(_JACCARD_T) * F.col("na"))
+            & (F.col("na").cast("double") >= F.lit(_JACCARD_T) * F.col("nb")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+        .count()
+    )
+    return pruned, full

@@ -202,3 +202,14 @@ def test_winnowing_arrow_equals_expression_path(spark, sf_dir):
     expr = {(r.doc_id, r.pos, r.fp) for r in winnow_fingerprints(docs).collect()}
     arrow = {(r.doc_id, r.pos, r.fp) for r in winnow_fingerprints_arrow(docs).collect()}
     assert expr == arrow
+
+
+def test_prefix_filter_prunes_candidates_losslessly(spark, sf_dir):
+    """PPJoin prefix filtering must shrink the candidate set versus the
+    full postings self-join while losing no qualifying pair (q122's result
+    equals q35's by shared oracle; here we check the pruning is real)."""
+    from big_data_computing_final_project_spark.plans.dedup import prefix_candidate_count
+
+    pruned, full = prefix_candidate_count(spark, sf_dir)
+    assert pruned < full, (pruned, full)
+    assert pruned > 0
