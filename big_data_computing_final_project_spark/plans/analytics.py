@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import epoch_us, load_table
 from ..functions.stats import dec_sum, sql_dec_sum
 from .registry import register
 
@@ -124,8 +124,8 @@ def q90_date_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q91_ORACLE = """
 SELECT l_linestatus,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_count,
-       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_count
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
 GROUP BY l_linestatus
@@ -139,8 +139,8 @@ def q91_priority_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = (
         _t(spark, sf_dir, "lineitem")
         .filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
         )
         .select("l_orderkey", "l_linestatus")
     )
@@ -559,7 +559,7 @@ FROM conv
 @register("q119_conversion_lag", oracle=_Q119_ORACLE)
 def q119_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
-    us = F.unix_micros(F.col("ts"))
+    us = epoch_us(F.col("ts"))
     firsts = events.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "view", us)).alias("first_view")
     )

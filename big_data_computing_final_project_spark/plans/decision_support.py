@@ -95,8 +95,8 @@ def q107_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part")
     disc = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     month = li.filter(
-        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
     )
     joined = month.join(F.broadcast(part), month.l_partkey == part.p_partkey)
     promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
@@ -136,8 +136,8 @@ def q108_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     revenue = (
         li.filter(
-            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp_ntz"))
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(dec_sum(disc, 6).alias("total_revenue"))
@@ -264,8 +264,8 @@ def q111_heavy_red_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     red = part.filter(F.col("p_name").like("%red%")).select("p_partkey")
     red_1998 = (
         li.filter(
-            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp_ntz"))
         )
         .join(F.broadcast(red), li.l_partkey == red.p_partkey, "left_semi")
         .groupBy("l_suppkey")
@@ -316,7 +316,7 @@ def q112_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (dec_sum(F.col("c_acctbal")) / F.count("c_acctbal")).alias("avg_bal")
     )
     recent = orders.filter(
-        F.col("o_orderdate") >= F.lit("2000-07-01").cast("timestamp")
+        F.col("o_orderdate") >= F.lit("2000-07-01").cast("timestamp_ntz")
     ).select("o_custkey")
     rich = customer.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("avg_bal"))
     idle_rich = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import epoch_us, load_table
 from ..functions.stats import dec_sum, sql_dec_sum
 from .registry import register
 
@@ -226,14 +226,14 @@ def q84_view_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"),
         F.col("ts").alias("c_ts"),
     )
-    gap = F.unix_micros(F.col("c_ts")) - F.unix_micros(F.col("v_ts"))
+    gap = epoch_us(F.col("c_ts")) - epoch_us(F.col("v_ts"))
     return (
         views.join(
             clicks,
             (F.col("user_id") == F.col("c_user"))
             & (F.col("c_ts") > F.col("v_ts"))
-            & (F.unix_micros(F.col("c_ts"))
-               <= F.unix_micros(F.col("v_ts")) + _ATTR_WINDOW_US),
+            & (epoch_us(F.col("c_ts"))
+               <= epoch_us(F.col("v_ts")) + _ATTR_WINDOW_US),
         )
         .select("user_id", "view_id", "click_id", gap.alias("gap_us"))
         .orderBy("user_id", "view_id", "click_id")
@@ -368,6 +368,13 @@ def q73_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WEEK_US = 7 * 24 * 3600 * 1_000_000
 
+
+def _week_index(us):
+    # exact integer floor-division on long columns (us >= 0 here): the
+    # subtraction of the long modulus keeps everything integer-exact, then
+    # the division of an exact multiple is exact in double too
+    return ((us - us % _WEEK_US) / _WEEK_US).cast("long")
+
 _Q104_ORACLE = f"""
 WITH wk AS (
   SELECT user_id, epoch_us(ts) // {_WEEK_US} AS w FROM events
@@ -388,7 +395,7 @@ def q104_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     wk = ev.select(
-        "user_id", F.expr(f"unix_micros(ts) div {_WEEK_US}").alias("w")
+        "user_id", _week_index(epoch_us(F.col("ts"))).alias("w")
     )
     cw = F.min("w").over(Window.partitionBy("user_id"))
     return (

@@ -14,10 +14,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import epoch_us, load_table
 from ..functions.expressions import interval_bucket
 from ..functions.stats import dec_sum, sql_dec_sum
 from .registry import register
+
+
+def _epoch_sec(colname: str):
+    """Zone-invariant epoch seconds of an NTZ column (RANGE-frame key;
+    o_orderdate is date-midnights so the µs→s division is exact)."""
+    return (epoch_us(F.col(colname)) / F.lit(1_000_000)).cast("long")
 
 _STATUSES = ["F", "O", "P"]  # o_orderstatus class domain
 
@@ -192,7 +198,7 @@ def q55_range_frame_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
     day = 86400  # RANGE frame over epoch seconds; 30 days inclusive
     w = (
         Window.partitionBy("o_custkey")
-        .orderBy(F.unix_timestamp("o_orderdate"))
+        .orderBy(_epoch_sec("o_orderdate"))
         .rangeBetween(-30 * day, 0)
     )
     return orders.select(

@@ -63,7 +63,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     charge = disc_price * (F.lit(1) + F.col("l_tax"))
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dec_sum(F.col("l_quantity")).alias("sum_qty"),

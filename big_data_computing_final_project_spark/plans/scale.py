@@ -120,8 +120,8 @@ def q101_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     sel = orders.filter(
         (F.col("o_orderpriority") == "1-URGENT")
-        & (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1995-04-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01 00:00:00").cast("timestamp_ntz"))
     )
     pruned = bloom_prune(li, "l_orderkey", sel.select("o_orderkey"), "o_orderkey")
     return (

@@ -446,7 +446,7 @@ WITH d AS (
   FROM d
 )
 SELECT source,
-       start_off // {_PACK_BUDGET} AS bin_id,
+       CAST(start_off // {_PACK_BUDGET} AS BIGINT) AS bin_id,
        COUNT(*) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
 FROM placed
@@ -509,9 +509,7 @@ ORDER BY doc_id
 def q85_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import udtf
 
-    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
-
-    @udtf(returnType="pos int, ngram string")
+    @udtf(returnType="pos int, ngram string", useArrow=True)
     class NGramUDTF:
         def eval(self, text: str, n: int):
             toks = text.split()
@@ -595,7 +593,7 @@ def q100_vocab_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q103_ORACLE = f"""
 WITH s AS (
   SELECT source, COUNT(*) AS n_docs,
-         SUM(len({_SQL_TOKS})) AS n_tokens
+         CAST(SUM(len({_SQL_TOKS})) AS BIGINT) AS n_tokens
   FROM documents GROUP BY source
 ), t AS (
   SELECT source, n_docs, n_tokens,

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..catalog import normalize_events_ts
+from ..catalog import _stored_as_nanos, epoch_us, normalize_events_ts
 from ..functions.stats import dec_sum
 
 
@@ -34,14 +34,27 @@ def stream_events(spark: SparkSession, sf_dir: str, watermark: str = "1 hour") -
     timestamp encoding the file uses (nanos-as-long legacy files or native
     micros) flows through the same normalization as the batch catalog.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")  # legacy files
+    if _stored_as_nanos(f"{sf_dir}/events.parquet"):
+        # a TIMESTAMP(NANOS) file physically cannot be scanned without this
+        # legacy conf; set only when the footer proves it (read-only on
+        # session state for the micros files the driver generates today)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     file_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
         spark.readStream.schema(file_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return normalize_events_ts(raw).withWatermark("ts", watermark)
+    # Watermarks require TimestampType (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE
+    # rejects TIMESTAMP_NTZ), so the stream path converts the normalized
+    # NTZ wall clock to the equivalent UTC instant. timestamp_micros(long)
+    # is a zone-free construction — no session-timezone detour — so the
+    # stream's window bounds land on the same wall clocks as the NTZ batch
+    # plans under a UTC-rendering collect.
+    ntz = normalize_events_ts(raw)
+    return ntz.withColumn(
+        "ts", F.timestamp_micros(epoch_us(F.col("ts")))
+    ).withWatermark("ts", watermark)
 
 
 def tumbling_counts(events: DataFrame, duration: str = "1 hour") -> DataFrame:
@@ -94,7 +107,7 @@ def view_click_join_stream(
         "user_id",
         "view_id",
         "click_id",
-        (F.unix_micros(F.col("c_ts")) - F.unix_micros(F.col("v_ts"))).alias("gap_us"),
+        (epoch_us(F.col("c_ts")) - epoch_us(F.col("v_ts"))).alias("gap_us"),
     )
 
 

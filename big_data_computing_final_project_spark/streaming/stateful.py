@@ -22,8 +22,8 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 SESSION_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),
-        T.StructField("session_start", T.TimestampType()),
-        T.StructField("session_end", T.TimestampType()),
+        T.StructField("session_start", T.TimestampNTZType()),
+        T.StructField("session_end", T.TimestampNTZType()),
         T.StructField("n_events", T.LongType()),
         T.StructField("total_value", T.DoubleType()),
     ]

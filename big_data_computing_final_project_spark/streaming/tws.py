@@ -92,8 +92,8 @@ def running_user_stats(events: DataFrame, ttl_ms: int | None = None) -> DataFram
 SESSION_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),
-        T.StructField("session_start", T.TimestampType()),
-        T.StructField("session_end", T.TimestampType()),
+        T.StructField("session_start", T.TimestampNTZType()),
+        T.StructField("session_end", T.TimestampNTZType()),
         T.StructField("n_events", T.LongType()),
         T.StructField("flushed_by_timer", T.BooleanType()),
     ]

@@ -45,7 +45,7 @@ def test_stateful_sessionizer_matches_batch(spark, sf_dir):
     }
 
     # batch reference: gaps-and-islands sessions, excluding each user's last
-    from big_data_computing_final_project_spark.catalog import load_table
+    from big_data_computing_final_project_spark.catalog import epoch_us, load_table
 
     ev = load_table(spark, sf_dir, "events")
     from pyspark.sql import Window
@@ -54,7 +54,7 @@ def test_stateful_sessionizer_matches_batch(spark, sf_dir):
     flagged = ev.withColumn(
         "new_session",
         (
-            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))) >= 30 * 60 * 1_000_000
+            (epoch_us(F.col("ts")) - epoch_us(F.lag("ts").over(w))) >= 30 * 60 * 1_000_000
         ).cast("int"),
     ).na.fill(0, ["new_session"])
     sess = flagged.withColumn(

@@ -28,7 +28,7 @@ pytest.importorskip(
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from big_data_computing_final_project_spark.catalog import load_table
+from big_data_computing_final_project_spark.catalog import epoch_us, load_table
 from big_data_computing_final_project_spark.streaming import stream_events
 from big_data_computing_final_project_spark.streaming.tws import (
     running_user_stats,
@@ -101,7 +101,7 @@ def test_tws_timer_sessionizer_closed_sessions_match_batch(rocksdb_state, sf_dir
     flagged = ev.withColumn(
         "new_session",
         (
-            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))) >= 30 * 60 * 1_000_000
+            (epoch_us(F.col("ts")) - epoch_us(F.lag("ts").over(w))) >= 30 * 60 * 1_000_000
         ).cast("int"),
     ).na.fill(0, ["new_session"])
     sess = (

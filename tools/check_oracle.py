@@ -75,6 +75,18 @@ def main() -> int:
         try:
             ddf = con.sql(oracles[name])
             dcols = [d[0] for d in ddf.description]
+            # HUGEINT columns (un-cast integer SUMs, `//` on window sums)
+            # survive fetchall() as exact Python ints but coerce to float64
+            # in any pandas-based harness ("2.0" vs "2" -> hash mismatch).
+            # The external driver canonicalizes via pandas, so ban them here:
+            # every integer aggregate in an oracle must CAST(... AS BIGINT).
+            hug = [c for c, t in zip(ddf.columns, ddf.types)
+                   if str(t) in ("HUGEINT", "UHUGEINT")]
+            if hug:
+                print(f"FAIL  {name}: oracle emits HUGEINT cols {hug} "
+                      "(cast to BIGINT; pandas harnesses read these as float64)")
+                n_fail += 1
+                continue
             drows = ddf.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
