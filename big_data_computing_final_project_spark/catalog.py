@@ -121,7 +121,9 @@ SCHEMAS: dict[str, T.StructType] = {
 }
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, fan_out_ok: bool = True
+) -> DataFrame:
     """Read one star-schema table from ``{sf_dir}/{name}.parquet``.
 
     Parquet scans keep the file's own physical schema (so statistics and
@@ -144,7 +146,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(path)
     df = normalize_ts_columns(df)
     key = _FAN_OUT_KEYS.get(name)
-    if key is not None:
+    if key is not None and fan_out_ok:
         df = fan_out(df, spark, key, path)
     return df
 

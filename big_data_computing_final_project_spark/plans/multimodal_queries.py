@@ -36,7 +36,12 @@ ORDER BY doc_id
 
 @register("q51_multimodal_decode", oracle=_Q51_ORACLE)
 def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out_ok=False: the decode is a single Arrow pass whose cost is
+    # dominated by byte movement, so the pre-decode repartition (a full
+    # payload shuffle) loses more than the extra scan tasks gain —
+    # measured 0.54s -> 1.24s when fan-out was applied here. Real media
+    # tables are multi-row-group, where fan_out no-ops anyway.
+    docs = load_table(spark, sf_dir, "documents", fan_out_ok=False)
     return decode_media(attach_synthetic_media(docs)).orderBy("doc_id")
 
 
@@ -61,5 +66,5 @@ ORDER BY doc_id, frame_idx
 
 @register("q52_frame_sample", oracle=_Q52_ORACLE)
 def q52_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out_ok=False)  # see q51
     return frame_sample(attach_synthetic_media(docs)).orderBy("doc_id", "frame_idx")
