@@ -63,6 +63,61 @@ def classification_report(pred_df: DataFrame, label_col: str = "label", pred_col
     return rep.orderBy("label")
 
 
+def roc_auc_exact(
+    pred_df: DataFrame, label_col: str = "label", score_col: str = "score"
+) -> DataFrame:
+    """Exact ROC-AUC as the tie-corrected Mann-Whitney rank statistic
+    (M11 — the reference computes ``roc_auc_score`` for every model,
+    `Sol_2.ipynb` cell a00da7c1):
+
+        AUC = (Σ_pos avg_rank − n⁺(n⁺+1)/2) / (n⁺ n⁻)
+
+    Distributed shape: one hash aggregate groups N rows down to the
+    distinct-score histogram (cnt, pos per score), then a window over
+    those |scores| rows assigns average ranks. All arithmetic stays on
+    INTEGERS (2·avg_rank = 2·cum_before + cnt + 1) until the single final
+    division, so any engine computes the identical double.
+
+    Scale note: the rank window is a single partition over DISTINCT
+    scores — exact AUC is meant for quantized/bucketed scorers (integer
+    scores, calibrated probability bins). For continuous model outputs at
+    100 TB use ``roc_auc_evaluator`` (Spark's binned
+    BinaryClassificationEvaluator) instead.
+    """
+    from pyspark.sql import Window
+
+    g = pred_df.groupBy(F.col(score_col).alias("s")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col(label_col).cast("bigint")).alias("pos"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r = g.withColumn("cum_before", F.sum("cnt").over(w) - F.col("cnt"))
+    t = r.agg(
+        F.sum(F.col("pos") * (2 * F.col("cum_before") + F.col("cnt") + 1)).alias("s2"),
+        F.sum("pos").alias("npos"),
+        (F.sum("cnt") - F.sum("pos")).alias("nneg"),
+    )
+    return t.select(
+        (
+            (F.col("s2") - F.col("npos") * (F.col("npos") + 1)).cast("double")
+            / (F.lit(2.0) * F.col("npos") * F.col("nneg"))
+        ).alias("auc"),
+        F.col("npos").cast("bigint").alias("npos"),
+        F.col("nneg").cast("bigint").alias("nneg"),
+    )
+
+
+def roc_auc_evaluator(label_col: str = "label", raw_col: str = "rawPrediction"):
+    """M11 model-path ROC-AUC: Spark's BinaryClassificationEvaluator
+    (areaUnderROC) over a fitted model's rawPrediction — the scalable
+    (threshold-binned) twin of ``roc_auc_exact``."""
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+
+    return BinaryClassificationEvaluator(
+        metricName="areaUnderROC", labelCol=label_col, rawPredictionCol=raw_col
+    )
+
+
 def summary_metrics(pred_df: DataFrame, label_col: str = "label", pred_col: str = "prediction") -> DataFrame:
     """One row: accuracy, macro precision/recall/F1 (the reference's
     headline metrics, `house_predict.py:606-612`)."""
@@ -73,3 +128,34 @@ def summary_metrics(pred_df: DataFrame, label_col: str = "label", pred_col: str 
         F.avg("recall").alias("macro_recall"),
         F.avg("f1").alias("macro_f1"),
     )
+
+
+class MacroF1Evaluator:
+    """Macro-F1 as a CrossValidator-compatible evaluator (M8/M10).
+
+    The reference tunes with ``scoring='f1_macro'`` (`Sol_2.ipynb:595-601`,
+    contract metric `task_2.md:24`); Spark's built-in "f1" is
+    weighted-by-support, and on a heavily skewed label the two can rank
+    CV candidates differently. This wraps ``summary_metrics``' macro-F1
+    (sklearn semantics: unweighted mean over the union of observed label
+    and prediction classes, zero-F1 classes included) behind the three
+    methods CrossValidator actually calls: ``evaluate``,
+    ``isLargerBetter``, and Params-style ``copy``.
+    """
+
+    def __init__(self, labelCol: str = "label", predictionCol: str = "prediction"):
+        import uuid
+
+        self.labelCol = labelCol
+        self.predictionCol = predictionCol
+        self.uid = f"MacroF1Evaluator_{uuid.uuid4().hex[:12]}"
+
+    def evaluate(self, dataset: DataFrame, params=None) -> float:
+        row = summary_metrics(dataset, self.labelCol, self.predictionCol).first()
+        return float(row["macro_f1"])
+
+    def isLargerBetter(self) -> bool:
+        return True
+
+    def copy(self, extra=None) -> "MacroF1Evaluator":
+        return MacroF1Evaluator(self.labelCol, self.predictionCol)

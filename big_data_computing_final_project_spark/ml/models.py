@@ -125,3 +125,46 @@ def balanced_weights(df, label_col: str = "label", weight_col: str = "weight"):
         F.col(label_col).alias("__lbl"), (F.lit(float(n)) / (F.lit(float(k)) * F.col("n_c"))).alias(weight_col)
     )
     return df.join(F.broadcast(w), df[label_col] == F.col("__lbl")).drop("__lbl")
+
+
+def l1_feature_selection(
+    df,
+    feature_cols: list[str],
+    label_col: str = "label",
+    reg_param: float = 0.01,
+    threshold: float = 1e-5,
+):
+    """M7 — `SelectFromModel(LogisticRegression(penalty='l1'))`
+    (`Sol_2.ipynb:505-527`): fit an L1-regularized logistic regression
+    over the candidate features, keep those whose coefficient magnitude
+    exceeds ``threshold`` (1e-5, sklearn's SelectFromModel default for L1
+    penalties), and rebuild the assembler on the surviving subset.
+
+    Multiclass fits reduce the coefficient matrix by per-feature max |w|
+    (sklearn reduces with the L1 norm across classes; max preserves the
+    same nonzero support, which is what selection consumes). Returns
+    ``(selected_cols, importance_df, assembler)`` where importance_df is
+    a small DataFrame (feature, abs_coef, selected) for reporting, and
+    assembler is a VectorAssembler over the selected columns ready to
+    feed a downstream estimator.
+    """
+    import numpy as np
+
+    from pyspark.ml.feature import VectorAssembler
+
+    asm = VectorAssembler(inputCols=list(feature_cols), outputCol="__l1_features")
+    lr = logistic_l1(
+        reg_param=reg_param, features_col="__l1_features", label_col=label_col
+    )
+    model = lr.fit(asm.transform(df))
+    if model.numClasses <= 2:
+        coefs = np.abs(model.coefficients.toArray())
+    else:
+        coefs = np.abs(model.coefficientMatrix.toArray()).max(axis=0)
+    selected = [c for c, w in zip(feature_cols, coefs) if float(w) > threshold]
+    spark = df.sparkSession
+    importance = spark.createDataFrame(
+        [(c, float(w), float(w) > threshold) for c, w in zip(feature_cols, coefs)],
+        "feature string, abs_coef double, selected boolean",
+    )
+    return selected, importance, VectorAssembler(inputCols=selected, outputCol="features")

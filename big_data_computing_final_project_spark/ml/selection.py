@@ -16,10 +16,21 @@ from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
 SEED = 42
 
 
-def f1_evaluator(label_col: str = "label") -> MulticlassClassificationEvaluator:
-    """NOTE: Spark's "f1" is weighted-by-support, not the macro-F1 the
-    reference reports (`task_2.md:24`); CV model ranking uses this built-in,
-    final reporting uses ml.evaluation.summary_metrics (macro)."""
+def f1_evaluator(label_col: str = "label"):
+    """CV ranking metric = the reference's ``scoring='f1_macro'``
+    (`Sol_2.ipynb:595-601`, contract metric `task_2.md:24`). Spark's
+    built-in "f1" is weighted-by-support — on a skewed label weighted and
+    macro F1 can pick DIFFERENT grid winners (pinned by
+    tests/test_ml.py::test_macro_vs_weighted_f1_rank_differently) — so
+    ranking uses the macro evaluator built on ml.evaluation's confusion
+    aggregate."""
+    from .evaluation import MacroF1Evaluator
+
+    return MacroF1Evaluator(labelCol=label_col)
+
+
+def weighted_f1_evaluator(label_col: str = "label") -> MulticlassClassificationEvaluator:
+    """Spark's built-in weighted-by-support F1, kept for comparison."""
     return MulticlassClassificationEvaluator(metricName="f1", labelCol=label_col)
 
 

@@ -327,3 +327,75 @@ def q50_feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [(int(i), float(imp[int(i)])) for i in imp.indices]
     out = spark.createDataFrame(rows, "feature_idx int, importance double")
     return out.orderBy(F.col("importance").desc(), "feature_idx").limit(15)
+
+
+# ---------------------------------------------------------------------------
+# q123 — exact ROC-AUC (M11: the reference computes `roc_auc_score` for
+# every model, `Sol_2.ipynb` cell a00da7c1). Same design as q41-q43: a
+# deterministic scorer (vec_id % 97, integer scores with systematic ties)
+# against a derived binary label, so the tie-corrected Mann-Whitney rank
+# arithmetic — integers until the one final division — is verified
+# bit-for-bit in DuckDB. The scalable model path (threshold-binned
+# BinaryClassificationEvaluator) is pytest-pinned against this exact form
+# in tests/test_ml.py.
+# ---------------------------------------------------------------------------
+
+_Q123_ORACLE = """
+WITH b AS (
+  SELECT CAST(label >= 5 AS INT) AS y, vec_id % 97 AS s FROM embeddings
+), g AS (
+  SELECT s, COUNT(*) AS cnt, SUM(y) AS pos FROM b GROUP BY s
+), r AS (
+  SELECT pos, cnt, SUM(cnt) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) - cnt AS cum_before
+  FROM g
+), t AS (
+  SELECT CAST(SUM(pos * (2 * cum_before + cnt + 1)) AS BIGINT) AS s2,
+         CAST(SUM(pos) AS BIGINT) AS npos,
+         CAST(SUM(cnt) - SUM(pos) AS BIGINT) AS nneg
+  FROM r
+)
+SELECT CAST(s2 - npos * (npos + 1) AS DOUBLE) / (2.0 * npos * nneg) AS auc,
+       npos, nneg
+FROM t
+"""
+
+
+@register("q123_roc_auc", oracle=_Q123_ORACLE)
+def q123_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.evaluation import roc_auc_exact
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        (F.col("label") >= 5).cast("int").alias("y"),
+        (F.col("vec_id") % 97).alias("score"),
+    )
+    return roc_auc_exact(scored, label_col="y", score_col="score")
+
+
+# ---------------------------------------------------------------------------
+# q124 — L1-based feature selection (M7: `SelectFromModel(lr_l1)`,
+# `Sol_2.ipynb:505-527`) as a real operator: fit L1 logistic regression
+# over the first 8 embedding dimensions plus two deliberately useless
+# features (a constant and pure per-row hash noise), keep features with
+# |coef| above sklearn's 1e-5 SelectFromModel default. Rows-only by the
+# driver contract (an iterative OWL-QN fit is not SQL-expressible);
+# pytest pins that informative dims survive and the noise/constant are
+# dropped at sufficient regularization.
+# ---------------------------------------------------------------------------
+
+
+@register("q124_l1_feature_selection")
+def q124_l1_feature_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.models import l1_feature_selection
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    feat_cols = [f"x{i}" for i in range(8)] + ["const_one", "hash_noise"]
+    df = emb.select(
+        (F.col("label") >= 5).cast("double").alias("label"),
+        *[F.col("embedding")[i].cast("double").alias(f"x{i}") for i in range(8)],
+        F.lit(1.0).alias("const_one"),
+        (F.xxhash64("vec_id") % 1000).cast("double").alias("hash_noise"),
+    )
+    _, importance, _ = l1_feature_selection(df, feat_cols, reg_param=0.02)
+    return importance.orderBy("feature")

@@ -130,3 +130,143 @@ def test_bootstrap_sample_seed_deterministic(spark, sf_dir):
     # with-replacement fraction=1.0 resamples roughly n rows
     n = orders.count()
     assert 0.8 * n < a < 1.2 * n
+
+
+def test_roc_auc_exact_matches_rank_statistic(spark, sf_dir):
+    """roc_auc_exact must equal the tie-corrected Mann-Whitney statistic
+    computed by hand (numpy average ranks) on a small tied sample."""
+    import numpy as np
+
+    ys = [1, 1, 0, 0, 1, 0, 0, 1, 0, 0, 1, 0]
+    ss = [5, 5, 5, 3, 3, 2, 2, 8, 8, 1, 7, 7]
+    df = spark.createDataFrame(list(zip(ys, ss)), "y int, s int")
+
+    from big_data_computing_final_project_spark.ml.evaluation import roc_auc_exact
+
+    got = roc_auc_exact(df, label_col="y", score_col="s").first()
+
+    arr_y, arr_s = np.array(ys), np.array(ss, dtype=float)
+    order = np.argsort(arr_s, kind="stable")
+    ranks = np.empty(len(arr_s))
+    sorted_s = arr_s[order]
+    i = 0
+    while i < len(sorted_s):
+        j = i
+        while j < len(sorted_s) and sorted_s[j] == sorted_s[i]:
+            j += 1
+        ranks[order[i:j]] = (i + 1 + j) / 2.0  # average rank of the tie block
+        i = j
+    npos, nneg = int(arr_y.sum()), int((1 - arr_y).sum())
+    want = (ranks[arr_y == 1].sum() - npos * (npos + 1) / 2.0) / (npos * nneg)
+    assert got.npos == npos and got.nneg == nneg
+    assert abs(got.auc - want) < 1e-12
+
+
+def test_roc_auc_evaluator_tracks_exact(spark, sf_dir):
+    """The binned model-path evaluator (BinaryClassificationEvaluator) must
+    agree with the exact rank form on a fitted model's probabilities."""
+    from pyspark.sql import functions as F
+
+    from big_data_computing_final_project_spark.ml.evaluation import (
+        roc_auc_evaluator,
+        roc_auc_exact,
+    )
+    from big_data_computing_final_project_spark.ml.models import logistic_l1
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = emb.select(
+        (F.col("label") >= 5).cast("double").alias("label"),
+        *[F.col("embedding")[i].cast("double").alias(f"x{i}") for i in range(8)],
+    )
+    data = VectorAssembler(
+        inputCols=[f"x{i}" for i in range(8)], outputCol="features"
+    ).transform(df)
+    model = logistic_l1(reg_param=0.0001).fit(data)
+    pred = model.transform(data)
+    binned = roc_auc_evaluator().evaluate(pred)
+    exact = (
+        roc_auc_exact(
+            pred.select(
+                "label", vector_to_array("probability")[1].alias("score")
+            ),
+            label_col="label",
+            score_col="score",
+        )
+        .first()
+        .auc
+    )
+    assert abs(binned - exact) < 5e-3  # binning tolerance
+    assert 0.0 <= exact <= 1.0
+
+
+def _pred_frame(spark, pairs):
+    return spark.createDataFrame(
+        [(float(l), float(p)) for l, p in pairs], "label double, prediction double"
+    )
+
+
+def test_macro_vs_weighted_f1_rank_differently(spark, sf_dir):
+    """On a 98/2-skewed label, the majority-class predictor wins WEIGHTED
+    F1 but loses MACRO F1 to a minority-sensitive predictor — so CV must
+    rank with the macro evaluator to reproduce the reference's
+    scoring='f1_macro' winner. Pins both orderings plus the exact macro
+    values."""
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+
+    from big_data_computing_final_project_spark.ml.evaluation import MacroF1Evaluator
+
+    # ground truth: 98 zeros, 2 ones
+    labels = [0] * 98 + [1] * 2
+    # model A: always predict 0
+    pred_a = _pred_frame(spark, [(l, 0) for l in labels])
+    # model B: catches both positives but flips 10 negatives to 1
+    preds_b = [1] * 10 + [0] * 88 + [1, 1]
+    pred_b = _pred_frame(spark, list(zip(labels, preds_b)))
+
+    macro = MacroF1Evaluator()
+    weighted = MulticlassClassificationEvaluator(metricName="f1")
+
+    ma, mb = macro.evaluate(pred_a), macro.evaluate(pred_b)
+    wa, wb = weighted.evaluate(pred_a), weighted.evaluate(pred_b)
+
+    # exact expected macro values (hand-derived confusion arithmetic)
+    f1_a0 = 2 * (98 / 100) * 1.0 / (98 / 100 + 1.0)
+    assert abs(ma - (f1_a0 + 0.0) / 2) < 1e-12
+    f1_b0 = 2 * 1.0 * (88 / 98) / (1.0 + 88 / 98)
+    f1_b1 = 2 * (2 / 12) * 1.0 / (2 / 12 + 1.0)
+    assert abs(mb - (f1_b0 + f1_b1) / 2) < 1e-12
+
+    assert wa > wb, "weighted F1 must prefer the majority predictor"
+    assert mb > ma, "macro F1 must prefer the minority-sensitive predictor"
+    assert macro.isLargerBetter()
+
+
+def test_l1_feature_selection_drops_noise(spark, sf_dir):
+    """M7: on a frame where y is a deterministic function of x0 and the
+    other features are a constant and hash noise, L1 selection must keep
+    x0 and drop the junk (sklearn SelectFromModel semantics: |coef| >
+    1e-5 after an L1 fit)."""
+    from pyspark.sql import functions as F
+
+    from big_data_computing_final_project_spark.ml.models import l1_feature_selection
+
+    df = (
+        spark.range(400)
+        .select(
+            (F.col("id") % 7 - 3).cast("double").alias("x0"),
+            F.lit(1.0).alias("const_one"),
+            ((F.xxhash64("id") % 100) / 50.0).cast("double").alias("noise"),
+        )
+        .withColumn("label", (F.col("x0") > 0).cast("double"))
+    )
+    selected, importance, asm = l1_feature_selection(
+        df, ["x0", "const_one", "noise"], reg_param=0.05
+    )
+    assert selected == ["x0"], selected
+    rows = {r.feature: r for r in importance.collect()}
+    assert rows["x0"].selected and rows["x0"].abs_coef > 1e-3
+    assert not rows["const_one"].selected
+    assert not rows["noise"].selected
+    assert asm.getInputCols() == ["x0"]
