@@ -208,48 +208,83 @@ ORDER BY vec_a, vec_b
 _GEMM_MARGIN = 1e-6
 
 
+_GEMM_BLOCK_ROWS = 4096  # candidate-block height: ~2 MB at 64-dim float64
+
+
 @register("q40_embedding_near_dup", oracle=_Q40_ORACLE)
 def q40_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter-verify: a blocked matrix product (numpy GEMM over Arrow
-    batches, candidate matrix broadcast like a dim table) prunes the
+    batches, candidate blocks broadcast like dim tables) prunes the
     O(n²) pair space at BLAS speed with threshold T - margin; only the
     tiny surviving set is re-scored with the sequential JVM fold, so
     emitted cos_sim values are bit-identical to the oracle's. ~60x over
-    the interpreted all-pairs fold at sf0.1. At corpus scale the
-    broadcast side becomes a loop over candidate blocks (same plan per
-    block); the per-pair margin argument is unchanged."""
+    the interpreted all-pairs fold at sf0.1.
+
+    Scale shape: the candidate side is processed in blocks of
+    ``_GEMM_BLOCK_ROWS`` (vec_id mod nblocks), so the driver and each
+    broadcast hold ONE block — never the whole table. Each block's
+    candidate pairs are materialized (localCheckpoint) before its
+    broadcast is destroyed, so peak memory is one block regardless of
+    corpus size; the per-pair margin argument is unchanged. Total GEMM
+    work is the same n×n product, just column-partitioned. (q39/q64 are
+    the sub-quadratic ANN paths; this operator is the exact-near-dup
+    scan.)"""
+    import math
+    from functools import reduce
+
     import numpy as np
     import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("e")
     )
-    rows = emb.collect()  # candidate matrix: vec-count x dim, dim-table-sized
-    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
-    mat = np.array([r.e for r in rows], dtype=np.float64)
-    matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = emb.sparkSession.sparkContext.broadcast((ids, matn))
     threshold = _DUP_T - _GEMM_MARGIN
+    n = emb.count()
+    nblocks = max(1, math.ceil(n / _GEMM_BLOCK_ROWS))
+    sc = emb.sparkSession.sparkContext
 
-    def prune(it):
-        b_ids, b_mat = bc.value
-        order = np.argsort(b_ids)
-        s_ids, s_mat = b_ids[order], b_mat[order]
-        for pdf in it:
-            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            a_mat = np.array(list(pdf["e"]), dtype=np.float64)
-            a_mat = a_mat / np.linalg.norm(a_mat, axis=1, keepdims=True)
-            sims = a_mat @ s_mat.T
-            out_a, out_b = [], []
-            for i, va in enumerate(a_ids):
-                # only b > a: each unordered pair emitted exactly once
-                j0 = np.searchsorted(s_ids, va, side="right")
-                hits = np.nonzero(sims[i, j0:] >= threshold)[0]
-                out_a.extend([va] * len(hits))
-                out_b.extend(s_ids[j0 + hits].tolist())
-            yield pd.DataFrame({"vec_a": out_a, "vec_b": out_b})
+    per_block = []
+    for b in range(nblocks):
+        rows = (
+            emb.filter(F.col("vec_id") % nblocks == b).collect()
+            if nblocks > 1
+            else emb.collect()
+        )
+        if not rows:
+            continue
+        ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+        mat = np.array([r.e for r in rows], dtype=np.float64)
+        matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        order = np.argsort(ids)
+        bc = sc.broadcast((ids[order], matn[order]))
 
-    candidates = emb.mapInPandas(prune, "vec_a long, vec_b long")
+        def prune(it, _bc=bc):
+            s_ids, s_mat = _bc.value
+            for pdf in it:
+                a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+                a_mat = np.array(list(pdf["e"]), dtype=np.float64)
+                a_mat = a_mat / np.linalg.norm(a_mat, axis=1, keepdims=True)
+                sims = a_mat @ s_mat.T
+                out_a, out_b = [], []
+                for i, va in enumerate(a_ids):
+                    # only b > a: each unordered pair emitted exactly once
+                    j0 = np.searchsorted(s_ids, va, side="right")
+                    hits = np.nonzero(sims[i, j0:] >= threshold)[0]
+                    out_a.extend([va] * len(hits))
+                    out_b.extend(s_ids[j0 + hits].tolist())
+                yield pd.DataFrame({"vec_a": out_a, "vec_b": out_b})
+
+        cand_b = emb.mapInPandas(prune, "vec_a long, vec_b long")
+        if nblocks > 1:
+            # materialize this block's candidates, then free its broadcast
+            cand_b = cand_b.localCheckpoint(eager=True)
+            bc.destroy()
+        per_block.append(cand_b)
+
+    if not per_block:
+        candidates = spark.createDataFrame([], "vec_a long, vec_b long")
+    else:
+        candidates = reduce(lambda x, y: x.unionByName(y), per_block)
     ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
     eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
     cos = dot(F.col("ea"), F.col("eb")) / (norm(F.col("ea")) * norm(F.col("eb")))

@@ -213,3 +213,17 @@ def test_prefix_filter_prunes_candidates_losslessly(spark, sf_dir):
     pruned, full = prefix_candidate_count(spark, sf_dir)
     assert pruned < full, (pruned, full)
     assert pruned > 0
+
+
+def test_q40_blocked_equals_single_block(spark, sf_dir, monkeypatch):
+    """The blocked GEMM candidate loop (driver holds one block at a time)
+    must emit exactly the pairs of the single-broadcast run — same pairs,
+    same bit-exact cos_sim values."""
+    from big_data_computing_final_project_spark.plans import similarity as S
+
+    single = S.q40_embedding_near_dup(spark, sf_dir).collect()
+    # force multiple blocks: tiny block height -> nblocks > 1
+    monkeypatch.setattr(S, "_GEMM_BLOCK_ROWS", 64)
+    blocked = S.q40_embedding_near_dup(spark, sf_dir).collect()
+    assert [tuple(r) for r in single] == [tuple(r) for r in blocked]
+    assert len(single) > 0  # the fixture corpus contains planted near-dups
