@@ -183,11 +183,9 @@ def band_key_structs(sh: F.Column, bands: int = _BANDS, rows: int = _ROWS_PER_BA
     return out
 
 
-@register("q36_minhash_lsh_dedup", oracle=_Q35_ORACLE)
-def q36_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the shingle frame feeds the signature pass AND both verify legs —
-    # cache it so shingling runs once (`cache()` discipline, SURVEY §7.7)
-    sh = _shingled(spark, sf_dir).cache()
+def _lsh_band_candidates(sh: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) pairs sharing >=1 LSH band bucket — the banded
+    candidate self-join over a shingled frame."""
     sig = sh.select("doc_id", F.array(*band_key_structs(F.col("sh"))).alias("bk"))
     # cache the exploded band keys: both legs of the candidate self-join
     # consume them, and recomputation would re-run the full MinHash pass
@@ -198,7 +196,7 @@ def q36_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = ex.select(F.col("doc_id").alias("doc_a"), "band", "key")
     b = ex.select(F.col("doc_id").alias("doc_b"), F.col("band").alias("band2"), F.col("key").alias("key2"))
-    candidates = (
+    return (
         a.join(
             b,
             (F.col("band") == F.col("band2"))
@@ -208,7 +206,61 @@ def q36_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    return _verify_candidate_pairs(sh, candidates)
+
+
+def _dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, rep) exact-duplicate grouping: identical normalized text
+    (the q34 fingerprint) collapses to the group's min doc_id."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", X.fingerprint(F.col("text")).alias("fp"))
+    w = Window.partitionBy("fp")
+    return fp.select("doc_id", F.min("doc_id").over(w).alias("rep"))
+
+
+@register("q36_minhash_lsh_dedup", oracle=_Q35_ORACLE)
+def q36_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Degenerate-bucket guard: collapse EXACT duplicates before banding.
+    # Identical normalized text => identical shingle sets => identical
+    # signatures, so a planted hot bucket of n byte-identical docs would
+    # otherwise pair quadratically inside the band join AND pay n² exact
+    # verifies. Banding runs on one representative per distinct content;
+    # the lossless expansion afterwards re-emits (a) all intra-group pairs
+    # at jac = 1.0 exactly and (b) every verified rep-pair cross group
+    # members (Jaccard depends only on content, so J(x, y) = J(rep_x,
+    # rep_y) for duplicates). Candidate work is bounded by DISTINCT
+    # content counts; only the (irreducibly quadratic) answer rows are
+    # materialized. tests: planted-copies bound + oracle parity.
+    groups = _dup_groups(spark, sf_dir).cache()
+
+    # shingle only the representatives — the CPU-dense MinHash pass never
+    # sees duplicate content
+    rep_ids = groups.filter(F.col("doc_id") == F.col("rep")).select("doc_id")
+    sh = _shingled(spark, sf_dir).join(rep_ids, "doc_id").cache()
+    rep_pairs = _verify_candidate_pairs(sh, _lsh_band_candidates(sh))
+
+    # (a) intra-group pairs: every ordered pair of same-content docs
+    m1 = groups.select(F.col("rep"), F.col("doc_id").alias("doc_a"))
+    m2 = groups.select(F.col("rep").alias("rep2"), F.col("doc_id").alias("doc_b"))
+    intra = (
+        m1.join(m2, (F.col("rep") == F.col("rep2")) & (F.col("doc_a") < F.col("doc_b")))
+        .select("doc_a", "doc_b", F.lit(1.0).alias("jac"))
+    )
+    # (b) verified rep pairs expanded across their groups (disjoint, so
+    # least/greatest orients each unordered pair exactly once)
+    ga = groups.select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("xa"))
+    gb = groups.select(F.col("rep").alias("doc_b"), F.col("doc_id").alias("xb"))
+    inter = (
+        rep_pairs.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            F.least("xa", "xb").alias("doc_a"),
+            F.greatest("xa", "xb").alias("doc_b"),
+            "jac",
+        )
+    )
+    return intra.unionByName(inter).orderBy("doc_a", "doc_b")
 
 
 # ---------------------------------------------------------------------------

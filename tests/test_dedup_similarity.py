@@ -227,3 +227,49 @@ def test_q40_blocked_equals_single_block(spark, sf_dir, monkeypatch):
     blocked = S.q40_embedding_near_dup(spark, sf_dir).collect()
     assert [tuple(r) for r in single] == [tuple(r) for r in blocked]
     assert len(single) > 0  # the fixture corpus contains planted near-dups
+
+
+def test_q36_planted_copies_bounded_and_exact(spark, sf_dir, tmp_path):
+    """Degenerate-bucket guard: 200 byte-identical copies of one document
+    must NOT grow the banded candidate join (copies collapse to their
+    representative before banding), while the final answer still contains
+    every copy pair — and stays exactly equal to the q35 exact-Jaccard
+    oracle twin on the same corpus."""
+    import pyspark.sql.functions as F
+
+    from big_data_computing_final_project_spark.plans import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    victim = docs.orderBy("doc_id").limit(1)
+    copies = (
+        victim.crossJoin(spark.range(200).select(F.col("id").alias("k")))
+        .select(
+            (F.lit(max_id) + 1 + F.col("k")).alias("doc_id"),
+            "text", "lang", "source", "n_chars",
+        )
+    )
+    planted_dir = str(tmp_path / "planted")
+    docs.unionByName(copies).write.parquet(f"{planted_dir}/documents.parquet")
+
+    # 1. banding sees one representative per distinct content: the
+    # rep-level candidate count is IDENTICAL to the unplanted corpus
+    def rep_candidates(d):
+        groups = D._dup_groups(spark, d)
+        rep_ids = groups.filter(F.col("doc_id") == F.col("rep")).select("doc_id")
+        sh = D._shingled(spark, d).join(rep_ids, "doc_id")
+        return D._lsh_band_candidates(sh).count()
+
+    assert rep_candidates(planted_dir) == rep_candidates(sf_dir)
+
+    # 2. the answer is still complete: q36 == q35 exact on the planted
+    # corpus, including all C(201,2) intra-copy pairs at jac = 1.0
+    got = D.q36_minhash_lsh_dedup(spark, planted_dir).collect()
+    want = D.q35_ngram_jaccard_dedup(spark, planted_dir).collect()
+    assert [(r.doc_a, r.doc_b) for r in got] == [(r.doc_a, r.doc_b) for r in want]
+    for g, w in zip(got, want):
+        assert abs(g.jac - w.jac) < 1e-12
+    victim_id = victim.first().doc_id
+    group = {victim_id} | set(range(max_id + 1, max_id + 201))
+    n_intra = sum(1 for r in got if r.doc_a in group and r.doc_b in group)
+    assert n_intra == 201 * 200 // 2
