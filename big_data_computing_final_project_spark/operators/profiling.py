@@ -185,12 +185,23 @@ def exact_quantiles_hist(
             for i in range(len(probs))
         ]
     )
-    return per_col.select(
+    out = per_col.select(
         F.col("m").alias("column_name"),
         qs.alias("qs"),
         F.col("_nd").alias("n_distinct"),
         F.col("_vmin").alias("vmin"),
         F.col("_vmax").alias("vmax"),
+    )
+    # an all-null column has no histogram rows at all — re-emit it with
+    # null quantiles (matching percentile()'s null result row) instead of
+    # silently dropping it from the output
+    spine = df.sparkSession.createDataFrame(
+        [(c,) for c in columns], "column_name string"
+    )
+    return (
+        spine.join(out, "column_name", "left")
+        .withColumn("n_distinct", F.coalesce("n_distinct", F.lit(0)))
+        .orderBy("column_name")
     )
 
 

@@ -214,7 +214,16 @@ def _dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    fp = docs.select("doc_id", X.fingerprint(F.col("text")).alias("fp"))
+    # null text => null fingerprint; such docs must form singleton groups
+    # (they share no shingles, so q35 emits no pairs for them), not one
+    # big null-keyed "duplicate" group
+    fp = docs.select(
+        "doc_id",
+        F.coalesce(
+            X.fingerprint(F.col("text")),
+            F.concat(F.lit("\x00null:"), F.col("doc_id").cast("string")),
+        ).alias("fp"),
+    )
     w = Window.partitionBy("fp")
     return fp.select("doc_id", F.min("doc_id").over(w).alias("rep"))
 
@@ -919,9 +928,11 @@ def q102_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("q122_prefix_jaccard", oracle=_Q35_ORACLE)
-def q122_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingled(spark, sf_dir)
+def _prefix_candidates(sh: DataFrame) -> DataFrame:
+    """PPJoin-style candidate pairs from a shingled frame: the prefix
+    filter (rarest-first canonical order) plus the length-ratio filter —
+    the SINGLE definition consumed by both q122 and the pruning-ratio
+    test counter, so the certificate can't drift from the query."""
     sizes = sh.select("doc_id", F.size("sh").alias("n"))
     ex = sh.select("doc_id", F.explode_outer("sh").alias("s"))
     df_tab = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
@@ -940,7 +951,7 @@ def q122_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = prefix.select(
         F.col("doc_id").alias("doc_b"), F.col("s").alias("s2"), F.col("n").alias("nb")
     )
-    cand = (
+    return (
         a.join(
             b,
             (F.col("s") == F.col("s2"))
@@ -951,7 +962,12 @@ def q122_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    return _verify_candidate_pairs(sh, cand)
+
+
+@register("q122_prefix_jaccard", oracle=_Q35_ORACLE)
+def q122_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingled(spark, sf_dir)
+    return _verify_candidate_pairs(sh, _prefix_candidates(sh))
 
 
 def prefix_candidate_count(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
@@ -966,25 +982,5 @@ def prefix_candidate_count(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
         .distinct()
         .count()
     )
-    sizes = sh.select("doc_id", F.size("sh").alias("n"))
-    df_tab = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy("doc_id").orderBy("df", "s")
-    pos = ex.join(df_tab, "s").withColumn("rn", F.row_number().over(w)).join(sizes, "doc_id")
-    prefix = pos.filter(
-        F.col("rn") <= F.col("n") - F.ceil(F.lit(_JACCARD_T) * F.col("n")) + F.lit(1)
-    )
-    a = prefix.select(F.col("doc_id").alias("doc_a"), "s", F.col("n").alias("na"))
-    b = prefix.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s2"), F.col("n").alias("nb"))
-    pruned = (
-        a.join(
-            b,
-            (F.col("s") == F.col("s2"))
-            & (F.col("doc_a") < F.col("doc_b"))
-            & (F.col("nb").cast("double") >= F.lit(_JACCARD_T) * F.col("na"))
-            & (F.col("na").cast("double") >= F.lit(_JACCARD_T) * F.col("nb")),
-        )
-        .select("doc_a", "doc_b")
-        .distinct()
-        .count()
-    )
+    pruned = _prefix_candidates(sh).count()
     return pruned, full

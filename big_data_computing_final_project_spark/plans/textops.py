@@ -754,7 +754,11 @@ def q121_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode_outer(X.tokens(F.col("text"))).alias("t")
-    )
+    ).filter(F.col("t").isNotNull())
+    # ^ tokens(null text) is a null array and explode_outer (used to dodge
+    # InferFiltersFromGenerate re-tokenizing) emits a null-token row that
+    # plain explode and DuckDB unnest both drop — it must not become a
+    # vocab group (would inflate n and v for every document's score)
     vocab = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
     consts = vocab.agg(
         F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")

@@ -128,3 +128,23 @@ def test_exact_quantiles_hist_matches_percentile_bitwise(spark, sf_dir):
     nd = li.agg(*[F.countDistinct(c).alias(c) for c in cols]).collect()[0]
     for c in cols:
         assert got[c].n_distinct == nd[c]
+
+
+def test_exact_quantiles_hist_keeps_all_null_columns(spark, sf_dir):
+    """An all-null column must come back as a row with null quantiles
+    (percentile() returns a null result row), not silently vanish."""
+    import pyspark.sql.functions as F
+
+    from big_data_computing_final_project_spark.operators.profiling import (
+        exact_quantiles_hist,
+    )
+
+    df = spark.range(10).select(
+        F.col("id").cast("double").alias("x"),
+        F.lit(None).cast("double").alias("all_null"),
+    )
+    rows = {r.column_name: r for r in exact_quantiles_hist(df, ["x", "all_null"], [0.5]).collect()}
+    assert set(rows) == {"x", "all_null"}
+    assert rows["x"].qs == [4.5]
+    assert rows["all_null"].qs is None
+    assert rows["all_null"].n_distinct == 0
