@@ -53,12 +53,18 @@ def build_bloom_words(
     """Aggregate the build side's key set into a bitmap (list of signed
     64-bit words, length num_bits/64). The shuffle carries at most one row
     per word, not per key; the driver receives num_bits/8 bytes."""
-    positions = None
-    for s in seeds:
-        p = build.select(
-            F.pmod(F.xxhash64(F.col(key_col), F.lit(int(s))), F.lit(num_bits)).alias("pos")
-        )
-        positions = p if positions is None else positions.unionAll(p)
+    # all seeds' positions in ONE build-side scan (array + explode_outer,
+    # not a per-seed union that re-scans σ(build) k times)
+    positions = build.select(
+        F.explode_outer(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col(key_col), F.lit(int(s))), F.lit(num_bits))
+                    for s in seeds
+                ]
+            )
+        ).alias("pos")
+    )
     words_df = (
         positions.select(
             (F.col("pos") / 64).cast("int").alias("w"),

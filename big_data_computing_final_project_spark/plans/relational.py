@@ -145,8 +145,13 @@ def q03_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = _t(spark, sf_dir, "region")
     revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     return (
+        # customer is the LARGEST "dimension" here — no broadcast hint:
+        # size estimates / AQE pick broadcast while it fits and fall back
+        # to a shuffle join at SF where a forced broadcast would OOM the
+        # driver. nation/region are bounded (25/5 rows at any SF) so their
+        # hints are unconditionally safe.
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy(region.r_name.alias("region_name"), nation.n_name.alias("nation_name"))
