@@ -52,6 +52,7 @@ def _load_plans() -> None:
         dedup,
         events,
         impurity,
+        lm,
         misc,
         ml_queries,
         multimodal_queries,

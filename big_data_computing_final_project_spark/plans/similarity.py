@@ -528,3 +528,51 @@ def q94_array_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("energy"), "vec_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# q125 — int8 embedding quantization (operators/quantize.py): symmetric
+# per-vector max-abs codes, the 4x-smaller ANN serving format. Pure Column
+# expressions (transform/aggregate HOFs) — zero shuffle, zero Python; the
+# oracle reproduces the exact integer codes because every step is
+# engine-independent IEEE arithmetic + floor (NOT round(), whose half-tie
+# behavior differs between Spark and DuckDB).
+# ---------------------------------------------------------------------------
+
+_Q125_ORACLE = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), m AS (
+  SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS maxabs FROM v
+), q AS (
+  SELECT vec_id, maxabs,
+         list_transform(e, x -> CASE WHEN maxabs = 0 THEN 0
+                                ELSE CAST(floor(x * 127.0 / maxabs + 0.5) AS INT)
+                                END) AS qv
+  FROM m
+)
+SELECT vec_id, maxabs,
+       CAST(list_sum(qv) AS BIGINT) AS sum_q,
+       CAST(list_sum(list_transform(qv, c -> CAST(c AS BIGINT) * c)) AS BIGINT) AS sum_q2
+FROM q
+ORDER BY vec_id
+"""
+
+
+@register("q125_int8_quantize", oracle=_Q125_ORACLE)
+def q125_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quantize import max_abs, quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = as_double(F.col("embedding"))
+    q = quantize_int8(e)
+    isum = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("bigint"), lambda acc, x: acc + x.cast("bigint")
+    )
+    return emb.select(
+        "vec_id",
+        max_abs(e).alias("maxabs"),
+        isum(q).alias("sum_q"),
+        isum(F.transform(q, lambda c: c.cast("bigint") * c)).alias("sum_q2"),
+    ).orderBy("vec_id")

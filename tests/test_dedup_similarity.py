@@ -273,3 +273,57 @@ def test_q36_planted_copies_bounded_and_exact(spark, sf_dir, tmp_path):
     group = {victim_id} | set(range(max_id + 1, max_id + 201))
     n_intra = sum(1 for r in got if r.doc_a in group and r.doc_b in group)
     assert n_intra == 201 * 200 // 2
+
+
+def test_int8_quantization_roundtrip_bound(spark, sf_dir):
+    """Dequantized codes must be within maxabs/254 of the original per
+    component, codes bounded in [-127, 127], and int8_dot must equal the
+    numpy integer dot of the same codes."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from big_data_computing_final_project_spark.operators.quantize import (
+        dequantize,
+        int8_dot,
+        max_abs,
+        quantize_int8,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    df = emb.select(
+        "vec_id",
+        e.alias("e"),
+        max_abs(e).alias("m"),
+        quantize_int8(e).alias("q"),
+    )
+    rows = df.withColumn("deq", dequantize(F.col("q"), F.col("m"))).collect()
+    for r in rows:
+        q = np.array(r.q)
+        assert np.abs(q).max() <= 127
+        err = np.abs(np.array(r.deq) - np.array(r.e)).max()
+        assert err <= r.m / 254 + 1e-12, (r.vec_id, err, r.m)
+    # integer dot kernel vs numpy
+    two = df.limit(2).collect()
+    got = (
+        df.limit(1)
+        .crossJoin(df.select(F.col("q").alias("q2")).limit(2).offset(1) if False else
+                   spark.createDataFrame([(two[1].q,)], "q2 array<int>"))
+        .select(int8_dot(F.col("q"), F.col("q2")).alias("d"))
+        .first()
+        .d
+    )
+    assert got == int(np.dot(np.array(two[0].q), np.array(two[1].q)))
+
+
+def test_bigram_lm_backoff_triggers(spark, sf_dir):
+    """Held-out docs must contain bigrams unseen in the train split, so
+    the backoff path is actually exercised, and every source's totals
+    must be positive integers."""
+    from big_data_computing_final_project_spark.plans.lm import q126_bigram_lm_score
+
+    rows = q126_bigram_lm_score(spark, sf_dir).collect()
+    assert rows, "no scored documents"
+    assert sum(r.n_backoff for r in rows) > 0
+    for r in rows:
+        assert r.total_score > 0 and r.n_docs > 0
