@@ -115,6 +115,41 @@ def quality_score(text: Column) -> Column:
     return len_component * 0.4 + punct_component * 0.3 + stop_component * 0.3
 
 
+# PII regex inventory for redact_pii. Kept to constructs with identical
+# semantics in Java regex and RE2 (literal classes, bounded repeats, no
+# backreferences/lookaround) so an oracle engine could mirror them.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\-. ]{7,}[0-9]",
+    "digit_run": r"[0-9]{6,}",
+}
+PII_MASK = "<pii>"
+
+
+def redact_pii(text: Column) -> Column:
+    """Mask emails, phone-like sequences, and long digit runs with a
+    sentinel. Chained regexp_replace — per-row, JVM-side, no shuffle; the
+    pattern order matters (emails first, so their digits never half-match
+    the phone pattern). The dictionary-driven variant (deny-list term
+    masking) is plans/curation.q129_term_mask."""
+    out = text
+    for pat in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pat, PII_MASK)
+    return out
+
+
+def pii_hits(text: Column) -> Column:
+    """Total count of PII pattern matches (audit signal). Counts along the
+    same progressive-redaction chain as redact_pii, so a digit run inside
+    an already-masked email is never double-counted."""
+    n = F.lit(0)
+    cur = text
+    for pat in PII_PATTERNS.values():
+        n = n + F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
+        cur = F.regexp_replace(cur, pat, PII_MASK)
+    return n
+
+
 def shingles_of_tokens(toks: Column, k: int = 3) -> Column:
     """Word k-shingles of a pre-tokenized array column -> array<string>
     (distinct). ``toks`` MUST be a plain column reference (select

@@ -576,3 +576,106 @@ def q125_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         isum(q).alias("sum_q"),
         isum(F.transform(q, lambda c: c.cast("bigint") * c)).alias("sum_q2"),
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# q131 — int8 retrieval top-k: q38's brute-force cosine run entirely on
+# q125's int8 codes — the serving path of a quantized ANN store. The
+# approximate cosine uses ONLY quantized quantities,
+#
+#     cos8(a, b) = dotq(a, b) / (sqrt(dotq(a,a)) * sqrt(dotq(b,b))),
+#
+# i.e. exact bigint integer dot products of the codes, normalized by the
+# code norms (the per-vector maxabs scales cancel in the ratio). Every
+# value is integer until one hardware-sqrt + one division — bit-identical
+# across engines, so unlike most ANN this approximation is fully
+# oracle-checkable. Ranking quality vs float cosine is pinned by
+# tests/test_dedup_similarity.py::test_int8_topk_recall_vs_exact.
+#
+# Scale shape: identical to q38 (broadcast query block, narrow map,
+# per-query ranking window) but the candidate side streams 4x fewer bytes
+# (int8 codes) and the inner loop is integer MAC — the DP4A/VNNI form; on
+# a 100 TB store the scan, shuffle, and cache all shrink 4x. Pair with
+# q39/q64 bucketing for sub-linear candidate generation.
+# ---------------------------------------------------------------------------
+
+_Q131_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+), m AS (
+  SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS maxabs FROM v
+), c AS (
+  SELECT vec_id,
+         list_transform(e, x -> CASE WHEN maxabs = 0 THEN 0
+                                ELSE CAST(floor(x * 127.0 / maxabs + 0.5) AS BIGINT)
+                                END) AS qv
+  FROM m
+), n AS (
+  SELECT vec_id, qv,
+         CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS q2 FROM c
+), q AS (
+  SELECT vec_id AS q_id, qv AS qqv, q2 AS qq2 FROM n WHERE vec_id < {_N_QUERIES}
+), scored AS (
+  SELECT q.q_id, n.vec_id AS cand_id,
+         CAST(list_sum(list_transform(list_zip(q.qqv, n.qv), p -> p[1] * p[2]))
+              AS BIGINT) AS dotq,
+         CAST(list_sum(list_transform(list_zip(q.qqv, n.qv), p -> p[1] * p[2]))
+              AS DOUBLE) / (sqrt(CAST(q.qq2 AS DOUBLE)) * sqrt(CAST(n.q2 AS DOUBLE)))
+           AS cos8
+  FROM q, n
+  WHERE n.vec_id != q.q_id AND q.qq2 > 0 AND n.q2 > 0
+)
+SELECT q_id, cand_id, dotq, cos8, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos8 DESC, cand_id) AS rk
+  FROM scored
+) WHERE rk <= {_K}
+ORDER BY q_id, rk
+"""
+
+
+@register("q131_int8_cosine_topk", oracle=_Q131_ORACLE)
+def q131_int8_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quantize import quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # stage codes + integer self-dot once; bigint codes so products never
+    # touch int overflow (127*127*64 fits easily, but mirror the oracle)
+    qv = F.transform(quantize_int8(as_double(F.col("embedding"))), lambda c: c.cast("bigint"))
+    n = emb.select(
+        "vec_id",
+        qv.alias("qv"),
+        F.aggregate(
+            qv, F.lit(0).cast("bigint"), lambda acc, x: acc + x * x
+        ).alias("q2"),
+    )
+    q = n.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("qv").alias("qqv"), F.col("q2").alias("qq2")
+    )
+    dotq = F.aggregate(
+        F.zip_with(F.col("qqv"), F.col("qv"), lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        F.broadcast(q)
+        .join(
+            n,
+            (F.col("vec_id") != F.col("q_id")) & (F.col("qq2") > 0) & (F.col("q2") > 0),
+        )
+        .select(
+            "q_id",
+            F.col("vec_id").alias("cand_id"),
+            dotq.alias("dotq"),
+            (
+                dotq.cast("double")
+                / (F.sqrt(F.col("qq2").cast("double")) * F.sqrt(F.col("q2").cast("double")))
+            ).alias("cos8"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos8").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _K)
+        .select("q_id", "cand_id", "dotq", "cos8", "rk")
+        .orderBy("q_id", "rk")
+    )

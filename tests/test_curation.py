@@ -1,0 +1,115 @@
+"""Corpus-curation surface (plans/curation.py, functions/text PII helpers).
+
+Oracle parity for q127-q130 runs via test_oracle_parity.py; these tests pin
+the *properties* the oracles can't see: determinism across runs, cap/sample
+invariants, and the regex-PII redactor on planted fixtures (the synthetic
+corpus contains no PII, so the redactor needs its own data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_computing_final_project_spark.functions import text as X
+from big_data_computing_final_project_spark.plans import all_queries
+
+_Q = all_queries()
+
+
+def test_redact_pii_planted(spark):
+    rows = [
+        ("a", "contact me at jane.doe+x@example.co.uk please"),
+        ("b", "call +1 (415) 555-0199 or 4155550199 now"),
+        ("c", "ssn-ish 123456789 and short 12345 stays"),
+        ("d", "clean text with no identifiers at all"),
+    ]
+    df = spark.createDataFrame(rows, ["k", "t"])
+    out = {
+        r["k"]: (r["red"], r["hits"])
+        for r in df.select(
+            "k",
+            X.redact_pii(F.col("t")).alias("red"),
+            X.pii_hits(F.col("t")).alias("hits"),
+        ).collect()
+    }
+    assert out["a"] == ("contact me at <pii> please", 1)
+    # the (415) form matches the phone pattern; the bare 10-digit run
+    # matches phone first (longer match wins at the same start offset)
+    assert out["b"][0] == "call <pii> or <pii> now"
+    assert out["b"][1] == 2
+    # 9-digit run masked, 5-digit run kept
+    assert out["c"] == ("ssn-ish <pii> and short 12345 stays", 1)
+    assert out["d"] == ("clean text with no identifiers at all", 0)
+
+
+def test_redact_pii_no_double_count(spark):
+    # an email whose local part contains a long digit run must count once
+    df = spark.createDataFrame([("x", "mail 123456789@example.com end")], ["k", "t"])
+    r = df.select(
+        X.redact_pii(F.col("t")).alias("red"), X.pii_hits(F.col("t")).alias("hits")
+    ).collect()[0]
+    assert r["red"] == "mail <pii> end"
+    assert r["hits"] == 1
+
+
+def test_q127_deterministic_and_bounded(spark, sf_dir):
+    a = _Q["q127_curriculum_sample"](spark, sf_dir).collect()
+    b = _Q["q127_curriculum_sample"](spark, sf_dir).collect()
+    assert a == b
+    totals = {
+        r["source"]: r["n_docs"]
+        for r in _Q["q103_mixture_weights"](spark, sf_dir).collect()
+    }
+    for r in a:
+        assert 0.0 < r["p_accept"] <= 1.0
+        assert 0 < r["n_kept"] <= totals[r["source"]]
+    # smallest source gets the max acceptance probability (temperature
+    # upsampling), and at least one source is actually subsampled
+    assert any(r["p_accept"] < 1.0 or r["n_kept"] < totals[r["source"]] for r in a)
+
+
+def test_q128_cap_invariants(spark, sf_dir):
+    rows = _Q["q128_per_source_cap"](spark, sf_dir).collect()
+    per_src: dict[str, list[int]] = {}
+    for r in rows:
+        per_src.setdefault(r["source"], []).append(r["rk"])
+    for rks in per_src.values():
+        assert rks == list(range(1, len(rks) + 1))
+        assert len(rks) <= 10
+    # deterministic across runs
+    assert rows == _Q["q128_per_source_cap"](spark, sf_dir).collect()
+
+
+def test_q129_mask_counts_match_manual(spark, sf_dir):
+    out = _Q["q129_term_mask"](spark, sf_dir)
+    joined = (
+        out.alias("m")
+        .join(
+            spark.read.parquet(f"{sf_dir}/documents.parquet").alias("d"),
+            "doc_id",
+        )
+        .select(
+            "m.n_masked",
+            F.size(
+                F.filter(
+                    X.tokens(F.col("d.text")),
+                    lambda t: t.isin("customer", "supplier"),
+                )
+            ).cast("bigint").alias("manual"),
+        )
+        .collect()
+    )
+    assert joined and all(r["n_masked"] == r["manual"] for r in joined)
+
+
+def test_q130_topk_ordered(spark, sf_dir):
+    rows = _Q["q130_tfidf_terms"](spark, sf_dir).collect()
+    per_src: dict[str, list] = {}
+    for r in rows:
+        per_src.setdefault(r["source"], []).append(r)
+    for rs in per_src.values():
+        assert len(rs) <= 5
+        scores = [r["score"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        for r in rs:
+            assert abs(r["score"] - r["tf"] / r["df"]) < 1e-12

@@ -327,3 +327,15 @@ def test_bigram_lm_backoff_triggers(spark, sf_dir):
     assert sum(r.n_backoff for r in rows) > 0
     for r in rows:
         assert r.total_score > 0 and r.n_docs > 0
+
+
+def test_int8_topk_recall_vs_exact(spark, sf_dir):
+    """Int8-quantized retrieval (q131) must nearly reproduce the float
+    top-5 (q38): per-vector symmetric quantization perturbs 64-dim cosines
+    by ~1/254 per component, far below typical neighbor gaps — so the
+    floor is high, unlike the bucketed ANN paths whose loss is structural."""
+    truth = {(r.q_id, r.cand_id) for r in _Q["q38_cosine_topk"](spark, sf_dir).collect()}
+    q8 = {(r.q_id, r.cand_id) for r in _Q["q131_int8_cosine_topk"](spark, sf_dir).collect()}
+    assert truth
+    recall = len(truth & q8) / len(truth)
+    assert recall >= 0.8, f"int8 recall {recall:.2f} below floor"
