@@ -562,19 +562,26 @@ ORDER BY vec_id
 
 @register("q125_int8_quantize", oracle=_Q125_ORACLE)
 def q125_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.quantize import max_abs, quantize_int8
+    from ..operators.quantize import max_abs, quantize_int8_of
 
     emb = load_table(spark, sf_dir, "embeddings")
-    e = as_double(F.col("embedding"))
-    q = quantize_int8(e)
     isum = lambda arr: F.aggregate(  # noqa: E731
         arr, F.lit(0).cast("bigint"), lambda acc, x: acc + x.cast("bigint")
     )
-    return emb.select(
+    # stage e -> maxabs -> codes so array_max runs once per row and the
+    # code array is built once, not once per consuming aggregate (see
+    # quantize_int8_of staging note)
+    staged = emb.select("vec_id", as_double(F.col("embedding")).alias("e")).select(
+        "vec_id", "e", max_abs(F.col("e")).alias("maxabs")
+    )
+    coded = staged.select(
+        "vec_id", "maxabs", quantize_int8_of(F.col("e"), F.col("maxabs")).alias("q")
+    )
+    return coded.select(
         "vec_id",
-        max_abs(e).alias("maxabs"),
-        isum(q).alias("sum_q"),
-        isum(F.transform(q, lambda c: c.cast("bigint") * c)).alias("sum_q2"),
+        "maxabs",
+        isum(F.col("q")).alias("sum_q"),
+        isum(F.transform(F.col("q"), lambda c: c.cast("bigint") * c)).alias("sum_q2"),
     ).orderBy("vec_id")
 
 
@@ -635,42 +642,61 @@ ORDER BY q_id, rk
 
 @register("q131_int8_cosine_topk", oracle=_Q131_ORACLE)
 def q131_int8_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.quantize import quantize_int8
+    from ..operators.quantize import max_abs, quantize_int8_of
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # stage codes + integer self-dot once; bigint codes so products never
-    # touch int overflow (127*127*64 fits easily, but mirror the oracle)
-    qv = F.transform(quantize_int8(as_double(F.col("embedding"))), lambda c: c.cast("bigint"))
-    n = emb.select(
+    # Staged quantization (see quantize_int8_of): maxabs as its own
+    # aliased projection so array_max runs once per ROW, not once per
+    # element; the zero-vector guard filters on maxabs (equivalent to the
+    # oracle's q2 > 0: maxabs = 0 <=> all codes 0, maxabs > 0 => the max
+    # element's code is exactly 127 => q2 >= 127^2) and pushes to the scan
+    # as a cheap O(d) predicate instead of recomputing the full code array.
+    e = emb.select("vec_id", as_double(F.col("embedding")).alias("e")).filter(
+        max_abs(F.col("e")) > 0
+    )
+    staged = e.select("vec_id", "e", max_abs(F.col("e")).alias("maxabs"))
+    # bigint codes so products never touch int overflow (127*127*64 fits
+    # easily, but mirror the oracle's BIGINT lists)
+    coded = staged.select(
         "vec_id",
-        qv.alias("qv"),
+        F.transform(
+            quantize_int8_of(F.col("e"), F.col("maxabs")), lambda c: c.cast("bigint")
+        ).alias("qv"),
+    )
+    n = coded.select(
+        "vec_id",
+        "qv",
         F.aggregate(
-            qv, F.lit(0).cast("bigint"), lambda acc, x: acc + x * x
+            F.col("qv"), F.lit(0).cast("bigint"), lambda acc, x: acc + x * x
         ).alias("q2"),
     )
     q = n.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("qv").alias("qqv"), F.col("q2").alias("qq2")
     )
-    dotq = F.aggregate(
-        F.zip_with(F.col("qqv"), F.col("qv"), lambda a, b: a * b),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-    scored = (
+    # integer dot staged once per pair; cos8's second reference keeps it
+    pairs = (
         F.broadcast(q)
-        .join(
-            n,
-            (F.col("vec_id") != F.col("q_id")) & (F.col("qq2") > 0) & (F.col("q2") > 0),
-        )
+        .join(n, F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",
             F.col("vec_id").alias("cand_id"),
-            dotq.alias("dotq"),
-            (
-                dotq.cast("double")
-                / (F.sqrt(F.col("qq2").cast("double")) * F.sqrt(F.col("q2").cast("double")))
-            ).alias("cos8"),
+            F.aggregate(
+                F.zip_with(F.col("qqv"), F.col("qv"), lambda a, b: a * b),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("dotq"),
+            "qq2",
+            "q2",
         )
+    )
+    scored = pairs.select(
+        "q_id",
+        "cand_id",
+        "dotq",
+        (
+            F.col("dotq").cast("double")
+            / (F.sqrt(F.col("qq2").cast("double")) * F.sqrt(F.col("q2").cast("double")))
+        ).alias("cos8"),
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos8").desc(), F.col("cand_id"))
     return (

@@ -143,3 +143,24 @@ def test_heavy_hitters_truncation_keeps_bounds_valid(spark, sf_dir):
     assert len(got) == 10
     for r in got:
         assert r["count_lo"] <= exact[r["item"]] <= r["count_hi"], r
+
+
+def test_hll_precision_sweep(spark, sf_dir):
+    """Datasketches HLL error budget vs lgConfigK: the estimate at each
+    precision must sit inside the published RSE bound (~1.04/sqrt(2^lgK),
+    3-sigma margin), and the widest-precision estimate must not be further
+    from exact than the 3-sigma envelope of the narrowest. Certifies the
+    knob q79's at-scale mode exposes: memory (2^lgK bytes/partition) buys
+    accuracy at a known exchange rate."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact = ev.select(F.countDistinct("user_id")).first()[0]
+    for lg_k in (8, 12, 16):
+        est = ev.select(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(lg_k)))
+        ).first()[0]
+        rse = 1.04 / (2 ** (lg_k / 2.0))
+        assert abs(est - exact) <= max(3 * rse * exact, 1.0), (
+            f"lgK={lg_k}: est {est} vs exact {exact} outside 3-sigma ({rse=})"
+        )
