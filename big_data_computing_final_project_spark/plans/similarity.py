@@ -68,11 +68,15 @@ ORDER BY q_id, rk
 
 @register("q38_cosine_topk", oracle=_Q38_ORACLE)
 def q38_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # norms staged per SIDE (aliased columns referenced again post-join):
+    # computing norm(e) inside the pair projection would re-fold each
+    # candidate's self-dot once per query (n_queries x redundant work)
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("e")
     )
+    emb = emb.select("vec_id", "e", norm(F.col("e")).alias("nc"))
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("e").alias("qe")
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), F.col("nc").alias("nq")
     )
     scored = (
         F.broadcast(q)
@@ -80,10 +84,9 @@ def q38_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             F.col("vec_id").alias("cand_id"),
-            # same structure as the oracle: dot / (sqrt(nq) * sqrt(nc))
-            (dot(F.col("qe"), F.col("e")) / (norm(F.col("qe")) * norm(F.col("e")))).alias(
-                "cos_sim"
-            ),
+            # same structure as the oracle: dot / (sqrt(nq) * sqrt(nc));
+            # norm() IS sqrt(self-dot), so staged columns keep the value
+            (dot(F.col("qe"), F.col("e")) / (F.col("nq") * F.col("nc"))).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
@@ -145,9 +148,16 @@ def q39_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", assert_dim(as_double(F.col("embedding")), _DIM).alias("e")
     )
-    emb = emb.withColumn("bucket", bucket_of(F.col("e"), planes))
+    # stage per-row norm + bucket before the probe join (see q38: a norm
+    # inside the pair projection re-folds per probe hit)
+    emb = emb.select("vec_id", "e", norm(F.col("e")).alias("nc")).withColumn(
+        "bucket", bucket_of(F.col("e"), planes)
+    )
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), F.col("bucket").alias("qb")
+        F.col("vec_id").alias("q_id"),
+        F.col("e").alias("qe"),
+        F.col("nc").alias("nq"),
+        F.col("bucket").alias("qb"),
     )
     # multi-probe: query bucket plus its 8 Hamming-1 neighbors
     probes = F.array(
@@ -160,9 +170,7 @@ def q39_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             F.col("vec_id").alias("cand_id"),
-            (dot(F.col("qe"), F.col("e")) / (norm(F.col("qe")) * norm(F.col("e")))).alias(
-                "cos_sim"
-            ),
+            (dot(F.col("qe"), F.col("e")) / (F.col("nq") * F.col("nc"))).alias("cos_sim"),
         )
         .distinct()
     )
@@ -321,14 +329,20 @@ def q64_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         array_to_vector(F.col("embedding").cast("array<double>")).alias("vec"),
     )
     km = KMeans(featuresCol="vec", k=_IVF_NLIST, seed=42, predictionCol="cell").fit(emb)
-    assigned = km.transform(emb).select("vec_id", "e", "cell").cache()
+    # stage per-row norm with the cell assignment (see q38: a norm inside
+    # the pair projection re-folds per probe hit)
+    assigned = (
+        km.transform(emb)
+        .select("vec_id", "e", norm(F.col("e")).alias("nc"), "cell")
+        .cache()
+    )
 
     centroids = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())],
         "cell int, centroid array<double>",
     )
     q = assigned.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("e").alias("qe")
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), F.col("nc").alias("nq")
     )
     # rank centroids per query by cosine, keep the top nprobe cells
     qc = (
@@ -336,16 +350,17 @@ def q64_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             "qe",
+            "nq",
             "cell",
             (dot(F.col("qe"), F.col("centroid"))
-             / (norm(F.col("qe")) * norm(F.col("centroid")))).alias("c_sim"),
+             / (F.col("nq") * norm(F.col("centroid")))).alias("c_sim"),
         )
     )
     wq = Window.partitionBy("q_id").orderBy(F.col("c_sim").desc(), F.col("cell"))
     probes = (
         qc.withColumn("rk", F.row_number().over(wq))
         .filter(F.col("rk") <= _IVF_NPROBE)
-        .select("q_id", "qe", "cell")
+        .select("q_id", "qe", "nq", "cell")
     )
     scored = (
         probes.join(assigned, "cell")
@@ -353,9 +368,7 @@ def q64_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             F.col("vec_id").alias("cand_id"),
-            (dot(F.col("qe"), F.col("e")) / (norm(F.col("qe")) * norm(F.col("e")))).alias(
-                "cos_sim"
-            ),
+            (dot(F.col("qe"), F.col("e")) / (F.col("nq") * F.col("nc"))).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
