@@ -283,3 +283,206 @@ def q130_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", F.col("t").alias("term"), "tf", "df", "score", "rk")
         .orderBy("source", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# q132 — the end-to-end corpus-build funnel: the composite a training-data
+# pipeline actually ships, chaining four operator families the registry
+# otherwise certifies in isolation —
+#
+#   raw (train split, q75's md5 bucket < 80)
+#     -> quality gate       (q33's composite score >= 0.5)
+#     -> exact dedup        (q34's md5 fingerprint, min-doc_id keeper)
+#     -> decontamination    (q102's shingle containment vs the bench split)
+#     -> curriculum sample  (q127's derived temperature rates, md5 accept)
+#
+# Output is the per-source funnel report (survivor count after each stage,
+# sampled token total, acceptance probability). Every stage is
+# deterministic, so the whole five-stage composite is oracle-paired — the
+# certificate that the operators COMPOSE exactly, not just pass alone.
+#
+# Scale: quality/bucket/uniform are narrow codegen'd maps; dedup is one
+# shuffle on the fingerprint; decontamination broadcasts the bench split's
+# shingle postings (small by construction — a fixed eval suite); sampling
+# broadcasts the ~|sources| rate table; the five per-stage aggregates are
+# |sources|-row frames joined at the end. No stage shuffles raw text more
+# than once.
+# ---------------------------------------------------------------------------
+
+_F_QUALITY_T = 0.5
+_F_B_TRAIN, _F_B_BENCH = 80, 90  # q75 split: <80 train, >=90 test(=bench)
+_F_CONTAIN_T = 0.5
+
+_SQL_BUCKET = f"CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100"
+_SQL_SHINGLES3 = (
+    "list_distinct(list_transform(range(greatest(len(toks)-2, 1)), "
+    "i -> array_to_string(toks[i+1:i+3], ' ')))"
+)
+
+
+def _q132_oracle() -> str:
+    from .textops import _SQL_PUNCT_RATIO, _SQL_STOP_RATIO
+
+    quality = (
+        f"least(length(text) / 500.0, 1.0) * 0.4"
+        f" + (1.0 - least({_SQL_PUNCT_RATIO} * 5.0, 1.0)) * 0.3"
+        f" + least({_SQL_STOP_RATIO} * 5.0, 1.0) * 0.3"
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, source, text, {_SQL_TOKS} AS toks,
+         {_SQL_BUCKET} AS b, {_sql_u60("doc_id")} AS u,
+         CAST(len({_SQL_TOKS}) AS BIGINT) AS n_toks,
+         {quality} AS quality,
+         md5({_SQL_NORM}) AS fp
+  FROM documents
+), train AS (SELECT * FROM base WHERE b < {_F_B_TRAIN}),
+qual AS (SELECT * FROM train WHERE quality >= {_F_QUALITY_T}),
+ded AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM qual
+  ) WHERE rn = 1
+),
+bench AS (
+  SELECT doc_id, {_SQL_SHINGLES3} AS sh FROM base WHERE b >= {_F_B_BENCH}
+),
+exd AS (SELECT d.doc_id, unnest({_SQL_SHINGLES3}) AS s FROM ded d),
+exb AS (SELECT doc_id, unnest(sh) AS s FROM bench),
+pairs AS (
+  SELECT exd.doc_id AS train_doc, exb.doc_id AS bench_doc, COUNT(*) AS common
+  FROM exd JOIN exb ON exd.s = exb.s GROUP BY 1, 2
+),
+contaminated AS (
+  SELECT DISTINCT train_doc FROM pairs
+  JOIN (SELECT doc_id, len(sh) AS n FROM bench) lb ON lb.doc_id = pairs.bench_doc
+  WHERE CAST(common AS DOUBLE) / lb.n >= {_F_CONTAIN_T}
+),
+clean AS (
+  SELECT * FROM ded WHERE doc_id NOT IN (SELECT train_doc FROM contaminated)
+),
+rates AS (
+  SELECT source,
+         least(1.0, 0.5 * sqrt(CAST(MAX(src_tokens) OVER () AS DOUBLE)
+                               / CAST(src_tokens AS DOUBLE))) AS p_accept
+  FROM (SELECT source, CAST(SUM(n_toks) AS BIGINT) AS src_tokens
+        FROM clean GROUP BY source)
+),
+samp AS (
+  SELECT clean.* FROM clean JOIN rates USING (source) WHERE u < rates.p_accept
+)
+SELECT t.source,
+       CAST(t.n AS BIGINT) AS n_raw,
+       CAST(COALESCE(q.n, 0) AS BIGINT) AS n_quality,
+       CAST(COALESCE(d.n, 0) AS BIGINT) AS n_dedup,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_clean,
+       CAST(COALESCE(s.n, 0) AS BIGINT) AS n_sampled,
+       CAST(COALESCE(s.toks, 0) AS BIGINT) AS sampled_tokens,
+       r.p_accept
+FROM (SELECT source, COUNT(*) AS n FROM train GROUP BY source) t
+LEFT JOIN (SELECT source, COUNT(*) AS n FROM qual GROUP BY source) q USING (source)
+LEFT JOIN (SELECT source, COUNT(*) AS n FROM ded GROUP BY source) d USING (source)
+LEFT JOIN (SELECT source, COUNT(*) AS n FROM clean GROUP BY source) c USING (source)
+LEFT JOIN (SELECT source, COUNT(*) AS n, SUM(n_toks) AS toks
+           FROM samp GROUP BY source) s USING (source)
+LEFT JOIN rates r USING (source)
+ORDER BY t.source
+"""
+
+
+@register("q132_corpus_funnel", oracle=_q132_oracle())
+def q132_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+            "bigint"
+        )
+        % 100
+    )
+    base = docs.select(
+        "doc_id",
+        "source",
+        X.tokens(F.col("text")).alias("toks"),
+        bucket.alias("b"),
+        _u60(F.col("doc_id")).alias("u"),
+        X.token_count(F.col("text")).cast("bigint").alias("n_toks"),
+        X.quality_score(F.col("text")).alias("quality"),
+        X.fingerprint(F.col("text")).alias("fp"),
+    )
+    train = base.filter(F.col("b") < _F_B_TRAIN)
+    qual = train.filter(F.col("quality") >= _F_QUALITY_T)
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    ded = qual.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    bench = base.filter(F.col("b") >= _F_B_BENCH).select(
+        "doc_id", X.shingles_of_tokens(F.col("toks"), 3).alias("sh")
+    )
+    # outer-explodes dodge the inferred size()>0 generator re-inlining
+    # (NOTES.md); shingles never null here so no null-row filter needed on
+    # counts — but keep the guard for symmetry with q102/q121
+    exd = ded.select(
+        F.col("doc_id").alias("train_doc"),
+        F.explode_outer(X.shingles_of_tokens(F.col("toks"), 3)).alias("s"),
+    ).filter(F.col("s").isNotNull())
+    exb = bench.select(
+        F.col("doc_id").alias("bench_doc"), F.explode_outer("sh").alias("s")
+    ).filter(F.col("s").isNotNull())
+    pairs = (
+        exd.join(F.broadcast(exb), "s")
+        .groupBy("train_doc", "bench_doc")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    bench_n = bench.select(F.col("doc_id").alias("bench_doc"), F.size("sh").alias("n"))
+    contaminated = (
+        pairs.join(F.broadcast(bench_n), "bench_doc")
+        .filter(F.col("common").cast("double") / F.col("n") >= _F_CONTAIN_T)
+        .select("train_doc")
+        .distinct()
+    )
+    clean = ded.join(
+        contaminated, ded.doc_id == contaminated.train_doc, "left_anti"
+    )
+    src_tokens = clean.groupBy("source").agg(
+        F.sum("n_toks").cast("bigint").alias("src_tokens")
+    )
+    wall = Window.partitionBy()
+    rates = src_tokens.select(
+        "source",
+        F.least(
+            F.lit(1.0),
+            F.lit(0.5)
+            * F.sqrt(
+                F.max("src_tokens").over(wall).cast("double")
+                / F.col("src_tokens").cast("double")
+            ),
+        ).alias("p_accept"),
+    )
+    samp = clean.join(F.broadcast(rates), "source").filter(F.col("u") < F.col("p_accept"))
+
+    def _n(df: DataFrame, name: str) -> DataFrame:
+        return df.groupBy("source").agg(F.count(F.lit(1)).alias(name))
+
+    out = (
+        _n(train, "n_raw")
+        .join(_n(qual, "n_quality"), "source", "left")
+        .join(_n(ded, "n_dedup"), "source", "left")
+        .join(_n(clean, "n_clean"), "source", "left")
+        .join(
+            samp.groupBy("source").agg(
+                F.count(F.lit(1)).alias("n_sampled"),
+                F.sum("n_toks").cast("bigint").alias("sampled_tokens"),
+            ),
+            "source",
+            "left",
+        )
+        .join(rates, "source", "left")
+    )
+    z = F.lit(0).cast("bigint")
+    return out.select(
+        "source",
+        F.col("n_raw").cast("bigint").alias("n_raw"),
+        F.coalesce(F.col("n_quality"), z).cast("bigint").alias("n_quality"),
+        F.coalesce(F.col("n_dedup"), z).cast("bigint").alias("n_dedup"),
+        F.coalesce(F.col("n_clean"), z).cast("bigint").alias("n_clean"),
+        F.coalesce(F.col("n_sampled"), z).cast("bigint").alias("n_sampled"),
+        F.coalesce(F.col("sampled_tokens"), z).cast("bigint").alias("sampled_tokens"),
+        "p_accept",
+    ).orderBy("source")

@@ -113,3 +113,73 @@ def test_q130_topk_ordered(spark, sf_dir):
         assert scores == sorted(scores, reverse=True)
         for r in rs:
             assert abs(r["score"] - r["tf"] / r["df"]) < 1e-12
+
+
+def test_q132_funnel_stages_on_planted_corpus(spark, tmp_path):
+    """Every funnel stage must fire: plant a corpus with a known-bad doc
+    (quality), an exact duplicate pair (dedup), and a doc containing a
+    bench-split document's shingles (decontamination) — then require the
+    Spark funnel to hash-match the DuckDB oracle on the SAME planted data
+    (the sf tables contain no exact dups, so this is where the dedup and
+    decontam stages earn their counts)."""
+    import hashlib
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_computing_final_project_spark.plans import all_oracles
+    from tools.check_oracle import frame_digest
+
+    def bucket(i: int) -> int:
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % 100
+
+    train_ids = [i for i in range(400) if bucket(i) < 80]
+    bench_ids = [i for i in range(400) if bucket(i) >= 90]
+    good = "the data is good and it is fine for the test " * 8
+    bench_text = "alpha beta gamma delta epsilon zeta"
+    contaminated = good + bench_text
+    rows = [
+        # srcA: two good docs + one exact duplicate pair member + one junk
+        (train_ids[0], good + "one", "en", "srcA"),
+        (train_ids[1], good + "two", "en", "srcA"),
+        (train_ids[2], good + "two", "en", "srcA"),   # dup of previous
+        (train_ids[3], "@@@@ ####", "en", "srcA"),    # fails quality
+        # srcB: a good doc + the contaminated doc
+        (train_ids[4], good + "three", "en", "srcB"),
+        (train_ids[5], contaminated, "en", "srcB"),
+        # bench split: the eval document
+        (bench_ids[0], bench_text, "en", "benchsrc"),
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    sdf = _Q["q132_corpus_funnel"](spark, str(tmp_path))
+    srows = {r["source"]: r for r in sdf.collect()}
+
+    a = srows["srcA"]
+    assert (a["n_raw"], a["n_quality"], a["n_dedup"]) == (4, 3, 2)
+    assert a["n_clean"] == 2  # nothing contaminated in srcA
+    b = srows["srcB"]
+    assert (b["n_raw"], b["n_quality"], b["n_dedup"]) == (2, 2, 2)
+    assert b["n_clean"] == 1  # the planted contaminated doc dropped
+    assert "benchsrc" not in srows  # bench split is not part of the corpus
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    res = con.sql(all_oracles()["q132_corpus_funnel"])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    got = [tuple(r) for r in sdf.collect()]
+    assert len(got) == len(drows)
+    assert frame_digest(sdf.columns, got) == frame_digest(dcols, drows)
