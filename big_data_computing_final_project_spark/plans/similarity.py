@@ -718,3 +718,86 @@ def q131_int8_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "cand_id", "dotq", "cos8", "rk")
         .orderBy("q_id", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# q133 — quantized-store ANN: q39's multi-probe hyperplane bucketing
+# composed with q131's integer-dot scoring, reading ONLY the int8 code
+# store (buckets are computed from the codes: per-vector scales are
+# positive, so sign(dot(codes, plane)) == sign(dot(e, plane)) except for
+# near-zero projections the LSH already treats as noise). This is the
+# actual 100 TB serving path: sub-linear candidate generation AND a 4x
+# smaller store — float embeddings never leave cold storage.
+# Rows-only like q39/q64 (recall < 1 by design);
+# tests/test_dedup_similarity.py::test_int8_bucketed_ann_recall pins the
+# recall floor vs float brute force (q38).
+# ---------------------------------------------------------------------------
+
+
+@register("q133_int8_ann_topk")
+def q133_int8_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quantize import max_abs, quantize_int8_of
+
+    planes = _hyperplanes()
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", assert_dim(as_double(F.col("embedding")), _DIM).alias("e")
+    ).filter(max_abs(F.col("e")) > 0)
+    staged = e.select("vec_id", "e", max_abs(F.col("e")).alias("maxabs"))
+    coded = staged.select(
+        "vec_id",
+        F.transform(
+            quantize_int8_of(F.col("e"), F.col("maxabs")), lambda c: c.cast("bigint")
+        ).alias("qv"),
+    )
+    # everything below this line touches ONLY the code store
+    qd = F.transform(F.col("qv"), lambda c: c.cast("double"))
+    n = coded.select(
+        "vec_id",
+        "qv",
+        F.aggregate(
+            F.col("qv"), F.lit(0).cast("bigint"), lambda acc, x: acc + x * x
+        ).alias("q2"),
+        bucket_of(qd, planes).alias("bucket"),
+    )
+    q = n.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("qv").alias("qqv"),
+        F.col("q2").alias("qq2"),
+        F.col("bucket").alias("qb"),
+    )
+    probes = F.array(
+        F.col("qb"), *[F.col("qb").bitwiseXOR(F.lit(1 << i)) for i in range(_N_PLANES)]
+    )
+    q = q.withColumn("probe", F.explode(probes))
+    pairs = (
+        F.broadcast(q)
+        .join(n, (F.col("bucket") == F.col("probe")) & (F.col("vec_id") != F.col("q_id")))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("cand_id"),
+            F.aggregate(
+                F.zip_with(F.col("qqv"), F.col("qv"), lambda a, b: a * b),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("dotq"),
+            "qq2",
+            "q2",
+        )
+        .distinct()
+    )
+    scored = pairs.select(
+        "q_id",
+        "cand_id",
+        (
+            F.col("dotq").cast("double")
+            / (F.sqrt(F.col("qq2").cast("double")) * F.sqrt(F.col("q2").cast("double")))
+        ).alias("cos8"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos8").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _K)
+        .select("q_id", "cand_id", "cos8", "rk")
+        .orderBy("q_id", "rk")
+    )

@@ -339,3 +339,27 @@ def test_int8_topk_recall_vs_exact(spark, sf_dir):
     assert truth
     recall = len(truth & q8) / len(truth)
     assert recall >= 0.8, f"int8 recall {recall:.2f} below floor"
+
+
+def test_int8_bucketed_ann_recall(spark, sf_dir):
+    """The fully-quantized serving path (q133: bucket AND score from int8
+    codes only) must keep the bucketed-ANN recall floor vs float brute
+    force — quantization may flip near-zero hyperplane projections, but
+    those sit on bucket boundaries the LSH already treats as noise."""
+    truth = {(r.q_id, r.cand_id) for r in _Q["q38_cosine_topk"](spark, sf_dir).collect()}
+    got = {(r.q_id, r.cand_id) for r in _Q["q133_int8_ann_topk"](spark, sf_dir).collect()}
+    assert truth
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.3, f"int8 bucketed ANN recall {recall:.2f} below floor"
+
+
+def test_int8_bucketed_matches_int8_brute_within_buckets(spark, sf_dir):
+    """q133's scores must be exactly q131's cos8 for every emitted pair
+    (same integer arithmetic; bucketing only restricts the candidate set)."""
+    brute = {
+        (r.q_id, r.cand_id): r.cos8
+        for r in _Q["q131_int8_cosine_topk"](spark, sf_dir).collect()
+    }
+    for r in _Q["q133_int8_ann_topk"](spark, sf_dir).collect():
+        if (r.q_id, r.cand_id) in brute:
+            assert r.cos8 == brute[(r.q_id, r.cand_id)]
