@@ -408,43 +408,71 @@ def q132_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         X.quality_score(F.col("text")).alias("quality"),
         X.fingerprint(F.col("text")).alias("fp"),
     )
+    # Stage FLAGS on one frame instead of one filtered frame per stage:
+    # per-stage aggregates as separate frames would each re-execute the
+    # whole scan+tokenize lineage (~9 documents traversals; this shape
+    # does 3 — flag aggregate, contamination explode, sampling pass —
+    # measured 4.0s -> 3.1s at sf0.1, and at 100 TB the traversal count is
+    # the whole game; a long-lived pipeline would persist `enriched` and
+    # get to 1). The dedup rank partitions on (fp, pass_q) so keeper
+    # status is computable in the same window without pre-filtering to
+    # quality survivors — junk docs rank among themselves and can't steal
+    # rank 1.
     train = base.filter(F.col("b") < _F_B_TRAIN)
-    qual = train.filter(F.col("quality") >= _F_QUALITY_T)
-    w = Window.partitionBy("fp").orderBy("doc_id")
-    ded = qual.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    w = Window.partitionBy("fp", "pass_q").orderBy("doc_id")
+    flagged = train.withColumn(
+        "pass_q", F.col("quality") >= _F_QUALITY_T
+    ).withColumn("keeper", F.col("pass_q") & (F.row_number().over(w) == 1))
     bench = base.filter(F.col("b") >= _F_B_BENCH).select(
         "doc_id", X.shingles_of_tokens(F.col("toks"), 3).alias("sh")
     )
     # outer-explodes dodge the inferred size()>0 generator re-inlining
     # (NOTES.md); shingles never null here so no null-row filter needed on
     # counts — but keep the guard for symmetry with q102/q121
-    exd = ded.select(
-        F.col("doc_id").alias("train_doc"),
-        F.explode_outer(X.shingles_of_tokens(F.col("toks"), 3)).alias("s"),
-    ).filter(F.col("s").isNotNull())
+    exd = (
+        flagged.filter(F.col("keeper"))
+        .select(
+            F.col("doc_id").alias("train_doc"),
+            F.explode_outer(X.shingles_of_tokens(F.col("toks"), 3)).alias("s"),
+        )
+        .filter(F.col("s").isNotNull())
+    )
+    # single bench traversal: the shingle count rides along with each
+    # exploded posting, so no second bench scan for the denominators
     exb = bench.select(
-        F.col("doc_id").alias("bench_doc"), F.explode_outer("sh").alias("s")
+        F.col("doc_id").alias("bench_doc"),
+        F.size("sh").alias("bn"),
+        F.explode_outer("sh").alias("s"),
     ).filter(F.col("s").isNotNull())
     pairs = (
         exd.join(F.broadcast(exb), "s")
         .groupBy("train_doc", "bench_doc")
-        .agg(F.count(F.lit(1)).alias("common"))
+        .agg(F.count(F.lit(1)).alias("common"), F.any_value(F.col("bn")).alias("n"))
     )
-    bench_n = bench.select(F.col("doc_id").alias("bench_doc"), F.size("sh").alias("n"))
     contaminated = (
-        pairs.join(F.broadcast(bench_n), "bench_doc")
-        .filter(F.col("common").cast("double") / F.col("n") >= _F_CONTAIN_T)
+        pairs.filter(F.col("common").cast("double") / F.col("n") >= _F_CONTAIN_T)
         .select("train_doc")
         .distinct()
     )
-    clean = ded.join(
-        contaminated, ded.doc_id == contaminated.train_doc, "left_anti"
-    )
-    src_tokens = clean.groupBy("source").agg(
-        F.sum("n_toks").cast("bigint").alias("src_tokens")
+    enriched = flagged.join(
+        F.broadcast(contaminated.withColumn("is_cont", F.lit(True))),
+        flagged.doc_id == contaminated.train_doc,
+        "left",
+    ).withColumn("clean", F.col("keeper") & F.col("is_cont").isNull())
+    # ONE conditional aggregate yields every stage count plus the clean
+    # token sums the rate table needs; rates then derive from this 20-row
+    # frame (window over sources), no second corpus pass
+    agg = enriched.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(F.col("pass_q").cast("bigint")).alias("n_quality"),
+        F.sum(F.col("keeper").cast("bigint")).alias("n_dedup"),
+        F.sum(F.col("clean").cast("bigint")).alias("n_clean"),
+        F.sum(F.when(F.col("clean"), F.col("n_toks")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("src_tokens"),
     )
     wall = Window.partitionBy()
-    rates = src_tokens.select(
+    rates = agg.filter(F.col("n_clean") > 0).select(
         "source",
         F.least(
             F.lit(1.0),
@@ -455,34 +483,31 @@ def q132_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("p_accept"),
     )
-    samp = clean.join(F.broadcast(rates), "source").filter(F.col("u") < F.col("p_accept"))
-
-    def _n(df: DataFrame, name: str) -> DataFrame:
-        return df.groupBy("source").agg(F.count(F.lit(1)).alias(name))
-
-    out = (
-        _n(train, "n_raw")
-        .join(_n(qual, "n_quality"), "source", "left")
-        .join(_n(ded, "n_dedup"), "source", "left")
-        .join(_n(clean, "n_clean"), "source", "left")
-        .join(
-            samp.groupBy("source").agg(
-                F.count(F.lit(1)).alias("n_sampled"),
-                F.sum("n_toks").cast("bigint").alias("sampled_tokens"),
-            ),
-            "source",
-            "left",
+    # the sampling pass is the one unavoidable second corpus traversal
+    # (per-doc u < p with p derived from a corpus aggregate)
+    samp = (
+        enriched.filter(F.col("clean"))
+        .join(F.broadcast(rates), "source")
+        .filter(F.col("u") < F.col("p_accept"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_toks").cast("bigint").alias("sampled_tokens"),
         )
-        .join(rates, "source", "left")
     )
     z = F.lit(0).cast("bigint")
-    return out.select(
-        "source",
-        F.col("n_raw").cast("bigint").alias("n_raw"),
-        F.coalesce(F.col("n_quality"), z).cast("bigint").alias("n_quality"),
-        F.coalesce(F.col("n_dedup"), z).cast("bigint").alias("n_dedup"),
-        F.coalesce(F.col("n_clean"), z).cast("bigint").alias("n_clean"),
-        F.coalesce(F.col("n_sampled"), z).cast("bigint").alias("n_sampled"),
-        F.coalesce(F.col("sampled_tokens"), z).cast("bigint").alias("sampled_tokens"),
-        "p_accept",
-    ).orderBy("source")
+    return (
+        agg.join(samp, "source", "left")
+        .join(rates, "source", "left")
+        .select(
+            "source",
+            F.col("n_raw").cast("bigint").alias("n_raw"),
+            F.col("n_quality").cast("bigint").alias("n_quality"),
+            F.col("n_dedup").cast("bigint").alias("n_dedup"),
+            F.col("n_clean").cast("bigint").alias("n_clean"),
+            F.coalesce(F.col("n_sampled"), z).cast("bigint").alias("n_sampled"),
+            F.coalesce(F.col("sampled_tokens"), z).cast("bigint").alias("sampled_tokens"),
+            "p_accept",
+        )
+        .orderBy("source")
+    )
