@@ -404,3 +404,47 @@ def q104_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").alias("n_active"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# q134 — per-window source-mix shares (the mixture MONITOR to q103's
+# mixture WEIGHTS): for every event-time hour, each event type's share of
+# the window's traffic. The batch twin of the streaming ingest-drift
+# monitor (streaming/events.mixture_from_store pins the upsert-store
+# variant equal to this query): a corpus pipeline watches these shares to
+# catch source-mix drift while data is still arriving. share is one
+# bigint/bigint division — cross-engine exact.
+# Scale: one partial-aggregated groupBy on (window, type); the share
+# window function runs over the already-aggregated (hours x types) frame.
+# ---------------------------------------------------------------------------
+
+_Q134_ORACLE = """
+WITH c AS (
+  SELECT date_trunc('hour', ts) AS window_start, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start, event_type, n_events,
+       CAST(n_events AS DOUBLE)
+         / CAST(SUM(n_events) OVER (PARTITION BY window_start) AS DOUBLE) AS share
+FROM c
+ORDER BY window_start, event_type
+"""
+
+
+@register("q134_window_mixture", oracle=_Q134_ORACLE)
+def q134_window_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    ww = Window.partitionBy("window_start")
+    return (
+        c.withColumn(
+            "share",
+            F.col("n_events").cast("double") / F.sum("n_events").over(ww).cast("double"),
+        )
+        .orderBy("window_start", "event_type")
+    )

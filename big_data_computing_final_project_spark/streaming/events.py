@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -370,4 +370,24 @@ def dq_store_report(spark: SparkSession, store_dir: str) -> DataFrame:
             F.sum("n_checked").alias("n_checked"),
         )
         .orderBy("constraint")
+    )
+
+
+def mixture_from_store(spark: SparkSession, store_dir: str) -> DataFrame:
+    """q134's per-window mixture shares derived from an upsert store of
+    streamed tumbling counts (run_stream_upsert over tumbling_counts keyed
+    by (window_start, event_type)) — the ingest-drift monitor: the store
+    is updated per micro-batch, and once the backlog drains this report
+    equals the batch q134 exactly (pytest-pinned). The share division runs
+    over the kilobyte-sized store, never the event stream."""
+    c = spark.read.parquet(f"{store_dir}/data").select(
+        "window_start", "event_type", F.col("n_events").cast("bigint").alias("n_events")
+    )
+    ww = Window.partitionBy("window_start")
+    return (
+        c.withColumn(
+            "share",
+            F.col("n_events").cast("double") / F.sum("n_events").over(ww).cast("double"),
+        )
+        .orderBy("window_start", "event_type")
     )

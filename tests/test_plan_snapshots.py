@@ -37,7 +37,7 @@ PLAN_ONLY = {
     "q73", "q75", "q76", "q77", "q78", "q79", "q80", "q81", "q82", "q83",
     "q84", "q85", "q86", "q87", "q88", "q89", "q90", "q91", "q92", "q93",
     "q94", "q95", "q96", "q97", "q98", "q99", "q100", "q102", "q103",
-    "q104", "q105", "q106", "q107", "q108", "q109", "q110", "q111", "q112",
+    "q104", "q105", "q106", "q107", "q108", "q109", "q110", "q111", "q112", "q134",
     "q113", "q114", "q115", "q116", "q117", "q118", "q119", "q120", "q121",
     "q122", "q125", "q126", "q127", "q128", "q129", "q130", "q131", "q132", "q133",
 }

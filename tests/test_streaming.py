@@ -260,3 +260,27 @@ def test_stream_dq_audit_store_equals_batch_audit(spark, sf_dir, tmp_path):
         for r in check_predicates(load_table(spark, sf_dir, "events"), checks).collect()
     }
     assert got == want and want["nonnull_user"][1] > 0
+
+
+def test_stream_mixture_monitor_equals_batch(spark, sf_dir, tmp_path):
+    """Ingest-drift mixture monitor: stream tumbling counts into the keyed
+    upsert store, then the store-derived per-window shares must equal the
+    batch q134 exactly once the backlog drains."""
+    from big_data_computing_final_project_spark.streaming.events import (
+        mixture_from_store,
+        run_stream_upsert,
+        stream_events,
+        tumbling_counts,
+    )
+
+    counts = tumbling_counts(stream_events(spark, sf_dir)).select(
+        "window_start", "event_type", "n_events"
+    )
+    out = str(tmp_path / "mixstore")
+    run_stream_upsert(counts, ["window_start", "event_type"], out, str(tmp_path / "ckpt"))
+
+    got = [tuple(r) for r in mixture_from_store(spark, out).collect()]
+    want = [
+        tuple(r) for r in all_queries()["q134_window_mixture"](spark, sf_dir).collect()
+    ]
+    assert got == want and len(got) > 0
