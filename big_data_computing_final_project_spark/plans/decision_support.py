@@ -1,7 +1,7 @@
 """Decision-support query shapes: correlated subqueries, nested semi/anti
 joins, scalar-subquery HAVING, disjunctive pushdown (SURVEY.md §2.5/§2.6/§2.7
 extension surface; shapes modeled on the classic TPC-H Q2/Q11/Q13/Q14/Q15/
-Q17/Q18/Q19/Q20/Q21/Q22 suite, adapted to the driver's schema — no partsupp
+Q17/Q18/Q19/Q20/Q21/Q22 suite — plus the Q3-Q10/Q16 completions q135-q142 — adapted to the driver's schema — no partsupp
 table, no commit/receipt dates).
 
 These exercise the *query capability* half of the engine: Catalyst's
@@ -505,4 +505,384 @@ def q116_sole_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
         .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q135 — shipping-priority top-10 (TPC-H Q3 shape; q03 is the static
+# rollup cousin, this is the real Q3: as-of-date order screening + grouped
+# revenue + top-k). BUILDING-segment orders placed before the cutoff whose
+# lines ship after it, ranked by outstanding revenue. Scale plan: customer
+# (filtered) broadcasts into orders, the fact-fact join shuffles on
+# orderkey, revenue is a partial+final decimal agg, and the top-10 is
+# TakeOrderedAndProject — no global sort.
+# ---------------------------------------------------------------------------
+
+_Q135_CUTOFF = "1998-01-01"
+
+_Q135_ORACLE = f"""
+SELECT o.o_orderkey, o.o_orderdate,
+       {sql_dec_sum('l.l_extendedprice * (1 - l.l_discount)', 6)} AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '{_Q135_CUTOFF}'
+  AND l.l_shipdate > TIMESTAMP '{_Q135_CUTOFF}'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+@register("q135_shipping_priority", oracle=_Q135_ORACLE)
+def q135_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit(_Q135_CUTOFF).cast("timestamp_ntz")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), 6
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q136 — order-priority checking (TPC-H Q4 shape: EXISTS semi-join +
+# priority histogram). Adapted predicate (schema has no commit/receipt
+# dates): an order counts when some line shipped more than 30 days after
+# the order date. left_semi keeps each order once no matter how many lines
+# qualify; the fact-side shuffle is on the join key only.
+# ---------------------------------------------------------------------------
+
+_Q136_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("q136_order_priority", oracle=_Q136_ORACLE)
+def q136_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q137 — local-supplier volume (TPC-H Q5 shape: 6-way join with the
+# same-nation equi-constraint). Revenue per ASIA nation in 1997 where the
+# ordering customer and the line's supplier share a nation — the one
+# classic shape whose join graph is cyclic (customer.nation == supplier.
+# nation). Scale plan: nation⋈region broadcasts, customer and supplier
+# broadcast (dims), the only shuffle is orders⋈lineitem on orderkey; the
+# nation-equality lands as a post-join filter on two broadcast columns.
+# ---------------------------------------------------------------------------
+
+_Q137_ORACLE = f"""
+SELECT n.n_name,
+       {sql_dec_sum('l.l_extendedprice * (1 - l.l_discount)', 6)} AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n.n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+@register("q137_local_supplier_volume", oracle=_Q137_ORACLE)
+def q137_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_n = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    return (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(asia_n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), 6
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q138 — forecast revenue change (TPC-H Q6 shape: the pure scan-filter-agg
+# throughput probe). One pass, no joins, filters pushed to the parquet
+# reader; the answer is a single decimal-exact cell.
+# ---------------------------------------------------------------------------
+
+_Q138_ORACLE = f"""
+SELECT {sql_dec_sum('l_extendedprice * l_discount', 6)} AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("q138_forecast_revenue", oracle=_Q138_ORACLE)
+def q138_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        dec_sum(F.col("l_extendedprice") * F.col("l_discount"), 6).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q139 — volume shipping between two nations (TPC-H Q7 shape: directed
+# nation-pair flows). Lines where the supplier sits in one named nation
+# and the ordering customer in the other, both directions kept, revenue
+# per (supp_nation, cust_nation, ship-year). Scale plan: both nation-
+# filtered dims broadcast; one fact-fact shuffle on orderkey.
+# ---------------------------------------------------------------------------
+
+_Q7_NATIONS = ("NATION_18", "NATION_19")
+
+_Q139_ORACLE = f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       year(l.l_shipdate) AS l_year,
+       {sql_dec_sum('l.l_extendedprice * (1 - l.l_discount)', 6)} AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+WHERE (sn.n_name = '{_Q7_NATIONS[0]}' AND cn.n_name = '{_Q7_NATIONS[1]}')
+   OR (sn.n_name = '{_Q7_NATIONS[1]}' AND cn.n_name = '{_Q7_NATIONS[0]}')
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+@register("q139_volume_shipping", oracle=_Q139_ORACLE)
+def q139_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    c = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    a, b = _Q7_NATIONS
+    pair_ok = (
+        (F.col("supp_nation") == a) & (F.col("cust_nation") == b)
+    ) | ((F.col("supp_nation") == b) & (F.col("cust_nation") == a))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), li.l_suppkey == F.col("s_suppkey"))
+        .filter(pair_ok)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), 6
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q140 — product-type profit (TPC-H Q9 shape, adapted: no partsupp table,
+# so supply cost is proxied as 10% of the part's retail price — the shape
+# being exercised is the 5-way join + profit expression + (nation, year)
+# rollup, not the cost model). Scale plan: part (name-filtered) and
+# supplier⋈nation broadcast; one orders⋈lineitem shuffle.
+# ---------------------------------------------------------------------------
+
+_Q140_ORACLE = f"""
+SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+       {sql_dec_sum(
+           'l.l_extendedprice * (1 - l.l_discount) - 0.1 * p.p_retailprice * l.l_quantity', 6
+       )} AS profit
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE p.p_name LIKE '%gear%'
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
+@register("q140_product_profit", oracle=_Q140_ORACLE)
+def q140_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    profit = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) - F.lit(
+        0.1
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(dec_sum(profit, 6).alias("profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# q141 — returned-item reporting (TPC-H Q10 shape): top 20 customers by
+# revenue lost to returns in a quarter. Scale plan: the quarter filter
+# cuts orders first, returns filter cuts lineitem at the scan, one
+# orderkey shuffle, customer/nation broadcast onto the aggregate, top-20
+# via TakeOrderedAndProject with a unique key tiebreak.
+# ---------------------------------------------------------------------------
+
+_Q141_ORACLE = f"""
+SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+       {sql_dec_sum('l.l_extendedprice * (1 - l.l_discount)', 6)} AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-04-01'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, nation
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register("q141_returned_items", oracle=_Q141_ORACLE)
+def q141_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), 6
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q142 — parts/supplier relationship (TPC-H Q16 shape, adapted: supplier-
+# per-part counts come from observed lineitem pairs instead of partsupp,
+# and the excluded-supplier subquery keys on negative account balance as
+# the complaints proxy). Distinct-supplier counts per (brand, type, size)
+# for non-ECONOMY parts. Scale plan: the (partkey, suppkey) projection
+# dedups BEFORE joining part attributes (map-side combine on the pair),
+# the part dim broadcasts, excluded suppliers arrive as a broadcast
+# anti-join, and the final countDistinct runs on pre-deduped pairs.
+# ---------------------------------------------------------------------------
+
+_Q142_ORACLE = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_type <> 'ECONOMY'
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+@register("q142_parts_supplier_rel", oracle=_Q142_ORACLE)
+def q142_parts_supplier_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = (
+        _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") != "ECONOMY").select(
+        "p_partkey", "p_brand", "p_type", "p_size"
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        pairs.join(F.broadcast(bad), pairs.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
     )
