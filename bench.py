@@ -53,6 +53,7 @@ HEADLINE = [
     "q127_curriculum_sample",  # deterministic temperature-mixture sampling
     "q131_int8_cosine_topk",   # quantized (int8) retrieval top-k
     "q132_corpus_funnel",      # composed corpus build: quality->dedup->decontam->sample
+    "q137_local_supplier_volume",  # cyclic same-nation 6-way join (Q5 shape)
     "q115_important_parts",    # scalar-subquery HAVING w/ exchange reuse (Q11 shape)
     "q116_sole_blame_suppliers",  # EXISTS/NOT EXISTS self-join fold (Q21 shape)
 ]

@@ -93,3 +93,18 @@ def test_no_python_row_udf_or_cartesian(spark, sf_dir, name):
     plan = plan_of(df, mode="simple")
     assert "BatchEvalPython" not in plan, f"{name} fell back to row-at-a-time Python"
     assert "CartesianProduct" not in plan, f"{name} plans an unbroadcast cross join"
+
+
+def test_q135_topk_uses_take_ordered(spark, sf_dir):
+    plan = plan_of(all_queries()["q135_shipping_priority"](spark, sf_dir))
+    # the Q3 shape's LIMIT 10 must compile to per-partition top-k + merge
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q137_cyclic_join_broadcasts_dims(spark, sf_dir):
+    plan = plan_of(all_queries()["q137_local_supplier_volume"](spark, sf_dir))
+    # customer/supplier/nation(+region) all broadcast — the cyclic
+    # same-nation constraint must not force a fact-side shuffle join
+    # against a dimension
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastExchange" in plan
