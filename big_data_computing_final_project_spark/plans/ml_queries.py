@@ -399,3 +399,63 @@ def q124_l1_feature_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _, importance, _ = l1_feature_selection(df, feat_cols, reg_param=0.02)
     return importance.orderBy("feature")
+
+
+# ---------------------------------------------------------------------------
+# q143 — calibration (reliability) bins for a probabilistic scorer: the
+# companion diagnostic to q123's ROC-AUC (discrimination says nothing
+# about whether predicted probabilities are honest). Same deterministic
+# scorer as q123 (vec_id % 97, normalized to p = s/96) against the
+# label >= 5 target, 10 equal-width probability bins; each bin reports
+# count, positives, mean predicted probability, observed positive rate,
+# and the per-bin |gap|. Every value is integer until one or two
+# fixed-order double ops, so the bins hash-match DuckDB exactly. The
+# cross-bin ECE is deliberately NOT emitted: a 10-term double sum is
+# summation-order-dependent across engines — callers fold the per-bin
+# rows (documented parity rule, NOTES.md).
+# Scale: one hash aggregate on the bin id (10 groups) — map-side combine
+# collapses everything before the shuffle.
+# ---------------------------------------------------------------------------
+
+_Q143_ORACLE = """
+WITH b AS (
+  SELECT CAST(label >= 5 AS INT) AS y, vec_id % 97 AS s FROM embeddings
+)
+SELECT s // 10 AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(y) AS BIGINT) AS npos,
+       CAST(SUM(s) AS BIGINT) / (96.0 * COUNT(*)) AS mean_pred,
+       CAST(SUM(y) AS BIGINT) / (1.0 * COUNT(*)) AS frac_pos,
+       abs(CAST(SUM(s) AS BIGINT) / (96.0 * COUNT(*))
+           - CAST(SUM(y) AS BIGINT) / (1.0 * COUNT(*))) AS gap
+FROM b
+GROUP BY bin
+ORDER BY bin
+"""
+
+
+@register("q143_calibration_bins", oracle=_Q143_ORACLE)
+def q143_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = emb.select(
+        (F.col("label") >= 5).cast("int").alias("y"),
+        (F.col("vec_id") % 97).alias("s"),
+    )
+    g = b.groupBy(F.floor(F.col("s") / 10).alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").cast("bigint").alias("npos"),
+        F.sum("s").cast("bigint").alias("sum_s"),
+    )
+    mean_pred = F.col("sum_s") / (F.lit(96.0) * F.col("n"))
+    frac_pos = F.col("npos") / (F.lit(1.0) * F.col("n"))
+    return (
+        g.select(
+            "bin",
+            "n",
+            "npos",
+            mean_pred.alias("mean_pred"),
+            frac_pos.alias("frac_pos"),
+            F.abs(mean_pred - frac_pos).alias("gap"),
+        )
+        .orderBy("bin")
+    )
