@@ -511,3 +511,60 @@ def q132_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q144 — priority dedup: q34 keeps the min-doc_id copy of each duplicate
+# group; real pipelines keep the copy from the most TRUSTED source tier
+# (curated > books > web-crawl), because metadata quality follows the
+# source even when text is identical. Keeper = first row of each
+# fingerprint group under (tier, doc_id) order; output is the per-source
+# audit (docs kept, docs lost to a higher-priority twin) — the table that
+# shows who wins cross-source collisions. Tier = source index mod 3 here
+# (the synthetic corpus has no real tiers); swap the CASE for a real tier
+# dim at deployment.
+#
+# Scale: same single fingerprint shuffle as q34 — the ranking window
+# replaces the min-agg, cost shape unchanged.
+# ---------------------------------------------------------------------------
+
+_SQL_TIER = "CAST(regexp_extract(source, '[0-9]+$') AS INT) % 3"
+
+
+_Q144_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, source, {_SQL_TIER} AS tier, md5({_SQL_NORM}) AS fp
+  FROM documents
+), r AS (
+  SELECT source, tier,
+         ROW_NUMBER() OVER (PARTITION BY fp ORDER BY tier, doc_id) AS rn
+  FROM d
+)
+SELECT source,
+       ANY_VALUE(tier) AS tier,
+       CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+       CAST(COUNT(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_lost
+FROM r
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("q144_priority_dedup", oracle=_Q144_ORACLE)
+def q144_priority_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tier = (F.regexp_extract(F.col("source"), "[0-9]+$", 0).cast("int") % 3).alias(
+        "tier"
+    )
+    d = docs.select("doc_id", "source", tier, X.fingerprint(F.col("text")).alias("fp"))
+    w = Window.partitionBy("fp").orderBy("tier", "doc_id")
+    r = d.withColumn("rn", F.row_number().over(w))
+    return (
+        r.groupBy("source")
+        .agg(
+            F.any_value(F.col("tier")).alias("tier"),
+            F.sum((F.col("rn") == 1).cast("bigint")).alias("n_kept"),
+            F.sum((F.col("rn") > 1).cast("bigint")).alias("n_lost"),
+        )
+        .orderBy("source")
+    )

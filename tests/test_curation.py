@@ -183,3 +183,48 @@ def test_q132_funnel_stages_on_planted_corpus(spark, tmp_path):
     got = [tuple(r) for r in sdf.collect()]
     assert len(got) == len(drows)
     assert frame_digest(sdf.columns, got) == frame_digest(dcols, drows)
+
+
+def test_q144_priority_keeper_beats_min_docid(spark, tmp_path):
+    """Priority dedup must keep the higher-tier copy even when the lower
+    tier has the smaller doc_id (the exact case where q34's min-doc_id
+    policy and q144's tier policy disagree), and the result must
+    hash-match the DuckDB oracle on the planted data."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_computing_final_project_spark.plans import all_oracles
+    from tools.check_oracle import frame_digest
+
+    # src10 -> tier 1, src21 -> tier 0 (higher priority), src2 -> tier 2
+    rows = [
+        (1, "dup text one", "en", "src10"),   # lower doc_id, tier 1
+        (2, "dup text one", "en", "src21"),   # higher doc_id, tier 0 -> keeper
+        (3, "dup text one", "en", "src2"),    # tier 2 -> lost
+        (4, "unique text", "en", "src10"),
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    sdf = _Q["q144_priority_dedup"](spark, str(tmp_path))
+    got = {r["source"]: (r["tier"], r["n_kept"], r["n_lost"]) for r in sdf.collect()}
+    assert got["src21"] == (0, 1, 0)   # tier-0 copy kept despite doc_id 2
+    assert got["src10"] == (1, 1, 1)   # doc 1 lost to the tier-0 twin, doc 4 kept
+    assert got["src2"] == (2, 0, 1)
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'")
+    res = con.sql(all_oracles()["q144_priority_dedup"])
+    drows = res.fetchall()
+    assert frame_digest(sdf.columns, [tuple(r) for r in sdf.collect()]) == frame_digest(
+        [d[0] for d in res.description], drows
+    )
