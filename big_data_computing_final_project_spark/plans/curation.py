@@ -28,9 +28,11 @@ from ..catalog import load_table
 from ..functions import text as X
 from .registry import register
 
-# DuckDB mirrors of functions.text.normalize / tokens (same as textops.py)
-_SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
-_SQL_TOKS = f"string_split({_SQL_NORM}, ' ')"
+# canonical DuckDB fragments — imported, not re-defined, so the curation
+# oracles can never drift from the tokenization / split-bucket definitions
+# the dedup/text queries certify
+from .dedup import _SQL_BUCKET  # noqa: E402
+from .textops import _SQL_NORM, _SQL_TOKS  # noqa: E402
 
 _TWO_60 = float(1 << 60)
 
@@ -198,7 +200,11 @@ ORDER BY doc_id
 @register("q129_term_mask", oracle=_Q129_ORACLE)
 def q129_term_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = X.tokens(F.col("text"))
+    # tokens staged as an aliased column (shingles_of_tokens rule): the
+    # masked transform and the hit count both consume it, so inlining the
+    # expression would run the normalize+split regex twice per row
+    staged = docs.select("doc_id", X.tokens(F.col("text")).alias("toks"))
+    toks = F.col("toks")
     deny = F.array(*[F.lit(t) for t in _MASK_TERMS])
     masked = F.array_join(
         F.transform(
@@ -209,7 +215,7 @@ def q129_term_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_masked = F.size(F.filter(toks, lambda t: F.array_contains(deny, t))).cast("bigint")
     return (
-        docs.select(
+        staged.select(
             "doc_id", n_masked.alias("n_masked"), F.md5(masked).alias("masked_fp")
         )
         .filter(F.col("n_masked") > 0)
@@ -303,7 +309,10 @@ def q130_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Scale: quality/bucket/uniform are narrow codegen'd maps; dedup is one
 # shuffle on the fingerprint; decontamination broadcasts the bench split's
-# shingle postings (small by construction — a fixed eval suite); sampling
+# shingle postings — NOTE the assumption (same as q102): the bench side is
+# a fixed eval suite, MBs at deployment even though the synthetic split is
+# a corpus-proportional 10% slice; a corpus-sized bench side needs the
+# broadcast dropped so the planner falls back to a shuffle join; sampling
 # broadcasts the ~|sources| rate table; the five per-stage aggregates are
 # |sources|-row frames joined at the end. No stage shuffles raw text more
 # than once.
@@ -313,7 +322,6 @@ _F_QUALITY_T = 0.5
 _F_B_TRAIN, _F_B_BENCH = 80, 90  # q75 split: <80 train, >=90 test(=bench)
 _F_CONTAIN_T = 0.5
 
-_SQL_BUCKET = f"CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100"
 _SQL_SHINGLES3 = (
     "list_distinct(list_transform(range(greatest(len(toks)-2, 1)), "
     "i -> array_to_string(toks[i+1:i+3], ' ')))"
@@ -528,7 +536,11 @@ def q132_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # replaces the min-agg, cost shape unchanged.
 # ---------------------------------------------------------------------------
 
-_SQL_TIER = "CAST(regexp_extract(source, '[0-9]+$') AS INT) % 3"
+# TRY_CAST + COALESCE: a source with no trailing digits gets the LOWEST
+# priority tier (3), not a hard error (DuckDB CAST('' AS INT) throws) and
+# not an accidental win (Spark ''->NULL would sort FIRST in the keeper
+# window under default nulls-first ascending)
+_SQL_TIER = "COALESCE(TRY_CAST(regexp_extract(source, '[0-9]+$') AS INT) % 3, 3)"
 
 
 _Q144_ORACLE = f"""
@@ -553,9 +565,10 @@ ORDER BY source
 @register("q144_priority_dedup", oracle=_Q144_ORACLE)
 def q144_priority_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    tier = (F.regexp_extract(F.col("source"), "[0-9]+$", 0).cast("int") % 3).alias(
-        "tier"
-    )
+    # try_cast: ANSI mode (Spark 4 default) hard-errors on CAST('' AS INT)
+    tier = F.coalesce(
+        F.regexp_extract(F.col("source"), "[0-9]+$", 0).try_cast("int") % 3, F.lit(3)
+    ).alias("tier")
     d = docs.select("doc_id", "source", tier, X.fingerprint(F.col("text")).alias("fp"))
     w = Window.partitionBy("fp").orderBy("tier", "doc_id")
     r = d.withColumn("rn", F.row_number().over(w))

@@ -718,7 +718,15 @@ ORDER BY supp_nation, cust_nation, l_year
 def q139_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    # nation filter applied when BUILDING the dims: pair_ok implies both
+    # sides are in the two named nations, but Catalyst cannot derive
+    # per-side IN filters from the disjunctive pair predicate, so without
+    # this the full customer/supplier dims would broadcast
+    n = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*_Q7_NATIONS))
+        .select("n_nationkey", "n_name")
+    )
     c = (
         _t(spark, sf_dir, "customer")
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))

@@ -172,7 +172,8 @@ def q39_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("cand_id"),
             (dot(F.col("qe"), F.col("e")) / (F.col("nq") * F.col("nc"))).alias("cos_sim"),
         )
-        .distinct()
+        # no distinct needed: one bucket per candidate, 5 pairwise-distinct
+        # probe values -> each (q_id, cand_id) pair matches at most once
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
     return (
@@ -664,10 +665,12 @@ def q131_int8_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle's q2 > 0: maxabs = 0 <=> all codes 0, maxabs > 0 => the max
     # element's code is exactly 127 => q2 >= 127^2) and pushes to the scan
     # as a cheap O(d) predicate instead of recomputing the full code array.
-    e = emb.select("vec_id", as_double(F.col("embedding")).alias("e")).filter(
-        max_abs(F.col("e")) > 0
+    e = emb.select("vec_id", as_double(F.col("embedding")).alias("e"))
+    # zero-vector guard filters on the STAGED maxabs column — one O(d)
+    # array_max per row, shared with the quantizer scale
+    staged = e.select("vec_id", "e", max_abs(F.col("e")).alias("maxabs")).filter(
+        F.col("maxabs") > 0
     )
-    staged = e.select("vec_id", "e", max_abs(F.col("e")).alias("maxabs"))
     # bigint codes so products never touch int overflow (127*127*64 fits
     # easily, but mirror the oracle's BIGINT lists)
     coded = staged.select(
@@ -742,8 +745,10 @@ def q133_int8_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select(
         "vec_id", assert_dim(as_double(F.col("embedding")), _DIM).alias("e")
-    ).filter(max_abs(F.col("e")) > 0)
-    staged = e.select("vec_id", "e", max_abs(F.col("e")).alias("maxabs"))
+    )
+    staged = e.select("vec_id", "e", max_abs(F.col("e")).alias("maxabs")).filter(
+        F.col("maxabs") > 0
+    )
     coded = staged.select(
         "vec_id",
         F.transform(
@@ -784,7 +789,10 @@ def q133_int8_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qq2",
             "q2",
         )
-        .distinct()
+        # no distinct: a candidate sits in exactly one bucket and the 5
+        # probe values (qb, qb^1, qb^2, qb^4, qb^8) are pairwise distinct,
+        # so each (q_id, cand_id) pair matches at most one probe — a
+        # dedup here would only add a full shuffle of the scored pairs
     )
     scored = pairs.select(
         "q_id",

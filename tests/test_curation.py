@@ -197,12 +197,16 @@ def test_q144_priority_keeper_beats_min_docid(spark, tmp_path):
     from big_data_computing_final_project_spark.plans import all_oracles
     from tools.check_oracle import frame_digest
 
-    # src10 -> tier 1, src21 -> tier 0 (higher priority), src2 -> tier 2
+    # src10 -> tier 1, src21 -> tier 0 (higher priority), src2 -> tier 2,
+    # 'webcrawl' (no trailing digits) -> fallback tier 3 (least trusted)
     rows = [
         (1, "dup text one", "en", "src10"),   # lower doc_id, tier 1
         (2, "dup text one", "en", "src21"),   # higher doc_id, tier 0 -> keeper
         (3, "dup text one", "en", "src2"),    # tier 2 -> lost
         (4, "unique text", "en", "src10"),
+        (0, "dup text one", "en", "webcrawl"),  # lowest doc_id but NO tier:
+        # must NOT win the group (Spark null would sort first; the
+        # coalesce-to-3 fallback pins it last in both engines)
     ]
     tbl = pa.table(
         {
@@ -220,6 +224,7 @@ def test_q144_priority_keeper_beats_min_docid(spark, tmp_path):
     assert got["src21"] == (0, 1, 0)   # tier-0 copy kept despite doc_id 2
     assert got["src10"] == (1, 1, 1)   # doc 1 lost to the tier-0 twin, doc 4 kept
     assert got["src2"] == (2, 0, 1)
+    assert got["webcrawl"] == (3, 0, 1)  # digit-less source loses, never errors
 
     con = duckdb.connect()
     con.sql(f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'")
