@@ -148,3 +148,45 @@ def test_exact_quantiles_hist_keeps_all_null_columns(spark, sf_dir):
     assert rows["x"].qs == [4.5]
     assert rows["all_null"].qs is None
     assert rows["all_null"].n_distinct == 0
+
+
+vec_floats = st.floats(
+    min_value=-100.0, max_value=100.0, allow_nan=False, allow_infinity=False, width=32
+)
+
+
+@given(st.lists(vec_floats, min_size=1, max_size=16))
+@settings(**_SETTINGS)
+def test_int8_quantize_bound_and_determinism(spark, xs):
+    """Symmetric int8 quantization invariants on arbitrary float vectors:
+    codes stay in [-127, 127], the max-|x| component maps to ±127 exactly,
+    reconstruction error per component is <= maxabs/254 + an ulp of slack,
+    and an all-zero vector maps to all-zero codes (no 0/0)."""
+    from pyspark.sql import functions as F
+
+    from big_data_computing_final_project_spark.operators.quantize import (
+        dequantize,
+        max_abs,
+        quantize_int8_of,
+    )
+
+    df = spark.createDataFrame([(xs,)], "e array<double>")
+    staged = df.select("e", max_abs(F.col("e")).alias("maxabs"))
+    row = staged.select(
+        "e",
+        "maxabs",
+        quantize_int8_of(F.col("e"), F.col("maxabs")).alias("q"),
+        dequantize(
+            quantize_int8_of(F.col("e"), F.col("maxabs")), F.col("maxabs")
+        ).alias("x_hat"),
+    ).collect()[0]
+    maxabs = row["maxabs"]
+    assert all(-127 <= c <= 127 for c in row["q"])
+    if maxabs == 0.0:
+        assert all(c == 0 for c in row["q"])
+    else:
+        peak = max(range(len(xs)), key=lambda i: abs(row["e"][i]))
+        assert abs(row["q"][peak]) == 127
+        tol = maxabs / 254.0 * (1 + 1e-9)
+        for x, xh in zip(row["e"], row["x_hat"]):
+            assert abs(x - xh) <= tol, (x, xh, maxabs)
