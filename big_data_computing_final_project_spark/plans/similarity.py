@@ -388,11 +388,33 @@ def q64_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hash aggregate on (label, dim) — fully distributed, no driver math.
 #
 # FP parity: a distributed double sum is reduction-order-dependent, so the
-# oracle-parity mode folds a SORTED collect_list left-to-right (both
-# engines fold identically — same trick as q38's dot product). At scale
-# swap the fold for plain F.avg and accept last-ulp noise, or run the
-# Kahan-compensated pandas_udf variant; the plan shape is unchanged.
+# oracle-parity mode (exact=True) folds a SORTED collect_list left-to-
+# right (both engines fold identically — same trick as q38's dot
+# product). The at-scale mode (exact=False) is plain F.avg — partial
+# aggregation before the shuffle, no per-group value buffer, last-ulp
+# partial-sum order noise; pytest pins the two modes within 1e-9 and the
+# avg plan free of collect_list buffers.
 # ---------------------------------------------------------------------------
+
+
+def centroid_means(v: DataFrame, exact: bool = True) -> DataFrame:
+    """(label, dim, centroid) per-class means of an embedding frame.
+
+    exact=True: FP-deterministic sorted fold — identical on any
+    partitioning, what the q72 oracle certifies. exact=False: plain avg,
+    the at-scale default (map-side partial agg; the sorted fold must
+    buffer every group value via collect_list, which the exact oracle
+    mode accepts for reproducibility).
+    """
+    ex = v.select("label", F.posexplode(as_double(F.col("embedding"))).alias("dim", "val"))
+    if exact:
+        centroid = F.aggregate(
+            F.array_sort(F.collect_list("val")), F.lit(0.0), lambda acc, x: acc + x
+        ) / F.count(F.lit(1))
+    else:
+        centroid = F.avg("val")
+    return ex.groupBy("label", "dim").agg(centroid.alias("centroid"))
+
 
 _Q72_ORACLE = """
 WITH v AS (
@@ -407,15 +429,7 @@ FROM ex GROUP BY label, dim ORDER BY label, dim
 @register("q72_embedding_centroids", oracle=_Q72_ORACLE)
 def q72_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = load_table(spark, sf_dir, "embeddings").filter(F.col("label").isNotNull())
-    ex = v.select("label", F.posexplode(as_double(F.col("embedding"))).alias("dim", "val"))
-    centroid = F.aggregate(
-        F.array_sort(F.collect_list("val")), F.lit(0.0), lambda acc, x: acc + x
-    ) / F.count(F.lit(1))
-    return (
-        ex.groupBy("label", "dim")
-        .agg(centroid.alias("centroid"))
-        .orderBy("label", "dim")
-    )
+    return centroid_means(v, exact=True).orderBy("label", "dim")
 
 
 # ---------------------------------------------------------------------------

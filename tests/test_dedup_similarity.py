@@ -363,3 +363,24 @@ def test_int8_bucketed_matches_int8_brute_within_buckets(spark, sf_dir):
     for r in _Q["q133_int8_ann_topk"](spark, sf_dir).collect():
         if (r.q_id, r.cand_id) in brute:
             assert r.cos8 == brute[(r.q_id, r.cand_id)]
+
+
+def test_centroid_scale_mode_matches_exact_mode(spark, sf_dir):
+    """centroid_means(exact=False) — the at-scale plain-avg path — must
+    agree with the FP-deterministic oracle mode to well under float32
+    data precision, and its plan must carry no collect_list buffer."""
+    from pyspark.sql import functions as F
+
+    from big_data_computing_final_project_spark.catalog import load_table
+    from big_data_computing_final_project_spark.plans.similarity import centroid_means
+
+    v = load_table(spark, sf_dir, "embeddings").filter(F.col("label").isNotNull())
+    exact = {
+        (r.label, r.dim): r.centroid for r in centroid_means(v, exact=True).collect()
+    }
+    approx = centroid_means(v, exact=False)
+    assert "collect_list" not in approx._jdf.queryExecution().executedPlan().toString()
+    got = {(r.label, r.dim): r.centroid for r in approx.collect()}
+    assert got.keys() == exact.keys() and len(got) > 0
+    for k, val in got.items():
+        assert abs(val - exact[k]) <= 1e-9 * max(1.0, abs(exact[k])), k
