@@ -222,17 +222,25 @@ def skew_kurt(df: DataFrame, columns: list[str], base_scale: int = 4) -> DataFra
     return out.orderBy("column_name")
 
 
-def corr_matrix(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+def corr_matrix(
+    df: DataFrame, columns: list[str] | None = None, wide: bool = True
+) -> DataFrame:
     """A8 — full pairwise Pearson matrix in long format, ONE pass: all
-    cross-sums land in a single aggregate row (pandas `.corr()` parity)."""
+    cross-sums land in a single aggregate row (pandas `.corr()` parity).
+
+    ``wide`` controls the square/cross-sum decimal path. The default True
+    (per-row BigDecimal) is safe for any magnitude; pass wide=False ONLY
+    when every |a*b| * 10^8 <= ~1e14 (e.g. q63's quantity/discount/tax,
+    all <= 50) — the fast long-limb path is then digit-identical and
+    ~3x faster on the aggregate (dec_sum docstring has the contract)."""
     cols = columns or numeric_columns(df)
     pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
     aggs = [F.count(F.lit(1)).cast("double").alias("__n")]
     for c in cols:
         aggs.append(dec_sum(F.col(c)).alias(f"{c}__s"))
-        aggs.append(dec_sum(F.col(c) * F.col(c), 8, wide=True).alias(f"{c}__ss"))
+        aggs.append(dec_sum(F.col(c) * F.col(c), 8, wide=wide).alias(f"{c}__ss"))
     for a, b in pairs:
-        aggs.append(dec_sum(F.col(a) * F.col(b), 8, wide=True).alias(f"{a}__{b}__sxy"))
+        aggs.append(dec_sum(F.col(a) * F.col(b), 8, wide=wide).alias(f"{a}__{b}__sxy"))
     one = df.agg(*aggs)
     rows = []
     for a, b in pairs:

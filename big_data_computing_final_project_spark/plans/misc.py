@@ -168,6 +168,9 @@ def q63_sort_by_abs_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.profiling import corr_matrix
 
     li = load_table(spark, sf_dir, "lineitem")
-    return corr_matrix(li, ["l_quantity", "l_discount", "l_tax"]).orderBy(
+    # wide=False: |quantity| <= 50, |discount|,|tax| <= ~0.1, so every
+    # square/cross product * 10^8 sits far under the fast-path bound —
+    # digit-identical to the BigDecimal path, ~3x faster aggregate
+    return corr_matrix(li, ["l_quantity", "l_discount", "l_tax"], wide=False).orderBy(
         F.abs(F.col("r")).desc(), "col_x", "col_y"
     )
