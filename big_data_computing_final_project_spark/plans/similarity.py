@@ -400,11 +400,16 @@ def q64_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def centroid_means(v: DataFrame, exact: bool = True) -> DataFrame:
     """(label, dim, centroid) per-class means of an embedding frame.
 
-    exact=True: FP-deterministic sorted fold — identical on any
-    partitioning, what the q72 oracle certifies. exact=False: plain avg,
-    the at-scale default (map-side partial agg; the sorted fold must
-    buffer every group value via collect_list, which the exact oracle
-    mode accepts for reproducibility).
+    exact=True (the default): FP-deterministic sorted fold — identical
+    on any partitioning, what the q72 oracle certifies. exact=False:
+    plain avg, the mode to PREFER at scale (map-side partial agg; the
+    sorted fold must buffer every group value via collect_list, which
+    the exact oracle mode accepts for reproducibility).
+
+    Assumes dense arrays (no null elements) — the embeddings schema's
+    contract. On a null element the two modes would diverge: the exact
+    fold divides by the group row count (mirroring the oracle's
+    COUNT(*)) while avg skips nulls.
     """
     ex = v.select("label", F.posexplode(as_double(F.col("embedding"))).alias("dim", "val"))
     if exact:
