@@ -120,7 +120,19 @@ def quality_score(text: Column) -> Column:
 # backreferences/lookaround) so an oracle engine could mirror them.
 PII_PATTERNS = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-    "phone": r"\+?[0-9][0-9()\-. ]{7,}[0-9]",
+    # Two phone shapes, chosen so generic numeric text survives (ADVICE r3:
+    # the old any-chars-in-class form matched ISO dates and decimal-number
+    # sequences):
+    #  - NANP-ish: optional +CC, 3-3-4 digit groups, at most ONE
+    #    separator between groups ("(415) 555-0199", "4155550199");
+    #  - international long-run: >= 11 digits with at most one [-. ]
+    #    between consecutive digits ("+44 20 7946 0958").
+    # "2023-01-01" (8 digits, no contiguous 3-3-4) and "1.5 2.3 4.5 6.7"
+    # (8 digits) match neither branch.
+    "phone": (
+        r"(\+[0-9]{1,3}[-. ]?)?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}"
+        r"|\+?([0-9][-. ]?){10,}[0-9]"
+    ),
     "digit_run": r"[0-9]{6,}",
 }
 PII_MASK = "<pii>"
@@ -145,7 +157,12 @@ def pii_hits(text: Column) -> Column:
     n = F.lit(0)
     cur = text
     for pat in PII_PATTERNS.values():
-        n = n + F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
+        # coalesce: regexp_extract_all(NULL) is NULL and size(NULL) is NULL
+        # under default sizeOfNull, which would turn a null-text row's
+        # count into NULL and silently drop it from audit sums (ADVICE r3)
+        n = n + F.coalesce(
+            F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0))), F.lit(0)
+        )
         cur = F.regexp_replace(cur, pat, PII_MASK)
     return n
 

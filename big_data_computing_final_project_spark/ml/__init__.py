@@ -3,4 +3,4 @@ estimator wrappers, evaluation aggregates, and search helpers — all
 `pyspark.ml`-first, with model fit/transform treated as dataflow operators.
 """
 
-from . import evaluation, models, pipeline, selection  # noqa: F401
+from . import evaluation, models, pipeline, selection, viz  # noqa: F401

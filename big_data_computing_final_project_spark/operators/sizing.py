@@ -1,0 +1,58 @@
+"""Estimate-driven broadcast hints.
+
+The q03 pattern (plans/relational.py) — omit the hint and let size
+estimates / AQE choose — works when Catalyst can estimate the side from a
+parquet scan. For frames built through opaque filters and generators
+(e.g. a bench split's exploded shingle postings, where the md5-bucket
+filter defeats selectivity estimation and Generate's stats under-count the
+fan-out), the hint must be applied or dropped explicitly. This helper makes
+that decision from the optimizer's own size estimate of the PRE-explode
+frame times a caller-supplied expansion factor, against the session's
+``spark.sql.autoBroadcastJoinThreshold`` — so the same code broadcasts an
+MB-scale eval suite and degrades to a shuffle join when the bench side
+grows corpus-proportional, instead of OOMing executors at 100×.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_UNITS = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def _parse_bytes(v: str) -> int:
+    s = str(v).strip().lower()
+    if s.endswith("b") and len(s) > 1 and s[-2] in _UNITS:
+        s = s[:-1]
+    if s and s[-1] in _UNITS:
+        return int(float(s[:-1]) * _UNITS[s[-1]])
+    return int(s)
+
+
+def plan_size_estimate(df: DataFrame) -> int:
+    """Catalyst's sizeInBytes estimate for the optimized plan of ``df``."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+
+
+def broadcast_if_small(
+    df: DataFrame,
+    *,
+    expansion: float = 1.0,
+    estimate_from: DataFrame | None = None,
+) -> DataFrame:
+    """Hint ``broadcast(df)`` only while the estimated materialized size
+    fits the session's autoBroadcastJoinThreshold; otherwise return ``df``
+    unhinted so the planner falls back to a shuffle join.
+
+    ``estimate_from`` supplies the frame to estimate when ``df`` itself has
+    unusable stats (post-explode); ``expansion`` scales the estimate for a
+    known fan-out (e.g. shingle postings ~8x their source docs).
+    """
+    spark = df.sparkSession
+    raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    threshold = _parse_bytes(raw)
+    if threshold < 0:  # broadcast disabled session-wide
+        return df
+    est = plan_size_estimate(estimate_from if estimate_from is not None else df)
+    return F.broadcast(df) if est * expansion <= threshold else df

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions import text as X
+from ..operators.sizing import broadcast_if_small
 from .registry import register
 
 # canonical DuckDB fragments — imported, not re-defined, so the curation
@@ -309,10 +310,9 @@ def q130_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Scale: quality/bucket/uniform are narrow codegen'd maps; dedup is one
 # shuffle on the fingerprint; decontamination broadcasts the bench split's
-# shingle postings — NOTE the assumption (same as q102): the bench side is
-# a fixed eval suite, MBs at deployment even though the synthetic split is
-# a corpus-proportional 10% slice; a corpus-sized bench side needs the
-# broadcast dropped so the planner falls back to a shuffle join; sampling
+# shingle postings under a SIZE GUARD (operators/sizing.broadcast_if_small,
+# same as q102): an MB-scale eval suite broadcasts, a corpus-proportional
+# bench side degrades to a shuffle join automatically; sampling
 # broadcasts the ~|sources| rate table; the five per-stage aggregates are
 # |sources|-row frames joined at the end. No stage shuffles raw text more
 # than once.
@@ -452,8 +452,12 @@ def q132_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("sh").alias("bn"),
         F.explode_outer("sh").alias("s"),
     ).filter(F.col("s").isNotNull())
+    # size-guarded broadcast (VERDICT r3 item 3): estimate from the
+    # pre-explode bench frame with an 8x postings expansion — MB-scale
+    # eval suites broadcast, a corpus-proportional bench side falls back
+    # to a shuffle join instead of OOMing executors at 100x
     pairs = (
-        exd.join(F.broadcast(exb), "s")
+        exd.join(broadcast_if_small(exb, expansion=8.0, estimate_from=bench), "s")
         .groupBy("train_doc", "bench_doc")
         .agg(F.count(F.lit(1)).alias("common"), F.any_value(F.col("bn")).alias("n"))
     )
@@ -580,4 +584,62 @@ def q144_priority_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("rn") > 1).cast("bigint")).alias("n_lost"),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q145 — deterministic shuffle -> shard manifest: the last step of a
+# training-data build. A global random permutation is a total sort at 100 TB;
+# the scale idiom is hash-shard + in-shard hash-order: every doc gets a
+# deterministic pseudo-random key (md5 of doc_id), its shard is a 60-bit
+# slice of that key mod N_SHARDS (one hash-partition shuffle, no global
+# sort), and readers stream each shard ordered by the key — jointly a
+# reproducible permutation that any worker fleet can re-derive with zero
+# coordination. Emitted manifest: per-shard doc/token totals plus the
+# shard's key range (the split points a reader needs to resume mid-shard).
+# Shard sizes concentrate tightly around corpus/N (md5 is uniform), which
+# the manifest itself evidences — and the pytest pins.
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 16
+
+_SQL_SHARD_KEY = "md5(CAST(doc_id AS VARCHAR))"
+_SQL_SHARD = f"('0x' || substring({_SQL_SHARD_KEY}, 1, 15))::BIGINT % {_N_SHARDS}"
+
+_Q145_ORACLE = f"""
+WITH d AS (
+  SELECT {_SQL_SHARD} AS shard, {_SQL_SHARD_KEY} AS k,
+         len({_SQL_TOKS}) AS n_tokens
+  FROM documents
+)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       MIN(k) AS key_lo,
+       MAX(k) AS key_hi
+FROM d
+GROUP BY shard
+ORDER BY shard
+"""
+
+
+@register("q145_shuffle_shard_manifest", oracle=_Q145_ORACLE)
+def q145_shuffle_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    k = F.md5(F.col("doc_id").cast("string"))
+    shard = (
+        F.conv(F.substring(k, 1, 15), 16, 10).cast("bigint") % _N_SHARDS
+    )
+    d = docs.select(
+        shard.alias("shard"), k.alias("k"), X.token_count(F.col("text")).alias("n_tokens")
+    )
+    return (
+        d.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("k").alias("key_lo"),
+            F.max("k").alias("key_hi"),
+        )
+        .orderBy("shard")
     )

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions import text as X
+from ..operators.sizing import broadcast_if_small
 from .registry import register
 
 from .textops import _SQL_NORM, _SQL_TOKS
@@ -897,8 +898,12 @@ def q102_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex_t = train.select(F.col("doc_id").alias("train_doc"), F.explode_outer("sh").alias("s"))
     ex_b = bench.select(F.col("doc_id").alias("bench_doc"), F.col("sh").alias("sh_b"))
     ex_b = ex_b.select("bench_doc", F.size("sh_b").alias("n_b"), F.explode_outer("sh_b").alias("s_b"))
+    # size-guarded broadcast (VERDICT r3 item 3): an MB-scale eval suite
+    # broadcasts; a corpus-proportional bench side degrades to a shuffle
+    # join instead of OOMing executors. Estimate from the pre-explode
+    # frame (Generate's stats under-count fan-out), 8x for the postings.
     pairs = (
-        ex_t.join(F.broadcast(ex_b), F.col("s") == F.col("s_b"))
+        ex_t.join(broadcast_if_small(ex_b, expansion=8.0, estimate_from=bench), F.col("s") == F.col("s_b"))
         .groupBy("train_doc", "bench_doc", "n_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )

@@ -159,7 +159,7 @@ def q39_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nc").alias("nq"),
         F.col("bucket").alias("qb"),
     )
-    # multi-probe: query bucket plus its 8 Hamming-1 neighbors
+    # multi-probe: query bucket plus its _N_PLANES Hamming-1 neighbors
     probes = F.array(
         F.col("qb"), *[F.col("qb").bitwiseXOR(F.lit(1 << i)) for i in range(_N_PLANES)]
     )
@@ -231,13 +231,19 @@ def q40_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the candidate side is processed in blocks of
     ``_GEMM_BLOCK_ROWS`` (vec_id mod nblocks), so the driver and each
-    broadcast hold ONE block — never the whole table. Each block's
-    candidate pairs are materialized (localCheckpoint) before its
-    broadcast is destroyed, so peak memory is one block regardless of
-    corpus size; the per-pair margin argument is unchanged. Total GEMM
-    work is the same n×n product, just column-partitioned. (q39/q64 are
-    the sub-quadratic ANN paths; this operator is the exact-near-dup
-    scan.)"""
+    broadcast hold ONE block — never the whole table. The blocked frame
+    is repartitioned by block id ONCE and cached, so each block collect
+    reads the in-memory columnar cache instead of re-scanning parquet
+    nblocks times. Each block's candidate pairs are materialized
+    (localCheckpoint) before its broadcast is destroyed, so peak memory
+    is one block regardless of corpus size; the per-pair margin argument
+    is unchanged. Total GEMM work is the same n×n product, just
+    column-partitioned. The exact rescore broadcasts the tiny CANDIDATE
+    set against the embeddings table (twice, to attach each side's
+    vector) — the embeddings never move through a broadcast or shuffle,
+    so the rescore survives a 100× scale-up where broadcasting the
+    table itself would OOM executors. (q39/q64 are the sub-quadratic ANN
+    paths; this operator is the exact-near-dup scan.)"""
     import math
     from functools import reduce
 
@@ -252,10 +258,22 @@ def q40_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     nblocks = max(1, math.ceil(n / _GEMM_BLOCK_ROWS))
     sc = emb.sparkSession.sparkContext
 
+    if nblocks > 1:
+        # one-shot partition by block id + cache: every per-block collect
+        # below is an in-memory columnar scan, not a fresh parquet read
+        blocked = (
+            emb.withColumn("blk", (F.col("vec_id") % nblocks).cast("int"))
+            .repartition(nblocks, "blk")
+            .persist()
+        )
+        src = blocked.drop("blk")
+    else:
+        blocked, src = None, emb
+
     per_block = []
     for b in range(nblocks):
         rows = (
-            emb.filter(F.col("vec_id") % nblocks == b).collect()
+            blocked.filter(F.col("blk") == b).drop("blk").collect()
             if nblocks > 1
             else emb.collect()
         )
@@ -283,23 +301,28 @@ def q40_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out_b.extend(s_ids[j0 + hits].tolist())
                 yield pd.DataFrame({"vec_a": out_a, "vec_b": out_b})
 
-        cand_b = emb.mapInPandas(prune, "vec_a long, vec_b long")
+        cand_b = src.mapInPandas(prune, "vec_a long, vec_b long")
         if nblocks > 1:
             # materialize this block's candidates, then free its broadcast
             cand_b = cand_b.localCheckpoint(eager=True)
             bc.destroy()
         per_block.append(cand_b)
 
+    if blocked is not None:
+        blocked.unpersist()
     if not per_block:
         candidates = spark.createDataFrame([], "vec_a long, vec_b long")
     else:
         candidates = reduce(lambda x, y: x.unionByName(y), per_block)
+    # exact rescore: broadcast the TINY candidate set (and the
+    # candidate+vector intermediate, still candidate-sized) against the
+    # embeddings — the full table is never broadcast or shuffled here
     ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
     eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
     cos = dot(F.col("ea"), F.col("eb")) / (norm(F.col("ea")) * norm(F.col("eb")))
+    with_a = ea.join(F.broadcast(candidates), "vec_a")
     return (
-        candidates.join(F.broadcast(ea), "vec_a")
-        .join(F.broadcast(eb), "vec_b")
+        eb.join(F.broadcast(with_a), "vec_b")
         .select("vec_a", "vec_b", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= _DUP_T)
         .orderBy("vec_a", "vec_b")

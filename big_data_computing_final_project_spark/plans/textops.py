@@ -559,23 +559,54 @@ def q75_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # q100 — corpus vocabulary heavy hitters (SpaceSaving-style mergeable
-# counters, operators/sketches.heavy_hitters_topk): top 20 words with
-# certified [lo, hi] count bounds. The scale story mirrors q79's HLL:
-# q67's exact TF path explodes every token through a shuffle; here each
-# partition ships at most `capacity` truncated counters, so the shuffle is
-# O(partitions × capacity) regardless of corpus size. Rows-only for the
-# driver (bounds depend on partitioning); tests/test_sketches.py certifies
-# lo <= exact <= hi and exact top-k containment at ample capacity.
+# counters, operators/sketches.heavy_hitters_topk) finished with an EXACT
+# rescore pass, so the final answer is oracle-paired. The scale story:
+# q67's exact TF path explodes every token through a shuffle; here phase 1
+# ships at most `capacity` truncated counters per partition (shuffle is
+# O(partitions x capacity) regardless of corpus size) and phase 2 re-scans
+# only tokens matching the ~16k candidate terms (broadcast hash semi —
+# almost all tokens short-circuit at the probe, nothing wide shuffles).
+# SpaceSaving guarantees any term with true count > N/capacity survives
+# phase 1, so with capacity=4096 and CAND=320 candidates the true top-20
+# is contained in the candidate set for any remotely Zipfian corpus; the
+# sketch's [lo, hi] bound certificates stay pytest-pinned in
+# tests/test_sketches.py.
 # ---------------------------------------------------------------------------
 
+_Q100_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest({_SQL_TOKS}) AS term FROM documents
+)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM tok
+WHERE term <> ''
+GROUP BY term
+ORDER BY n_occurrences DESC, term
+LIMIT 20
+"""
 
-@register("q100_vocab_heavy_hitters")
+
+@register("q100_vocab_heavy_hitters", oracle=_Q100_ORACLE)
 def q100_vocab_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sketches import heavy_hitters_topk
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(X.tokens(F.col("text")).alias("toks"))
-    return heavy_hitters_topk(toks, "toks", k=20, capacity=4096)
+    # phase 1: bounded-state sketch -> candidate terms (16x over-fetch)
+    cand = (
+        heavy_hitters_topk(toks, "toks", k=320, capacity=4096)
+        .select(F.col("item").alias("term"))
+    )
+    # phase 2: exact counts for candidates only (broadcast the tiny set)
+    terms = toks.select(F.explode_outer("toks").alias("term")).where(
+        F.col("term").isNotNull() & (F.col("term") != "")
+    )
+    exact = (
+        terms.join(F.broadcast(cand), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    return exact.orderBy(F.desc("n_occurrences"), "term").limit(20)
 
 
 # ---------------------------------------------------------------------------

@@ -22,6 +22,10 @@ def test_redact_pii_planted(spark):
         ("b", "call +1 (415) 555-0199 or 4155550199 now"),
         ("c", "ssn-ish 123456789 and short 12345 stays"),
         ("d", "clean text with no identifiers at all"),
+        # ADVICE r3: generic numeric text must survive the phone pattern
+        ("e", "dated 2023-01-01 and again 2024-12-31 end"),
+        ("f", "readings 1.5 2.3 4.5 6.7 recorded"),
+        ("g", None),
     ]
     df = spark.createDataFrame(rows, ["k", "t"])
     out = {
@@ -40,6 +44,11 @@ def test_redact_pii_planted(spark):
     # 9-digit run masked, 5-digit run kept
     assert out["c"] == ("ssn-ish <pii> and short 12345 stays", 1)
     assert out["d"] == ("clean text with no identifiers at all", 0)
+    # dates and decimal-number sequences are NOT phone numbers (ADVICE r3)
+    assert out["e"] == ("dated 2023-01-01 and again 2024-12-31 end", 0)
+    assert out["f"] == ("readings 1.5 2.3 4.5 6.7 recorded", 0)
+    # null text: hits is 0, not NULL — audit sums must not drop the row
+    assert out["g"] == (None, 0)
 
 
 def test_redact_pii_no_double_count(spark):
@@ -233,3 +242,19 @@ def test_q144_priority_keeper_beats_min_docid(spark, tmp_path):
     assert frame_digest(sdf.columns, [tuple(r) for r in sdf.collect()]) == frame_digest(
         [d[0] for d in res.description], drows
     )
+
+
+def test_q145_shards_balanced_and_deterministic(spark, sf_dir):
+    """The md5 shard assignment must (a) be identical across runs — the
+    whole point of a reproducible shuffle — and (b) spread docs uniformly:
+    no shard more than 2x the mean at this corpus size."""
+    a = _Q["q145_shuffle_shard_manifest"](spark, sf_dir).collect()
+    b = _Q["q145_shuffle_shard_manifest"](spark, sf_dir).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    counts = [r["n_docs"] for r in a]
+    mean = sum(counts) / len(counts)
+    assert max(counts) <= 2 * mean
+    # key ranges are valid hex intervals (readers use them as resume points)
+    for r in a:
+        assert r["key_lo"] <= r["key_hi"]
+        assert len(r["key_hi"]) == 32

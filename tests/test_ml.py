@@ -270,3 +270,53 @@ def test_l1_feature_selection_drops_noise(spark, sf_dir):
     assert not rows["const_one"].selected
     assert not rows["noise"].selected
     assert asm.getInputCols() == ["x0"]
+
+
+def test_tree_to_dot_structure_matches_model(spark, sf_dir):
+    """M14 — the DOT export must contain exactly the fitted tree: one DOT
+    node per model node, one edge per parent-child link, split features by
+    name, and a balanced digraph wrapper any graphviz renderer accepts."""
+    import re
+
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import DecisionTreeClassifier
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.sql import functions as F
+
+    from big_data_computing_final_project_spark.ml.viz import importance_bars, tree_to_dot
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = orders.select(
+        F.col("o_totalprice").alias("price"),
+        (F.col("o_custkey") % 5).cast("double").alias("ckey"),
+        (F.col("o_totalprice") > 150000).cast("double").alias("label"),
+    )
+    pipe = Pipeline(
+        stages=[
+            VectorAssembler(inputCols=["price", "ckey"], outputCol="features"),
+            DecisionTreeClassifier(maxDepth=4, seed=42),
+        ]
+    )
+    model = pipe.fit(base).stages[-1]
+    names = ["price", "ckey"]
+    dot = tree_to_dot(model, feature_names=names)
+
+    assert dot.startswith("digraph Tree {") and dot.rstrip().endswith("}")
+    n_nodes = len(re.findall(r'^\d+ \[label="', dot, flags=re.M))
+    n_edges = len(re.findall(r"^\d+ -> \d+", dot, flags=re.M))
+    assert n_nodes == model.numNodes
+    assert n_edges == model.numNodes - 1
+    # internal nodes carry a named split condition; depth>0 tree must split
+    assert re.search(r"(price|ckey) <= ", dot)
+    # every node shows impurity + prediction (the reference's box content)
+    assert dot.count("impurity = ") == model.numNodes
+    # root's two edges carry the True/False head labels of the figure
+    assert dot.count('headlabel="True"') == 1
+    assert dot.count('headlabel="False"') == 1
+
+    bars = importance_bars(model, names)
+    lines = bars.splitlines()
+    assert len(lines) == 2
+    # sorted descending, bars proportional: first line has the longest bar
+    assert lines[0].count("#") >= lines[1].count("#")
+    assert lines[0].split()[0] in names

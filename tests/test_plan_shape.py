@@ -101,6 +101,42 @@ def test_q135_topk_uses_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def _broadcast_subtrees(plan: str) -> list[str]:
+    """Each BroadcastExchange's subtree (the rows that get collected to the
+    driver and shipped to every executor), extracted by tree indentation."""
+    lines = plan.splitlines()
+    out = []
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange" not in ln:
+            continue
+        indent = max(ln.find("+-"), ln.find(":-"))
+        sub = []
+        for nxt in lines[i + 1 :]:
+            pos = max(nxt.find("+-"), nxt.find(":-"))
+            if pos != -1 and pos <= indent:
+                break
+            sub.append(nxt)
+        out.append("\n".join(sub))
+    return out
+
+
+def test_q40_rescore_never_broadcasts_embeddings_table(spark, sf_dir):
+    """VERDICT r3 item 2: the exact-rescore join must broadcast the tiny
+    candidate set, never the embeddings table. Every BroadcastExchange in
+    q40's plan must sit above the candidate source (the MapInPandas prune
+    stage) — a broadcast whose subtree is a bare embeddings FileScan would
+    OOM executors at 100×."""
+    df = all_queries()["q40_embedding_near_dup"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    subs = _broadcast_subtrees(plan)
+    assert subs, "q40 rescore should broadcast the candidate set"
+    for sub in subs:
+        assert "MapInPandas" in sub, (
+            "BroadcastExchange subtree without the candidate prune stage —"
+            " a full-table broadcast snuck back in:\n" + sub[:1000]
+        )
+
+
 def test_q137_cyclic_join_broadcasts_dims(spark, sf_dir):
     plan = plan_of(all_queries()["q137_local_supplier_volume"](spark, sf_dir))
     # customer/supplier/nation(+region) all broadcast — the cyclic

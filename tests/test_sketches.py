@@ -104,9 +104,11 @@ def test_heavy_hitters_bounds_and_containment(spark, sf_dir):
 
     from big_data_computing_final_project_spark.functions import text as X
 
+    from big_data_computing_final_project_spark.operators.sketches import heavy_hitters_topk
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     toks = docs.select(X.tokens(F.col("text")).alias("toks"))
-    got = all_queries()["q100_vocab_heavy_hitters"](spark, sf_dir).collect()
+    got = heavy_hitters_topk(toks, "toks", k=20, capacity=4096).collect()
     exact = {
         r["item"]: r["n"]
         for r in toks.select(F.explode("toks").alias("item"))
@@ -120,6 +122,12 @@ def test_heavy_hitters_bounds_and_containment(spark, sf_dir):
     assert {it for it, _ in true_topk} == {r["item"] for r in got}
     # at ample capacity nothing is truncated anywhere: bounds are tight
     assert all(r["count_lo"] == r["count_hi"] for r in got)
+    # the oracle-paired q100 (sketch candidates -> exact rescore) must
+    # emit exactly the true top-20 with exact counts
+    q100 = all_queries()["q100_vocab_heavy_hitters"](spark, sf_dir).collect()
+    want = [(t, n) for t, n in sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))
+            if t != ""][:20]
+    assert [(r["term"], r["n_occurrences"]) for r in q100] == want
 
 
 def test_heavy_hitters_truncation_keeps_bounds_valid(spark, sf_dir):

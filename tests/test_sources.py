@@ -263,3 +263,51 @@ def test_dq_constraint_checkers_count_injected_violations(spark):
         "unique(fk)": (1, 4),
         "fk->pk": (1, 4),
     }
+
+
+def test_submission_format_matches_reference_contract(spark, sf_dir):
+    """EP1 end-to-end certificate (reference `sol_2/sample_submission.csv`,
+    checkpoint cell ca6b923d): a fitted pipeline's predictions written
+    through write_submission must reproduce the reference's submission
+    contract on the RAW file text — header exactly ``id,label``, one
+    ``<int id>,<0|1>`` row per test id, ids ascending, no pandas index
+    column. (Values can't match — different data — the contract can.)"""
+    import glob
+    import re
+
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = orders.select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_totalprice").alias("f1"),
+        (F.col("o_custkey") % 7).cast("double").alias("f2"),
+        (F.col("o_totalprice") > 100000).cast("double").alias("label"),
+    )
+    train, test = base.randomSplit([0.8, 0.2], seed=7)
+    pipe = Pipeline(
+        stages=[
+            VectorAssembler(inputCols=["f1", "f2"], outputCol="features"),
+            LogisticRegression(maxIter=5),
+        ]
+    )
+    pred = pipe.fit(train).transform(test)
+    tmp = tempfile.mkdtemp(prefix="sub_contract_")
+    try:
+        write_submission(pred, f"{tmp}/submission", id_col="id", pred_col="prediction")
+        part = glob.glob(f"{tmp}/submission/part-*.csv")
+        assert len(part) == 1  # single file, like the reference artifact
+        lines = open(part[0]).read().splitlines()
+        assert lines[0] == "id,label"  # exact reference header
+        assert len(lines) == 1 + test.count()
+        row_re = re.compile(r"^\d+,[01]$")
+        ids = []
+        for ln in lines[1:]:
+            assert row_re.match(ln), ln
+            ids.append(int(ln.split(",")[0]))
+        assert ids == sorted(ids)
+        assert sorted(ids) == sorted(r.id for r in test.select("id").collect())
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
