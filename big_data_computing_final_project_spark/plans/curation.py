@@ -643,3 +643,73 @@ def q145_shuffle_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# q147 — token-budget allocation plan: given a training-run budget of B
+# tokens, split it across sources proportionally to sqrt(source tokens)
+# (the same temperature-1/2 recipe q103 weights and q127 samples by) and
+# report each source's planned tokens and repeat factor (epochs over the
+# source — >1 means the source is recycled, the small-source upsampling a
+# mixture schedule actually executes). Everything stays engine-exact:
+# weights are integerized (floor of the IEEE sqrt — both engines compute
+# the identical double), the weight total is an INTEGER sum (order-free,
+# unlike a cross-source sum of irrational doubles), and the two emitted
+# doubles each come from a single division of bigints.
+#
+# Scale: one partial-aggregated groupBy to ~|sources| rows, then window
+# math on that kilobyte frame. Nothing else moves.
+# ---------------------------------------------------------------------------
+
+_BUDGET_TOKENS = 10_000_000
+
+_Q147_ORACLE = f"""
+WITH s AS (
+  SELECT source, CAST(SUM(len({_SQL_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), w AS (
+  SELECT source, n_tokens,
+         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS wt
+  FROM s
+), t AS (
+  SELECT source, n_tokens, wt, SUM(wt) OVER () AS tot_wt FROM w
+)
+SELECT source, n_tokens, wt,
+       CAST(floor(CAST({_BUDGET_TOKENS} * wt AS DOUBLE)
+                  / CAST(tot_wt AS DOUBLE)) AS BIGINT) AS planned_tokens,
+       CAST(floor(CAST({_BUDGET_TOKENS} * wt AS DOUBLE)
+                  / CAST(tot_wt AS DOUBLE)) AS DOUBLE)
+       / CAST(n_tokens AS DOUBLE) AS repeat_factor
+FROM t
+ORDER BY source
+"""
+
+
+@register("q147_token_budget_plan", oracle=_Q147_ORACLE)
+def q147_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.sum(X.token_count(F.col("text"))).cast("bigint").alias("n_tokens")
+    )
+    w = s.select(
+        "source",
+        "n_tokens",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("bigint").alias("wt"),
+    )
+    win = Window.partitionBy()
+    planned = F.floor(
+        (F.lit(_BUDGET_TOKENS) * F.col("wt")).cast("double")
+        / F.sum("wt").over(win).cast("double")
+    ).cast("bigint")
+    return (
+        w.select(
+            "source",
+            "n_tokens",
+            "wt",
+            planned.alias("planned_tokens"),
+            (planned.cast("double") / F.col("n_tokens").cast("double")).alias(
+                "repeat_factor"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -989,3 +989,60 @@ def prefix_candidate_count(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
     )
     pruned = _prefix_candidates(sh).count()
     return pruned, full
+
+
+# ---------------------------------------------------------------------------
+# q146 — cross-source duplication flow matrix: for every exact-duplicate
+# group spanning more than one source, count the (keeper_source -> dup
+# source) document flows. The corpus-intelligence companion to q34/q144:
+# q34 says HOW MANY duplicates exist, q144 decides WHO wins; this says
+# WHERE the copies travel between sources (mirror detection, license
+# laundering, scraper overlap). Keeper = min doc_id of the group (q34's
+# policy), so the matrix is deterministic.
+#
+# Scale: one shuffle on the fingerprint (the same one q34 pays) to rank
+# within groups + a broadcast-sized |sources|^2 aggregate. No pairwise
+# join: each non-keeper row contributes exactly one (keeper_source,
+# dup_source) edge via a windowed first_value, so cost is linear in
+# duplicates, not quadratic in group size.
+# ---------------------------------------------------------------------------
+
+_Q146_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, source, md5({_SQL_NORM}) AS fp FROM documents
+), r AS (
+  SELECT doc_id, source, fp,
+         FIRST_VALUE(source) OVER (PARTITION BY fp ORDER BY doc_id) AS keeper_source,
+         ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+  FROM d
+)
+SELECT keeper_source, source AS dup_source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_groups
+FROM r
+WHERE rn > 1
+GROUP BY keeper_source, dup_source
+ORDER BY keeper_source, dup_source
+"""
+
+
+@register("q146_dup_flow_matrix", oracle=_Q146_ORACLE)
+def q146_dup_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", "source", X.fingerprint(F.col("text")).alias("fp"))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    r = d.select(
+        "source",
+        "fp",
+        F.first("source").over(w).alias("keeper_source"),
+        F.row_number().over(w).alias("rn"),
+    )
+    return (
+        r.filter(F.col("rn") > 1)
+        .groupBy("keeper_source", F.col("source").alias("dup_source"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_groups"),
+        )
+        .orderBy("keeper_source", "dup_source")
+    )

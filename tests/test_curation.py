@@ -258,3 +258,17 @@ def test_q145_shards_balanced_and_deterministic(spark, sf_dir):
     for r in a:
         assert r["key_lo"] <= r["key_hi"]
         assert len(r["key_hi"]) == 32
+
+
+def test_q147_budget_conserved_and_upsamples_small_sources(spark, sf_dir):
+    rows = _Q["q147_token_budget_plan"](spark, sf_dir).collect()
+    assert len(rows) >= 2
+    total_planned = sum(r["planned_tokens"] for r in rows)
+    # floor rounding loses at most 1 token per source, never over-allocates
+    assert 10_000_000 - len(rows) <= total_planned <= 10_000_000
+    # sqrt temperature: the smallest source gets the largest repeat factor
+    by_tokens = sorted(rows, key=lambda r: r["n_tokens"])
+    assert by_tokens[0]["repeat_factor"] == max(r["repeat_factor"] for r in rows)
+    for r in rows:
+        assert r["planned_tokens"] > 0
+        assert abs(r["repeat_factor"] - r["planned_tokens"] / r["n_tokens"]) < 1e-12

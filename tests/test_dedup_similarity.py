@@ -411,3 +411,57 @@ def test_bench_broadcast_is_size_guarded(spark, sf_dir, name):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert got == expected
+
+
+def test_q146_dup_flow_on_planted_corpus(spark, tmp_path):
+    """The synthetic corpus has no exact duplicates, so q146 is vacuous at
+    the gate SFs; this planted corpus exercises it: two dup groups spanning
+    sources, one within-source copy pair, one unique doc. The flow matrix
+    must count edges from the keeper's source to each copy's source, and
+    hash-match the DuckDB oracle on the same planted data."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_computing_final_project_spark.plans import all_oracles
+    from tools.check_oracle import frame_digest
+    import duckdb
+
+    rows = [
+        # group 1: keeper in srcA (doc 1), copies in srcB and srcB
+        (1, "shared text one", "en", "srcA"),
+        (2, "shared text one", "en", "srcB"),
+        (3, "shared text one", "en", "srcB"),
+        # group 2: keeper in srcB (doc 4), copy in srcA
+        (4, "shared text two", "en", "srcB"),
+        (5, "shared text two", "en", "srcA"),
+        # group 3: within-source pair in srcC
+        (6, "shared text three", "en", "srcC"),
+        (7, "shared text three", "en", "srcC"),
+        # unique
+        (8, "completely different", "en", "srcA"),
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    sdf = _Q["q146_dup_flow_matrix"](spark, str(tmp_path))
+    got = [tuple(r) for r in sdf.collect()]
+    assert got == [
+        ("srcA", "srcB", 2, 1),   # group 1: two copies, one group
+        ("srcB", "srcA", 1, 1),   # group 2
+        ("srcC", "srcC", 1, 1),   # group 3: within-source flow
+    ]
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'")
+    res = con.sql(all_oracles()["q146_dup_flow_matrix"])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    assert frame_digest(sdf.columns, got) == frame_digest(dcols, drows)

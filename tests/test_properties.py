@@ -190,3 +190,18 @@ def test_int8_quantize_bound_and_determinism(spark, xs):
         tol = maxabs / 254.0 * (1 + 1e-9)
         for x, xh in zip(row["e"], row["x_hat"]):
             assert abs(x - xh) <= tol, (x, xh, maxabs)
+
+
+def test_parse_bytes_spark_conf_forms():
+    """broadcast_if_small must read every form Spark accepts for
+    autoBroadcastJoinThreshold: bare bytes, k/m/g suffixes, b-suffixed
+    units, and the -1 disable sentinel."""
+    from big_data_computing_final_project_spark.operators.sizing import _parse_bytes
+
+    assert _parse_bytes("10485760") == 10 * 1024 * 1024
+    assert _parse_bytes("10MB") == 10 * 1024 * 1024
+    assert _parse_bytes("10m") == 10 * 1024 * 1024
+    assert _parse_bytes("1g") == 1 << 30
+    assert _parse_bytes("512k") == 512 * 1024
+    assert _parse_bytes("-1") == -1
+    assert _parse_bytes(" 2MB ") == 2 * 1024 * 1024
