@@ -178,3 +178,57 @@ def test_bloom_filter_applies_before_probe_shuffle(spark, sf_dir):
     # the membership test is a Filter, not a Join condition
     filter_pos = plan.find("xxhash64")
     assert "Filter" in plan[:filter_pos] or "Filter" in plan[filter_pos - 200 : filter_pos]
+
+
+def test_salted_join_equals_plain_join_on_planted_skew(spark):
+    """salted_join must return exactly the plain join's rows on a corpus
+    where one key holds 90% of the probe side, and its physical join keys
+    must include the salt (the hot key spreads over n_salts reducers)."""
+    from pyspark.sql import functions as F
+
+    from big_data_computing_final_project_spark.operators.skew import SALT_COL, salted_join
+
+    # planted skew: key "hot" carries 900 rows, 10 cold keys carry 10 each
+    left = spark.range(1000).select(
+        F.col("id").alias("row_id"),
+        F.when(F.col("id") < 900, "hot").otherwise(
+            F.concat(F.lit("cold"), (F.col("id") % 10).cast("string"))
+        ).alias("k"),
+        (F.col("id") * 2).alias("v"),
+    )
+    right = spark.createDataFrame(
+        [("hot", 1.5)] + [(f"cold{i}", float(i)) for i in range(10)], ["k", "w"]
+    )
+    plain = left.join(right, ["k"]).select("k", "row_id", "v", "w")
+    salted = salted_join(left, right, ["k"], n_salts=8, salt_from="row_id").select(
+        "k", "row_id", "v", "w"
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+    # the join really runs on (k, salt): salt appears in the plan's keys
+    plan = salted_join(left, right, ["k"], n_salts=8, salt_from="row_id")._jdf.queryExecution().executedPlan().toString()
+    assert SALT_COL in plan
+    # and the probe rows of the hot key land in multiple salt buckets
+    n_buckets = (
+        left.withColumn(
+            SALT_COL, (((F.xxhash64(F.col("row_id")) % 8) + 8) % 8).cast("int")
+        )
+        .filter(F.col("k") == "hot")
+        .select(SALT_COL)
+        .distinct()
+        .count()
+    )
+    assert n_buckets == 8
+
+
+def test_salted_join_left_outer_preserves_unmatched(spark):
+    from pyspark.sql import functions as F
+
+    from big_data_computing_final_project_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame([(1, "a"), (2, "b"), (3, "zz")], ["row_id", "k"])
+    right = spark.createDataFrame([("a", 10), ("b", 20)], ["k", "w"])
+    got = {
+        (r["k"], r["w"])
+        for r in salted_join(left, right, ["k"], n_salts=4, salt_from="row_id", how="left").collect()
+    }
+    assert got == {("a", 10), ("b", 20), ("zz", None)}
