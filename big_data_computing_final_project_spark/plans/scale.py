@@ -151,3 +151,56 @@ def q79_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_users_approx"))
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q148 — salted fact-fact enrichment (operators/skew.salted_join registered
+# end-to-end): every event is enriched with its user's total activity (a
+# self-aggregate too large to broadcast at scale), then rolled up per
+# event_type. The enrichment join's shuffle key is (user_id, salt): a hot
+# user's events spread over _N_SALTS reducers instead of one. The salt is
+# invisible in the answer — the oracle is the plain join — which is
+# exactly the property the pattern must preserve. All emitted aggregates
+# are integers (counts and a bigint sum of counts), so cross-engine hash
+# parity is exact.
+# ---------------------------------------------------------------------------
+
+_Q148_ORACLE = """
+WITH u AS (
+  SELECT user_id, COUNT(*) AS user_events FROM events GROUP BY user_id
+)
+SELECT e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(u.user_events) AS BIGINT) AS sum_user_activity,
+       CAST(COUNT(DISTINCT CASE WHEN u.user_events >= 5 THEN e.user_id END)
+            AS BIGINT) AS n_heavy_users
+FROM events e JOIN u ON e.user_id = u.user_id
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""
+
+
+@register("q148_salted_enrich", oracle=_Q148_ORACLE)
+def q148_salted_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    user_totals = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("user_events"))
+    enriched = salted_join(
+        ev.select("event_id", "event_type", "user_id"),
+        user_totals,
+        ["user_id"],
+        n_salts=8,
+        salt_from="event_id",
+    )
+    return (
+        enriched.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("user_events").cast("bigint").alias("sum_user_activity"),
+            F.countDistinct(
+                F.when(F.col("user_events") >= 5, F.col("user_id"))
+            ).alias("n_heavy_users"),
+        )
+        .orderBy("event_type")
+    )
