@@ -311,3 +311,22 @@ def test_submission_format_matches_reference_contract(spark, sf_dir):
         assert sorted(ids) == sorted(r.id for r in test.select("id").collect())
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_partitioned_write_prunes_partitions_on_read(spark, sf_dir, tmp_path):
+    """Hive-partitioned parquet sink: a reader filtering on the partition
+    column must prune at the PLAN level (PartitionFilters, not a post-scan
+    filter) — at 100 TB this is the difference between listing one
+    directory and scanning the corpus."""
+    from big_data_computing_final_project_spark.sources.io import write_parquet
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    write_parquet(ev, str(tmp_path / "ev"), partition_by=["event_type"])
+    back = spark.read.parquet(str(tmp_path / "ev"))
+    one_type = back.filter(F.col("event_type") == "click")
+    plan = one_type._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "isnotnull(event_type" in plan or "event_type" in plan.split("PartitionFilters:")[1][:120]
+    # the pruned read returns exactly the filtered rows
+    assert one_type.count() == ev.filter(F.col("event_type") == "click").count()
+    assert one_type.count() > 0
