@@ -283,7 +283,7 @@ def q130_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = F.col("tf").cast("double") / F.col("df").cast("double")
     w = Window.partitionBy("source").orderBy(score.desc(), F.col("t"))
     return (
-        tf.join(F.broadcast(df_tab), "t")
+        tf.join(broadcast_if_small(df_tab), "t")
         .withColumn("score", score)
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _TFIDF_K)

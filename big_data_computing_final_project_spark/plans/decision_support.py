@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions.stats import dec_sum, sql_dec_sum
+from ..operators.sizing import broadcast_if_small
 from .registry import register
 
 
@@ -98,7 +99,7 @@ def q107_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
     )
-    joined = month.join(F.broadcast(part), month.l_partkey == part.p_partkey)
+    joined = month.join(broadcast_if_small(part), month.l_partkey == part.p_partkey)
     promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
     return joined.agg(
         (F.lit(100.0) * dec_sum(promo, 6) / dec_sum(disc, 6)).alias("promo_revenue_pct")
@@ -146,7 +147,7 @@ def q108_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_rev", F.max("total_revenue").over(Window.partitionBy())
     ).filter(F.col("total_revenue") == F.col("max_rev"))
     return (
-        best.join(F.broadcast(supplier), best.supplier_no == supplier.s_suppkey)
+        best.join(broadcast_if_small(supplier), best.supplier_no == supplier.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -181,12 +182,12 @@ def q109_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg_qty = (
         li.groupBy(F.col("l_partkey").alias("ap_partkey"))
         .agg((dec_sum(F.col("l_quantity")) / F.count("l_quantity")).alias("avg_qty"))
-        .join(F.broadcast(brand_parts), F.col("ap_partkey") == F.col("p_partkey"))
+        .join(broadcast_if_small(brand_parts), F.col("ap_partkey") == F.col("p_partkey"))
         .select("ap_partkey", "avg_qty")
     )
-    slice_ = li.join(F.broadcast(brand_parts), li.l_partkey == F.col("p_partkey"))
+    slice_ = li.join(broadcast_if_small(brand_parts), li.l_partkey == F.col("p_partkey"))
     return (
-        slice_.join(F.broadcast(avg_qty), slice_.l_partkey == F.col("ap_partkey"))
+        slice_.join(broadcast_if_small(avg_qty), slice_.l_partkey == F.col("ap_partkey"))
         .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
         .agg((dec_sum(F.col("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly"))
     )
@@ -224,7 +225,7 @@ def q110_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sum_qty") > 250)
     )
     return (
-        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        orders.join(broadcast_if_small(big), orders.o_orderkey == big.l_orderkey)
         .join(customer, orders.o_custkey == customer.c_custkey)
         .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
@@ -267,7 +268,7 @@ def q111_heavy_red_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp_ntz"))
             & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp_ntz"))
         )
-        .join(F.broadcast(red), li.l_partkey == red.p_partkey, "left_semi")
+        .join(broadcast_if_small(red), li.l_partkey == red.p_partkey, "left_semi")
         .groupBy("l_suppkey")
         .agg(dec_sum(F.col("l_quantity")).alias("qty"))
     )
@@ -280,7 +281,7 @@ def q111_heavy_red_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_suppkey")
     )
     return (
-        supplier.join(F.broadcast(heavy), supplier.s_suppkey == heavy.l_suppkey, "left_semi")
+        supplier.join(broadcast_if_small(heavy), supplier.s_suppkey == heavy.l_suppkey, "left_semi")
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )
@@ -347,7 +348,7 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1
 def q113_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(broadcast_if_small(part), li.l_partkey == part.p_partkey)
     q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
     pred = (
         ((b == "Brand#12") & s.between(1, 15) & q.between(1, 11))
@@ -393,12 +394,12 @@ def q114_min_bal_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct pairs: map-side combine collapses the fact before the shuffle;
     # the part filter semi-joins FIRST so only wanted parts pay the distinct
     pairs = (
-        li.join(F.broadcast(wanted.select("p_partkey")), li.l_partkey == F.col("p_partkey"), "left_semi")
+        li.join(broadcast_if_small(wanted.select("p_partkey")), li.l_partkey == F.col("p_partkey"), "left_semi")
         .select("l_partkey", "l_suppkey")
         .distinct()
     )
-    cand = pairs.join(F.broadcast(supplier), pairs.l_suppkey == supplier.s_suppkey).join(
-        F.broadcast(wanted), pairs.l_partkey == wanted.p_partkey
+    cand = pairs.join(broadcast_if_small(supplier), pairs.l_suppkey == supplier.s_suppkey).join(
+        broadcast_if_small(wanted), pairs.l_partkey == wanted.p_partkey
     )
     w = Window.partitionBy("p_partkey")
     return (
@@ -500,7 +501,7 @@ def q116_sole_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1))
     )
     return (
-        r_lines.join(F.broadcast(supplier), r_lines.l_suppkey == supplier.s_suppkey)
+        r_lines.join(broadcast_if_small(supplier), r_lines.l_suppkey == supplier.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
@@ -542,7 +543,7 @@ def q135_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(broadcast_if_small(c), o.o_custkey == c.c_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
@@ -641,9 +642,9 @@ def q137_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         o.join(li, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast_if_small(c), o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            broadcast_if_small(s),
             (li.l_suppkey == s.s_suppkey) & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
         .join(F.broadcast(asia_n), F.col("s_nationkey") == F.col("n_nationkey"))
@@ -741,10 +742,19 @@ def q139_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair_ok = (
         (F.col("supp_nation") == a) & (F.col("cust_nation") == b)
     ) | ((F.col("supp_nation") == b) & (F.col("cust_nation") == a))
+    # estimate_from: c/s embed a nation join whose default size estimate is
+    # the PRODUCT of the sides — useless; the base dim scans are the honest
+    # linear proxies (filtered frames are never larger than their scans)
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(s), li.l_suppkey == F.col("s_suppkey"))
+        .join(
+            broadcast_if_small(c, estimate_from=_t(spark, sf_dir, "customer")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            broadcast_if_small(s, estimate_from=_t(spark, sf_dir, "supplier")),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
         .filter(pair_ok)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(
@@ -793,9 +803,9 @@ def q140_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         0.1
     ) * F.col("p_retailprice") * F.col("l_quantity")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(broadcast_if_small(p), li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(broadcast_if_small(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
             F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
@@ -840,7 +850,7 @@ def q141_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
         o.join(li, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast_if_small(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
         .agg(
@@ -888,8 +898,8 @@ def q142_parts_supplier_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey"
     )
     return (
-        pairs.join(F.broadcast(bad), pairs.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        pairs.join(broadcast_if_small(bad), pairs.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(broadcast_if_small(p), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")

@@ -108,8 +108,8 @@ def _exact_jaccard_pairs(sh: DataFrame) -> DataFrame:
     lb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("common").cast("double") / (F.col("na") + F.col("nb") - F.col("common"))
     return (
-        pairs.join(F.broadcast(la), "doc_a")
-        .join(F.broadcast(lb), "doc_b")
+        pairs.join(broadcast_if_small(la), "doc_a")
+        .join(broadcast_if_small(lb), "doc_b")
         .select("doc_a", "doc_b", jac.alias("jac"))
         .filter(F.col("jac") >= _JACCARD_T)
         .orderBy("doc_a", "doc_b")
@@ -691,8 +691,8 @@ def q70_fingerprint_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ca = F.col("shared").cast("double") / F.col("na")
     cb = F.col("shared").cast("double") / F.col("nb")
     return (
-        pairs.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        pairs.join(broadcast_if_small(sa), "doc_a")
+        .join(broadcast_if_small(sb), "doc_b")
         .filter(
             (F.col("shared") >= _CONTAIN_MIN_SHARED)
             & (F.greatest(ca, cb) >= _CONTAIN_T)
@@ -825,7 +825,7 @@ def q93_editdist_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         a.join(
-            F.broadcast(b),
+            broadcast_if_small(b),
             (F.col("p_brand") == F.col("brand_b"))
             & (F.col("id_a") < F.col("id_b"))
             & (F.abs(F.length("name_a") - F.length("name_b")) <= 2),
@@ -947,7 +947,7 @@ def _prefix_candidates(sh: DataFrame) -> DataFrame:
     pos = (
         ex.join(df_tab, "s")
         .withColumn("rn", F.row_number().over(w))
-        .join(F.broadcast(sizes), "doc_id")
+        .join(broadcast_if_small(sizes), "doc_id")
     )
     prefix = pos.filter(
         F.col("rn") <= F.col("n") - F.ceil(F.lit(_JACCARD_T) * F.col("n")) + F.lit(1)

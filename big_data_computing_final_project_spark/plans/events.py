@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import epoch_us, load_table
 from ..functions.stats import dec_sum, sql_dec_sum
+from ..operators.sizing import broadcast_if_small
 from .registry import register
 
 
@@ -184,7 +185,7 @@ def q83_event_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     return (
-        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        ev.join(broadcast_if_small(cust), ev.user_id == cust.c_custkey)
         .groupBy("c_mktsegment", "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"), dec_sum(F.col("value")).alias("total_value"))
         .orderBy("c_mktsegment", "event_type")

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from ..catalog import epoch_us, load_table
 from ..functions.expressions import interval_bucket
 from ..functions.stats import dec_sum, sql_dec_sum
+from ..operators.sizing import broadcast_if_small
 from .registry import register
 
 
@@ -95,7 +96,7 @@ def q53_entropy_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = [_class_count(c) for c in _STATUSES]
     total = F.count(F.lit(1))
     return (
-        F.broadcast(customer)
+        broadcast_if_small(customer)
         .join(orders, orders.o_custkey == customer.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
@@ -300,7 +301,7 @@ def q58_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 30)
     revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(broadcast_if_small(part), li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(dec_sum(revenue, 6).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
         .orderBy("p_brand")

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..ml.evaluation import classification_report, confusion_counts, summary_metrics
+from ..operators.sizing import broadcast_if_small
 from .registry import register
 
 # embeddings.label ∈ 0..9; the deterministic predictor emits 0..2, so the
@@ -278,7 +279,7 @@ def q49_house_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # base feeds four separate job trees (bucketizer min/max, split label
     # scan, train, test) — cache it so the join runs once
     base = (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(broadcast_if_small(customer), orders.o_custkey == customer.c_custkey)
         .select(
             "o_orderkey",
             "o_orderpriority",

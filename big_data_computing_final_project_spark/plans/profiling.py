@@ -28,6 +28,7 @@ from ..functions.stats import (
     skewness_g1,
     sql_dec_sum,
 )
+from ..operators.sizing import broadcast_if_small
 from .registry import register
 
 
@@ -438,7 +439,7 @@ def q25_derived_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = _t(spark, sf_dir, "customer")
     afford = affordability_ratio(F.col("c_acctbal"), F.col("o_totalprice"))
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(broadcast_if_small(customer), orders.o_custkey == customer.c_custkey)
         .select(
             "o_orderkey",
             "c_custkey",

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..functions.expressions import safe_ratio
 from ..functions.stats import dec_sum, sql_dec_sum
+from ..operators.sizing import broadcast_if_small
 from .registry import register
 
 
@@ -233,7 +234,7 @@ def q06_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     return (
-        F.broadcast(customer)
+        broadcast_if_small(customer)
         .join(orders, orders.o_custkey == customer.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(dec_sum(F.col("o_totalprice")).alias("total_spend"), F.count(F.lit(1)).alias("n_orders"))
@@ -485,7 +486,7 @@ def q16_crosstab_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     return (
-        F.broadcast(customer)
+        broadcast_if_small(customer)
         .join(orders, orders.o_custkey == customer.c_custkey)
         .groupBy("c_mktsegment")
         .pivot("o_orderstatus", ["F", "O", "P"])
