@@ -144,3 +144,24 @@ def test_q137_cyclic_join_broadcasts_dims(spark, sf_dir):
     # against a dimension
     assert "BroadcastHashJoin" in plan
     assert "BroadcastExchange" in plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
+    """DPP: a partitioned fact joined to a filtered dim must prune fact
+    partitions with a runtime subquery (dynamicpruningexpression in the
+    scan's PartitionFilters) — at 100 TB the fact side reads only the
+    directories the dim's surviving keys name, not the whole table."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.write.partitionBy("event_type").parquet(str(tmp_path / "ev"))
+    fact = spark.read.parquet(str(tmp_path / "ev"))
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 2.0)], ["event_type", "wt"]
+    ).filter(F.col("wt") < 1.5)
+    j = fact.join(dim, "event_type").groupBy("event_type").count()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan, plan[:800]
+    got = {r["event_type"]: r["count"] for r in j.collect()}
+    want = ev.filter(F.col("event_type") == "click").count()
+    assert got == {"click": want}
