@@ -809,3 +809,100 @@ def q121_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q149 — BM25 ranked retrieval (Robertson/Sparck Jones; the lexical-search
+# complement to q67's corpus TF-IDF and q38's vector search): score every
+# document against a fixed query-term set with Okapi BM25 (k1=1.2, b=0.75)
+# and emit the top 15. Like q67, the irrational parts (ln idf, the length
+# normalization) ORDER the result but are not output columns — emitted
+# values are integer tf/length stats, so the cross-engine hash is exact
+# while the ranking is still full BM25 (rank flips would need two docs
+# within 1 ulp; exact component ties fall to the doc_id tiebreaker).
+#
+# Scale: one explode->filter->per-doc aggregate (the posting scan is
+# pre-filtered to the query terms, so almost all tokens die at the
+# codegen'd IN before any shuffle), one 1-row doc-stats broadcast, one
+# |terms|-row df broadcast, TakeOrderedAndProject top-k. No full posting
+# list materializes.
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("join", "scan", "merge")
+_BM25_K1, _BM25_B, _BM25_TOPK = 1.2, 0.75, 15
+
+_SQL_BM25_TERMS = "[" + ", ".join(f"'{t}'" for t in _BM25_TERMS) + "]"
+
+_Q149_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+), lens AS (
+  SELECT doc_id, len(toks) AS dl FROM d
+), stats AS (
+  SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM lens
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM d)
+  WHERE list_contains({_SQL_BM25_TERMS}, term)
+  GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id,
+         SUM(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * ({_BM25_K1} + 1)
+             / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * lens.dl / s.avgdl))
+         ) AS score,
+         CAST(SUM(tf.tf) AS BIGINT) AS total_tf,
+         CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+         ANY_VALUE(lens.dl) AS dl
+  FROM tf JOIN df USING (term) JOIN lens ON lens.doc_id = tf.doc_id, stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, total_tf, n_terms_hit, CAST(dl AS BIGINT) AS doc_len
+FROM scored
+ORDER BY score DESC, doc_id
+LIMIT {_BM25_TOPK}
+"""
+
+
+@register("q149_bm25_retrieval", oracle=_Q149_ORACLE)
+def q149_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", X.tokens(F.col("text")).alias("toks"))
+    lens = d.select("doc_id", F.size("toks").alias("dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        d.select("doc_id", F.explode_outer("toks").alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_tab = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    norm = F.col("tf") * (_BM25_K1 + 1) / (
+        F.col("tf")
+        + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(df_tab), "term")
+        .join(lens, "doc_id")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(idf * norm).alias("score"),
+            F.sum("tf").cast("bigint").alias("total_tf"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+            F.any_value(F.col("dl")).cast("bigint").alias("doc_len"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), "doc_id")
+        .limit(_BM25_TOPK)
+        .select("doc_id", "total_tf", "n_terms_hit", "doc_len")
+    )
