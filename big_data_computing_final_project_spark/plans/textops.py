@@ -874,11 +874,16 @@ def q149_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = lens.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
+    # dl rides the explode so the hit aggregate already carries it — no
+    # corpus-wide lens re-join/shuffle on doc_id (lens exists only for the
+    # 1-row stats aggregate above)
     tf = (
-        d.select("doc_id", F.explode_outer("toks").alias("term"))
+        d.select(
+            "doc_id", F.size("toks").alias("dl"), F.explode_outer("toks").alias("term")
+        )
         .filter(F.col("term").isin(*_BM25_TERMS))
         .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf"), F.any_value(F.col("dl")).alias("dl"))
     )
     df_tab = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
@@ -891,7 +896,6 @@ def q149_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         tf.join(F.broadcast(df_tab), "term")
-        .join(lens, "doc_id")
         .join(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(
