@@ -141,7 +141,14 @@ def pearson_corr_from_sums(n: Column, sx: Column, sy: Column, sxx: Column, syy: 
 
 
 def sql_dec_sum(expr: str, scale: int = 4) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(38,{scale}))) AS DOUBLE)"
+    # VARCHAR route, deliberately: DuckDB's decimal->double cast is the
+    # two-step unscaled_int->double / 10^scale (two IEEE roundings), while
+    # Spark's BigDecimal.doubleValue is the correctly-rounded single step —
+    # they differ in the last ulp once the unscaled total exceeds 2^53
+    # (first seen at sf0.1 on q01's sum_charge). decimal->VARCHAR is exact
+    # digits and VARCHAR->double is correctly-rounded strtod, so this form
+    # matches Spark bit-for-bit at every magnitude.
+    return f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(38,{scale}))) AS VARCHAR) AS DOUBLE)"
 
 
 def sql_dec_avg(expr: str, scale: int = 4) -> str:

@@ -260,8 +260,7 @@ WITH per_nation AS (
   GROUP BY r.r_name, n.n_name
 )
 SELECT region, nation, nation_bal,
-       nation_bal / CAST(SUM(CAST(nation_bal AS DECIMAL(38,4))) OVER (PARTITION BY region)
-                    AS DOUBLE) AS region_share
+       nation_bal / CAST(CAST(SUM(CAST(nation_bal AS DECIMAL(38,4))) OVER (PARTITION BY region) AS VARCHAR) AS DOUBLE) AS region_share
 FROM per_nation ORDER BY region, nation
 """
 

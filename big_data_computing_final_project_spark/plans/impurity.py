@@ -184,9 +184,8 @@ def q54_information_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q55_ORACLE = """
 SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4)))
-            OVER (PARTITION BY o_custkey ORDER BY o_orderdate
-                  RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS DOUBLE)
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                  RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
          AS trailing_30d_spend
 FROM orders
 ORDER BY o_custkey, order_date, o_orderkey
@@ -257,7 +256,7 @@ SELECT CASE WHEN order_age > 0 AND order_age <= 25 THEN 'Recent'
             WHEN order_age > 27 AND order_age <= 100 THEN 'Very_Old'
             ELSE NULL END AS age_category,
        COUNT(*) AS n,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total_price
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS total_price
 FROM a
 GROUP BY age_category
 ORDER BY age_category NULLS FIRST

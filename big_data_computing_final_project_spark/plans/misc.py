@@ -70,8 +70,8 @@ _Q60_COLS = ["l_quantity", "l_discount", "l_extendedprice"]
 def _q60_oracle() -> str:
     parts = []
     for c in _Q60_COLS:
-        s1 = f"CAST(SUM(CAST({c} AS DECIMAL(38,4))) AS DOUBLE)"
-        s2 = f"CAST(SUM(CAST({c} * {c} AS DECIMAL(38,8))) AS DOUBLE)"
+        s1 = f"CAST(CAST(SUM(CAST({c} AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE)"
+        s2 = f"CAST(CAST(SUM(CAST({c} * {c} AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)"
         n = f"CAST(COUNT({c}) AS DOUBLE)"
         parts.append(
             f"""
@@ -138,15 +138,15 @@ def q62_tree_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q63_ORACLE = """
 WITH m AS (
   SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sq,
-         CAST(SUM(CAST(l_discount AS DECIMAL(38,4))) AS DOUBLE) AS sd,
-         CAST(SUM(CAST(l_tax AS DECIMAL(38,4))) AS DOUBLE) AS st,
-         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS sqq,
-         CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(38,8))) AS DOUBLE) AS sdd,
-         CAST(SUM(CAST(l_tax * l_tax AS DECIMAL(38,8))) AS DOUBLE) AS stt,
-         CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(38,8))) AS DOUBLE) AS sqd,
-         CAST(SUM(CAST(l_quantity * l_tax AS DECIMAL(38,8))) AS DOUBLE) AS sqt,
-         CAST(SUM(CAST(l_discount * l_tax AS DECIMAL(38,8))) AS DOUBLE) AS sdt
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS sq,
+         CAST(CAST(SUM(CAST(l_discount AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS sd,
+         CAST(CAST(SUM(CAST(l_tax AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS st,
+         CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS sqq,
+         CAST(CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS sdd,
+         CAST(CAST(SUM(CAST(l_tax * l_tax AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS stt,
+         CAST(CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS sqd,
+         CAST(CAST(SUM(CAST(l_quantity * l_tax AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS sqt,
+         CAST(CAST(SUM(CAST(l_discount * l_tax AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS sdt
   FROM lineitem
 ), r AS (
   SELECT 'l_quantity' AS col_x, 'l_discount' AS col_y,

@@ -390,9 +390,8 @@ SELECT
   o_custkey,
   o_orderkey,
   CAST(o_orderdate AS DATE) AS order_date,
-  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4)))
-       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS running_spend
 FROM orders
 ORDER BY o_custkey, o_orderdate, o_orderkey
 """
