@@ -205,3 +205,76 @@ def test_parse_bytes_spark_conf_forms():
     assert _parse_bytes("512k") == 512 * 1024
     assert _parse_bytes("-1") == -1
     assert _parse_bytes(" 2MB ") == 2 * 1024 * 1024
+
+
+def test_dec_sum_parity_beyond_2_53(spark, tmp_path):
+    """The sf0.1 sweep caught engines diverging on decimal->double once the
+    unscaled sum exceeds 2^53 (DuckDB two-step vs Spark single-step). This
+    pins the VARCHAR-route fix far past that threshold — magnitudes no
+    test SF reaches: 1M rows of ~1e6-scale 2dp values, unscaled scale-4
+    total ~1e16 > 2^53."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from big_data_computing_final_project_spark.functions.stats import (
+        dec_sum,
+        sql_dec_sum,
+    )
+    from tools.check_oracle import _canon
+
+    df = spark.range(1_000_000).select(
+        (F.col("id") % 7).alias("g"),
+        # deterministic 2dp values up to ~1.4e8 (inside the fast-path
+        # magnitude contract), all-positive so group totals don't cancel
+        (F.round((F.col("id") % 999_999) * 137.0 + 0.25, 2)).alias("v"),
+    )
+    path = str(tmp_path / "big.parquet")
+    df.write.parquet(path)
+
+    got = {
+        r["g"]: r["s"]
+        for r in spark.read.parquet(path)
+        .groupBy("g")
+        .agg(dec_sum(F.col("v"), 4).alias("s"))
+        .collect()
+    }
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW t AS SELECT * FROM parquet_scan('{path}/*.parquet')")
+    want = {
+        g: s
+        for g, s in con.sql(
+            f"SELECT g, {sql_dec_sum('v', 4)} AS s FROM t GROUP BY g"
+        ).fetchall()
+    }
+    assert set(got) == set(want)
+    for g in got:
+        assert _canon(got[g]) == _canon(want[g]), (g, got[g], want[g])
+    # sanity: the magnitudes really exceed the 2^53 divergence threshold
+    assert any(abs(v) * 1e4 > 2**53 for v in got.values())
+
+
+def test_dec_sum_wide_path_parity_beyond_2_53(spark, tmp_path):
+    """Same pin for the wide (BigDecimal) path: scale>8 forces it."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from big_data_computing_final_project_spark.functions.stats import (
+        dec_sum,
+        sql_dec_sum,
+    )
+    from tools.check_oracle import _canon
+
+    df = spark.range(200_000).select(
+        ((F.col("id") % 997).cast("double") / 7.0 + 1000.0).alias("v")
+    )
+    path = str(tmp_path / "wide.parquet")
+    df.write.parquet(path)
+    got = (
+        spark.read.parquet(path).agg(dec_sum(F.col("v"), 10).alias("s")).first()["s"]
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW t AS SELECT * FROM parquet_scan('{path}/*.parquet')")
+    want = con.sql(f"SELECT {sql_dec_sum('v', 10)} AS s FROM t").fetchone()[0]
+    assert _canon(got) == _canon(want), (got, want)
