@@ -23,8 +23,16 @@ STOPWORDS = {
 
 
 def normalize(text: Column) -> Column:
-    """Lowercase + collapse whitespace — canonical form for hashing/dedup."""
-    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    """Lowercase + collapse whitespace — canonical form for hashing/dedup.
+
+    The collapse class is ``[\s\p{Z}]+``, deliberately: Java's bare \s
+    is ASCII-only while DuckDB's trim() strips Unicode spaces, so NBSP /
+    EM-SPACE text diverged between engine and oracle (found by fuzzing —
+    the corpus is pure ASCII so gate hashes never saw it). With every
+    Unicode space collapsed to ' ' first, the trailing trim() is
+    ASCII-only in BOTH engines, and a real multilingual corpus
+    normalizes the way a human expects."""
+    return F.trim(F.regexp_replace(F.lower(text), r"[\s\p{Z}]+", " "))
 
 
 def tokens(text: Column) -> Column:

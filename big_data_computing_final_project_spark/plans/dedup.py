@@ -315,7 +315,7 @@ _SIMHASH_MAX_HAMMING = 3
 _Q37_ORACLE = f"""
 WITH tok AS (
   SELECT doc_id,
-         unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS t
+         unnest(string_split(trim(regexp_replace(lower(text), '[\\s\\p{{Z}}]+', ' ', 'g')), ' ')) AS t
   FROM documents
 ), th AS (
   SELECT doc_id, ('0x' || substring(md5(t), 1, 15))::BIGINT AS h FROM tok

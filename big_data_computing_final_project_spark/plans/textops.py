@@ -14,7 +14,7 @@ from ..functions import text as X
 from .registry import register
 
 # DuckDB equivalent of functions.text.normalize / tokens
-_SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_SQL_NORM = "trim(regexp_replace(lower(text), '[\\s\\p{Z}]+', ' ', 'g'))"
 _SQL_TOKS = f"string_split({_SQL_NORM}, ' ')"
 
 

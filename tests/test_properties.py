@@ -278,3 +278,54 @@ def test_dec_sum_wide_path_parity_beyond_2_53(spark, tmp_path):
     con.sql(f"CREATE VIEW t AS SELECT * FROM parquet_scan('{path}/*.parquet')")
     want = con.sql(f"SELECT {sql_dec_sum('v', 10)} AS s FROM t").fetchone()[0]
     assert _canon(got) == _canon(want), (got, want)
+
+
+def test_normalize_tokens_cross_engine_fuzz(spark, tmp_path):
+    """Deterministic fuzz parity for the tokenization foundation: Spark
+    normalize/tokens vs the DuckDB _SQL_NORM/_SQL_TOKS fragments on
+    adversarial strings — mixed ASCII punctuation, control whitespace,
+    accents, CJK, astral-plane chars, and the Unicode spaces (NBSP, EM
+    SPACE, ideographic space) that diverged before the [\\s\\p{Z}]+
+    collapse class."""
+    import random
+    import string
+
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from big_data_computing_final_project_spark.functions import text as X
+    from big_data_computing_final_project_spark.plans.textops import _SQL_NORM
+
+    random.seed(7)
+    pool = (
+        string.ascii_letters
+        + string.digits
+        + " .,!?;:-_()[]'\"\t\n\r"
+        + "éüñ漢字𝔘"
+        + "\xa0  　"
+    )
+    rows = [
+        (i, "".join(random.choice(pool) for _ in range(random.randint(0, 60))))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    got = {
+        r["id"]: (r["nm"], r["tk"])
+        for r in df.select(
+            "id",
+            X.normalize(F.col("text")).alias("nm"),
+            X.tokens(F.col("text")).alias("tk"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = {
+        i: (nm, tk)
+        for i, nm, tk in con.execute(
+            f"SELECT id, {_SQL_NORM}, string_split({_SQL_NORM}, ' ') FROM t"
+        ).fetchall()
+    }
+    bad = [i for i in got if got[i] != (want[i][0], want[i][1])]
+    assert not bad, [(rows[i][1], got[i], want[i]) for i in bad[:3]]
