@@ -329,3 +329,79 @@ def test_normalize_tokens_cross_engine_fuzz(spark, tmp_path):
     }
     bad = [i for i in got if got[i] != (want[i][0], want[i][1])]
     assert not bad, [(rows[i][1], got[i], want[i]) for i in bad[:3]]
+
+
+def test_text_fragments_cross_engine_fuzz(spark):
+    """Fuzz parity for the remaining oracle-dialect fragment pairs on the
+    same adversarial alphabet as the normalize test: fingerprint (md5 of
+    normalized text), the q33 quality score (length/punct/stopword
+    composite — exercises \\w-class and length() semantics on accents,
+    CJK, and astral chars), word shingles (set equality — DuckDB's
+    list_distinct orders arbitrarily, Spark's array_distinct keeps first
+    occurrence; every consumer is set-semantic), and the md5-60bit
+    uniform on edge-case integer keys."""
+    import random
+    import string
+
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from big_data_computing_final_project_spark.functions import text as X
+    from big_data_computing_final_project_spark.plans.curation import _sql_u60, _u60
+    from big_data_computing_final_project_spark.plans.dedup import _SQL_SHINGLES
+    from big_data_computing_final_project_spark.plans.textops import (
+        _SQL_NORM,
+        _SQL_PUNCT_RATIO,
+        _SQL_STOP_RATIO,
+        _SQL_TOKS,
+    )
+
+    random.seed(11)
+    pool = (
+        string.ascii_letters
+        + string.digits
+        + " .,!?;:-_()[]'\"\t\n\r"
+        + "éüñ漢字𝔘"
+        + "\xa0  　"
+    )
+    rows = [
+        (i, "".join(random.choice(pool) for _ in range(random.randint(0, 80))))
+        for i in range(300)
+    ]
+    for i in range(0, 300, 5):
+        rows[i] = (rows[i][0], rows[i][1] + " the of and is a test")
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["fp"], r["q"], frozenset(r["sh"]))
+        for r in df.select(
+            "doc_id",
+            X.fingerprint(F.col("text")).alias("fp"),
+            X.quality_score(F.col("text")).alias("q"),
+            X.shingles(F.col("text"), 3).alias("sh"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    sql = f"""
+    SELECT doc_id, md5({_SQL_NORM}) AS fp,
+           least(length(text) / 500.0, 1.0) * 0.4
+           + (1.0 - least({_SQL_PUNCT_RATIO} * 5.0, 1.0)) * 0.3
+           + least({_SQL_STOP_RATIO} * 5.0, 1.0) * 0.3 AS q,
+           (SELECT {_SQL_SHINGLES} FROM (SELECT {_SQL_TOKS} AS toks) s) AS sh
+    FROM documents
+    """
+    want = {
+        i: (fp, q, frozenset(sh)) for i, fp, q, sh in con.execute(sql).fetchall()
+    }
+    bad = [i for i in got if got[i] != want[i]]
+    assert not bad, [(rows[i][1], got[i], want[i]) for i in bad[:3]]
+
+    keys = [(i,) for i in list(range(100)) + [2**62, 2**63 - 1, -5, 0]]
+    kdf = spark.createDataFrame(keys, ["k"])
+    ugot = {r["k"]: r["u"] for r in kdf.select("k", _u60(F.col("k")).alias("u")).collect()}
+    con.execute("CREATE TABLE t(k BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", keys)
+    uwant = {k: u for k, u in con.execute(f"SELECT k, {_sql_u60('k')} AS u FROM t").fetchall()}
+    assert ugot == uwant
