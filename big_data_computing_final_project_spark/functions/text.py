@@ -25,14 +25,18 @@ STOPWORDS = {
 def normalize(text: Column) -> Column:
     """Lowercase + collapse whitespace — canonical form for hashing/dedup.
 
-    The collapse class is ``[\s\p{Z}]+``, deliberately: Java's bare \s
-    is ASCII-only while DuckDB's trim() strips Unicode spaces, so NBSP /
-    EM-SPACE text diverged between engine and oracle (found by fuzzing —
-    the corpus is pure ASCII so gate hashes never saw it). With every
-    Unicode space collapsed to ' ' first, the trailing trim() is
-    ASCII-only in BOTH engines, and a real multilingual corpus
-    normalizes the way a human expects."""
-    return F.trim(F.regexp_replace(F.lower(text), r"[\s\p{Z}]+", " "))
+    The collapse class is spelled explicitly — ASCII whitespace
+    [ \t\n\x0B\f\r] plus \p{Z} (all Unicode spaces incl. NBSP/EM
+    SPACE, and the Zl/Zp separators) — NEVER via \s: Java's \s includes
+    \x0B where RE2's does not, and neither includes Unicode spaces while
+    DuckDB's trim() strips them, so both bare-\s forms diverged between
+    engine and oracle (found by fuzzing; the corpus is pure ASCII so gate
+    hashes never saw it). With every space collapsed to ' ' first, the
+    trailing trim() is ASCII-only in BOTH engines, and a multilingual
+    corpus normalizes the way a human expects. NEL (\x85) and the Cc
+    separators (\x1c-\x1f) are deliberately NOT whitespace here — they
+    are control chars in both dialects' class semantics."""
+    return F.trim(F.regexp_replace(F.lower(text), r"[ \t\n\x0B\f\r\p{Z}]+", " "))
 
 
 def tokens(text: Column) -> Column:
@@ -99,7 +103,9 @@ def lang_id(text: Column) -> Column:
 def punct_ratio(text: Column) -> Column:
     """Punctuation chars / total chars (quality signal)."""
     n = F.length(text)
-    n_punct = n - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    # explicit whitespace set (never \s): Java's \s includes \x0B where
+    # RE2's does not — same divergence normalize() avoids
+    n_punct = n - F.length(F.regexp_replace(text, r"[^\w \t\n\x0B\f\r\p{Z}]", ""))
     return F.when(n > 0, n_punct / n).otherwise(F.lit(0.0))
 
 
@@ -128,18 +134,23 @@ def quality_score(text: Column) -> Column:
 # backreferences/lookaround) so an oracle engine could mirror them.
 PII_PATTERNS = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-    # Two phone shapes, chosen so generic numeric text survives (ADVICE r3:
-    # the old any-chars-in-class form matched ISO dates and decimal-number
-    # sequences):
+    # Three phone shapes, ORDERED longest-coverage-first (alternation is
+    # leftmost-branch-first, so the NANP branch last keeps it from eating
+    # only the first 10 digits of a longer run — code-review finding), and
+    # chosen so generic numeric text survives (ADVICE r3):
+    #  - +CC international: '+' REQUIRED, >= 10 digits, any single [-. ]
+    #    separators including spaces ("+44 20 7946 0958");
+    #  - bare long run: >= 11 digits with single [-.] separators, NO
+    #    spaces — so two space-adjacent ISO dates or a decimal-number
+    #    list never fuse into one "phone";
     #  - NANP-ish: optional +CC, 3-3-4 digit groups, at most ONE
-    #    separator between groups ("(415) 555-0199", "4155550199");
-    #  - international long-run: >= 11 digits with at most one [-. ]
-    #    between consecutive digits ("+44 20 7946 0958").
-    # "2023-01-01" (8 digits, no contiguous 3-3-4) and "1.5 2.3 4.5 6.7"
-    # (8 digits) match neither branch.
+    #    separator between groups ("(415) 555-0199", "4155550199").
+    # "2023-01-01 2024-12-31" and "1.5 2.3 4.5 6.7 8.9 0.1" match no
+    # branch; "123456789012345" is masked WHOLE by the bare-run branch.
     "phone": (
-        r"(\+[0-9]{1,3}[-. ]?)?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}"
-        r"|\+?([0-9][-. ]?){10,}[0-9]"
+        r"\+([0-9][-. ]?){9,}[0-9]"
+        r"|([0-9][-.]?){10,}[0-9]"
+        r"|(\+[0-9]{1,3}[-. ]?)?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}"
     ),
     "digit_run": r"[0-9]{6,}",
 }

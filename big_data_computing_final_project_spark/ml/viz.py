@@ -16,6 +16,12 @@ from __future__ import annotations
 from typing import Sequence
 
 
+def _dot_escape(s: str) -> str:
+    """Escape a string for a double-quoted DOT label (caller-supplied
+    feature names may contain quotes/backslashes)."""
+    return s.replace("\\", "\\\\").replace('"', '\\"')
+
+
 def _node_label(node, feature_names: Sequence[str] | None, digits: int) -> str:
     """Label one java tree node the way sklearn's export_graphviz does:
     split condition (internal nodes), impurity, prediction."""
@@ -26,6 +32,7 @@ def _node_label(node, feature_names: Sequence[str] | None, digits: int) -> str:
         split = node.split()
         fi = split.featureIndex()
         name = feature_names[fi] if feature_names and fi < len(feature_names) else f"feature_{fi}"
+        name = _dot_escape(name)
         scls = split.getClass().getSimpleName()
         if scls.startswith("ContinuousSplit"):
             cond = f"{name} <= {round(split.threshold(), digits)}"

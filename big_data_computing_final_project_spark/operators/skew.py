@@ -48,6 +48,17 @@ def salted_join(
     range — a narrow map, no shuffle — so the join's shuffle key becomes
     (key..., salt) on both sides.
     """
+    allowed = {"inner", "left", "leftouter", "left_outer", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "semi", "anti", "cross"}
+    if how.lower().replace(" ", "") not in allowed:
+        # the build side is replicated once per salt, so every UNMATCHED
+        # build row would surface n_salts times under right/full outer —
+        # silently breaking the salted == plain invariant
+        raise ValueError(
+            f"salted_join does not support how={how!r}: right/full outer "
+            "joins would emit n_salts copies of unmatched build-side rows; "
+            "salt the other side instead"
+        )
     if salt_from is None:
         salt_from = on[0]
     src = F.col(salt_from) if isinstance(salt_from, str) else salt_from

@@ -27,6 +27,15 @@ from .registry import register
 
 from .textops import _SQL_NORM, _SQL_TOKS
 
+# Python twin of functions.text.normalize's collapse class
+# ([ \\t\\n\\x0B\\f\\r\\p{Z}]+): Python re has no \\p{Z}, so the Zs/Zl/Zp
+# set is spelled out. Python's bare \\s would wrongly include NEL and
+# \\x1c-\\x1f and diverge from the Java/RE2 class (code-review finding).
+_WS_CLASS = (
+    "[ \\t\\n\\x0b\\f\\r"
+    "\\u00a0\\u1680\\u2000-\\u200a\\u2028\\u2029\\u202f\\u205f\\u3000]+"
+)
+
 # ---------------------------------------------------------------------------
 # q34 — exact dedup via fingerprint group (SURVEY §7 step 6 `dropDuplicates`
 # generalized: keep min doc_id per fingerprint, count copies).
@@ -315,7 +324,7 @@ _SIMHASH_MAX_HAMMING = 3
 _Q37_ORACLE = f"""
 WITH tok AS (
   SELECT doc_id,
-         unnest(string_split(trim(regexp_replace(lower(text), '[\\s\\p{{Z}}]+', ' ', 'g')), ' ')) AS t
+         unnest(string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r\\p{{Z}}]+', ' ', 'g')), ' ')) AS t
   FROM documents
 ), th AS (
   SELECT doc_id, ('0x' || substring(md5(t), 1, 15))::BIGINT AS h FROM tok
@@ -586,7 +595,7 @@ def winnow_fingerprints_arrow(docs: DataFrame) -> DataFrame:
         for pdf in it:
             out_doc, out_pos, out_fp = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                toks = re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+                toks = re.sub(_WS_CLASS, " ", text.lower()).strip(" ").split(" ")
                 m = len(toks) - _WINNOW_K + 1
                 if m < 1:
                     continue

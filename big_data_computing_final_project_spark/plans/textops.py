@@ -14,7 +14,7 @@ from ..functions import text as X
 from .registry import register
 
 # DuckDB equivalent of functions.text.normalize / tokens
-_SQL_NORM = "trim(regexp_replace(lower(text), '[\\s\\p{Z}]+', ' ', 'g'))"
+_SQL_NORM = "trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r\\p{Z}]+', ' ', 'g'))"
 _SQL_TOKS = f"string_split({_SQL_NORM}, ' ')"
 
 
@@ -91,7 +91,7 @@ def q32_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_PUNCT_RATIO = (
     "CASE WHEN length(text) > 0 THEN "
-    "CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)"
+    "CAST(length(text) - length(regexp_replace(text, '[^\\w \\t\\n\\x0b\\f\\r\\p{Z}]', '', 'g')) AS DOUBLE)"
     " / length(text) ELSE 0.0 END"
 )
 _SQL_STOP_RATIO = (
@@ -564,7 +564,7 @@ def q75_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q67's exact TF path explodes every token through a shuffle; here phase 1
 # ships at most `capacity` truncated counters per partition (shuffle is
 # O(partitions x capacity) regardless of corpus size) and phase 2 re-scans
-# only tokens matching the ~16k candidate terms (broadcast hash semi —
+# only tokens matching the <=320 candidate terms (broadcast hash semi —
 # almost all tokens short-circuit at the probe, nothing wide shuffles).
 # SpaceSaving guarantees any term with true count > N/capacity survives
 # phase 1, so with capacity=4096 and CAND=320 candidates the true top-20

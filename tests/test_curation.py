@@ -26,6 +26,14 @@ def test_redact_pii_planted(spark):
         ("e", "dated 2023-01-01 and again 2024-12-31 end"),
         ("f", "readings 1.5 2.3 4.5 6.7 recorded"),
         ("g", None),
+        # code-review r4: SPACE-adjacent dates / long decimal lists must
+        # not fuse into one "phone"; long digit runs must mask WHOLE (no
+        # 10-digit prefix match leaking the tail); spaced international
+        # +CC numbers still mask
+        ("h", "window 2023-01-01 2024-12-31 closed"),
+        ("i", "series 1.5 2.3 4.5 6.7 8.9 0.1 done"),
+        ("j", "card 123456789012345 end"),
+        ("k", "ring +44 20 7946 0958 now"),
     ]
     df = spark.createDataFrame(rows, ["k", "t"])
     out = {
@@ -49,6 +57,10 @@ def test_redact_pii_planted(spark):
     assert out["f"] == ("readings 1.5 2.3 4.5 6.7 recorded", 0)
     # null text: hits is 0, not NULL — audit sums must not drop the row
     assert out["g"] == (None, 0)
+    assert out["h"] == ("window 2023-01-01 2024-12-31 closed", 0)
+    assert out["i"] == ("series 1.5 2.3 4.5 6.7 8.9 0.1 done", 0)
+    assert out["j"] == ("card <pii> end", 1)  # whole run, no digit tail
+    assert out["k"] == ("ring <pii> now", 1)
 
 
 def test_redact_pii_no_double_count(spark):

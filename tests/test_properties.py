@@ -304,6 +304,7 @@ def test_normalize_tokens_cross_engine_fuzz(spark, tmp_path):
         + " .,!?;:-_()[]'\"\t\n\r"
         + "éüñ漢字𝔘"
         + "\xa0  　"
+        + "\x0b\x85\x1c"  # VT (Java-s-class), NEL + FS (Python-s-only)
     )
     rows = [
         (i, "".join(random.choice(pool) for _ in range(random.randint(0, 60))))
@@ -364,6 +365,7 @@ def test_text_fragments_cross_engine_fuzz(spark):
         + " .,!?;:-_()[]'\"\t\n\r"
         + "éüñ漢字𝔘"
         + "\xa0  　"
+        + "\x0b\x85\x1c"  # VT (Java-s-class), NEL + FS (Python-s-only)
     )
     rows = [
         (i, "".join(random.choice(pool) for _ in range(random.randint(0, 80))))

@@ -232,3 +232,16 @@ def test_salted_join_left_outer_preserves_unmatched(spark):
         for r in salted_join(left, right, ["k"], n_salts=4, salt_from="row_id", how="left").collect()
     }
     assert got == {("a", 10), ("b", 20), ("zz", None)}
+
+
+def test_salted_join_rejects_right_and_full_outer(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from big_data_computing_final_project_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame([(1, "a")], ["row_id", "k"])
+    right = spark.createDataFrame([("a", 1), ("b", 2)], ["k", "w"])
+    for how in ("right", "full", "full_outer", "right_outer", "outer"):
+        with _pytest.raises(ValueError, match="salted_join does not support"):
+            salted_join(left, right, ["k"], n_salts=4, salt_from="row_id", how=how)
