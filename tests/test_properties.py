@@ -407,3 +407,55 @@ def test_text_fragments_cross_engine_fuzz(spark):
     con.executemany("INSERT INTO t VALUES (?)", keys)
     uwant = {k: u for k, u in con.execute(f"SELECT k, {_sql_u60('k')} AS u FROM t").fetchall()}
     assert ugot == uwant
+
+
+def test_tumbling_window_bucketing_cross_engine_fuzz(spark, tmp_path):
+    """F.window('1 hour').start must equal DuckDB's date_trunc('hour') on
+    adversarial timestamps: exact hour boundaries, boundary ±1µs, and
+    pre-1970 values (where floor-division vs truncate-toward-zero
+    implementations classically diverge — both engines calendar-floor)."""
+    import datetime as dt
+    import random
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    random.seed(3)
+    base = dt.datetime(1999, 12, 31, 22, 0, 0)
+    stamps = []
+    for _ in range(400):
+        r = random.random()
+        if r < 0.1:
+            t = dt.datetime(1969, 6, 1) + dt.timedelta(
+                microseconds=random.randrange(10**10)
+            )
+        elif r < 0.3:
+            t = base + dt.timedelta(hours=random.randrange(10))
+        elif r < 0.5:
+            t = base + dt.timedelta(
+                hours=random.randrange(10), microseconds=random.choice([-1, 0, 1])
+            )
+        else:
+            t = base + dt.timedelta(microseconds=random.randrange(3_600_000_000 * 10))
+        stamps.append(t)
+    path = str(tmp_path / "t.parquet")
+    pq.write_table(pa.table({"ts": pa.array(stamps, pa.timestamp("us"))}), path)
+    df = spark.read.parquet(path)
+    got = sorted(
+        (r["w"], r["n"])
+        for r in df.groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("w"), "n")
+        .collect()
+    )
+    con = duckdb.connect()
+    want = sorted(
+        con.execute(
+            f"SELECT date_trunc('hour', ts) w, COUNT(*) n"
+            f" FROM read_parquet('{path}') GROUP BY w"
+        ).fetchall()
+    )
+    assert got == want
