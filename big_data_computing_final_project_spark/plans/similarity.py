@@ -851,3 +851,68 @@ def q133_int8_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "cand_id", "cos8", "rk")
         .orderBy("q_id", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# q150 — embedding-store audit: the vector-side counterpart of q120's
+# document DQ audit. Before an embedding table feeds retrieval/dedup, a
+# pipeline needs per-label: vector counts, dimension consistency (a
+# ragged store silently breaks every GEMM/quantization path), zero-vector
+# and non-finite counts (cosine would divide by zero / poison top-k), and
+# the norm envelope (min/max — order-free; the mean is deliberately
+# omitted: a cross-row sum of irrational sqrt values is not
+# order-reproducible). Norms use the same sequential-fold dot as q38, so
+# min/max are bit-identical to the oracle.
+#
+# Scale: one narrow map (fold per row) + one partial-aggregated groupBy
+# on ~|labels| keys. Nothing else moves.
+# ---------------------------------------------------------------------------
+
+_Q150_ORACLE = """
+WITH v AS (
+  SELECT label,
+         len(embedding) AS dim,
+         list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS sq,
+         len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE)))) AS n_bad
+  FROM embeddings
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(COUNT(DISTINCT dim) AS BIGINT) AS n_distinct_dims,
+       CAST(COUNT(*) FILTER (WHERE sq = 0.0) AS BIGINT) AS n_zero_vecs,
+       CAST(COUNT(*) FILTER (WHERE n_bad > 0) AS BIGINT) AS n_nonfinite_vecs,
+       MIN(CASE WHEN n_bad = 0 AND sq > 0 THEN sqrt(sq) END) AS min_norm,
+       MAX(CASE WHEN n_bad = 0 AND sq > 0 THEN sqrt(sq) END) AS max_norm
+FROM v
+GROUP BY label
+ORDER BY label
+"""
+
+
+@register("q150_embedding_audit", oracle=_Q150_ORACLE)
+def q150_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = as_double(F.col("embedding"))
+    sq = dot(e, e)
+    n_bad = F.size(F.filter(e, lambda x: F.isnan(x) | (F.abs(x) == float("inf"))))
+    v = emb.select(
+        "label",
+        F.size("embedding").alias("dim"),
+        sq.alias("sq"),
+        n_bad.alias("n_bad"),
+    )
+    # envelope over USABLE vectors only: zero vectors are already
+    # counted separately and would pin min_norm to 0
+    good_norm = F.when((F.col("n_bad") == 0) & (F.col("sq") > 0), F.sqrt(F.col("sq")))
+    return (
+        v.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.countDistinct("dim").alias("n_distinct_dims"),
+            F.count(F.when(F.col("sq") == 0.0, F.lit(1))).alias("n_zero_vecs"),
+            F.count(F.when(F.col("n_bad") > 0, F.lit(1))).alias("n_nonfinite_vecs"),
+            F.min(good_norm).alias("min_norm"),
+            F.max(good_norm).alias("max_norm"),
+        )
+        .orderBy("label")
+    )

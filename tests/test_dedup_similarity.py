@@ -465,3 +465,47 @@ def test_q146_dup_flow_on_planted_corpus(spark, tmp_path):
     dcols = [d[0] for d in res.description]
     drows = res.fetchall()
     assert frame_digest(sdf.columns, got) == frame_digest(dcols, drows)
+
+
+def test_q150_flags_planted_bad_vectors(spark, tmp_path):
+    """The corpus embeddings are clean, so q150's zero/non-finite/ragged
+    counters are vacuous at gate SFs; this planted store makes every
+    counter fire and hash-checks the oracle on the same data."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_computing_final_project_spark.plans import all_oracles
+    from tools.check_oracle import frame_digest
+
+    rows = [
+        (0, [1.0, 2.0, 2.0], 0),            # norm 3
+        (1, [0.0, 0.0, 0.0], 0),            # zero vector
+        (2, [float("nan"), 1.0, 1.0], 0),   # NaN
+        (3, [float("inf"), 1.0, 1.0], 1),   # Inf
+        (4, [3.0, 4.0], 1),                 # ragged dim
+        (5, [0.0, 5.0], 1),                 # norm 5
+    ]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array([r[1] for r in rows], pa.list_(pa.float32())),
+            "label": pa.array([r[2] for r in rows], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+    sdf = _Q["q150_embedding_audit"](spark, str(tmp_path))
+    got = {r["label"]: r for r in sdf.collect()}
+    assert (got[0]["n_vecs"], got[0]["n_zero_vecs"], got[0]["n_nonfinite_vecs"]) == (3, 1, 1)
+    assert got[0]["n_distinct_dims"] == 1
+    assert got[0]["min_norm"] == got[0]["max_norm"] == 3.0
+    assert (got[1]["n_vecs"], got[1]["n_nonfinite_vecs"], got[1]["n_distinct_dims"]) == (3, 1, 2)
+    assert got[1]["min_norm"] == got[1]["max_norm"] == 5.0
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{tmp_path}/embeddings.parquet'")
+    res = con.sql(all_oracles()["q150_embedding_audit"])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    assert frame_digest(sdf.columns, [tuple(r) for r in sdf.collect()]) == frame_digest(dcols, drows)
