@@ -803,6 +803,12 @@ def q87_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # form inside a block, like q35's shingle blocking) and the length band
 # |len(a)-len(b)| <= 2 — a necessary condition for distance <= 2 — prunes
 # candidates before the O(len^2) distance runs. All JVM-side built-ins.
+# Dialect note (probe-verified): Spark's levenshtein counts CHARACTERS
+# while DuckDB's counts BYTES — they agree only on ASCII (p_name is
+# ASCII, so the oracle pairing is valid here). The engine's
+# character-level semantics is the correct one for user text and is
+# pinned against a Python DP reference on non-ASCII in
+# tests/test_dedup_similarity.py.
 # ---------------------------------------------------------------------------
 
 _Q93_ORACLE = """

@@ -509,3 +509,35 @@ def test_q150_flags_planted_bad_vectors(spark, tmp_path):
     dcols = [d[0] for d in res.description]
     drows = res.fetchall()
     assert frame_digest(sdf.columns, [tuple(r) for r in sdf.collect()]) == frame_digest(dcols, drows)
+
+
+def test_levenshtein_is_character_level_on_unicode(spark):
+    """q93's distance primitive must count CHARACTERS, not bytes (DuckDB's
+    levenshtein is byte-level, so its oracle pairing is only valid on
+    ASCII columns like p_name — documented at the q93 definition). Pinned
+    against a from-scratch Python DP on accent/CJK/astral cases."""
+    from pyspark.sql import functions as F
+
+    def dp(a, b):
+        m, n = len(a), len(b)
+        d = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, n + 1):
+                prev, d[j] = d[j], min(
+                    d[j] + 1, d[j - 1] + 1, prev + (a[i - 1] != b[j - 1])
+                )
+        return d[n]
+
+    pairs = [
+        ("kitten", "sitting"),
+        ("é", "e"),
+        ("漢字", "漢"),
+        ("café", "cafe"),
+        ("ab\xa0c", "ab c"),
+        ("", "xyz"),
+    ]
+    df = spark.createDataFrame(pairs, ["a", "b"])
+    got = {(r["a"], r["b"]): r["d"] for r in df.select("a", "b", F.levenshtein("a", "b").alias("d")).collect()}
+    for a, b in pairs:
+        assert got[(a, b)] == dp(a, b), (a, b, got[(a, b)], dp(a, b))
