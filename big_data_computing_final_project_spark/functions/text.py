@@ -35,7 +35,15 @@ def normalize(text: Column) -> Column:
     trailing trim() is ASCII-only in BOTH engines, and a multilingual
     corpus normalizes the way a human expects. NEL (\x85) and the Cc
     separators (\x1c-\x1f) are deliberately NOT whitespace here — they
-    are control chars in both dialects' class semantics."""
+    are control chars in both dialects' class semantics.
+
+    Case-folding contract (probe-verified): Java's lower() is
+    context/locale-aware where DuckDB's utf8proc is simple-mapped — the
+    known divergent inputs are Turkish dotted İ (U+0130: Java emits
+    i + combining dot, DuckDB plain i) and Greek word-final Σ (Java ς,
+    DuckDB σ). Oracle hash parity is therefore guaranteed for text
+    without those two uppercase forms; the engine's behavior (the
+    linguistically correct one) wins where they differ."""
     return F.trim(F.regexp_replace(F.lower(text), r"[ \t\n\x0B\f\r\p{Z}]+", " "))
 
 
