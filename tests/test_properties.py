@@ -459,3 +459,41 @@ def test_tumbling_window_bucketing_cross_engine_fuzz(spark, tmp_path):
         ).fetchall()
     )
     assert got == want
+
+
+def test_json_extraction_cross_engine_edges(spark):
+    """get_json_object vs DuckDB json_extract_string on the dialect edges
+    (q30/q73/q76 foundation): duplicate keys (first wins in both), float
+    exponents, beyond-int64 integers, case-sensitive keys, whitespace,
+    invalid JSON (null, no error), booleans, and nested same-named keys."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    cases = [
+        '{"k": 5}',
+        '{"k": "5"}',
+        '{"k": 5, "k": 9}',
+        '{"k": 5e2}',
+        '{"k": 12345678901234567890}',
+        '{"k": null}',
+        '{"K": 5}',
+        '{ "k" : 5 }',
+        "not json",
+        '{"k": true}',
+        '{"k": 5.0}',
+        '{"a": {"k": 7}, "k": 3}',
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], ["props"])
+    got = {
+        r["props"]: r["x"]
+        for r in df.select(
+            "props", F.get_json_object("props", "$.k").alias("x")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for c in cases:
+        want = con.execute(
+            "SELECT json_extract_string(try_cast(? AS JSON), '$.k')", [c]
+        ).fetchone()[0]
+        assert got[c] == want, (c, got[c], want)
