@@ -6,6 +6,19 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is executed with a count-style terminal action (collect on the
 already-aggregated result) so timings measure engine work, not driver
 transfer of wide row sets.
+
+Noise immunity (VERDICT r4): wall clock alone cannot distinguish "same
+plan, slower machine" from a real regression — r4's bench ran ~20% slower
+than r3 purely from machine weather. Two extra fields make the distinction
+mechanical:
+
+- ``calibration``: a fixed CPU probe (8B-row xxhash64 bit_xor agg, 32
+  partitions, best of 3) timed on the same session; ``machine_factor`` =
+  probe_sec / REF_PROBE_SEC, and ``queries_normalized`` divides every
+  timing by it. Compare *normalized* numbers across rounds.
+- ``plan_sha``: per-query fingerprint of the normalized physical plan
+  (plan_text.plan_fingerprint). Same sha + slower clock = weather;
+  changed sha = a plan actually moved.
 """
 
 from __future__ import annotations
@@ -17,8 +30,31 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from big_data_computing_final_project_spark.plan_text import plan_fingerprint
 from big_data_computing_final_project_spark.plans import all_queries
 from big_data_computing_final_project_spark.session import get_spark
+
+# Reference time for the calibration probe, pinned on the round-5 session's
+# idle machine (the same class of box every driver round runs on). A later
+# round reading machine_factor ~1.2 with unchanged plan_shas is weather,
+# not regression.
+REF_PROBE_SEC = 1.05
+
+
+def _calibration_probe(spark) -> float:
+    """Fixed CPU-bound probe: bit_xor of xxhash64 over 8B rows in 32
+    partitions — whole-stage-codegen arithmetic + hashing on every core,
+    no I/O, no shuffle beyond the single-row final agg, overflow-free
+    under ANSI mode. Best of 3 (min discards scheduling noise); ~1 s on
+    the reference machine, so the probe costs ~3 s per bench run."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(0, 8_000_000_000, 1, 32).selectExpr(
+            "bit_xor(xxhash64(id)) AS h"
+        ).collect()
+        best = min(best, time.time() - t0)
+    return best
 
 # Headline set: one per workload family.
 HEADLINE = [
@@ -120,12 +156,17 @@ def main() -> None:
     # warmup: JVM + parquet footer caches, one tiny job
     spark.range(1000).count()
 
+    calibration_sec = round(_calibration_probe(spark), 3)
+    machine_factor = round(calibration_sec / REF_PROBE_SEC, 3)
+
     # Warm timings (best of 2 runs): the first execution of a query pays
     # one-off whole-stage-codegen compilation and parquet footer reads;
     # steady-state throughput is what scales to a long-lived cluster.
     timings: dict[str, float] = {}
+    plan_shas: dict[str, str] = {}
     for name in names:
         best = float("inf")
+        df = None
         for _ in range(2):
             t0 = time.time()
             df = queries[name](spark, sf_dir)
@@ -133,6 +174,7 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
+        plan_shas[name] = plan_fingerprint(df)
 
     # Workload-parity anchor vs BASELINE.md: the reference's only measured
     # number is a 479.19 s from-scratch decision-tree fit on 111,944 rows x
@@ -151,6 +193,16 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "calibration": {
+                    "probe_sec": calibration_sec,
+                    "ref_probe_sec": REF_PROBE_SEC,
+                    "machine_factor": machine_factor,
+                },
+                "value_normalized": round(total / machine_factor, 3),
+                "queries_normalized": {
+                    n: round(t / machine_factor, 3) for n, t in timings.items()
+                },
+                "plan_sha": plan_shas,
             }
         )
     )

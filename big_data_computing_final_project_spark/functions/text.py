@@ -23,7 +23,7 @@ STOPWORDS = {
 
 
 def normalize(text: Column) -> Column:
-    """Lowercase + collapse whitespace — canonical form for hashing/dedup.
+    r"""Lowercase + collapse whitespace — canonical form for hashing/dedup.
 
     The collapse class is spelled explicitly — ASCII whitespace
     [ \t\n\x0B\f\r] plus \p{Z} (all Unicode spaces incl. NBSP/EM
@@ -112,8 +112,15 @@ def punct_ratio(text: Column) -> Column:
     """Punctuation chars / total chars (quality signal)."""
     n = F.length(text)
     # explicit whitespace set (never \s): Java's \s includes \x0B where
-    # RE2's does not — same divergence normalize() avoids
-    n_punct = n - F.length(F.regexp_replace(text, r"[^\w \t\n\x0B\f\r\p{Z}]", ""))
+    # RE2's does not — same divergence normalize() avoids. \p{L}\p{N}
+    # alongside ASCII \w so non-ASCII letters/digits (é, 漢, ٣) are NOT
+    # punctuation (ADVICE r4: \w alone skewed quality_score against
+    # exactly the multilingual corpora normalize() supports); both
+    # Java regex and RE2 support \p{L}/\p{N} in classes, so the q33
+    # oracle mirrors the class verbatim.
+    n_punct = n - F.length(
+        F.regexp_replace(text, r"[^\w\p{L}\p{N} \t\n\x0B\f\r\p{Z}]", "")
+    )
     return F.when(n > 0, n_punct / n).otherwise(F.lit(0.0))
 
 
@@ -148,16 +155,19 @@ PII_PATTERNS = {
     # chosen so generic numeric text survives (ADVICE r3):
     #  - +CC international: '+' REQUIRED, >= 10 digits, any single [-. ]
     #    separators including spaces ("+44 20 7946 0958");
-    #  - bare long run: >= 11 digits with single [-.] separators, NO
-    #    spaces — so two space-adjacent ISO dates or a decimal-number
-    #    list never fuse into one "phone";
+    #  - bare long run: >= 11 CONTIGUOUS digits, no separators at all
+    #    (ADVICE r4: the old [-.]-tolerant form masked dotted version
+    #    strings "1.2.3.4.5.6.7.8.9.10.1" and dash-joined date ranges
+    #    "2023-01-01-2024-12-31" as phones; separator-joined phone
+    #    recall is the NANP/+CC branches' job);
     #  - NANP-ish: optional +CC, 3-3-4 digit groups, at most ONE
     #    separator between groups ("(415) 555-0199", "4155550199").
-    # "2023-01-01 2024-12-31" and "1.5 2.3 4.5 6.7 8.9 0.1" match no
+    # "2023-01-01 2024-12-31", "2023-01-01-2024-12-31",
+    # "1.2.3.4.5.6.7.8.9.10.1" and "1.5 2.3 4.5 6.7 8.9 0.1" match no
     # branch; "123456789012345" is masked WHOLE by the bare-run branch.
     "phone": (
         r"\+([0-9][-. ]?){9,}[0-9]"
-        r"|([0-9][-.]?){10,}[0-9]"
+        r"|[0-9]{11,}"
         r"|(\+[0-9]{1,3}[-. ]?)?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}"
     ),
     "digit_run": r"[0-9]{6,}",

@@ -30,9 +30,38 @@ def _parse_bytes(v: str) -> int:
     return int(s)
 
 
+# Estimates are memoized per (application, canonicalized plan): computing
+# one runs the FULL Catalyst optimizer on the driver at plan-BUILD time, so
+# without the cache every guarded join re-optimizes its build side (q139
+# paid two extra full-table-scan optimizations per registration — ADVICE
+# r4). semanticHash() only analyzes (no optimizer run), so a cache hit is
+# cheap; semantically-equal frames (same tables, same filters) share one
+# entry, which is exactly right for the bench/gate pattern of re-building
+# identical plans every round. The cache assumes source relations are
+# immutable within an application (true here: driver-supplied parquet
+# snapshots); call _clear_estimate_cache() if a test rewrites a table
+# in place. The decision is still frozen at build time — runtime
+# re-planning is AQE's job, and these hints only override Catalyst where
+# its estimate is structurally unusable (post-explode stats).
+_EST_CACHE: dict[tuple[str, int], int] = {}
+_EST_CACHE_MAX = 4096
+
+
+def _clear_estimate_cache() -> None:
+    _EST_CACHE.clear()
+
+
 def plan_size_estimate(df: DataFrame) -> int:
-    """Catalyst's sizeInBytes estimate for the optimized plan of ``df``."""
-    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    """Catalyst's sizeInBytes estimate for the optimized plan of ``df``,
+    memoized per (application, semantic plan hash)."""
+    key = (df.sparkSession.sparkContext.applicationId, df.semanticHash())
+    est = _EST_CACHE.get(key)
+    if est is None:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        if len(_EST_CACHE) >= _EST_CACHE_MAX:
+            _EST_CACHE.clear()
+        _EST_CACHE[key] = est
+    return est
 
 
 def broadcast_if_small(

@@ -45,8 +45,10 @@ __all__ = [
     "merge_centroids",
     "quantile_from_centroids",
     "heavy_hitters_partials",
+    "heavy_hitters_bounds",
     "heavy_hitters_finalize",
     "heavy_hitters_topk",
+    "certified_hh_candidates",
 ]
 
 
@@ -259,10 +261,13 @@ def heavy_hitters_partials(
     return df.select(items_col).mapInPandas(_partial, schema=_HH_PARTIAL_SCHEMA)
 
 
-def heavy_hitters_finalize(
-    partials: DataFrame, k: int = 20, partial_id_cols: Sequence[str] = ("pid",)
+def heavy_hitters_bounds(
+    partials: DataFrame, partial_id_cols: Sequence[str] = ("pid",)
 ) -> DataFrame:
-    """Phase 2: merge truncated-counter partials into certified top-k.
+    """Merge truncated-counter partials into per-item certified bounds:
+    (item, count_lo, count_hi, drop_total) for EVERY surviving item, where
+    count_lo <= true count <= count_hi and drop_total is the summed
+    truncation mass (an upper bound on any item the sketch never kept).
 
     ``partial_id_cols`` must uniquely identify one partial sketch — (pid,)
     for a single pass, ("batch_id", "pid") for an incremental store — so
@@ -278,13 +283,21 @@ def heavy_hitters_finalize(
         F.sum("cnt").alias("count_lo"),
         F.sum("dmax").alias("present_dmax"),
     )
+    return per_item.join(F.broadcast(total_drop)).select(
+        "item",
+        "count_lo",
+        (F.col("count_lo") + F.col("drop_total") - F.col("present_dmax")).alias("count_hi"),
+        "drop_total",
+    )
+
+
+def heavy_hitters_finalize(
+    partials: DataFrame, k: int = 20, partial_id_cols: Sequence[str] = ("pid",)
+) -> DataFrame:
+    """Phase 2: merge truncated-counter partials into certified top-k."""
     ranked = (
-        per_item.join(F.broadcast(total_drop))
-        .select(
-            "item",
-            "count_lo",
-            (F.col("count_lo") + F.col("drop_total") - F.col("present_dmax")).alias("count_hi"),
-        )
+        heavy_hitters_bounds(partials, partial_id_cols)
+        .drop("drop_total")
         .orderBy(F.desc("count_lo"), "item")
         .limit(k)
     )
@@ -294,6 +307,64 @@ def heavy_hitters_finalize(
         "count_hi",
         F.row_number().over(Window.orderBy(F.desc("count_lo"), "item")).alias("rank"),
     )
+
+
+def certified_hh_candidates(
+    partials: DataFrame,
+    k: int,
+    cand_max: int = 4096,
+    partial_id_cols: Sequence[str] = ("pid",),
+) -> list[str] | None:
+    """Candidate items CERTIFIED to contain every possible true top-k item,
+    or ``None`` when the sketch cannot certify containment (caller must
+    fall back to an exact pass).
+
+    Ranking candidates by count_lo alone can silently miss a true top-k
+    item on flat/adversarial (non-Zipfian) distributions: count_lo
+    undercounts by up to the summed per-partition truncation mass (ADVICE
+    r4). The certificate instead reasons from the bounds. Let
+    thr = k-th largest count_lo — a lower bound on the true k-th count
+    (each count_lo lower-bounds its item's true count, so the k items
+    ranked by count_lo witness k true counts >= thr). Then:
+
+    - any item in the true top-k has true count >= thr, and its
+      count_hi >= true count >= thr, so {item : count_hi >= thr} is a
+      certified superset of the true top-k;
+    - an item the sketch never kept has true count <= drop_total, so
+      drop_total < thr certifies no unseen item can rank; otherwise -> None;
+    - more than ``cand_max`` candidates would break the bounded-broadcast
+      contract of the follow-up exact rescore -> None.
+
+    Driver-side cost: three tiny actions over the cached, O(partitions x
+    capacity)-bounded bounds frame; candidate items (<= cand_max strings)
+    are collected so the caller's plan is a self-contained local-relation
+    broadcast."""
+    bounds = heavy_hitters_bounds(partials, partial_id_cols)
+    bounds.cache()
+    try:
+        thr_row = (
+            bounds.orderBy(F.desc("count_lo"), "item")
+            .limit(k)
+            .agg(F.min("count_lo").alias("thr"))
+            .first()
+        )
+        thr = thr_row["thr"] if thr_row is not None else None
+        if thr is None:
+            return []  # empty input: the empty candidate set is complete
+        drop_total = bounds.select("drop_total").first()["drop_total"]
+        if drop_total >= thr:
+            return None
+        cand_rows = (
+            bounds.where(F.col("count_hi") >= thr)
+            .select("item")
+            .limit(cand_max + 1)
+            .collect()
+        )
+        if len(cand_rows) > cand_max:
+            return None
+        return [r["item"] for r in cand_rows]
+    finally:
+        bounds.unpersist()
 
 
 def heavy_hitters_topk(

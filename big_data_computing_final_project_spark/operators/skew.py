@@ -49,15 +49,19 @@ def salted_join(
     (key..., salt) on both sides.
     """
     allowed = {"inner", "left", "leftouter", "left_outer", "left_semi",
-               "leftsemi", "left_anti", "leftanti", "semi", "anti", "cross"}
+               "leftsemi", "left_anti", "leftanti", "semi", "anti"}
     if how.lower().replace(" ", "") not in allowed:
         # the build side is replicated once per salt, so every UNMATCHED
         # build row would surface n_salts times under right/full outer —
-        # silently breaking the salted == plain invariant
+        # silently breaking the salted == plain invariant. "cross" is
+        # rejected too (ADVICE r4): salting is meaningless without an
+        # equi-key to spread, and this function always joins on
+        # on + [salt], which would silently turn the cross into an inner.
         raise ValueError(
             f"salted_join does not support how={how!r}: right/full outer "
-            "joins would emit n_salts copies of unmatched build-side rows; "
-            "salt the other side instead"
+            "joins would emit n_salts copies of unmatched build-side rows "
+            "(salt the other side instead), and salting a cross join is "
+            "meaningless — there is no hot equi-key to spread"
         )
     if salt_from is None:
         salt_from = on[0]

@@ -91,7 +91,7 @@ def q32_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_PUNCT_RATIO = (
     "CASE WHEN length(text) > 0 THEN "
-    "CAST(length(text) - length(regexp_replace(text, '[^\\w \\t\\n\\x0b\\f\\r\\p{Z}]', '', 'g')) AS DOUBLE)"
+    "CAST(length(text) - length(regexp_replace(text, '[^\\w\\p{L}\\p{N} \\t\\n\\x0b\\f\\r\\p{Z}]', '', 'g')) AS DOUBLE)"
     " / length(text) ELSE 0.0 END"
 )
 _SQL_STOP_RATIO = (
@@ -566,11 +566,15 @@ def q75_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # O(partitions x capacity) regardless of corpus size) and phase 2 re-scans
 # only tokens matching the <=320 candidate terms (broadcast hash semi —
 # almost all tokens short-circuit at the probe, nothing wide shuffles).
-# SpaceSaving guarantees any term with true count > N/capacity survives
-# phase 1, so with capacity=4096 and CAND=320 candidates the true top-20
-# is contained in the candidate set for any remotely Zipfian corpus; the
-# sketch's [lo, hi] bound certificates stay pytest-pinned in
-# tests/test_sketches.py.
+# Candidate selection is CERTIFIED, not heuristic (ADVICE r4): phase 1's
+# [lo, hi] bound rows feed operators/sketches.certified_hh_candidates,
+# which proves {item : count_hi >= k-th largest count_lo} contains the
+# true top-20 and that no truncated-away term can rank (drop_total <
+# threshold); when the certificate fails — flat/adversarial vocab where
+# a sketch fundamentally cannot rank — the query falls back to the exact
+# q67-shaped full aggregation instead of silently returning a wrong
+# answer. The sketch's bound semantics stay pytest-pinned in
+# tests/test_sketches.py (incl. a planted flat-vocab certificate test).
 # ---------------------------------------------------------------------------
 
 _Q100_ORACLE = f"""
@@ -588,24 +592,35 @@ LIMIT 20
 
 @register("q100_vocab_heavy_hitters", oracle=_Q100_ORACLE)
 def q100_vocab_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.sketches import heavy_hitters_topk
+    from ..operators.sketches import certified_hh_candidates, heavy_hitters_partials
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(X.tokens(F.col("text")).alias("toks"))
-    # phase 1: bounded-state sketch -> candidate terms (16x over-fetch)
-    cand = (
-        heavy_hitters_topk(toks, "toks", k=320, capacity=4096)
-        .select(F.col("item").alias("term"))
+    # pre-filter '' inside the array so the sketch counts exactly the
+    # domain the exact query aggregates (a frequent '' could otherwise
+    # inflate the certificate threshold past a real top-20 term)
+    toks = docs.select(
+        F.filter(X.tokens(F.col("text")), lambda t: t != "").alias("toks")
     )
-    # phase 2: exact counts for candidates only (broadcast the tiny set)
     terms = toks.select(F.explode_outer("toks").alias("term")).where(
         F.col("term").isNotNull() & (F.col("term") != "")
     )
-    exact = (
-        terms.join(F.broadcast(cand), "term")
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    # phase 1: bounded-state sketch -> CERTIFIED candidate terms (or None
+    # when no sketch can rank this distribution)
+    cand_items = certified_hh_candidates(
+        heavy_hitters_partials(toks, "toks", capacity=4096), k=20
     )
+    if cand_items is None:
+        # certificate failed (flat/adversarial vocab): exact full
+        # aggregation — correct at any distribution, pays the wide shuffle
+        src = terms
+    else:
+        # phase 2: exact counts for candidates only; the collected
+        # candidate list (<= cand_max) broadcasts as a local relation
+        cand = spark.createDataFrame(
+            [(t,) for t in cand_items], "term string"
+        )
+        src = terms.join(F.broadcast(cand), "term")
+    exact = src.groupBy("term").agg(F.count(F.lit(1)).alias("n_occurrences"))
     return exact.orderBy(F.desc("n_occurrences"), "term").limit(20)
 
 

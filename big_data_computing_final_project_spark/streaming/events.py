@@ -391,3 +391,117 @@ def mixture_from_store(spark: SparkSession, store_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "event_type")
     )
+
+
+def run_stream_dup_flow(
+    docs: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    timeout_sec: int = 120,
+) -> None:
+    """foreachBatch incremental duplication-flow store: the streaming twin
+    of batch q146 (plans/dedup.py) over the incremental-ingest dedup shape
+    (q87) — dedup AT INGEST, per crawl drop, instead of batch-only.
+
+    ``docs`` is a streaming frame of (doc_id, source, fp). Two append-only
+    parquet tables, both staged per batch_id so a replayed batch overwrites
+    its own directories (at-least-once in, exactly-once effect — the
+    run_stream_heavy_hitters idiom):
+
+      keepers/batch_id=N/  (fp, keeper_source) — fps FIRST kept by batch N
+                           (within-batch min doc_id, not already kept by
+                           any batch < N; the lookup filters batch_id < N,
+                           so a replay never sees its own earlier write).
+      edges/batch_id=N/    (fp, keeper_source, dup_source, n_docs) — batch
+                           N's duplicate flows: every row whose fp was
+                           already kept (by the store, or by an earlier
+                           doc_id in this batch) adds one to the edge
+                           keeper_source -> its own source.
+
+    ``dup_flow_matrix_from_store`` folds the edge deltas into the q146
+    matrix. Equals batch q146 exactly whenever arrival order respects
+    doc_id order (the ingest contract: crawl drops arrive in id order);
+    under out-of-order arrival the attribution is first-ARRIVAL wins —
+    the only semantics a store that never revisits raw docs can offer.
+
+    Scale shape: every shuffle is keyed on fp (the natural dedup key);
+    the keeper-store lookup is an fp-equi join whose store side holds one
+    row per distinct kept fingerprint — at 100 TB that store lives
+    bucketed on fp so the per-batch join co-locates without a full-store
+    shuffle, and the per-batch_id deltas get periodically compacted (read
+    -> merge -> overwrite, the run_stream_tdigest compaction note).
+    """
+
+    def ingest(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        keepers_dir = os.path.join(store_dir, "keepers")
+        w = Window.partitionBy("fp").orderBy("doc_id")
+        ranked = batch.select("doc_id", "source", "fp").withColumn(
+            "rn", F.row_number().over(w)
+        )
+        if os.path.exists(keepers_dir):
+            prior = (
+                spark.read.option("basePath", keepers_dir)
+                .parquet(f"{keepers_dir}/batch_id=*")
+                .where(F.col("batch_id") < batch_id)
+                .select("fp", F.col("keeper_source").alias("store_keeper"))
+            )
+        else:
+            prior = spark.createDataFrame([], "fp string, store_keeper string")
+        hit = ranked.join(prior, "fp", "left")
+        new_keepers = hit.where(
+            F.col("store_keeper").isNull() & (F.col("rn") == 1)
+        ).select("fp", F.col("source").alias("keeper_source"))
+        new_keepers.write.mode("overwrite").parquet(
+            os.path.join(keepers_dir, f"batch_id={batch_id}")
+        )
+        # within-batch keeper source per fp (the rn==1 row's source)
+        batch_first = ranked.where(F.col("rn") == 1).select(
+            "fp", F.col("source").alias("batch_keeper")
+        )
+        dup_rows = (
+            hit.join(batch_first, "fp")
+            .where(F.col("store_keeper").isNotNull() | (F.col("rn") > 1))
+            .select(
+                "fp",
+                F.coalesce("store_keeper", "batch_keeper").alias("keeper_source"),
+                F.col("source").alias("dup_source"),
+            )
+        )
+        edges = dup_rows.groupBy("fp", "keeper_source", "dup_source").agg(
+            F.count(F.lit(1)).alias("n_docs")
+        )
+        edges.write.mode("overwrite").parquet(
+            os.path.join(store_dir, "edges", f"batch_id={batch_id}")
+        )
+
+    q = (
+        docs.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()
+
+
+def dup_flow_matrix_from_store(spark: SparkSession, store_dir: str) -> DataFrame:
+    """q146's (keeper_source, dup_source, n_docs, n_groups) matrix from an
+    incremental dup-flow store — read only the edge deltas (linear in
+    duplicates), never the corpus."""
+    edges_dir = os.path.join(store_dir, "edges")
+    if not os.path.exists(edges_dir):
+        return spark.createDataFrame(
+            [],
+            "keeper_source string, dup_source string, n_docs bigint, n_groups bigint",
+        )
+    edges = spark.read.option("basePath", edges_dir).parquet(f"{edges_dir}/batch_id=*")
+    return (
+        edges.groupBy("keeper_source", "dup_source")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.countDistinct("fp").alias("n_groups"),
+        )
+        .orderBy("keeper_source", "dup_source")
+    )

@@ -34,6 +34,11 @@ def test_redact_pii_planted(spark):
         ("i", "series 1.5 2.3 4.5 6.7 8.9 0.1 done"),
         ("j", "card 123456789012345 end"),
         ("k", "ring +44 20 7946 0958 now"),
+        # ADVICE r4: separator-JOINED numeric runs are not phones either —
+        # dotted version/section strings and dash-joined date ranges must
+        # survive the bare-run branch (it now requires contiguous digits)
+        ("l", "section 1.2.3.4.5.6.7.8.9.10.1 cited"),
+        ("m", "range 2023-01-01-2024-12-31 active"),
     ]
     df = spark.createDataFrame(rows, ["k", "t"])
     out = {
@@ -61,6 +66,8 @@ def test_redact_pii_planted(spark):
     assert out["i"] == ("series 1.5 2.3 4.5 6.7 8.9 0.1 done", 0)
     assert out["j"] == ("card <pii> end", 1)  # whole run, no digit tail
     assert out["k"] == ("ring <pii> now", 1)
+    assert out["l"] == ("section 1.2.3.4.5.6.7.8.9.10.1 cited", 0)
+    assert out["m"] == ("range 2023-01-01-2024-12-31 active", 0)
 
 
 def test_redact_pii_no_double_count(spark):

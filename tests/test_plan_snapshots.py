@@ -17,13 +17,11 @@ depend on input statistics, so the SF must match).
 from __future__ import annotations
 
 import difflib
-import io
 import os
-import re
-from contextlib import redirect_stdout
 
 import pytest
 
+from big_data_computing_final_project_spark.plan_text import plan_text
 from big_data_computing_final_project_spark.plans import all_queries
 
 SNAP_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans_snapshot")
@@ -48,19 +46,6 @@ PLAN_ONLY = {
 UNSTABLE = {"q60"}
 
 
-def _normalize(plan: str) -> str:
-    # keep in sync with tools/snapshot_plans.normalize
-    plan = re.sub(r"/root/testdata/sf[0-9.]+", "<SF_DIR>", plan)
-    plan = re.sub(r"#\d+L?", "#N", plan)
-    plan = re.sub(r"plan_id=\d+", "plan_id=N", plan)
-    plan = re.sub(r"RDD\[\d+\]", "RDD[N]", plan)
-    plan = re.sub(r"lambda ([a-z]+)_\d+", r"lambda \1_N", plan)
-    plan = re.sub(r" at \S+:\d+", " at <SITE>:0", plan)  # call-site string is JIT-dependent
-    # collected-state literals (e.g. bloom bitmap word arrays) are data-dependent
-    plan = re.sub(r"\[[0-9,\- ]{500,}\]", "<LIT_ARRAY>", plan)
-    return plan
-
-
 def _snapshot_cases() -> list[str]:
     return sorted(
         name
@@ -74,10 +59,7 @@ def test_plan_matches_snapshot(spark, name):
     path = os.path.join(SNAP_DIR, f"{name}.txt")
     assert os.path.exists(path), f"missing snapshot {path}; run tools/snapshot_plans.py"
     df = all_queries()[name](spark, SNAP_SF_DIR)
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        df.explain(mode="formatted")
-    got = _normalize(buf.getvalue())
+    got = plan_text(df)
     with open(path) as f:
         want = f.read()
     if got != want:

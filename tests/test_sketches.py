@@ -153,6 +153,89 @@ def test_heavy_hitters_truncation_keeps_bounds_valid(spark, sf_dir):
         assert r["count_lo"] <= exact[r["item"]] <= r["count_hi"], r
 
 
+def test_certified_candidates_flat_vocab_refuses_or_contains(spark):
+    """ADVICE r4: on a flat (non-Zipfian) vocabulary with heavy truncation,
+    count_lo-ranked candidates can miss a true top-k term. The certificate
+    must either (a) return None — forcing the caller's exact fallback — or
+    (b) return a candidate set that provably contains the exact top-k.
+    Planted data: 64 terms with near-equal counts spread over 8 partitions,
+    capacity far below the vocabulary so almost everything truncates."""
+    import itertools
+
+    from big_data_computing_final_project_spark.operators.sketches import (
+        certified_hh_candidates,
+        heavy_hitters_partials,
+    )
+
+    terms = [f"t{i:02d}" for i in range(64)]
+    # near-flat: counts 100..100+63, one doc per occurrence batch of 4
+    rows = []
+    rid = itertools.count()
+    for i, t in enumerate(terms):
+        for _ in range(100 + i):
+            rows.append((next(rid), [t] * 4))
+    df = spark.createDataFrame(rows, ["id", "toks"]).repartition(8, "id")
+    partials = heavy_hitters_partials(df, "toks", capacity=8)
+    cand = certified_hh_candidates(partials, k=10, cand_max=4096)
+    exact_topk = sorted(terms, key=lambda t: (-(100 + terms.index(t)) * 4, t))[:10]
+    if cand is not None:
+        assert set(exact_topk) <= set(cand), (sorted(cand), exact_topk)
+
+
+def test_certified_candidates_zipf_certifies_and_contains(spark, sf_dir):
+    """On the gate corpus (Zipf-ish, ample capacity) the certificate must
+    PASS and the candidate set must contain the exact top-20 — i.e. q100
+    takes the cheap sketch path, not the fallback."""
+    from pyspark.sql import functions as F
+
+    from big_data_computing_final_project_spark.functions import text as X
+    from big_data_computing_final_project_spark.operators.sketches import (
+        certified_hh_candidates,
+        heavy_hitters_partials,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        F.filter(X.tokens(F.col("text")), lambda t: t != "").alias("toks")
+    )
+    cand = certified_hh_candidates(
+        heavy_hitters_partials(toks, "toks", capacity=4096), k=20
+    )
+    assert cand is not None and len(cand) >= 20
+    exact = (
+        toks.select(F.explode("toks").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    true_topk = {
+        r["item"]
+        for r in sorted(exact, key=lambda r: (-r["n"], r["item"]))[:20]
+    }
+    assert true_topk <= set(cand)
+
+
+def test_certified_candidates_empty_and_cap(spark):
+    """Empty input certifies the empty set; a cand_max below the certified
+    set size must refuse (None) rather than silently truncate."""
+    from big_data_computing_final_project_spark.operators.sketches import (
+        certified_hh_candidates,
+        heavy_hitters_partials,
+    )
+
+    empty = spark.createDataFrame([], "id long, toks array<string>")
+    assert certified_hh_candidates(
+        heavy_hitters_partials(empty, "toks", capacity=8), k=5
+    ) == []
+
+    rows = [(i, [f"t{i % 30:02d}"]) for i in range(300)]
+    df = spark.createDataFrame(rows, ["id", "toks"])
+    cand = certified_hh_candidates(
+        heavy_hitters_partials(df, "toks", capacity=64), k=10, cand_max=3
+    )
+    assert cand is None
+
+
 def test_hll_precision_sweep(spark, sf_dir):
     """Datasketches HLL error budget vs lgConfigK: the estimate at each
     precision must sit inside the published RSE bound (~1.04/sqrt(2^lgK),

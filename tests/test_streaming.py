@@ -284,3 +284,73 @@ def test_stream_mixture_monitor_equals_batch(spark, sf_dir, tmp_path):
         tuple(r) for r in all_queries()["q134_window_mixture"](spark, sf_dir).collect()
     ]
     assert got == want and len(got) > 0
+
+
+def test_stream_dup_flow_store_equals_batch_q146(spark, tmp_path):
+    """Dedup-at-ingest twin of q146: the planted corpus (same fixture as
+    test_q146_dup_flow_on_planted_corpus) arrives as 3 doc_id-ordered
+    micro-batches; the incremental dup-flow store's matrix must equal
+    batch q146 on the full corpus exactly (the ingest contract: arrival
+    order respects doc_id order, so first-arrival == min-doc_id keeper)."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from big_data_computing_final_project_spark.functions import text as X
+    from big_data_computing_final_project_spark.streaming.events import (
+        dup_flow_matrix_from_store,
+        run_stream_dup_flow,
+    )
+
+    rows = [
+        (1, "shared text one", "en", "srcA"),
+        (2, "shared text one", "en", "srcB"),
+        (3, "shared text one", "en", "srcB"),
+        (4, "shared text two", "en", "srcB"),
+        (5, "shared text two", "en", "srcA"),
+        (6, "shared text three", "en", "srcC"),
+        (7, "shared text three", "en", "srcC"),
+        (8, "completely different", "en", "srcA"),
+    ]
+
+    def _tbl(sub):
+        return pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in sub], pa.int64()),
+                "text": pa.array([r[1] for r in sub], pa.string()),
+                "lang": pa.array([r[2] for r in sub], pa.string()),
+                "source": pa.array([r[3] for r in sub], pa.string()),
+                "n_chars": pa.array([len(r[1]) for r in sub], pa.int64()),
+            }
+        )
+
+    # batch q146 wants one documents.parquet over the whole corpus
+    corpus_dir = tmp_path / "corpus"
+    corpus_dir.mkdir()
+    pq.write_table(_tbl(rows), str(corpus_dir / "documents.parquet"))
+    want = [tuple(r) for r in all_queries()["q146_dup_flow_matrix"](spark, str(corpus_dir)).collect()]
+    assert len(want) == 3  # planted matrix: srcA->srcB, srcB->srcA, srcC->srcC
+
+    # stream the same docs as 3 files; FileStreamSource processes oldest
+    # mtime first, so spaced writes pin the arrival order to doc_id order
+    src_dir = tmp_path / "arrivals"
+    src_dir.mkdir()
+    for i, sub in enumerate([rows[0:3], rows[3:6], rows[6:8]]):
+        pq.write_table(_tbl(sub), str(src_dir / f"drop_{i}.parquet"))
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id bigint, text string, lang string, source string, n_chars bigint"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src_dir))
+        .select("doc_id", "source", X.fingerprint(F.col("text")).alias("fp"))
+    )
+    store = str(tmp_path / "flowstore")
+    run_stream_dup_flow(stream, store, str(tmp_path / "ckpt_flow"))
+
+    got = [tuple(r) for r in dup_flow_matrix_from_store(spark, store).collect()]
+    assert got == want
