@@ -67,3 +67,41 @@ def test_plan_matches_snapshot(spark, name):
             difflib.unified_diff(want.splitlines(), got.splitlines(), "snapshot", "current", lineterm="")
         )
         pytest.fail(f"physical plan for {name} changed:\n{diff[:4000]}")
+
+
+# --- sf0.1 headline pins (VERDICT r4 item 6) -------------------------------
+# test_plan_matches_snapshot pins every query at the sf0.01 gate SF, but
+# bench.py runs at sf0.1, where size estimates and AQE thresholds can
+# legitimately flip join strategies. These pins freeze the bench set's
+# broadcast/shuffle decisions at the bench SF, so an estimate-threshold
+# drift (e.g. a broadcast_if_small flip) surfaces as a plan diff instead
+# of an unexplained timing anomaly. Queries that execute jobs at
+# plan-build time (q100's sketch candidates, q101's bloom bitmap) are
+# deterministic per SF, so their plans pin too.
+
+SNAP01_DIR = os.path.join(os.path.dirname(SNAP_DIR), "plans_snapshot", "sf0.1")
+SNAP01_SF_DIR = "/root/testdata/sf0.1"
+
+
+def _headline_cases() -> list[str]:
+    from bench import HEADLINE
+
+    return sorted(n for n in HEADLINE if n in all_queries())
+
+
+@pytest.mark.parametrize("name", _headline_cases())
+def test_headline_plan_matches_sf01_snapshot(spark, name):
+    path = os.path.join(SNAP01_DIR, f"{name}.txt")
+    assert os.path.exists(path), (
+        f"missing snapshot {path}; run tools/snapshot_plans.py "
+        f"{SNAP01_SF_DIR} plans_snapshot/sf0.1 <headline names>"
+    )
+    df = all_queries()[name](spark, SNAP01_SF_DIR)
+    got = plan_text(df)
+    with open(path) as f:
+        want = f.read()
+    if got != want:
+        diff = "\n".join(
+            difflib.unified_diff(want.splitlines(), got.splitlines(), "snapshot", "current", lineterm="")
+        )
+        pytest.fail(f"sf0.1 physical plan for {name} changed:\n{diff[:4000]}")

@@ -86,3 +86,41 @@ def test_stream_dedup_within_watermark(spark, sf_dir):
     n = spark.sql("SELECT COUNT(*) AS n FROM dedup_stream").first().n
     n_batch = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert n == n_batch
+
+
+def test_tws_pipelines_import_and_plan_build(spark, sf_dir):
+    """Guard for the v2 TWS operators (streaming/tws.py): this container
+    lacks the python protobuf runtime TWS needs at EXECUTION time, so
+    test_tws_streaming.py skips — but import, pipeline construction, and
+    analysis are protobuf-free and must keep working. Pins the analyzed
+    output schemas and that the plan actually routes through
+    transformWithStateInPandas, so a refactor can't silently break the
+    only not-executed surface in the repo before a protobuf-equipped
+    environment runs the full tests."""
+    from big_data_computing_final_project_spark.streaming.tws import (
+        running_user_stats,
+        sessionize_with_timers,
+    )
+
+    events = stream_events(spark, sf_dir)
+
+    running = running_user_stats(events.withColumn("value", F.lit(1.0)))
+    assert running.isStreaming
+    assert [(f.name, f.dataType.simpleString()) for f in running.schema.fields] == [
+        ("user_id", "bigint"),
+        ("n_events", "bigint"),
+        ("total_value", "double"),
+    ]
+
+    sessions = sessionize_with_timers(events)
+    assert sessions.isStreaming
+    assert [f.name for f in sessions.schema.fields] == [
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        "flushed_by_timer",
+    ]
+    for df in (running, sessions):
+        plan = df._jdf.queryExecution().analyzed().toString()
+        assert "TransformWithStateIn" in plan, plan[:500]
