@@ -1,0 +1,139 @@
+"""Synthetic ~sf1 stress run of the heaviest query families (VERDICT r4
+item 3). The container only ships testdata up to sf0.1 (~17 MB), so this
+tool materializes a 10x replica of the fact tables under
+spark-warehouse/sf1x/ (a valid sf_dir: one <table>.parquet per table) and
+runs the heavy families once each, printing a BENCH-style JSON line.
+
+Replication with REMAPPED keys (copy i in 0..9):
+  orders     o_orderkey*10+i         (o_custkey unchanged: 10x fan-out
+                                      onto the same dims, like real growth)
+  lineitem   l_orderkey*10+i         (joins stay consistent with orders)
+  events     event_id*10+i
+  documents  doc_id*10+i; copies i>0 append a ' c<i>' tag to text, so each
+             original doc becomes a 10-member NEAR-dup group (not exact) —
+             the hard case for MinHash/PPJoin: candidate pairs grow ~45x
+             per group, none collapsible by the exact-dup pre-collapse.
+  embeddings vec_id*10+i (vectors unchanged; throughput stress, ties OK)
+Dims (region nation customer supplier part) are copied as-is — at 100 TB
+facts grow, dims don't.
+
+Queries: dedup q36/q122, funnel q132, decontamination q102,
+decision-support q92/q137, ANN q131 — plus exact-dedup q34 as the cheap
+control. One timed run each (this is a cliff-finder, not a bench; the
+per-round bench stays at sf0.1).
+
+Usage: python tools/sf1x_stress.py [out_json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from big_data_computing_final_project_spark.plans import all_queries  # noqa: E402
+from big_data_computing_final_project_spark.session import get_spark  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "spark-warehouse", "sf1x")
+COPIES = 10
+DIMS = ["region", "nation", "customer", "supplier", "part"]
+
+QUERIES = [
+    "q34_exact_dedup",
+    "q36_minhash_lsh_dedup",
+    "q122_prefix_jaccard",
+    "q132_corpus_funnel",
+    "q102_decontamination",
+    "q92_market_share",
+    "q137_local_supplier_volume",
+    "q131_int8_cosine_topk",
+]
+
+
+def _replicate(df, remap: dict[str, object], n: int = COPIES):
+    """Union n copies with per-copy key remaps; a narrow map per copy."""
+    out = None
+    for i in range(n):
+        c = df
+        for col, fn in remap.items():
+            c = c.withColumn(col, fn(i))
+        out = c if out is None else out.unionByName(c)
+    return out
+
+
+def ensure_data(spark) -> None:
+    if os.path.exists(os.path.join(DST, "embeddings.parquet")):
+        return
+    os.makedirs(DST, exist_ok=True)
+    for t in DIMS:
+        spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{DST}/{t}.parquet"
+        )
+    orders = spark.read.parquet(f"{SRC}/orders.parquet")
+    _replicate(
+        orders, {"o_orderkey": lambda i: F.col("o_orderkey") * COPIES + i}
+    ).write.mode("overwrite").parquet(f"{DST}/orders.parquet")
+    li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+    _replicate(
+        li, {"l_orderkey": lambda i: F.col("l_orderkey") * COPIES + i}
+    ).write.mode("overwrite").parquet(f"{DST}/lineitem.parquet")
+    ev = spark.read.parquet(f"{SRC}/events.parquet")
+    _replicate(
+        ev, {"event_id": lambda i: F.col("event_id") * COPIES + i}
+    ).write.mode("overwrite").parquet(f"{DST}/events.parquet")
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    _replicate(
+        docs,
+        {
+            "doc_id": lambda i: F.col("doc_id") * COPIES + i,
+            "text": lambda i: (
+                F.col("text") if i == 0 else F.concat(F.col("text"), F.lit(f" c{i}"))
+            ),
+        },
+    ).withColumn("n_chars", F.length("text").cast("bigint")).write.mode(
+        "overwrite"
+    ).parquet(f"{DST}/documents.parquet")
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    _replicate(
+        emb, {"vec_id": lambda i: F.col("vec_id") * COPIES + i}
+    ).write.mode("overwrite").parquet(f"{DST}/embeddings.parquet")
+
+
+def main() -> None:
+    spark = get_spark("sf1x-stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    ensure_data(spark)
+    queries = all_queries()
+    spark.range(1000).count()  # warmup
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in QUERIES:
+        t0 = time.time()
+        df = queries[name](spark, DST)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+        rows[name] = -1  # noop sink: row counts not collected (cliff run)
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "sf1x_stress_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": "sf0.1x10",
+    }
+    line = json.dumps(out)
+    if len(sys.argv) > 1:
+        with open(sys.argv[1], "w") as f:
+            f.write(line + "\n")
+    print(line)
+
+
+if __name__ == "__main__":
+    main()

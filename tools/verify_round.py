@@ -1,0 +1,141 @@
+"""One-command round-close verification ritual (VERDICT r4 item 8).
+
+Runs, in order, the full battery NOTES.md used to cite as five manual
+commands, each in its own subprocess so session-level settings (timezone,
+partition count) apply cleanly:
+
+  1. pytest            python -m pytest tests/ -q
+  2. gate @ sf0.01     tools/check_oracle.py /root/testdata/sf0.01
+  3. gate @ sf0.1      tools/check_oracle.py /root/testdata/sf0.1
+  4. gate @ sf0.01 under TZ=America/New_York (dialect/timezone sweep)
+  5. gate @ sf0.1 under SPARK_GRAFT_CPUS=7 (different partition counts →
+     different reduction orders; catches order-dependent float math)
+
+Writes ONE JSON record (git head, per-step pass/fail/summary, wall
+seconds) to the output path, and exits non-zero if any step fails — so
+NOTES.md can cite a single artifact instead of five terminal scrollbacks.
+
+Usage: python tools/verify_round.py [out_json] [--skip pytest,sf01,...]
+  step keys: pytest sf001 sf01 tz lowpart
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(cmd: list[str], env_extra: dict[str, str] | None = None) -> tuple[int, str]:
+    env = dict(os.environ)
+    env.update(env_extra or {})
+    p = subprocess.run(
+        cmd, cwd=ROOT, env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True,
+    )
+    return p.returncode, p.stdout
+
+
+def _gate_summary(output: str) -> dict:
+    # check_oracle prints "N pass, M fail, K rows-only" last
+    m = re.search(r"(\d+) pass, (\d+) fail, (\d+) rows-only", output)
+    fails = re.findall(r"^FAIL\s+([^:\s]+)", output.replace("\r", "\n"), re.M)
+    return {
+        "pass": int(m.group(1)) if m else None,
+        "fail": int(m.group(2)) if m else None,
+        "rows_only": int(m.group(3)) if m else None,
+        "failed_queries": fails,
+    }
+
+
+def _pytest_summary(output: str) -> dict:
+    m = re.search(r"(\d+) passed(?:, (\d+) skipped)?", output)
+    f = re.search(r"(\d+) failed", output)
+    return {
+        "passed": int(m.group(1)) if m else None,
+        "skipped": int(m.group(2)) if m and m.group(2) else 0,
+        "failed": int(f.group(1)) if f else 0,
+    }
+
+
+STEPS = {
+    "pytest": (
+        [sys.executable, "-m", "pytest", "tests/", "-q"],
+        {},
+        _pytest_summary,
+        lambda s: s["failed"] == 0 and (s["passed"] or 0) > 0,
+    ),
+    "sf001": (
+        [sys.executable, "tools/check_oracle.py", "/root/testdata/sf0.01"],
+        {},
+        _gate_summary,
+        lambda s: s["fail"] == 0 and (s["pass"] or 0) > 0,
+    ),
+    "sf01": (
+        [sys.executable, "tools/check_oracle.py", "/root/testdata/sf0.1"],
+        {},
+        _gate_summary,
+        lambda s: s["fail"] == 0 and (s["pass"] or 0) > 0,
+    ),
+    "tz": (
+        [sys.executable, "tools/check_oracle.py", "/root/testdata/sf0.01"],
+        {"TZ": "America/New_York"},
+        _gate_summary,
+        lambda s: s["fail"] == 0 and (s["pass"] or 0) > 0,
+    ),
+    "lowpart": (
+        [sys.executable, "tools/check_oracle.py", "/root/testdata/sf0.1"],
+        {"SPARK_GRAFT_CPUS": "7"},
+        _gate_summary,
+        lambda s: s["fail"] == 0 and (s["pass"] or 0) > 0,
+    ),
+}
+
+
+def main() -> None:
+    out_path = None
+    skip: set[str] = set()
+    for a in sys.argv[1:]:
+        if a.startswith("--skip"):
+            skip = set(a.split("=", 1)[1].split(",")) if "=" in a else set()
+        else:
+            out_path = a
+    head = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"], cwd=ROOT, capture_output=True, text=True
+    ).stdout.strip()
+    record: dict = {"git_head": head, "steps": {}}
+    ok = True
+    for name, (cmd, env, summarize, passed) in STEPS.items():
+        if name in skip:
+            record["steps"][name] = {"skipped": True}
+            continue
+        t0 = time.time()
+        rc, output = _run(cmd, env)
+        s = summarize(output)
+        step_ok = rc == 0 and passed(s)
+        record["steps"][name] = {
+            "ok": step_ok,
+            "wall_sec": round(time.time() - t0, 1),
+            **s,
+        }
+        print(f"{'ok  ' if step_ok else 'FAIL'} {name}: {record['steps'][name]}")
+        if not step_ok:
+            ok = False
+            tail = "\n".join(output.replace("\r", "\n").splitlines()[-25:])
+            record["steps"][name]["tail"] = tail
+    record["ok"] = ok
+    line = json.dumps(record)
+    if out_path:
+        with open(out_path, "w") as f:
+            f.write(line + "\n")
+    print(line)
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
