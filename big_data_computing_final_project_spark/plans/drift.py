@@ -1,0 +1,431 @@
+"""Distribution-drift monitoring (q151-q153): the production counterpart
+to the profiling family. A pipeline that retrains models (reference:
+sol_2/house_predict.py's train/score loop) or continuously ingests corpus
+drops (the q87 incremental-dedup shape) needs to know when the INPUT
+distribution moved before the outputs go wrong; these are the three
+standard monitors, each oracle-paired:
+
+- q151 PSI  (numeric, binned): Population Stability Index of o_totalprice
+  between a deterministic reference/current hash split, over equal-width
+  bins frozen from the REFERENCE population (the deployed-model monitor
+  contract: bin edges are fixed at training time).
+- q152 KS   (numeric, exact): two-sample Kolmogorov-Smirnov statistic —
+  max ECDF gap — same split, no binning assumptions.
+- q153 chi2 (categorical): per-category chi-square homogeneity
+  contributions of o_orderpriority between the splits.
+
+Determinism rules (the repo-wide cross-engine contract):
+- The split is the md5-bucket hash (q75/q87 idiom) — engine-portable.
+- ln() outputs are ROUNDED on both sides (the q54 transcendental rule:
+  Java and C log differ in the last ulp).
+- No cross-row sums of irrational doubles (the q103 rule): per-bin /
+  per-category terms are emitted as rows; the scalar KS max is a max of
+  EXACT doubles (bigint/bigint divisions), so it needs no rounding.
+
+Scale shapes: PSI and chi2 are one narrow map + one tiny groupBy each —
+shuffle carries O(bins) / O(categories) rows. KS cumulates per-VALUE
+counts with an unpartitioned ordered window: fine while the value domain
+is bounded (2-decimal money at any corpus size — the q21 histogram
+argument), and the documented scale path for unbounded domains is the
+t-digest store (q88): D evaluated on sketch quantiles instead of exact
+ECDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import register
+
+_N_BINS = 10
+_EPS = 1e-9  # floor for empty-bin shares inside ln()
+
+_SQL_OBUCKET = "('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 100"
+
+
+def _obucket() -> F.Column:
+    return (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+
+
+# ---------------------------------------------------------------------------
+# q151 — PSI per bin. Bin width/origin come from the reference split's
+# min/max only (current rows outside clamp into the edge bins, exactly the
+# deployed-monitor behavior for out-of-range drift). All shares are
+# bigint/bigint divisions (exact, order-free); only the ln() term is
+# rounded (12 dp — PSI magnitudes are O(1), no representable-tie hazard).
+# ---------------------------------------------------------------------------
+
+_Q151_ORACLE = f"""
+WITH d AS (
+  SELECT o_totalprice AS v, {_SQL_OBUCKET} < 80 AS is_ref FROM orders
+), edges AS (
+  SELECT MIN(v) AS lo, MAX(v) AS hi FROM d WHERE is_ref
+), binned AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR((v - lo) / ((hi - lo) / {_N_BINS}.0) ) AS INTEGER), 0),
+               {_N_BINS - 1}) AS bin,
+         is_ref
+  FROM d, edges
+), counts AS (
+  SELECT bin,
+         COUNT(*) FILTER (is_ref) AS n_ref,
+         COUNT(*) FILTER (NOT is_ref) AS n_cur
+  FROM binned GROUP BY bin
+), tot AS (
+  SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM counts
+)
+SELECT bin,
+       CAST(n_ref AS BIGINT) AS n_ref,
+       CAST(n_cur AS BIGINT) AS n_cur,
+       CAST(n_ref AS DOUBLE) / tr AS ref_share,
+       CAST(n_cur AS DOUBLE) / tc AS cur_share,
+       ROUND((CAST(n_cur AS DOUBLE) / tc - CAST(n_ref AS DOUBLE) / tr)
+             * ln(GREATEST(CAST(n_cur AS DOUBLE) / tc, {_EPS!r})
+                  / GREATEST(CAST(n_ref AS DOUBLE) / tr, {_EPS!r})), 12) AS psi_term
+FROM counts, tot
+ORDER BY bin
+"""
+
+
+@register("q151_psi_drift", oracle=_Q151_ORACLE)
+def q151_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.select(
+        F.col("o_totalprice").alias("v"), (_obucket() < 80).alias("is_ref")
+    )
+    edges = d.where("is_ref").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / float(_N_BINS)
+    binned = d.crossJoin(F.broadcast(edges)).select(
+        F.least(
+            F.greatest(
+                F.floor((F.col("v") - F.col("lo")) / width).cast("int"), F.lit(0)
+            ),
+            F.lit(_N_BINS - 1),
+        ).alias("bin"),
+        "is_ref",
+    )
+    counts = binned.groupBy("bin").agg(
+        F.count(F.when(F.col("is_ref"), 1)).alias("n_ref"),
+        F.count(F.when(~F.col("is_ref"), 1)).alias("n_cur"),
+    )
+    tot = counts.agg(
+        F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc")
+    )
+    ref_share = F.col("n_ref").cast("double") / F.col("tr")
+    cur_share = F.col("n_cur").cast("double") / F.col("tc")
+    psi_term = (cur_share - ref_share) * F.log(
+        F.greatest(cur_share, F.lit(_EPS)) / F.greatest(ref_share, F.lit(_EPS))
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_ref",
+            "n_cur",
+            ref_share.alias("ref_share"),
+            cur_share.alias("cur_share"),
+            F.round(psi_term, 12).alias("psi_term"),
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q152 — exact two-sample KS. Cumulative counts per distinct value, max
+# absolute ECDF gap. The unpartitioned ordered window is deliberate and
+# bounded by the value DOMAIN (see module docstring); every arithmetic
+# step is exact (bigint cumsums, correctly-rounded divisions), so the
+# statistic needs no rounding to hash-match.
+# ---------------------------------------------------------------------------
+
+_Q152_ORACLE = f"""
+WITH d AS (
+  SELECT o_totalprice AS v, {_SQL_OBUCKET} < 80 AS is_ref FROM orders
+), per AS (
+  SELECT v,
+         COUNT(*) FILTER (is_ref) AS nr,
+         COUNT(*) FILTER (NOT is_ref) AS nc
+  FROM d GROUP BY v
+), c AS (
+  SELECT SUM(nr) OVER (ORDER BY v) AS cr,
+         SUM(nc) OVER (ORDER BY v) AS cc,
+         SUM(nr) OVER () AS tr,
+         SUM(nc) OVER () AS tc
+  FROM per
+)
+SELECT CAST(MAX(tr) AS BIGINT) AS n_ref,
+       CAST(MAX(tc) AS BIGINT) AS n_cur,
+       MAX(ABS(CAST(cr AS DOUBLE) / tr - CAST(cc AS DOUBLE) / tc)) AS ks_stat
+FROM c
+"""
+
+
+@register("q152_ks_drift", oracle=_Q152_ORACLE)
+def q152_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.select(
+        F.col("o_totalprice").alias("v"), (_obucket() < 80).alias("is_ref")
+    )
+    per = d.groupBy("v").agg(
+        F.count(F.when(F.col("is_ref"), 1)).alias("nr"),
+        F.count(F.when(~F.col("is_ref"), 1)).alias("nc"),
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy()
+    c = per.select(
+        F.sum("nr").over(wv).alias("cr"),
+        F.sum("nc").over(wv).alias("cc"),
+        F.sum("nr").over(wall).alias("tr"),
+        F.sum("nc").over(wall).alias("tc"),
+    )
+    return c.agg(
+        F.max("tr").cast("bigint").alias("n_ref"),
+        F.max("tc").cast("bigint").alias("n_cur"),
+        F.max(
+            F.abs(
+                F.col("cr").cast("double") / F.col("tr")
+                - F.col("cc").cast("double") / F.col("tc")
+            )
+        ).alias("ks_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q153 — chi-square homogeneity per category. Expected counts come from
+# the pooled distribution; contributions (obs-exp)^2/exp are emitted per
+# category for both splits as COLUMNS (no cross-row sum of irrational
+# doubles — the q103 rule). Terms are rational in integer counts, but the
+# division chain ((n*t)/T then squaring) makes the last ulp sensitive to
+# association order, so terms are rounded (the q54 rule, 9 dp).
+# ---------------------------------------------------------------------------
+
+_Q153_ORACLE = f"""
+WITH d AS (
+  SELECT o_orderpriority AS cat, {_SQL_OBUCKET} < 80 AS is_ref FROM orders
+), counts AS (
+  SELECT cat,
+         COUNT(*) FILTER (is_ref) AS n_ref,
+         COUNT(*) FILTER (NOT is_ref) AS n_cur
+  FROM d GROUP BY cat
+), tot AS (
+  SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc, SUM(n_ref + n_cur) AS t FROM counts
+)
+SELECT cat,
+       CAST(n_ref AS BIGINT) AS n_ref,
+       CAST(n_cur AS BIGINT) AS n_cur,
+       ROUND(POW(n_ref - (CAST(n_ref + n_cur AS DOUBLE) * tr / t), 2)
+             / (CAST(n_ref + n_cur AS DOUBLE) * tr / t), 9) AS chi2_ref_term,
+       ROUND(POW(n_cur - (CAST(n_ref + n_cur AS DOUBLE) * tc / t), 2)
+             / (CAST(n_ref + n_cur AS DOUBLE) * tc / t), 9) AS chi2_cur_term
+FROM counts, tot
+ORDER BY cat
+"""
+
+
+@register("q153_chi2_drift", oracle=_Q153_ORACLE)
+def q153_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.select(
+        F.col("o_orderpriority").alias("cat"), (_obucket() < 80).alias("is_ref")
+    )
+    counts = d.groupBy("cat").agg(
+        F.count(F.when(F.col("is_ref"), 1)).alias("n_ref"),
+        F.count(F.when(~F.col("is_ref"), 1)).alias("n_cur"),
+    )
+    tot = counts.agg(
+        F.sum("n_ref").alias("tr"),
+        F.sum("n_cur").alias("tc"),
+        F.sum(F.col("n_ref") + F.col("n_cur")).alias("t"),
+    )
+    exp_ref = (F.col("n_ref") + F.col("n_cur")).cast("double") * F.col("tr") / F.col("t")
+    exp_cur = (F.col("n_ref") + F.col("n_cur")).cast("double") * F.col("tc") / F.col("t")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "cat",
+            "n_ref",
+            "n_cur",
+            F.round(F.pow(F.col("n_ref") - exp_ref, 2) / exp_ref, 9).alias(
+                "chi2_ref_term"
+            ),
+            F.round(F.pow(F.col("n_cur") - exp_cur, 2) / exp_cur, 9).alias(
+                "chi2_cur_term"
+            ),
+        )
+        .orderBy("cat")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q154 — embedding drift: per-dimension centroid shift between the
+# reference/current hash split of the embeddings table — the vector-space
+# face of the drift family (a retriever whose corpus embedding centroid
+# moved is about to mis-rank). Centroids use q72's FP-deterministic
+# sorted-fold mean, so c_ref/c_cur bit-match the oracle and the derived
+# shift columns need no rounding (subtraction and squaring of identical
+# doubles are exact). Scale: one explode + one groupBy(dim) — shuffle
+# carries O(dims) result rows; the explode volume is rows x dims, the
+# same class as q72.
+# ---------------------------------------------------------------------------
+
+_SQL_VBUCKET = "('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % 100"
+
+_Q154_ORACLE = f"""
+WITH v AS (
+  SELECT {_SQL_VBUCKET} < 80 AS is_ref,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), ex AS (
+  SELECT is_ref, unnest(range(len(e))) AS dim, unnest(e) AS val FROM v
+), c AS (
+  SELECT dim,
+         CAST(COUNT(*) FILTER (is_ref) AS BIGINT) AS n_ref,
+         CAST(COUNT(*) FILTER (NOT is_ref) AS BIGINT) AS n_cur,
+         list_sum(list_sort(list(val) FILTER (is_ref)))
+           / COUNT(*) FILTER (is_ref) AS c_ref,
+         list_sum(list_sort(list(val) FILTER (NOT is_ref)))
+           / COUNT(*) FILTER (NOT is_ref) AS c_cur
+  FROM ex GROUP BY dim
+)
+SELECT dim, n_ref, n_cur, c_ref, c_cur,
+       c_cur - c_ref AS shift,
+       (c_cur - c_ref) * (c_cur - c_ref) AS shift2
+FROM c ORDER BY dim
+"""
+
+
+@register("q154_embedding_drift", oracle=_Q154_ORACLE)
+def q154_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import as_double
+
+    v = load_table(spark, sf_dir, "embeddings").select(
+        (
+            (
+                F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10)
+                .cast("bigint")
+                % 100
+            )
+            < 80
+        ).alias("is_ref"),
+        as_double(F.col("embedding")).alias("e"),
+    )
+    ex = v.select("is_ref", F.posexplode("e").alias("dim", "val"))
+
+    def _fold_mean(flag: F.Column) -> F.Column:
+        vals = F.array_sort(F.collect_list(F.when(flag, F.col("val"))))
+        return F.aggregate(vals, F.lit(0.0), lambda a, x: a + x) / F.count(
+            F.when(flag, 1)
+        )
+
+    c = ex.groupBy("dim").agg(
+        F.count(F.when(F.col("is_ref"), 1)).alias("n_ref"),
+        F.count(F.when(~F.col("is_ref"), 1)).alias("n_cur"),
+        _fold_mean(F.col("is_ref")).alias("c_ref"),
+        _fold_mean(~F.col("is_ref")).alias("c_cur"),
+    )
+    shift = F.col("c_cur") - F.col("c_ref")
+    return c.select(
+        "dim",
+        "n_ref",
+        "n_cur",
+        "c_ref",
+        "c_cur",
+        shift.alias("shift"),
+        (shift * shift).alias("shift2"),
+    ).orderBy("dim")
+
+
+# ---------------------------------------------------------------------------
+# q155 — token-distribution JS divergence between the documents hash split:
+# the corpus-drift monitor an LLM-data pipeline runs per crawl drop (a
+# vocabulary whose head terms shifted means the mixture moved). Per-term
+# Jensen-Shannon contributions — 1/2·p·log2(p/m) + 1/2·q·log2(q/m),
+# m=(p+q)/2, zero-share branches defined as 0 — emitted as rows (the
+# q103 no-cross-row-irrational-sum rule; Σ terms = JSD ∈ [0,1]). Shares
+# are exact bigint divisions; only the log2 terms are rounded (q54 rule).
+# Scale: explode -> one groupBy(term) — the q67 exact-TF class; output is
+# O(vocabulary). For unbounded vocabularies the monitor runs on the q100
+# certified heavy-hitter head instead.
+# ---------------------------------------------------------------------------
+
+
+def _sql_js_term(p: str, m: str) -> str:
+    return f"CASE WHEN {p} > 0 THEN 0.5 * {p} * log2({p} / {m}) ELSE 0.0 END"
+
+
+def _q155_oracle() -> str:
+    from .dedup import _SQL_BUCKET
+    from .textops import _SQL_TOKS
+
+    p = "(CAST(n_ref AS DOUBLE) / tr)"
+    q = "(CAST(n_cur AS DOUBLE) / tc)"
+    m = f"(({p} + {q}) / 2.0)"
+    return f"""
+WITH tok AS (
+  SELECT {_SQL_BUCKET} < 80 AS is_ref, unnest({_SQL_TOKS}) AS term
+  FROM documents
+), counts AS (
+  SELECT term,
+         COUNT(*) FILTER (is_ref) AS n_ref,
+         COUNT(*) FILTER (NOT is_ref) AS n_cur
+  FROM tok WHERE term <> '' GROUP BY term
+), tot AS (
+  SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM counts
+)
+SELECT term,
+       CAST(n_ref AS BIGINT) AS n_ref,
+       CAST(n_cur AS BIGINT) AS n_cur,
+       ROUND({_sql_js_term(p, m)} + {_sql_js_term(q, m)}, 12) AS js_term
+FROM counts, tot
+ORDER BY term
+"""
+
+
+@register("q155_token_js_drift", oracle=_q155_oracle())
+def q155_token_js_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+            "bigint"
+        )
+        % 100
+    )
+    toks = docs.select(
+        (bucket < 80).alias("is_ref"), X.tokens(F.col("text")).alias("toks")
+    )
+    tok = toks.select(
+        "is_ref", F.explode_outer("toks").alias("term")
+    ).where(F.col("term").isNotNull() & (F.col("term") != ""))
+    counts = tok.groupBy("term").agg(
+        F.count(F.when(F.col("is_ref"), 1)).alias("n_ref"),
+        F.count(F.when(~F.col("is_ref"), 1)).alias("n_cur"),
+    )
+    tot = counts.agg(F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc"))
+    p = F.col("n_ref").cast("double") / F.col("tr")
+    q = F.col("n_cur").cast("double") / F.col("tc")
+    m = (p + q) / 2.0
+
+    def _js(share: F.Column) -> F.Column:
+        return F.when(
+            share > 0, 0.5 * share * F.log2(share / m)
+        ).otherwise(F.lit(0.0))
+
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "term",
+            "n_ref",
+            "n_cur",
+            F.round(_js(p) + _js(q), 12).alias("js_term"),
+        )
+        .orderBy("term")
+    )

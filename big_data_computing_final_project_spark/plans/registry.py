@@ -51,6 +51,7 @@ def _load_plans() -> None:
         curation,
         decision_support,
         dedup,
+        drift,
         events,
         impurity,
         lm,

@@ -505,3 +505,94 @@ def dup_flow_matrix_from_store(spark: SparkSession, store_dir: str) -> DataFrame
         )
         .orderBy("keeper_source", "dup_source")
     )
+
+
+def run_stream_psi_counts(
+    values: DataFrame,
+    lo: float,
+    width: float,
+    n_bins: int,
+    store_dir: str,
+    checkpoint_dir: str,
+    timeout_sec: int = 120,
+) -> None:
+    """foreachBatch drift-monitor ingestion: bin a numeric stream (column
+    ``v``) with FROZEN reference bin edges — the deployed-model monitor
+    contract of batch q151 (plans/drift.py): edges are fixed when the
+    reference window is frozen, never re-derived from live data — and
+    append per-batch bin counts under ``batch_id=N`` (staged overwrite:
+    replays are idempotent, the run_stream_heavy_hitters idiom). The
+    store is O(batches x bins) rows of pure additive state;
+    ``psi_from_store`` answers the drift question from kilobytes."""
+
+    def bin_counts(batch: DataFrame, batch_id: int) -> None:
+        b = batch.select(
+            F.least(
+                F.greatest(
+                    F.floor((F.col("v") - F.lit(lo)) / F.lit(width)).cast("int"),
+                    F.lit(0),
+                ),
+                F.lit(n_bins - 1),
+            ).alias("bin")
+        )
+        (
+            b.groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(store_dir, f"batch_id={batch_id}"))
+        )
+
+    q = (
+        values.writeStream.foreachBatch(bin_counts)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()
+
+
+def psi_from_store(
+    spark: SparkSession,
+    store_dir: str,
+    ref_counts: DataFrame,
+    eps: float = 1e-9,
+) -> DataFrame:
+    """Per-bin PSI terms of the streamed current population vs a frozen
+    reference histogram (``ref_counts``: bin, n_ref). Bin counts are
+    additive across micro-batches, so once the backlog drains this equals
+    batch q151 on the same split/edges exactly (pytest-pinned); the same
+    math (shares as exact bigint divisions, ln term rounded to 12 dp —
+    the q54 transcendental rule) keeps the hash comparable."""
+    cur = (
+        spark.read.option("basePath", store_dir)
+        .parquet(f"{store_dir}/batch_id=*")
+        .groupBy("bin")
+        .agg(F.sum("n").alias("n_cur"))
+    )
+    joined = (
+        ref_counts.select("bin", "n_ref")
+        .join(cur, "bin", "full_outer")
+        .na.fill(0, ["n_ref", "n_cur"])
+    )
+    tot = joined.agg(
+        F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc")
+    )
+    ref_share = F.col("n_ref").cast("double") / F.col("tr")
+    cur_share = F.col("n_cur").cast("double") / F.col("tc")
+    psi_term = (cur_share - ref_share) * F.log(
+        F.greatest(cur_share, F.lit(eps)) / F.greatest(ref_share, F.lit(eps))
+    )
+    return (
+        joined.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_ref",
+            "n_cur",
+            ref_share.alias("ref_share"),
+            cur_share.alias("cur_share"),
+            F.round(psi_term, 12).alias("psi_term"),
+        )
+        .orderBy("bin")
+    )

@@ -1,0 +1,245 @@
+"""Drift-monitor semantics on PLANTED distribution shift (plans/drift.py).
+
+The gate proves cross-engine hash parity on the synthetic orders table,
+where both hash-split halves follow the same distribution (drift ~ 0);
+these tests plant a REAL shift — the current split's o_totalprice moved —
+and verify the statistics against independent numpy computations: the
+exact KS ECDF gap, per-bin PSI terms, and that all three monitors read
+near-zero on an unshifted planting (no false alarms).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from big_data_computing_final_project_spark.plans import all_queries
+
+_PRIOS = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def _bucket(key: int) -> int:
+    # mirrors plans/drift._obucket (first 60 bits of md5, mod 100)
+    return int(hashlib.md5(str(key).encode()).hexdigest()[:15], 16) % 100
+
+
+def _write_orders(path, n: int, shift: float) -> tuple[np.ndarray, np.ndarray]:
+    """Plant n orders; reference rows ~ deterministic pseudo-normal, current
+    rows shifted by ``shift``. Returns (ref_values, cur_values)."""
+    keys = np.arange(n, dtype=np.int64)
+    is_ref = np.array([_bucket(int(k)) < 80 for k in keys])
+    # deterministic pseudo-normal via Irwin-Hall of per-key hash uniforms
+    u = np.array(
+        [
+            sum(
+                int(hashlib.md5(f"{k}:{j}".encode()).hexdigest()[:8], 16) / 16**8
+                for j in range(4)
+            )
+            for k in keys
+        ]
+    )
+    v = 1000.0 + 200.0 * (u - 2.0)
+    v = np.where(is_ref, v, v + shift)
+    # reference: uniform over 5 priorities; current: only the first two —
+    # a genuine categorical-distribution shift (an index OFFSET would keep
+    # the shares uniform and chi2 silent)
+    prio = [
+        _PRIOS[int(k) % 5] if r else _PRIOS[int(k) % 2]
+        for k, r in zip(keys, is_ref)
+    ]
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array(keys, pa.int64()),
+            "o_custkey": pa.array(keys % 100, pa.int64()),
+            "o_orderstatus": pa.array(["F"] * n, pa.string()),
+            "o_totalprice": pa.array(v, pa.float64()),
+            "o_orderpriority": pa.array(prio, pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(path / "orders.parquet"))
+    return v[is_ref], v[~is_ref]
+
+
+def _ks_numpy(a: np.ndarray, b: np.ndarray) -> float:
+    vals = np.unique(np.concatenate([a, b]))
+    fa = np.searchsorted(np.sort(a), vals, side="right") / a.size
+    fb = np.searchsorted(np.sort(b), vals, side="right") / b.size
+    return float(np.max(np.abs(fa - fb)))
+
+
+def test_ks_matches_numpy_on_planted_shift(spark, tmp_path):
+    ref, cur = _write_orders(tmp_path, 2000, shift=120.0)
+    row = all_queries()["q152_ks_drift"](spark, str(tmp_path)).first()
+    assert row["n_ref"] == ref.size and row["n_cur"] == cur.size
+    want = _ks_numpy(ref, cur)
+    assert row["ks_stat"] == pytest.approx(want, abs=1e-12)
+    assert row["ks_stat"] > 0.15  # the planted shift is detectable
+
+
+def test_psi_matches_numpy_and_detects_shift(spark, tmp_path):
+    ref, cur = _write_orders(tmp_path, 2000, shift=120.0)
+    rows = all_queries()["q151_psi_drift"](spark, str(tmp_path)).collect()
+    assert [r["bin"] for r in rows] == sorted({r["bin"] for r in rows})
+    lo, hi = ref.min(), ref.max()
+    width = (hi - lo) / 10.0
+    bins = np.clip(np.floor((np.concatenate([ref, cur]) - lo) / width).astype(int), 0, 9)
+    is_ref = np.array([True] * ref.size + [False] * cur.size)
+    total_psi = 0.0
+    for r in rows:
+        nr = int(((bins == r["bin"]) & is_ref).sum())
+        nc = int(((bins == r["bin"]) & ~is_ref).sum())
+        assert (r["n_ref"], r["n_cur"]) == (nr, nc)
+        p, q = nr / ref.size, nc / cur.size
+        term = (q - p) * math.log(max(q, 1e-9) / max(p, 1e-9))
+        assert r["psi_term"] == pytest.approx(term, abs=1e-9)
+        total_psi += term
+    assert total_psi > 0.2  # "significant shift" on the standard PSI scale
+
+
+def test_monitors_quiet_without_shift(spark, tmp_path):
+    ref, cur = _write_orders(tmp_path, 4000, shift=0.0)
+    ks = all_queries()["q152_ks_drift"](spark, str(tmp_path)).first()["ks_stat"]
+    assert ks == pytest.approx(_ks_numpy(ref, cur), abs=1e-12)
+    assert ks < 0.06  # same distribution: no alarm
+    psi = sum(
+        r["psi_term"]
+        for r in all_queries()["q151_psi_drift"](spark, str(tmp_path)).collect()
+    )
+    assert abs(psi) < 0.02
+    chi = all_queries()["q153_chi2_drift"](spark, str(tmp_path)).collect()
+    # priorities were planted DIFFERENT across splits (current uses only
+    # the first two categories): chi2 fires even though the numerics match
+    assert sum(r["chi2_ref_term"] + r["chi2_cur_term"] for r in chi) > 10.0
+
+
+def test_chi2_quiet_on_identical_categoricals(spark, tmp_path):
+    # rebuild with identical priority assignment across splits
+    n = 2000
+    keys = np.arange(n, dtype=np.int64)
+    prio = [_PRIOS[int(k) % 5] for k in keys]
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array(keys, pa.int64()),
+            "o_custkey": pa.array(keys % 100, pa.int64()),
+            "o_orderstatus": pa.array(["F"] * n, pa.string()),
+            "o_totalprice": pa.array(np.full(n, 100.0), pa.float64()),
+            "o_orderpriority": pa.array(prio, pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "orders.parquet"))
+    chi = all_queries()["q153_chi2_drift"](spark, str(tmp_path)).collect()
+    assert sum(r["chi2_ref_term"] + r["chi2_cur_term"] for r in chi) < 5.0
+
+
+def test_stream_psi_store_equals_batch_q151(spark, tmp_path):
+    """Streaming twin: the current split arrives as 3 micro-batches binned
+    against FROZEN reference edges; the store-derived per-bin PSI must
+    equal batch q151 on the same planted data exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_computing_final_project_spark.streaming.events import (
+        psi_from_store,
+        run_stream_psi_counts,
+    )
+
+    ref, cur = _write_orders(tmp_path, 2000, shift=120.0)
+    want = [
+        tuple(r)
+        for r in all_queries()["q151_psi_drift"](spark, str(tmp_path)).collect()
+    ]
+
+    # frozen reference edges + histogram, binned exactly like q151
+    lo, hi = float(ref.min()), float(ref.max())
+    width = (hi - lo) / 10.0
+    bins = np.clip(np.floor((ref - lo) / width).astype(int), 0, 9)
+    ref_counts = spark.createDataFrame(
+        [(int(b), int((bins == b).sum())) for b in sorted(set(bins))],
+        "bin int, n_ref bigint",
+    )
+
+    # stream the current split in 3 drops
+    src = tmp_path / "cur_stream"
+    src.mkdir()
+    parts = np.array_split(cur, 3)
+    for i, p in enumerate(parts):
+        pq.write_table(
+            pa.table({"v": pa.array(p, pa.float64())}), str(src / f"drop_{i}.parquet")
+        )
+    stream = spark.readStream.schema("v double").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src))
+    store = str(tmp_path / "psistore")
+    run_stream_psi_counts(stream, lo, width, 10, store, str(tmp_path / "ckpt_psi"))
+
+    got = [tuple(r) for r in psi_from_store(spark, store, ref_counts).collect()]
+    assert got == want
+
+
+def test_embedding_drift_reads_planted_shift(spark, tmp_path):
+    """q154 on planted embeddings: current-split vectors are the reference
+    distribution plus a constant per-dim offset; the per-dim centroid
+    shift must recover that offset (within the sample-mean noise of the
+    two independent halves)."""
+    n, dims, delta = 1500, 4, np.array([0.5, -0.25, 0.0, 1.0])
+    keys = np.arange(n, dtype=np.int64)
+    is_ref = np.array([_bucket(int(k)) < 80 for k in keys])
+    base = np.array(
+        [
+            [
+                int(hashlib.md5(f"{k}:{d}".encode()).hexdigest()[:8], 16) / 16**8
+                for d in range(dims)
+            ]
+            for k in keys
+        ]
+    )
+    vecs = np.where(is_ref[:, None], base, base + delta[None, :]).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(keys, pa.int64()),
+            "embedding": pa.array([list(v) for v in vecs], pa.list_(pa.float32())),
+            "label": pa.array([int(k) % 3 for k in keys], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    rows = all_queries()["q154_embedding_drift"](spark, str(tmp_path)).collect()
+    assert [r["dim"] for r in rows] == list(range(dims))
+    for r in rows:
+        # uniform[0,1) halves: sample-mean gap ~ O(1/sqrt(n)) ~ 0.02
+        assert r["shift"] == pytest.approx(float(delta[r["dim"]]), abs=0.05)
+        assert r["shift2"] == pytest.approx(r["shift"] * r["shift"], abs=1e-12)
+
+
+def test_token_js_drift_flags_planted_vocab_shift(spark, tmp_path):
+    """q155 on a planted corpus: the current split introduces a new head
+    term ('zebra') absent from the reference; its JS contribution must
+    dominate, shared terms must sit near zero, and the total must stay
+    within JS divergence's [0, 1] log2 bound."""
+    n = 1200
+    keys = np.arange(n, dtype=np.int64)
+    is_ref = np.array([_bucket(int(k)) < 80 for k in keys])
+    texts = [
+        "the quick brown fox" if r else "the quick zebra zebra"
+        for r in is_ref
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(keys, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+            "source": pa.array(["s"] * n, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    rows = {r["term"]: r for r in all_queries()["q155_token_js_drift"](spark, str(tmp_path)).collect()}
+    assert set(rows) == {"the", "quick", "brown", "fox", "zebra"}
+    assert rows["zebra"]["n_ref"] == 0 and rows["zebra"]["n_cur"] > 0
+    assert rows["zebra"]["js_term"] > rows["the"]["js_term"]
+    total = sum(r["js_term"] for r in rows.values())
+    assert 0.0 < total <= 1.0
