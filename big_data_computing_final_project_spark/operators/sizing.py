@@ -43,7 +43,12 @@ def _parse_bytes(v: str) -> int:
 # in place. The decision is still frozen at build time — runtime
 # re-planning is AQE's job, and these hints only override Catalyst where
 # its estimate is structurally unusable (post-explode stats).
-_EST_CACHE: dict[tuple[str, int], int] = {}
+# semanticHash() is only 32 bits, so the key also carries the output
+# schema string: a collision then needs BOTH the same hash and the same
+# column names/types, and two such frames flipping each other's broadcast
+# decision is vanishingly unlikely (a bare-hash collision at the cache cap
+# is ~0.2% birthday probability — code-review r5).
+_EST_CACHE: dict[tuple[str, int, str], int] = {}
 _EST_CACHE_MAX = 4096
 
 
@@ -53,8 +58,12 @@ def _clear_estimate_cache() -> None:
 
 def plan_size_estimate(df: DataFrame) -> int:
     """Catalyst's sizeInBytes estimate for the optimized plan of ``df``,
-    memoized per (application, semantic plan hash)."""
-    key = (df.sparkSession.sparkContext.applicationId, df.semanticHash())
+    memoized per (application, semantic plan hash, output schema)."""
+    key = (
+        df.sparkSession.sparkContext.applicationId,
+        df.semanticHash(),
+        df.schema.simpleString(),
+    )
     est = _EST_CACHE.get(key)
     if est is None:
         est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())

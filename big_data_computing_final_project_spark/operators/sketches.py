@@ -332,27 +332,41 @@ def certified_hh_candidates(
       certified superset of the true top-k;
     - an item the sketch never kept has true count <= drop_total, so
       drop_total < thr certifies no unseen item can rank; otherwise -> None;
+    - the k-witnesses argument needs k surviving items: with FEWER than k
+      bounds rows, thr is min over however many exist and lower-bounds
+      nothing about the k-th count, so any truncation at all -> None
+      (with zero truncation the survivors ARE the whole domain and the
+      candidate set is trivially complete);
     - more than ``cand_max`` candidates would break the bounded-broadcast
       contract of the follow-up exact rescore -> None.
 
-    Driver-side cost: three tiny actions over the cached, O(partitions x
-    capacity)-bounded bounds frame; candidate items (<= cand_max strings)
-    are collected so the caller's plan is a self-contained local-relation
-    broadcast."""
+    Driver-side cost: two tiny actions over the cached, O(partitions x
+    capacity)-bounded bounds frame (drop_total rides on every bounds row,
+    so the threshold probe fetches it for free); candidate items
+    (<= cand_max strings) are collected so the caller's plan is a
+    self-contained local-relation broadcast."""
     bounds = heavy_hitters_bounds(partials, partial_id_cols)
     bounds.cache()
     try:
         thr_row = (
             bounds.orderBy(F.desc("count_lo"), "item")
             .limit(k)
-            .agg(F.min("count_lo").alias("thr"))
+            .agg(
+                F.min("count_lo").alias("thr"),
+                F.first("drop_total").alias("drop_total"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
             .first()
         )
         thr = thr_row["thr"] if thr_row is not None else None
         if thr is None:
             return []  # empty input: the empty candidate set is complete
-        drop_total = bounds.select("drop_total").first()["drop_total"]
-        if drop_total >= thr:
+        if thr_row["n_rows"] < k and thr_row["drop_total"] > 0:
+            # fewer than k witnesses: a truncated-away item could be a true
+            # top-k member (e.g. capacity=2, k=3, counts 100/90/5: thr=90
+            # "passes" while the dropped 5-count item IS the true 3rd)
+            return None
+        if thr_row["drop_total"] >= thr:
             return None
         cand_rows = (
             bounds.where(F.col("count_hi") >= thr)

@@ -42,14 +42,44 @@ from .registry import register
 _N_BINS = 10
 _EPS = 1e-9  # floor for empty-bin shares inside ln()
 
-_SQL_OBUCKET = "('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 100"
+
+def _sql_bucket(key: str) -> str:
+    return f"('0x' || substring(md5(CAST({key} AS VARCHAR)), 1, 15))::BIGINT % 100"
+
+
+def _bucket(key: str) -> F.Column:
+    """The repo's engine-portable hash bucket (q75/q87 idiom) for any key
+    column — one definition for all three drift splits (o_orderkey,
+    vec_id, doc_id)."""
+    return (
+        F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+
+
+_SQL_OBUCKET = _sql_bucket("o_orderkey")
 
 
 def _obucket() -> F.Column:
-    return (
-        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10)
-        .cast("bigint")
-        % 100
+    return _bucket("o_orderkey")
+
+
+def bin_expr(v: F.Column, lo, width, n_bins: int = _N_BINS) -> F.Column:
+    """q151's clamped equal-width bin index — shared with the streaming
+    PSI store (streaming/events.run_stream_psi_counts) so the batch and
+    stream twins bin identically by construction."""
+    return F.least(
+        F.greatest(F.floor((v - lo) / width).cast("int"), F.lit(0)),
+        F.lit(n_bins - 1),
+    )
+
+
+def psi_term_expr(ref_share: F.Column, cur_share: F.Column, eps: float = _EPS) -> F.Column:
+    """q151's per-bin PSI term (UNrounded; callers apply the 12-dp q54
+    rounding) — shared with streaming/events.psi_from_store."""
+    return (cur_share - ref_share) * F.log(
+        F.greatest(cur_share, F.lit(eps)) / F.greatest(ref_share, F.lit(eps))
     )
 
 
@@ -103,12 +133,7 @@ def q151_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     width = (F.col("hi") - F.col("lo")) / float(_N_BINS)
     binned = d.crossJoin(F.broadcast(edges)).select(
-        F.least(
-            F.greatest(
-                F.floor((F.col("v") - F.col("lo")) / width).cast("int"), F.lit(0)
-            ),
-            F.lit(_N_BINS - 1),
-        ).alias("bin"),
+        bin_expr(F.col("v"), F.col("lo"), width).alias("bin"),
         "is_ref",
     )
     counts = binned.groupBy("bin").agg(
@@ -120,9 +145,6 @@ def q151_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ref_share = F.col("n_ref").cast("double") / F.col("tr")
     cur_share = F.col("n_cur").cast("double") / F.col("tc")
-    psi_term = (cur_share - ref_share) * F.log(
-        F.greatest(cur_share, F.lit(_EPS)) / F.greatest(ref_share, F.lit(_EPS))
-    )
     return (
         counts.crossJoin(F.broadcast(tot))
         .select(
@@ -131,7 +153,7 @@ def q151_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_cur",
             ref_share.alias("ref_share"),
             cur_share.alias("cur_share"),
-            F.round(psi_term, 12).alias("psi_term"),
+            F.round(psi_term_expr(ref_share, cur_share), 12).alias("psi_term"),
         )
         .orderBy("bin")
     )
@@ -275,7 +297,7 @@ def q153_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same class as q72.
 # ---------------------------------------------------------------------------
 
-_SQL_VBUCKET = "('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % 100"
+_SQL_VBUCKET = _sql_bucket("vec_id")
 
 _Q154_ORACLE = f"""
 WITH v AS (
@@ -306,14 +328,7 @@ def q154_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import as_double
 
     v = load_table(spark, sf_dir, "embeddings").select(
-        (
-            (
-                F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10)
-                .cast("bigint")
-                % 100
-            )
-            < 80
-        ).alias("is_ref"),
+        (_bucket("vec_id") < 80).alias("is_ref"),
         as_double(F.col("embedding")).alias("e"),
     )
     ex = v.select("is_ref", F.posexplode("e").alias("dim", "val"))
@@ -393,14 +408,8 @@ def q155_token_js_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import text as X
 
     docs = load_table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
-            "bigint"
-        )
-        % 100
-    )
     toks = docs.select(
-        (bucket < 80).alias("is_ref"), X.tokens(F.col("text")).alias("toks")
+        (_bucket("doc_id") < 80).alias("is_ref"), X.tokens(F.col("text")).alias("toks")
     )
     tok = toks.select(
         "is_ref", F.explode_outer("toks").alias("term")

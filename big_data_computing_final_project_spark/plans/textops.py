@@ -564,8 +564,9 @@ def q75_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q67's exact TF path explodes every token through a shuffle; here phase 1
 # ships at most `capacity` truncated counters per partition (shuffle is
 # O(partitions x capacity) regardless of corpus size) and phase 2 re-scans
-# only tokens matching the <=320 candidate terms (broadcast hash semi —
-# almost all tokens short-circuit at the probe, nothing wide shuffles).
+# only tokens matching the certified candidate set (data-dependent size,
+# capped at cand_max=4096 — broadcast hash semi; almost all tokens
+# short-circuit at the probe, nothing wide shuffles).
 # Candidate selection is CERTIFIED, not heuristic (ADVICE r4): phase 1's
 # [lo, hi] bound rows feed operators/sketches.certified_hh_candidates,
 # which proves {item : count_hi >= k-th largest count_lo} contains the

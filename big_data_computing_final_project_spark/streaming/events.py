@@ -525,15 +525,11 @@ def run_stream_psi_counts(
     store is O(batches x bins) rows of pure additive state;
     ``psi_from_store`` answers the drift question from kilobytes."""
 
+    from ..plans.drift import bin_expr
+
     def bin_counts(batch: DataFrame, batch_id: int) -> None:
         b = batch.select(
-            F.least(
-                F.greatest(
-                    F.floor((F.col("v") - F.lit(lo)) / F.lit(width)).cast("int"),
-                    F.lit(0),
-                ),
-                F.lit(n_bins - 1),
-            ).alias("bin")
+            bin_expr(F.col("v"), F.lit(lo), F.lit(width), n_bins).alias("bin")
         )
         (
             b.groupBy("bin")
@@ -562,15 +558,22 @@ def psi_from_store(
     """Per-bin PSI terms of the streamed current population vs a frozen
     reference histogram (``ref_counts``: bin, n_ref). Bin counts are
     additive across micro-batches, so once the backlog drains this equals
-    batch q151 on the same split/edges exactly (pytest-pinned); the same
-    math (shares as exact bigint divisions, ln term rounded to 12 dp —
-    the q54 transcendental rule) keeps the hash comparable."""
-    cur = (
-        spark.read.option("basePath", store_dir)
-        .parquet(f"{store_dir}/batch_id=*")
-        .groupBy("bin")
-        .agg(F.sum("n").alias("n_cur"))
-    )
+    batch q151 on the same split/edges exactly (pytest-pinned); the term
+    math is IMPORTED from plans/drift (bin_expr there too), so the twins
+    cannot drift apart by construction."""
+    from ..plans.drift import psi_term_expr
+
+    if os.path.exists(store_dir):
+        cur = (
+            spark.read.option("basePath", store_dir)
+            .parquet(f"{store_dir}/batch_id=*")
+            .groupBy("bin")
+            .agg(F.sum("n").alias("n_cur"))
+        )
+    else:
+        # zero micro-batches processed: report ref-only bins, n_cur = 0
+        # (same empty-store contract as dup_flow_matrix_from_store)
+        cur = spark.createDataFrame([], "bin int, n_cur bigint")
     joined = (
         ref_counts.select("bin", "n_ref")
         .join(cur, "bin", "full_outer")
@@ -581,9 +584,6 @@ def psi_from_store(
     )
     ref_share = F.col("n_ref").cast("double") / F.col("tr")
     cur_share = F.col("n_cur").cast("double") / F.col("tc")
-    psi_term = (cur_share - ref_share) * F.log(
-        F.greatest(cur_share, F.lit(eps)) / F.greatest(ref_share, F.lit(eps))
-    )
     return (
         joined.crossJoin(F.broadcast(tot))
         .select(
@@ -592,7 +592,7 @@ def psi_from_store(
             "n_cur",
             ref_share.alias("ref_share"),
             cur_share.alias("cur_share"),
-            F.round(psi_term, 12).alias("psi_term"),
+            F.round(psi_term_expr(ref_share, cur_share, eps), 12).alias("psi_term"),
         )
         .orderBy("bin")
     )

@@ -215,6 +215,34 @@ def test_certified_candidates_zipf_certifies_and_contains(spark, sf_dir):
     assert true_topk <= set(cand)
 
 
+def test_certified_candidates_refuses_below_k_witnesses(spark):
+    """Code-review r5 counterexample: capacity=2, k=3, counts 100/90/5 in
+    ONE partition. The sketch keeps only A,B (dmax=5); thr=min(100,90)=90
+    and drop_total=5 < thr would 'pass' the unseen-item check, but the
+    dropped 5-count item IS the true 3rd — with fewer than k surviving
+    rows and any truncation the certificate must refuse (None)."""
+    from big_data_computing_final_project_spark.operators.sketches import (
+        certified_hh_candidates,
+        heavy_hitters_partials,
+    )
+
+    rows = [(i, ["A"]) for i in range(100)]
+    rows += [(100 + i, ["B"]) for i in range(90)]
+    rows += [(200 + i, ["C"]) for i in range(5)]
+    df = spark.createDataFrame(rows, ["id", "toks"]).coalesce(1)
+    cand = certified_hh_candidates(
+        heavy_hitters_partials(df, "toks", capacity=2), k=3
+    )
+    assert cand is None
+
+    # same shape with NO truncation (ample capacity): 3 survivors < k=5
+    # but drop_total=0 — the survivors are the whole domain, certify all
+    cand2 = certified_hh_candidates(
+        heavy_hitters_partials(df, "toks", capacity=100), k=5
+    )
+    assert cand2 is not None and set(cand2) == {"A", "B", "C"}
+
+
 def test_certified_candidates_empty_and_cap(spark):
     """Empty input certifies the empty set; a cand_max below the certified
     set size must refuse (None) rather than silently truncate."""

@@ -113,13 +113,11 @@ def main() -> None:
     queries = all_queries()
     spark.range(1000).count()  # warmup
     timings: dict[str, float] = {}
-    rows: dict[str, int] = {}
     for name in QUERIES:
         t0 = time.time()
         df = queries[name](spark, DST)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
-        rows[name] = -1  # noop sink: row counts not collected (cliff run)
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "sf1x_stress_wall_clock",

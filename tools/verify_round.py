@@ -100,11 +100,22 @@ STEPS = {
 def main() -> None:
     out_path = None
     skip: set[str] = set()
-    for a in sys.argv[1:]:
+    args = sys.argv[1:]
+    i = 0
+    while i < len(args):
+        a = args[i]
         if a.startswith("--skip"):
-            skip = set(a.split("=", 1)[1].split(",")) if "=" in a else set()
+            if "=" in a:
+                skip = set(a.split("=", 1)[1].split(","))
+            elif i + 1 < len(args):
+                i += 1
+                skip = set(args[i].split(","))
         else:
             out_path = a
+        i += 1
+    unknown = skip - set(STEPS)
+    if unknown:
+        sys.exit(f"unknown --skip step(s) {sorted(unknown)}; valid: {sorted(STEPS)}")
     head = subprocess.run(
         ["git", "rev-parse", "--short", "HEAD"], cwd=ROOT, capture_output=True, text=True
     ).stdout.strip()
