@@ -92,6 +92,7 @@ HEADLINE = [
     "q137_local_supplier_volume",  # cyclic same-nation 6-way join (Q5 shape)
     "q115_important_parts",    # scalar-subquery HAVING w/ exchange reuse (Q11 shape)
     "q148_salted_enrich",      # salted fact-fact join (hot-key spread)
+    "q151_psi_drift",          # drift monitoring: frozen-bin PSI (round-5 family)
     "q116_sole_blame_suppliers",  # EXISTS/NOT EXISTS self-join fold (Q21 shape)
 ]
 # Deliberately not benched: q68 (iterative CC — timing at this SF is

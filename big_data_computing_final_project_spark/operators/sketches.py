@@ -44,6 +44,8 @@ __all__ = [
     "build_centroids",
     "merge_centroids",
     "quantile_from_centroids",
+    "cdf_from_centroids",
+    "ks_from_digests",
     "heavy_hitters_partials",
     "heavy_hitters_bounds",
     "heavy_hitters_finalize",
@@ -141,6 +143,54 @@ def quantile_from_centroids(means: np.ndarray, weights: np.ndarray, q: float) ->
     span = centers[idx + 1] - centers[idx]
     frac = 0.0 if span <= 0 else (target - centers[idx]) / span
     return float(means[idx] + frac * (means[idx + 1] - means[idx]))
+
+
+def cdf_from_centroids(means: np.ndarray, weights: np.ndarray, x: float) -> float:
+    """Interpolated CDF at ``x`` — the inverse of quantile_from_centroids:
+    centroid i sits at cumulative rank cumw[i] − w[i]/2; piecewise-linear
+    between neighbouring centroid means, clamped to 0/1 outside them."""
+    if means.size == 0:
+        return float("nan")
+    total = float(weights.sum())
+    if means.size == 1:
+        return 0.0 if x < means[0] else (1.0 if x > means[0] else 0.5)
+    centers = np.cumsum(weights) - weights / 2.0
+    if x < means[0]:
+        return 0.0
+    if x > means[-1]:
+        return 1.0
+    idx = int(np.searchsorted(means, x, side="right") - 1)
+    if idx >= means.size - 1:
+        return float(centers[-1] / total) if x == means[-1] else 1.0
+    span = means[idx + 1] - means[idx]
+    frac = 0.0 if span <= 0 else (x - means[idx]) / span
+    rank = centers[idx] + frac * (centers[idx + 1] - centers[idx])
+    return float(rank / total)
+
+
+def ks_from_digests(
+    means_a: np.ndarray,
+    weights_a: np.ndarray,
+    means_b: np.ndarray,
+    weights_b: np.ndarray,
+) -> float:
+    """Approximate two-sample KS statistic from two t-digests: max |CDF
+    gap| over the union of both digests' centroid means (the breakpoints
+    of the two piecewise-linear CDFs — the max of their difference is
+    attained at a breakpoint). Error is bounded by the digests' rank
+    resolution (~1/δ at the tails, coarser mid-range), which is the
+    documented scale path for q152 on UNBOUNDED value domains: the exact
+    per-value ECDF needs the whole domain through one ordered window,
+    the digests need O(δ) floats per side regardless of data size."""
+    probes = np.union1d(means_a, means_b)
+    gaps = [
+        abs(
+            cdf_from_centroids(means_a, weights_a, float(x))
+            - cdf_from_centroids(means_b, weights_b, float(x))
+        )
+        for x in probes
+    ]
+    return float(max(gaps)) if gaps else float("nan")
 
 
 _SKETCH_SCHEMA = "key string, means array<double>, weights array<double>"

@@ -1,9 +1,8 @@
-"""Distribution-drift monitoring (q151-q153): the production counterpart
+"""Distribution-drift monitoring (q151-q156): the production counterpart
 to the profiling family. A pipeline that retrains models (reference:
 sol_2/house_predict.py's train/score loop) or continuously ingests corpus
 drops (the q87 incremental-dedup shape) needs to know when the INPUT
-distribution moved before the outputs go wrong; these are the three
-standard monitors, each oracle-paired:
+distribution moved before the outputs go wrong. Oracle-paired monitors:
 
 - q151 PSI  (numeric, binned): Population Stability Index of o_totalprice
   between a deterministic reference/current hash split, over equal-width
@@ -13,6 +12,10 @@ standard monitors, each oracle-paired:
   max ECDF gap — same split, no binning assumptions.
 - q153 chi2 (categorical): per-category chi-square homogeneity
   contributions of o_orderpriority between the splits.
+
+Below, q154 (embedding-centroid shift) and q155 (token JS divergence)
+extend the family to vectors and text, and q156 is q152's sketch-based
+scale path for unbounded value domains (rows-only: t-digest CDF gap).
 
 Determinism rules (the repo-wide cross-engine contract):
 - The split is the md5-bucket hash (q75/q87 idiom) — engine-portable.
@@ -437,4 +440,48 @@ def q155_token_js_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(_js(p) + _js(q), 12).alias("js_term"),
         )
         .orderBy("term")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q156 — sketch-based two-sample KS: the UNBOUNDED-domain scale path q152
+# documents. Each split builds a mergeable t-digest (map-side partials,
+# operators/sketches); the approximate statistic is the max CDF gap over
+# the union of centroid means. Only O(partitions x delta) centroid floats
+# ever reach the driver — the exact q152's per-value ordered window is
+# replaced by sketch kilobytes, so this form runs on a value domain of
+# any cardinality. Rows-only per the driver contract (a sketch is not
+# SQL-expressible); tests/test_drift.py pins |approx - exact| against
+# q152 on the gate data AND on planted shifts.
+# ---------------------------------------------------------------------------
+
+
+@register("q156_ks_drift_sketch")
+def q156_ks_drift_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ..operators.sketches import (
+        ks_from_digests,
+        merge_centroids,
+        tdigest_partials,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.select(
+        F.when(_bucket("o_orderkey") < 80, "ref").otherwise("cur").alias("k"),
+        F.col("o_totalprice").alias("v"),
+    )
+    rows = tdigest_partials(d, "k", "v").collect()
+    merged: dict[str, tuple] = {}
+    counts: dict[str, int] = {}
+    for key in ("ref", "cur"):
+        chunks = [r for r in rows if r["key"] == key]
+        m = np.concatenate([np.asarray(r["means"], dtype=np.float64) for r in chunks])
+        w = np.concatenate([np.asarray(r["weights"], dtype=np.float64) for r in chunks])
+        counts[key] = int(round(float(w.sum())))
+        merged[key] = merge_centroids(m, w, 200.0)
+    ks = ks_from_digests(*merged["ref"], *merged["cur"])
+    return spark.createDataFrame(
+        [(counts["ref"], counts["cur"], float(ks))],
+        "n_ref bigint, n_cur bigint, ks_stat_approx double",
     )

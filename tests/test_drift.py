@@ -243,3 +243,19 @@ def test_token_js_drift_flags_planted_vocab_shift(spark, tmp_path):
     assert rows["zebra"]["js_term"] > rows["the"]["js_term"]
     total = sum(r["js_term"] for r in rows.values())
     assert 0.0 < total <= 1.0
+
+
+def test_sketch_ks_tracks_exact_ks(spark, sf_dir, tmp_path):
+    """q156 (t-digest KS, the unbounded-domain scale path) must track the
+    exact q152 statistic within sketch resolution on the gate data AND on
+    a planted shift, and agree exactly on the split sizes."""
+    exact = all_queries()["q152_ks_drift"](spark, sf_dir).first()
+    approx = all_queries()["q156_ks_drift_sketch"](spark, sf_dir).first()
+    assert (approx["n_ref"], approx["n_cur"]) == (exact["n_ref"], exact["n_cur"])
+    assert abs(approx["ks_stat_approx"] - exact["ks_stat"]) < 0.02
+
+    ref, cur = _write_orders(tmp_path, 3000, shift=120.0)
+    exact2 = all_queries()["q152_ks_drift"](spark, str(tmp_path)).first()
+    approx2 = all_queries()["q156_ks_drift_sketch"](spark, str(tmp_path)).first()
+    assert abs(approx2["ks_stat_approx"] - exact2["ks_stat"]) < 0.02
+    assert approx2["ks_stat_approx"] > 0.15  # still detects the shift

@@ -283,3 +283,28 @@ def test_hll_precision_sweep(spark, sf_dir):
         assert abs(est - exact) <= max(3 * rse * exact, 1.0), (
             f"lgK={lg_k}: est {est} vs exact {exact} outside 3-sigma ({rse=})"
         )
+
+
+def test_cdf_inverts_quantile_and_is_monotone():
+    """cdf_from_centroids is the inverse of quantile_from_centroids on a
+    single digest: cdf(quantile(q)) ~ q for interior q, and the CDF is
+    monotone over a probe grid spanning past both tails."""
+    import numpy as np
+
+    from big_data_computing_final_project_spark.operators.sketches import (
+        build_centroids,
+        cdf_from_centroids,
+        quantile_from_centroids,
+    )
+
+    rng = np.random.RandomState(11)
+    vals = rng.lognormal(mean=3.0, sigma=1.0, size=20_000)
+    m, w = build_centroids(vals, delta=200.0)
+    for q in (0.1, 0.25, 0.5, 0.75, 0.9, 0.99):
+        x = quantile_from_centroids(m, w, q)
+        assert abs(cdf_from_centroids(m, w, x) - q) < 0.01, q
+    lo, hi = float(vals.min()), float(vals.max())
+    probes = np.linspace(lo - 1.0, hi + 1.0, 200)
+    cdfs = [cdf_from_centroids(m, w, float(x)) for x in probes]
+    assert cdfs == sorted(cdfs)
+    assert cdfs[0] == 0.0 and cdfs[-1] == 1.0
