@@ -596,3 +596,40 @@ def psi_from_store(
         )
         .orderBy("bin")
     )
+
+
+def ks_from_digest_store(
+    spark: SparkSession,
+    store_dir: str,
+    ref_means,
+    ref_weights,
+    delta: float = 200.0,
+) -> tuple[float, int]:
+    """Approximate two-sample KS of a STREAMED population against a FROZEN
+    reference t-digest — the streaming face of q156 (plans/drift.py), and
+    the drift monitor q152's scale story ends at: the reference digest is
+    built once (training time) and persisted as kilobytes; the live
+    population accumulates through run_stream_tdigest's per-batch partial
+    appends; answering "did the input move?" reads ONLY sketch rows —
+    no raw event is ever revisited, at any corpus size.
+
+    Returns (ks_stat_approx, n_current). Empty store (zero micro-batches)
+    -> (nan, 0)."""
+    import numpy as np
+
+    from ..operators.sketches import ks_from_digests, merge_centroids
+
+    if not os.path.exists(store_dir):
+        return float("nan"), 0
+    rows = spark.read.parquet(store_dir).select("means", "weights").collect()
+    if not rows:
+        return float("nan"), 0
+    m = np.concatenate([np.asarray(r["means"], dtype=np.float64) for r in rows])
+    w = np.concatenate([np.asarray(r["weights"], dtype=np.float64) for r in rows])
+    cur_m, cur_w = merge_centroids(m, w, delta)
+    ref_m = np.asarray(ref_means, dtype=np.float64)
+    ref_w = np.asarray(ref_weights, dtype=np.float64)
+    return (
+        float(ks_from_digests(ref_m, ref_w, cur_m, cur_w)),
+        int(round(float(cur_w.sum()))),
+    )

@@ -259,3 +259,51 @@ def test_sketch_ks_tracks_exact_ks(spark, sf_dir, tmp_path):
     approx2 = all_queries()["q156_ks_drift_sketch"](spark, str(tmp_path)).first()
     assert abs(approx2["ks_stat_approx"] - exact2["ks_stat"]) < 0.02
     assert approx2["ks_stat_approx"] > 0.15  # still detects the shift
+
+
+def test_stream_ks_digest_store_tracks_exact(spark, tmp_path):
+    """Streaming KS twin: current-split values stream through the t-digest
+    partial store; the store-vs-frozen-reference-digest statistic must
+    track the exact KS (and q156's batch sketch) within sketch
+    resolution."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_computing_final_project_spark.operators.sketches import (
+        build_centroids,
+    )
+    from big_data_computing_final_project_spark.streaming.events import (
+        ks_from_digest_store,
+        run_stream_tdigest,
+    )
+
+    ref, cur = _write_orders(tmp_path, 3000, shift=120.0)
+    exact = all_queries()["q152_ks_drift"](spark, str(tmp_path)).first()
+
+    # frozen reference digest (training-time artifact)
+    ref_m, ref_w = build_centroids(ref, delta=200.0)
+
+    # stream the current split in 3 drops through the sketch store
+    src = tmp_path / "cur_vals"
+    src.mkdir()
+    for i, p in enumerate(np.array_split(cur, 3)):
+        pq.write_table(
+            pa.table({"v": pa.array(p, pa.float64())}), str(src / f"drop_{i}.parquet")
+        )
+    stream = (
+        spark.readStream.schema("v double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+        .selectExpr("'cur' AS k", "v")
+    )
+    store = str(tmp_path / "kstore")
+    run_stream_tdigest(stream, "k", "v", store, str(tmp_path / "ckpt_ks"))
+
+    ks, n_cur = ks_from_digest_store(spark, store, ref_m, ref_w)
+    assert n_cur == cur.size
+    assert abs(ks - exact["ks_stat"]) < 0.02
+    assert ks > 0.15  # the planted shift is still detected from sketches
+
+    # empty store contract
+    nan_ks, n0 = ks_from_digest_store(spark, str(tmp_path / "missing"), ref_m, ref_w)
+    assert n0 == 0 and nan_ks != nan_ks
