@@ -307,3 +307,74 @@ def test_stream_ks_digest_store_tracks_exact(spark, tmp_path):
     # empty store contract
     nan_ks, n0 = ks_from_digest_store(spark, str(tmp_path / "missing"), ref_m, ref_w)
     assert n0 == 0 and nan_ks != nan_ks
+
+
+def test_drift_transcendental_terms_cross_engine_fuzz(spark):
+    """Fuzz parity for the drift fragments that pass through ln/log2/pow —
+    the q54 transcendental-rounding contract at its boundary: for random
+    and adversarial integer count tuples, the Spark expressions and the
+    DuckDB oracle forms must agree after their 12/9-dp rounding. The gate
+    exercises only the counts the synthetic tables produce; this probes
+    extremes (zero bins, singletons, near-2^40 totals, ratios straddling
+    1.0) where a last-ulp log divergence would surface in the rounded
+    digit if the rounding were too tight."""
+    import random
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from big_data_computing_final_project_spark.plans.drift import psi_term_expr
+
+    random.seed(13)
+    rows = []
+    for i in range(400):
+        tr = random.choice([1, 7, 100, 12345, 10**6, 2**40])
+        tc = random.choice([1, 9, 250, 54321, 10**6, 2**40])
+        nr = random.randint(0, tr)
+        nc = random.randint(0, tc)
+        rows.append((i, nr, nc, tr, tc))
+    # adversarial: equal shares (term exactly 0), zero/zero, all-mass bins
+    rows += [
+        (1000, 50, 50, 100, 100),
+        (1001, 0, 0, 100, 100),
+        (1002, 100, 0, 100, 100),
+        (1003, 0, 100, 100, 100),
+        (1004, 1, 1, 2**40, 2**40),
+    ]
+    df = spark.createDataFrame(rows, "id long, nr long, nc long, tr long, tc long")
+    p = F.col("nr").cast("double") / F.col("tr")
+    q = F.col("nc").cast("double") / F.col("tc")
+    m = (p + q) / 2.0
+    js = F.when(p > 0, 0.5 * p * F.log2(p / m)).otherwise(F.lit(0.0)) + F.when(
+        q > 0, 0.5 * q * F.log2(q / m)
+    ).otherwise(F.lit(0.0))
+    got = {
+        r["id"]: (r["psi"], r["js"])
+        for r in df.select(
+            "id",
+            F.round(psi_term_expr(p, q), 12).alias("psi"),
+            F.round(js, 12).alias("js"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id BIGINT, nr BIGINT, nc BIGINT, tr BIGINT, tc BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?, ?, ?)", rows)
+    sp = "(CAST(nr AS DOUBLE) / tr)"
+    sq = "(CAST(nc AS DOUBLE) / tc)"
+    sm = f"(({sp} + {sq}) / 2.0)"
+    js_sql = (
+        f"CASE WHEN {sp} > 0 THEN 0.5 * {sp} * log2({sp} / {sm}) ELSE 0.0 END"
+        f" + CASE WHEN {sq} > 0 THEN 0.5 * {sq} * log2({sq} / {sm}) ELSE 0.0 END"
+    )
+    psi_sql = (
+        f"({sq} - {sp}) * ln(GREATEST({sq}, 1e-09) / GREATEST({sp}, 1e-09))"
+    )
+    want = {
+        i: (psi, js)
+        for i, psi, js in con.execute(
+            f"SELECT id, ROUND({psi_sql}, 12), ROUND({js_sql}, 12) FROM t"
+        ).fetchall()
+    }
+    bad = [i for i in got if got[i] != want[i]]
+    assert not bad, [(i, rows_by_id, got[i], want[i]) for i, rows_by_id in
+                     [(i, [r for r in rows if r[0] == i][0]) for i in bad[:3]]]
