@@ -46,6 +46,7 @@ __all__ = [
     "quantile_from_centroids",
     "cdf_from_centroids",
     "ks_from_digests",
+    "merge_partial_rows",
     "heavy_hitters_partials",
     "heavy_hitters_bounds",
     "heavy_hitters_finalize",
@@ -168,6 +169,23 @@ def cdf_from_centroids(means: np.ndarray, weights: np.ndarray, x: float) -> floa
     return float(rank / total)
 
 
+def merge_partial_rows(
+    rows, delta: float = 200.0
+) -> tuple[np.ndarray, np.ndarray]:
+    """Reduce collected partial-digest rows (any objects with ``means`` /
+    ``weights`` array fields) into one merged digest — the shared
+    concatenate-then-merge step of tdigest_finalize, q156, and the
+    streaming KS store reader. Empty input -> two empty arrays (callers
+    decide how an absent population degrades)."""
+    chunks = list(rows)
+    if not chunks:
+        empty = np.array([], dtype=np.float64)
+        return empty, empty.copy()
+    m = np.concatenate([np.asarray(r["means"], dtype=np.float64) for r in chunks])
+    w = np.concatenate([np.asarray(r["weights"], dtype=np.float64) for r in chunks])
+    return merge_centroids(m, w, delta)
+
+
 def ks_from_digests(
     means_a: np.ndarray,
     weights_a: np.ndarray,
@@ -175,14 +193,37 @@ def ks_from_digests(
     weights_b: np.ndarray,
 ) -> float:
     """Approximate two-sample KS statistic from two t-digests: max |CDF
-    gap| over the union of both digests' centroid means (the breakpoints
-    of the two piecewise-linear CDFs — the max of their difference is
-    attained at a breakpoint). Error is bounded by the digests' rank
-    resolution (~1/δ at the tails, coarser mid-range), which is the
-    documented scale path for q152 on UNBOUNDED value domains: the exact
-    per-value ECDF needs the whole domain through one ordered window,
-    the digests need O(δ) floats per side regardless of data size."""
-    probes = np.union1d(means_a, means_b)
+    gap| probed at the union of both digests' centroid means AND one ulp
+    to either side of each (the piecewise-linear CDFs are continuous
+    between centroids, so their difference is extremal at a centroid or
+    at a tail jump — the side probes capture the 0/1 jumps outside the
+    extreme centroids, e.g. a constant reference population vs a shifted
+    current one correctly reads ~1.0, not the mid-atom 0.5).
+
+    Error model, honestly stated: for continuous distributions the error
+    is bounded by the digests' rank resolution (~1/δ at the tails,
+    coarser mid-range). A heavy point mass INTERIOR to a digest is
+    smeared across its centroid (an inherent t-digest property), so the
+    gap at such an atom can be underestimated by up to half the atom's
+    weight share; populations dominated by interior atoms should use the
+    exact q152 path (their value domain is bounded by definition).
+
+    This is the documented scale path for q152 on UNBOUNDED value
+    domains: the exact per-value ECDF needs the whole domain through one
+    ordered window, the digests need O(δ) floats per side regardless of
+    data size."""
+    if means_a.size == 0 or means_b.size == 0:
+        return float("nan")
+    centers = np.union1d(means_a, means_b)
+    probes = np.unique(
+        np.concatenate(
+            [
+                centers,
+                np.nextafter(centers, -np.inf),
+                np.nextafter(centers, np.inf),
+            ]
+        )
+    )
     gaps = [
         abs(
             cdf_from_centroids(means_a, weights_a, float(x))
@@ -190,7 +231,7 @@ def ks_from_digests(
         )
         for x in probes
     ]
-    return float(max(gaps)) if gaps else float("nan")
+    return float(max(gaps))
 
 
 _SKETCH_SCHEMA = "key string, means array<double>, weights array<double>"
@@ -232,9 +273,7 @@ def tdigest_finalize(
     out_fields = ", ".join(f"p{int(p * 100):02d} double" for p in probs)
 
     def _final(pdf: pd.DataFrame) -> pd.DataFrame:
-        m = np.concatenate([np.asarray(x, dtype=np.float64) for x in pdf["means"]])
-        w = np.concatenate([np.asarray(x, dtype=np.float64) for x in pdf["weights"]])
-        m, w = merge_centroids(m, w, delta)
+        m, w = merge_partial_rows(pdf.to_dict("records"), delta)
         row = {"key": pdf["key"].iloc[0]}
         for p in probs:
             row[f"p{int(p * 100):02d}"] = quantile_from_centroids(m, w, p)

@@ -458,11 +458,9 @@ def q155_token_js_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q156_ks_drift_sketch")
 def q156_ks_drift_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-
     from ..operators.sketches import (
         ks_from_digests,
-        merge_centroids,
+        merge_partial_rows,
         tdigest_partials,
     )
 
@@ -475,11 +473,13 @@ def q156_ks_drift_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged: dict[str, tuple] = {}
     counts: dict[str, int] = {}
     for key in ("ref", "cur"):
-        chunks = [r for r in rows if r["key"] == key]
-        m = np.concatenate([np.asarray(r["means"], dtype=np.float64) for r in chunks])
-        w = np.concatenate([np.asarray(r["weights"], dtype=np.float64) for r in chunks])
+        m, w = merge_partial_rows([r for r in rows if r["key"] == key], 200.0)
+        # counts are the digested (non-NaN) masses — q152 counts raw rows,
+        # so they agree exactly on NaN-free measures like o_totalprice
         counts[key] = int(round(float(w.sum())))
-        merged[key] = merge_centroids(m, w, 200.0)
+        merged[key] = (m, w)
+    # an empty split (every key hashed one way, or an empty table) reads
+    # NaN — no distribution to compare, same grace as ks_from_digests
     ks = ks_from_digests(*merged["ref"], *merged["cur"])
     return spark.createDataFrame(
         [(counts["ref"], counts["cur"], float(ks))],

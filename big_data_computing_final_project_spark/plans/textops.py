@@ -591,12 +591,31 @@ LIMIT 20
 """
 
 
-# Certified candidate lists memoized per (application, sf_dir): building
-# q100 runs the phase-1 sketch jobs at plan-BUILD time, and bench/snapshot
-# tooling rebuilds the same query several times per session. Safe because
-# the driver's parquet snapshots are immutable within an application (the
-# broadcast-estimate cache makes the same assumption, operators/sizing.py).
-_Q100_CAND_MEMO: dict[tuple[str, str], list[str] | None] = {}
+# Certified candidate lists memoized per (application, sf_dir, DATA
+# FINGERPRINT): building q100 runs the phase-1 sketch jobs at plan-BUILD
+# time, and bench/snapshot tooling rebuilds the same query several times
+# per session. Unlike the broadcast-estimate cache (operators/sizing.py,
+# which can only cost a slower plan when stale), this memo carries the
+# ANSWER's correctness, so it must not trust path identity alone: the key
+# includes the documents table's file stats (name, size, mtime_ns), so a
+# rewritten-in-place corpus recomputes instead of silently rescoring the
+# old head terms (code-review r5).
+_Q100_CAND_MEMO: dict[tuple, list[str] | None] = {}
+
+
+def _path_stat_fingerprint(path: str) -> tuple:
+    """Cheap change detector for a parquet file or directory: sorted
+    (name, size, mtime_ns) of the path's entries (or the file itself)."""
+    import os
+
+    if os.path.isdir(path):
+        entries = []
+        for name in sorted(os.listdir(path)):
+            st = os.stat(os.path.join(path, name))
+            entries.append((name, st.st_size, st.st_mtime_ns))
+        return tuple(entries)
+    st = os.stat(path)
+    return ((os.path.basename(path), st.st_size, st.st_mtime_ns),)
 
 
 @register("q100_vocab_heavy_hitters", oracle=_Q100_ORACLE)
@@ -615,7 +634,11 @@ def q100_vocab_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # phase 1: bounded-state sketch -> CERTIFIED candidate terms (or None
     # when no sketch can rank this distribution)
-    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    memo_key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        _path_stat_fingerprint(f"{sf_dir}/documents.parquet"),
+    )
     if memo_key in _Q100_CAND_MEMO:
         cand_items = _Q100_CAND_MEMO[memo_key]
     else:

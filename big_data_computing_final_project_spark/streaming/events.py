@@ -603,6 +603,7 @@ def ks_from_digest_store(
     store_dir: str,
     ref_means,
     ref_weights,
+    key: str | None = None,
     delta: float = 200.0,
 ) -> tuple[float, int]:
     """Approximate two-sample KS of a STREAMED population against a FROZEN
@@ -613,20 +614,34 @@ def ks_from_digest_store(
     appends; answering "did the input move?" reads ONLY sketch rows —
     no raw event is ever revisited, at any corpus size.
 
-    Returns (ks_stat_approx, n_current). Empty store (zero micro-batches)
-    -> (nan, 0)."""
+    ``key`` selects ONE population from a keyed store
+    (run_stream_tdigest sketches per key). Omitting it requires the store
+    to hold exactly one key — merging several keys' centroids would
+    silently answer for a population nobody asked about, so a multi-key
+    store without ``key`` raises instead.
+
+    Returns (ks_stat_approx, n_current). Empty store/key (zero
+    micro-batches) -> (nan, 0)."""
     import numpy as np
 
-    from ..operators.sketches import ks_from_digests, merge_centroids
+    from ..operators.sketches import ks_from_digests, merge_partial_rows
 
     if not os.path.exists(store_dir):
         return float("nan"), 0
-    rows = spark.read.parquet(store_dir).select("means", "weights").collect()
+    store = spark.read.parquet(store_dir)
+    if key is not None:
+        store = store.where(F.col("key") == key)
+    else:
+        keys = [r["key"] for r in store.select("key").distinct().collect()]
+        if len(keys) > 1:
+            raise ValueError(
+                f"digest store {store_dir} holds keys {sorted(keys)}; pass "
+                "key=... to select the population to compare"
+            )
+    rows = store.select("means", "weights").collect()
     if not rows:
         return float("nan"), 0
-    m = np.concatenate([np.asarray(r["means"], dtype=np.float64) for r in rows])
-    w = np.concatenate([np.asarray(r["weights"], dtype=np.float64) for r in rows])
-    cur_m, cur_w = merge_centroids(m, w, delta)
+    cur_m, cur_w = merge_partial_rows(rows, delta)
     ref_m = np.asarray(ref_means, dtype=np.float64)
     ref_w = np.asarray(ref_weights, dtype=np.float64)
     return (

@@ -378,3 +378,24 @@ def test_drift_transcendental_terms_cross_engine_fuzz(spark):
     bad = [i for i in got if got[i] != want[i]]
     assert not bad, [(i, rows_by_id, got[i], want[i]) for i, rows_by_id in
                      [(i, [r for r in rows if r[0] == i][0]) for i in bad[:3]]]
+
+
+def test_sketch_ks_graceful_on_one_sided_split(spark, tmp_path):
+    """Code-review r5: q156 must not crash when every key hashes to one
+    side of the 80/20 split — an absent population reads NaN with a zero
+    count, mirroring ks_from_digests' empty-digest grace."""
+    # key 4 buckets >= 80 (verified via the same md5 rule the query uses)
+    keys = [k for k in range(200) if _bucket(k) >= 80][:3]
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array(keys, pa.int64()),
+            "o_custkey": pa.array([0] * len(keys), pa.int64()),
+            "o_orderstatus": pa.array(["F"] * len(keys), pa.string()),
+            "o_totalprice": pa.array([100.0] * len(keys), pa.float64()),
+            "o_orderpriority": pa.array(["5-LOW"] * len(keys), pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "orders.parquet"))
+    row = all_queries()["q156_ks_drift_sketch"](spark, str(tmp_path)).first()
+    assert row["n_ref"] == 0 and row["n_cur"] == len(keys)
+    assert row["ks_stat_approx"] != row["ks_stat_approx"]  # NaN

@@ -308,3 +308,29 @@ def test_cdf_inverts_quantile_and_is_monotone():
     cdfs = [cdf_from_centroids(m, w, float(x)) for x in probes]
     assert cdfs == sorted(cdfs)
     assert cdfs[0] == 0.0 and cdfs[-1] == 1.0
+
+
+def test_ks_from_digests_reads_atom_tail_jumps():
+    """Code-review r5: a constant reference population (one centroid) vs a
+    shifted current population has true KS = 1.0; probing only centroid
+    means read the mid-atom 0.5 — the one-ulp side probes must recover
+    ~1.0. Disjoint continuous samples must also read ~1.0, and empty
+    digests read NaN."""
+    import numpy as np
+
+    from big_data_computing_final_project_spark.operators.sketches import (
+        build_centroids,
+        ks_from_digests,
+    )
+
+    const_m, const_w = build_centroids(np.full(5000, 10.0), 200.0)
+    above = np.linspace(20.0, 30.0, 5000)
+    am, aw = build_centroids(above, 200.0)
+    assert ks_from_digests(const_m, const_w, am, aw) > 0.999
+
+    below = np.linspace(-5.0, 5.0, 5000)
+    bm, bw = build_centroids(below, 200.0)
+    assert ks_from_digests(bm, bw, am, aw) > 0.999
+
+    empty = np.array([])
+    assert np.isnan(ks_from_digests(empty, empty, am, aw))
