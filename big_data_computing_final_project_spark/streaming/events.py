@@ -648,3 +648,80 @@ def ks_from_digest_store(
         float(ks_from_digests(ref_m, ref_w, cur_m, cur_w)),
         int(round(float(cur_w.sum()))),
     )
+
+
+def run_stream_drift_monitor(
+    values: DataFrame,
+    ref_counts: DataFrame,
+    lo: float,
+    width: float,
+    n_bins: int,
+    store_dir: str,
+    checkpoint_dir: str,
+    psi_alert: float = 0.2,
+    timeout_sec: int = 120,
+) -> None:
+    """Operational endpoint of the drift family: per micro-batch, append
+    the frozen-edge bin counts (the run_stream_psi_counts store) AND an
+    evaluation-log row (batch_id, psi_total, n_cur_total, alert) computed
+    from the store's cumulative counts vs the frozen reference histogram.
+    The alert fires when total PSI crosses ``psi_alert`` (0.2 is the
+    standard "significant shift" reading on the PSI scale).
+
+    The psi_total here is a driver-side float sum over n_bins rounded
+    terms — an operational signal, deliberately NOT an oracle-checked
+    quantity (the per-bin terms, which ARE oracle-paired via q151, stay
+    in the store for exact auditing). Both the counts and the log are
+    staged per batch_id, so replays overwrite their own rows and the log
+    is an append-only audit trail of what the monitor saw after each
+    drop."""
+    from ..plans.drift import bin_expr
+
+    counts_dir = os.path.join(store_dir, "counts")
+    log_dir = os.path.join(store_dir, "log")
+
+    def monitor(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        b = batch.select(
+            bin_expr(F.col("v"), F.lit(lo), F.lit(width), n_bins).alias("bin")
+        )
+        (
+            b.groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(counts_dir, f"batch_id={batch_id}"))
+        )
+        rows = psi_from_store(spark, counts_dir, ref_counts).collect()
+        psi_total = float(sum(r["psi_term"] for r in rows))
+        n_cur = int(sum(r["n_cur"] for r in rows))
+        spark.createDataFrame(
+            [(psi_total, n_cur, psi_total >= psi_alert)],
+            "psi_total double, n_cur bigint, alert boolean",
+        ).write.mode("overwrite").parquet(
+            os.path.join(log_dir, f"batch_id={batch_id}")
+        )
+
+    q = (
+        values.writeStream.foreachBatch(monitor)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()
+
+
+def drift_monitor_log(spark: SparkSession, store_dir: str) -> DataFrame:
+    """The monitor's append-only evaluation log, ordered by batch."""
+    log_dir = os.path.join(store_dir, "log")
+    if not os.path.exists(log_dir):
+        return spark.createDataFrame(
+            [], "batch_id bigint, psi_total double, n_cur bigint, alert boolean"
+        )
+    return (
+        spark.read.option("basePath", log_dir)
+        .parquet(f"{log_dir}/batch_id=*")
+        .select("batch_id", "psi_total", "n_cur", "alert")
+        .orderBy("batch_id")
+    )

@@ -399,3 +399,60 @@ def test_sketch_ks_graceful_on_one_sided_split(spark, tmp_path):
     row = all_queries()["q156_ks_drift_sketch"](spark, str(tmp_path)).first()
     assert row["n_ref"] == 0 and row["n_cur"] == len(keys)
     assert row["ks_stat_approx"] != row["ks_stat_approx"]  # NaN
+
+
+def test_stream_drift_monitor_alerts_on_shift_only(spark, tmp_path):
+    """Operational monitor: three drops of a SHIFTED current population
+    must leave an evaluation log whose final row alerts (cumulative PSI
+    past 0.2), while the same monitor over an UNSHIFTED population logs
+    three quiet rows — and the monitor's counts store remains exactly the
+    run_stream_psi_counts store (same per-bin PSI terms)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_computing_final_project_spark.streaming.events import (
+        drift_monitor_log,
+        psi_from_store,
+        run_stream_drift_monitor,
+    )
+
+    def _run(shift: float, tag: str):
+        data_dir = tmp_path / tag
+        data_dir.mkdir()
+        ref, cur = _write_orders(data_dir, 2000, shift)
+        lo, hi = float(ref.min()), float(ref.max())
+        width = (hi - lo) / 10.0
+        bins = np.clip(np.floor((ref - lo) / width).astype(int), 0, 9)
+        ref_counts = spark.createDataFrame(
+            [(int(b), int((bins == b).sum())) for b in sorted(set(bins))],
+            "bin int, n_ref bigint",
+        )
+        src = tmp_path / f"stream_{tag}"
+        src.mkdir()
+        for i, p in enumerate(np.array_split(cur, 3)):
+            pq.write_table(
+                pa.table({"v": pa.array(p, pa.float64())}),
+                str(src / f"drop_{i}.parquet"),
+            )
+        stream = spark.readStream.schema("v double").option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(str(src))
+        store = str(tmp_path / f"store_{tag}")
+        run_stream_drift_monitor(
+            stream, ref_counts, lo, width, 10, store, str(tmp_path / f"ck_{tag}")
+        )
+        return drift_monitor_log(spark, store).collect(), store, ref_counts, cur
+
+    log, store, ref_counts, cur = _run(120.0, "shifted")
+    assert [r["batch_id"] for r in log] == [0, 1, 2]
+    assert log[-1]["n_cur"] == cur.size  # cumulative counts after drain
+    assert log[-1]["alert"] is True
+    # the embedded counts store is the psi store: terms readable directly
+    import os
+
+    terms = psi_from_store(spark, os.path.join(store, "counts"), ref_counts).collect()
+    assert abs(sum(r["psi_term"] for r in terms) - log[-1]["psi_total"]) < 1e-9
+
+    quiet_log, _, _, quiet_cur = _run(0.0, "quiet")
+    assert [r["alert"] for r in quiet_log] == [False, False, False]
+    assert quiet_log[-1]["n_cur"] == quiet_cur.size
