@@ -713,3 +713,67 @@ def q147_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q157 — per-source corpus report card: the one-stop corpus-health
+# dashboard a curation pipeline runs on every ingest (and the first thing
+# a data audit asks for): per source — volume (docs, tokens, avg chars),
+# language spread, and the corpus-wide exact-dup exposure (docs whose
+# fingerprint appears anywhere else in the corpus, CROSS-source aware —
+# q146's flow matrix tells you where dups flow; this tells each source
+# owner how dirty their slice is).
+#
+# Scale: one window keyed on the fingerprint (the dedup key — group
+# state per distinct fp, the q146 shape) followed by one hash aggregate
+# keyed on source. Both shuffles carry one narrow row per document; the
+# output is O(sources). All ratio columns are exact-int divisions
+# (bigint/bigint in double) — deterministic cross-engine, no rounding
+# needed.
+# ---------------------------------------------------------------------------
+
+_Q157_ORACLE = f"""
+WITH d AS (
+  SELECT source, lang, n_chars,
+         CAST(len({_SQL_TOKS}) AS BIGINT) AS n_toks,
+         COUNT(*) OVER (PARTITION BY md5({_SQL_NORM})) AS grp_sz
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+       COUNT(DISTINCT lang) AS n_langs,
+       COUNT(*) FILTER (grp_sz > 1) AS dup_docs,
+       CAST(COUNT(*) FILTER (grp_sz > 1) AS DOUBLE) / COUNT(*) AS dup_rate
+FROM d
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("q157_corpus_report_card", oracle=_Q157_ORACLE)
+def q157_corpus_report_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(X.fingerprint(F.col("text")))
+    d = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        X.token_count(F.col("text")).cast("bigint").alias("n_toks"),
+        F.count(F.lit(1)).over(w).alias("grp_sz"),
+    )
+    n_docs = F.count(F.lit(1))
+    dup_docs = F.count(F.when(F.col("grp_sz") > 1, 1))
+    return (
+        d.groupBy("source")
+        .agg(
+            n_docs.alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+            (F.sum("n_chars").cast("double") / n_docs).alias("avg_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+            dup_docs.alias("dup_docs"),
+            (dup_docs.cast("double") / n_docs).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )

@@ -95,9 +95,9 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", X.shingles(F.col("text"), 3).alias("sh"))
 
 
-def _exact_jaccard_pairs(sh: DataFrame) -> DataFrame:
+def _exact_jaccard_pairs(sh: DataFrame, threshold: float = _JACCARD_T) -> DataFrame:
     """(doc_a, doc_b, jac) for ALL pairs sharing >=1 shingle, jac >=
-    _JACCARD_T — the exact (oracle) path: explode + shingle self-join."""
+    ``threshold`` — the exact (oracle) path: explode + shingle self-join."""
     sizes = sh.select(F.col("doc_id"), F.size("sh").alias("n"))
     # explode_outer, deliberately: plain explode triggers
     # InferFiltersFromGenerate, which injects a `size(sh) > 0` pre-filter
@@ -120,7 +120,7 @@ def _exact_jaccard_pairs(sh: DataFrame) -> DataFrame:
         pairs.join(broadcast_if_small(la), "doc_a")
         .join(broadcast_if_small(lb), "doc_b")
         .select("doc_a", "doc_b", jac.alias("jac"))
-        .filter(F.col("jac") >= _JACCARD_T)
+        .filter(F.col("jac") >= threshold)
         .orderBy("doc_a", "doc_b")
     )
 
@@ -1043,6 +1043,130 @@ WHERE rn > 1
 GROUP BY keeper_source, dup_source
 ORDER BY keeper_source, dup_source
 """
+
+
+# ---------------------------------------------------------------------------
+# q158 — dedup-savings audit: the "what does dedup buy us" report a
+# curation pipeline runs BEFORE committing to a corpus rewrite. Exact-dup
+# groups (q34's fingerprint) bucketed by group size: how many groups/docs
+# sit at each duplication level, how many docs a keep-min-doc_id pass
+# would remove, and how many chars of storage that frees (group chars
+# minus the keeper's — the keeper is the min-doc_id member, q34/q146's
+# keeper rule, so the freed volume is arg_min-exact, not avg-estimated).
+#
+# Scale: two hash aggregates — one shuffle keyed on fp (the dedup key;
+# group state is one row per distinct fingerprint), then a shuffle of
+# O(distinct group sizes) rows. Nothing corpus-proportional crosses the
+# wire after the first exchange; no join, no window, no driver state.
+# ---------------------------------------------------------------------------
+
+_Q158_ORACLE = f"""
+WITH g AS (
+  SELECT md5({_SQL_NORM}) AS fp,
+         COUNT(*) AS sz,
+         SUM(n_chars) AS grp_chars,
+         arg_min(n_chars, doc_id) AS keeper_chars
+  FROM documents
+  GROUP BY fp
+)
+SELECT sz AS group_size,
+       COUNT(*) AS n_groups,
+       CAST(SUM(sz) AS BIGINT) AS n_docs,
+       CAST(SUM(sz - 1) AS BIGINT) AS removable_docs,
+       CAST(SUM(grp_chars - keeper_chars) AS BIGINT) AS removable_chars
+FROM g
+GROUP BY group_size
+ORDER BY group_size
+"""
+
+
+@register("q158_dedup_savings", oracle=_Q158_ORACLE)
+def q158_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy(X.fingerprint(F.col("text")).alias("fp")).agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.sum("n_chars").alias("grp_chars"),
+        F.min_by("n_chars", "doc_id").alias("keeper_chars"),
+    )
+    return (
+        g.groupBy(F.col("sz").alias("group_size"))
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("sz").cast("bigint").alias("n_docs"),
+            F.sum(F.col("sz") - 1).cast("bigint").alias("removable_docs"),
+            F.sum(F.col("grp_chars") - F.col("keeper_chars"))
+            .cast("bigint")
+            .alias("removable_chars"),
+        )
+        .orderBy("group_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q159 — near-dup threshold sweep: pair counts at Jaccard thresholds
+# 0.50..0.95 — the tuning curve a pipeline reads BEFORE fixing the dedup
+# threshold (is 0.8 on the knee or the plateau?). Built on q35's exact
+# pair machinery with the filter floor lowered to 0.50; each surviving
+# pair map-side explodes into the thresholds it clears (10x a small pair
+# set — never a corpus-side blowup), one tiny groupBy, and a 10-row
+# left join restores zero-count thresholds. The literal threshold list is
+# spelled identically on both engines (same decimal literals -> same
+# doubles), so jac >= threshold decides identically.
+#
+# Scale: pair enumeration is the exact path (the oracle anchor, like
+# q35); at 100 TB the same sweep runs over q36's LSH candidate pairs
+# instead — banding at 16x4 keeps recall ~1 down to jac ~0.6, below
+# which the curve is read from a wider-band config.
+# ---------------------------------------------------------------------------
+
+_SWEEP_THRESHOLDS = [0.50, 0.55, 0.60, 0.65, 0.70, 0.75, 0.80, 0.85, 0.90, 0.95]
+
+_Q159_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, {_SQL_SHINGLES} AS sh
+  FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+), ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+p0 AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b
+), pairs AS (
+  SELECT CAST(common AS DOUBLE) / (la.n + lb.n - common) AS jac
+  FROM p0
+  JOIN (SELECT doc_id, len(sh) AS n FROM docs) la ON la.doc_id = doc_a
+  JOIN (SELECT doc_id, len(sh) AS n FROM docs) lb ON lb.doc_id = doc_b
+  WHERE CAST(common AS DOUBLE) / (la.n + lb.n - common) >= 0.50
+)
+SELECT threshold, COUNT(p.jac) AS n_pairs
+FROM (VALUES {", ".join(f"(CAST({t!r} AS DOUBLE))" for t in _SWEEP_THRESHOLDS)})
+     ths(threshold)
+LEFT JOIN pairs p ON p.jac >= threshold
+GROUP BY threshold
+ORDER BY threshold
+"""
+
+
+@register("q159_jaccard_threshold_sweep", oracle=_Q159_ORACLE)
+def q159_jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # localCheckpoint: same three-consumer reuse argument as q35
+    pairs = _exact_jaccard_pairs(
+        _shingled(spark, sf_dir).localCheckpoint(eager=True), threshold=0.50
+    )
+    ths = F.array(*[F.lit(t) for t in _SWEEP_THRESHOLDS])
+    counted = (
+        pairs.select(F.explode(ths).alias("threshold"), "jac")
+        .where(F.col("jac") >= F.col("threshold"))
+        .groupBy("threshold")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    base = spark.range(1).select(F.explode(ths).alias("threshold"))
+    return (
+        base.join(counted, "threshold", "left")
+        .select(
+            "threshold", F.coalesce("n_pairs", F.lit(0).cast("bigint")).alias("n_pairs")
+        )
+        .orderBy("threshold")
+    )
 
 
 @register("q146_dup_flow_matrix", oracle=_Q146_ORACLE)

@@ -291,3 +291,50 @@ def test_q147_budget_conserved_and_upsamples_small_sources(spark, sf_dir):
     for r in rows:
         assert r["planned_tokens"] > 0
         assert abs(r["repeat_factor"] - r["planned_tokens"] / r["n_tokens"]) < 1e-12
+
+
+def test_q157_report_card_on_planted_corpus(spark, tmp_path):
+    """Per-source report card on a planted corpus: the dup exposure is
+    CROSS-source (doc 1's copies live in srcB, yet srcA's dup_docs counts
+    doc 1), token/char/lang stats are per-source exact. Hash-matched
+    against the DuckDB oracle on the same data."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_computing_final_project_spark.plans import all_oracles
+    from tools.check_oracle import frame_digest
+
+    rows = [
+        (1, "Shared Text One", "en", "srcA"),    # in a 3-group: dup
+        (2, "shared  text  one", "en", "srcB"),  # dup
+        (3, "shared text one", "en", "srcB"),    # dup
+        (4, "unique alpha", "en", "srcA"),
+        (5, "unique beta", "de", "srcB"),
+        (6, "SOLO GAMMA", "en", "srcC"),
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    sdf = _Q["q157_corpus_report_card"](spark, str(tmp_path))
+    got = [tuple(r) for r in sdf.collect()]
+    assert got == [
+        ("srcA", 2, 5, (15 + 12) / 2, 1, 1, 0.5),
+        ("srcB", 3, 8, (17 + 15 + 11) / 3, 2, 2, 2 / 3),
+        ("srcC", 1, 2, 10.0, 1, 0, 0.0),
+    ]
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'")
+    res = con.sql(all_oracles()["q157_corpus_report_card"])
+    assert frame_digest(sdf.columns, got) == frame_digest(
+        [d[0] for d in res.description], res.fetchall()
+    )

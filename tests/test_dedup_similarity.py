@@ -541,3 +541,90 @@ def test_levenshtein_is_character_level_on_unicode(spark):
     got = {(r["a"], r["b"]): r["d"] for r in df.select("a", "b", F.levenshtein("a", "b").alias("d")).collect()}
     for a, b in pairs:
         assert got[(a, b)] == dp(a, b), (a, b, got[(a, b)], dp(a, b))
+
+
+def _planted_docs_table(rows):
+    import pyarrow as pa
+
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+
+
+def test_q158_dedup_savings_on_planted_corpus(spark, tmp_path):
+    """Case/whitespace variants share a fingerprint but differ in n_chars,
+    so the savings audit must charge removable_chars for the NON-keeper
+    members only (keeper = min doc_id, q34's rule) — an avg-based estimate
+    would get 31.34 chars instead of the exact 32. Hash-matched against
+    the DuckDB oracle on the same planted data."""
+    import duckdb
+    import pyarrow.parquet as pq2
+
+    from big_data_computing_final_project_spark.plans import all_oracles
+    from tools.check_oracle import frame_digest
+
+    rows = [
+        (1, "Shared Text One", "en", "srcA"),    # 15 chars, keeper of the group
+        (2, "shared  text  one", "en", "srcB"),  # 17 chars, same fp after collapse
+        (3, "shared text one", "en", "srcB"),    # 15 chars, same fp
+        (4, "unique alpha", "en", "srcA"),
+        (5, "unique beta", "de", "srcB"),
+        (6, "SOLO GAMMA", "en", "srcC"),
+    ]
+    pq2.write_table(_planted_docs_table(rows), str(tmp_path / "documents.parquet"))
+
+    sdf = _Q["q158_dedup_savings"](spark, str(tmp_path))
+    got = [tuple(r) for r in sdf.collect()]
+    assert got == [
+        (1, 3, 3, 0, 0),    # three singleton groups: nothing removable
+        (3, 1, 3, 2, 32),   # the triple: drop docs 2+3 -> 17+15 chars freed
+    ]
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'")
+    res = con.sql(all_oracles()["q158_dedup_savings"])
+    assert frame_digest(sdf.columns, got) == frame_digest(
+        [d[0] for d in res.description], res.fetchall()
+    )
+
+
+def test_q159_threshold_sweep_on_planted_jaccards(spark, tmp_path):
+    """Three co-shingled docs planted at known pairwise Jaccards — A==C
+    after normalization (jac 1.0), B differs from both in one trailing
+    token (jac 8/12 = 0.667) — plus one disjoint doc. The sweep must read
+    3 pairs up to t=0.65, exactly 1 (the dup pair) from t=0.70, and the
+    zero-pair thresholds must still appear. Hash-matched vs the oracle."""
+    import duckdb
+    import pyarrow.parquet as pq2
+
+    from big_data_computing_final_project_spark.plans import all_oracles
+    from tools.check_oracle import frame_digest
+
+    base = "a b c d e f g h i j"
+    rows = [
+        (1, base + " k l", "en", "srcA"),
+        (2, base + " m n", "en", "srcA"),   # vs 1: 8 common / 12 union shingles
+        (3, (base + " k l").upper(), "en", "srcB"),  # exact dup of 1 after lower()
+        (4, "p1 p2 p3 p4 p5 p6", "en", "srcC"),      # shares no shingle
+    ]
+    pq2.write_table(_planted_docs_table(rows), str(tmp_path / "documents.parquet"))
+
+    sdf = _Q["q159_jaccard_threshold_sweep"](spark, str(tmp_path))
+    got = [tuple(r) for r in sdf.collect()]
+    want = [(t, 3) for t in (0.50, 0.55, 0.60, 0.65)] + [
+        (t, 1) for t in (0.70, 0.75, 0.80, 0.85, 0.90, 0.95)
+    ]
+    assert got == want
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'")
+    res = con.sql(all_oracles()["q159_jaccard_threshold_sweep"])
+    assert frame_digest(sdf.columns, got) == frame_digest(
+        [d[0] for d in res.description], res.fetchall()
+    )
