@@ -725,3 +725,116 @@ def drift_monitor_log(spark: SparkSession, store_dir: str) -> DataFrame:
         .select("batch_id", "psi_total", "n_cur", "alert")
         .orderBy("batch_id")
     )
+
+
+def run_stream_volume_counts(
+    docs: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    timeout_sec: int = 120,
+) -> None:
+    """Per-batch corpus-volume partials: the streaming half of q157's
+    report card (plans/curation.py) that the dup-flow store doesn't carry.
+    ``docs`` is a streaming frame of (source, lang, n_chars, n_toks); each
+    micro-batch appends one (source, lang, n_docs, n_tokens, n_chars) row
+    group under ``batch_id=N`` (staged overwrite — replays idempotent, the
+    run_stream_heavy_hitters idiom). All five measures are additive, so
+    the fold is a plain sum; lang is kept as a key (NOT count-distincted
+    here) because distinct-language counts are the one non-additive
+    report-card column — the store holds (source, lang) cells and
+    ``report_card_from_store`` distinct-counts at read time.
+
+    Scale: per batch one narrow map + one tiny groupBy; store growth is
+    O(batches x sources x langs) rows of pure additive state."""
+
+    def partials(batch: DataFrame, batch_id: int) -> None:
+        (
+            batch.groupBy("source", "lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_toks").cast("bigint").alias("n_tokens"),
+                F.sum("n_chars").cast("bigint").alias("n_chars"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(store_dir, f"batch_id={batch_id}"))
+        )
+
+    q = (
+        docs.writeStream.foreachBatch(partials)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()
+
+
+def report_card_from_store(
+    spark: SparkSession, vol_store_dir: str, flow_store_dir: str
+) -> DataFrame:
+    """q157's per-source report card folded from two ingest stores — the
+    volume partials (run_stream_volume_counts) and the dup-flow store
+    (run_stream_dup_flow) run over the SAME document stream — reading
+    only store rows, never the corpus.
+
+    Dup exposure is recovered from the flow edges: a doc sits in a
+    multi-copy group iff it is either a recorded duplicate (one edge row
+    per dup, attributed to dup_source) or the keeper of a group that has
+    at least one edge (one distinct fp per keeper_source). Unlike q146's
+    keeper ATTRIBUTION, this per-source total is arrival-order-INDEPENDENT:
+    whoever arrives first, each member of a multi-copy group is counted
+    exactly once for its own source — so the fold equals batch q157 under
+    any arrival order, not just id-ordered drops (pytest pins both)."""
+    if os.path.exists(vol_store_dir):
+        vol = (
+            spark.read.option("basePath", vol_store_dir)
+            .parquet(f"{vol_store_dir}/batch_id=*")
+        )
+    else:
+        vol = spark.createDataFrame(
+            [],
+            "source string, lang string, n_docs bigint, n_tokens bigint, "
+            "n_chars bigint",
+        )
+    agg = vol.groupBy("source").agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    edges_dir = os.path.join(flow_store_dir, "edges")
+    if os.path.exists(edges_dir):
+        edges = spark.read.option("basePath", edges_dir).parquet(
+            f"{edges_dir}/batch_id=*"
+        )
+    else:
+        edges = spark.createDataFrame(
+            [],
+            "fp string, keeper_source string, dup_source string, n_docs bigint",
+        )
+    dup_side = edges.groupBy(F.col("dup_source").alias("source")).agg(
+        F.sum("n_docs").cast("bigint").alias("n_dup")
+    )
+    keeper_side = edges.groupBy(F.col("keeper_source").alias("source")).agg(
+        F.countDistinct("fp").alias("n_keep")
+    )
+    exposure = (
+        dup_side.join(keeper_side, "source", "full_outer")
+        .na.fill(0, ["n_dup", "n_keep"])
+        .select("source", (F.col("n_dup") + F.col("n_keep")).alias("dup_docs"))
+    )
+    return (
+        agg.join(exposure, "source", "left")
+        .na.fill(0, ["dup_docs"])
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            (F.col("sum_chars").cast("double") / F.col("n_docs")).alias("avg_chars"),
+            "n_langs",
+            F.col("dup_docs").cast("bigint").alias("dup_docs"),
+            (F.col("dup_docs").cast("double") / F.col("n_docs")).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )

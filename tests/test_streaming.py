@@ -4,6 +4,7 @@ trigger(availableNow) must reproduce the batch q27 result exactly
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
@@ -354,3 +355,100 @@ def test_stream_dup_flow_store_equals_batch_q146(spark, tmp_path):
 
     got = [tuple(r) for r in dup_flow_matrix_from_store(spark, store).collect()]
     assert got == want
+
+
+def test_report_card_store_equals_batch_q157_any_arrival_order(spark, tmp_path):
+    """The report-card fold (volume partials + dup-flow edges) must equal
+    batch q157 — and unlike q146's keeper attribution, the per-source dup
+    EXPOSURE is arrival-order-independent (each multi-copy-group member
+    counts once for its own source, keeper or dup), so the equality must
+    hold for id-ordered AND reversed drop order."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from big_data_computing_final_project_spark.functions import text as X
+    from big_data_computing_final_project_spark.streaming.events import (
+        report_card_from_store,
+        run_stream_dup_flow,
+        run_stream_volume_counts,
+    )
+
+    rows = [
+        (1, "shared text one", "en", "srcA"),
+        (2, "shared  text  one", "en", "srcB"),   # same fp, more chars
+        (3, "Shared Text One", "en", "srcB"),
+        (4, "shared text two", "de", "srcB"),
+        (5, "shared text two", "en", "srcA"),
+        (6, "shared text three", "en", "srcC"),
+        (7, "shared text three", "en", "srcC"),
+        (8, "completely different", "de", "srcA"),
+    ]
+
+    def _tbl(sub):
+        return pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in sub], pa.int64()),
+                "text": pa.array([r[1] for r in sub], pa.string()),
+                "lang": pa.array([r[2] for r in sub], pa.string()),
+                "source": pa.array([r[3] for r in sub], pa.string()),
+                "n_chars": pa.array([len(r[1]) for r in sub], pa.int64()),
+            }
+        )
+
+    corpus_dir = tmp_path / "corpus"
+    corpus_dir.mkdir()
+    pq.write_table(_tbl(rows), str(corpus_dir / "documents.parquet"))
+    want = [
+        tuple(r)
+        for r in all_queries()["q157_corpus_report_card"](
+            spark, str(corpus_dir)
+        ).collect()
+    ]
+
+    drops = [rows[0:3], rows[3:6], rows[6:8]]
+    for case, order in (("fwd", drops), ("rev", list(reversed(drops)))):
+        src_dir = tmp_path / f"arrivals_{case}"
+        src_dir.mkdir()
+        base = time.time() - 3600
+        for i, sub in enumerate(order):
+            p = str(src_dir / f"drop_{i}.parquet")
+            pq.write_table(_tbl(sub), p)
+            os.utime(p, (base + 10 * i, base + 10 * i))
+
+        def _stream():
+            return (
+                spark.readStream.schema(
+                    "doc_id bigint, text string, lang string, source string, "
+                    "n_chars bigint"
+                )
+                .option("maxFilesPerTrigger", "1")
+                .parquet(str(src_dir))
+            )
+
+        flow_store = str(tmp_path / f"flow_{case}")
+        run_stream_dup_flow(
+            _stream().select(
+                "doc_id", "source", X.fingerprint(F.col("text")).alias("fp")
+            ),
+            flow_store,
+            str(tmp_path / f"ckpt_flow_{case}"),
+        )
+        vol_store = str(tmp_path / f"vol_{case}")
+        run_stream_volume_counts(
+            _stream().select(
+                "source",
+                "lang",
+                "n_chars",
+                X.token_count(F.col("text")).cast("bigint").alias("n_toks"),
+            ),
+            vol_store,
+            str(tmp_path / f"ckpt_vol_{case}"),
+        )
+        got = [
+            tuple(r)
+            for r in report_card_from_store(spark, vol_store, flow_store).collect()
+        ]
+        assert got == want, case
