@@ -54,6 +54,9 @@ QUERIES = [
     "q92_market_share",
     "q137_local_supplier_volume",
     "q131_int8_cosine_topk",
+    "q157_corpus_report_card",
+    "q158_dedup_savings",
+    "q159_jaccard_threshold_sweep",
 ]
 
 
