@@ -93,6 +93,7 @@ HEADLINE = [
     "q115_important_parts",    # scalar-subquery HAVING w/ exchange reuse (Q11 shape)
     "q148_salted_enrich",      # salted fact-fact join (hot-key spread)
     "q151_psi_drift",          # drift monitoring: frozen-bin PSI (round-5 family)
+    "q157_corpus_report_card", # curation reporting: fp-window + source agg (round-5)
     "q116_sole_blame_suppliers",  # EXISTS/NOT EXISTS self-join fold (Q21 shape)
 ]
 # Deliberately not benched: q68 (iterative CC — timing at this SF is
