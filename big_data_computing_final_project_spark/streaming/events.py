@@ -393,6 +393,54 @@ def mixture_from_store(spark: SparkSession, store_dir: str) -> DataFrame:
     )
 
 
+def _dup_flow_ingest(batch: DataFrame, batch_id: int, store_dir: str) -> None:
+    """One micro-batch of the dup-flow store (see run_stream_dup_flow):
+    rank the batch within fp, look up the keeper store for batches < this
+    one, stage this batch's new keepers and duplicate-flow edges under
+    their batch_id directories (idempotent on replay)."""
+    spark = batch.sparkSession
+    keepers_dir = os.path.join(store_dir, "keepers")
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    ranked = batch.select("doc_id", "source", "fp").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    if os.path.exists(keepers_dir):
+        prior = (
+            spark.read.option("basePath", keepers_dir)
+            .parquet(f"{keepers_dir}/batch_id=*")
+            .where(F.col("batch_id") < batch_id)
+            .select("fp", F.col("keeper_source").alias("store_keeper"))
+        )
+    else:
+        prior = spark.createDataFrame([], "fp string, store_keeper string")
+    hit = ranked.join(prior, "fp", "left")
+    new_keepers = hit.where(
+        F.col("store_keeper").isNull() & (F.col("rn") == 1)
+    ).select("fp", F.col("source").alias("keeper_source"))
+    new_keepers.write.mode("overwrite").parquet(
+        os.path.join(keepers_dir, f"batch_id={batch_id}")
+    )
+    # within-batch keeper source per fp (the rn==1 row's source)
+    batch_first = ranked.where(F.col("rn") == 1).select(
+        "fp", F.col("source").alias("batch_keeper")
+    )
+    dup_rows = (
+        hit.join(batch_first, "fp")
+        .where(F.col("store_keeper").isNotNull() | (F.col("rn") > 1))
+        .select(
+            "fp",
+            F.coalesce("store_keeper", "batch_keeper").alias("keeper_source"),
+            F.col("source").alias("dup_source"),
+        )
+    )
+    edges = dup_rows.groupBy("fp", "keeper_source", "dup_source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    edges.write.mode("overwrite").parquet(
+        os.path.join(store_dir, "edges", f"batch_id={batch_id}")
+    )
+
+
 def run_stream_dup_flow(
     docs: DataFrame,
     store_dir: str,
@@ -433,47 +481,7 @@ def run_stream_dup_flow(
     """
 
     def ingest(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        keepers_dir = os.path.join(store_dir, "keepers")
-        w = Window.partitionBy("fp").orderBy("doc_id")
-        ranked = batch.select("doc_id", "source", "fp").withColumn(
-            "rn", F.row_number().over(w)
-        )
-        if os.path.exists(keepers_dir):
-            prior = (
-                spark.read.option("basePath", keepers_dir)
-                .parquet(f"{keepers_dir}/batch_id=*")
-                .where(F.col("batch_id") < batch_id)
-                .select("fp", F.col("keeper_source").alias("store_keeper"))
-            )
-        else:
-            prior = spark.createDataFrame([], "fp string, store_keeper string")
-        hit = ranked.join(prior, "fp", "left")
-        new_keepers = hit.where(
-            F.col("store_keeper").isNull() & (F.col("rn") == 1)
-        ).select("fp", F.col("source").alias("keeper_source"))
-        new_keepers.write.mode("overwrite").parquet(
-            os.path.join(keepers_dir, f"batch_id={batch_id}")
-        )
-        # within-batch keeper source per fp (the rn==1 row's source)
-        batch_first = ranked.where(F.col("rn") == 1).select(
-            "fp", F.col("source").alias("batch_keeper")
-        )
-        dup_rows = (
-            hit.join(batch_first, "fp")
-            .where(F.col("store_keeper").isNotNull() | (F.col("rn") > 1))
-            .select(
-                "fp",
-                F.coalesce("store_keeper", "batch_keeper").alias("keeper_source"),
-                F.col("source").alias("dup_source"),
-            )
-        )
-        edges = dup_rows.groupBy("fp", "keeper_source", "dup_source").agg(
-            F.count(F.lit(1)).alias("n_docs")
-        )
-        edges.write.mode("overwrite").parquet(
-            os.path.join(store_dir, "edges", f"batch_id={batch_id}")
-        )
+        _dup_flow_ingest(batch, batch_id, store_dir)
 
     q = (
         docs.writeStream.foreachBatch(ingest)
@@ -727,6 +735,21 @@ def drift_monitor_log(spark: SparkSession, store_dir: str) -> DataFrame:
     )
 
 
+def _volume_ingest(batch: DataFrame, batch_id: int, store_dir: str) -> None:
+    """One micro-batch of the volume store (see run_stream_volume_counts):
+    stage per-(source, lang) additive partials under batch_id=N."""
+    (
+        batch.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(store_dir, f"batch_id={batch_id}"))
+    )
+
+
 def run_stream_volume_counts(
     docs: DataFrame,
     store_dir: str,
@@ -748,16 +771,7 @@ def run_stream_volume_counts(
     O(batches x sources x langs) rows of pure additive state."""
 
     def partials(batch: DataFrame, batch_id: int) -> None:
-        (
-            batch.groupBy("source", "lang")
-            .agg(
-                F.count(F.lit(1)).alias("n_docs"),
-                F.sum("n_toks").cast("bigint").alias("n_tokens"),
-                F.sum("n_chars").cast("bigint").alias("n_chars"),
-            )
-            .write.mode("overwrite")
-            .parquet(os.path.join(store_dir, f"batch_id={batch_id}"))
-        )
+        _volume_ingest(batch, batch_id, store_dir)
 
     q = (
         docs.writeStream.foreachBatch(partials)
@@ -838,3 +852,57 @@ def report_card_from_store(
         )
         .orderBy("source")
     )
+
+
+def run_stream_ingest_suite(
+    docs: DataFrame,
+    root_dir: str,
+    checkpoint_dir: str,
+    timeout_sec: int = 120,
+) -> tuple[str, str]:
+    """ONE pass over the raw document stream feeding BOTH corpus-health
+    stores — the deployment shape for dedup-at-ingest: a crawl drop is
+    read once, fingerprint and token count are computed once per batch,
+    and the same cached micro-batch drives the dup-flow ingest (keepers +
+    edges) and the volume ingest (per-(source, lang) partials). Running
+    the two stores as separate streams re-reads and re-tokenizes every
+    drop; here the normalize/tokenize map runs once for all consumers.
+
+    ``docs`` is the raw documents schema (doc_id, text, lang, source,
+    n_chars). Stores land under ``root_dir/flow`` and ``root_dir/volume``
+    — exactly the layouts dup_flow_matrix_from_store and
+    report_card_from_store read. Returns (flow_dir, volume_dir).
+
+    Both ingests stage by batch_id, so the suite inherits their replay
+    idempotence; a crash between the two writes is healed by the replay
+    overwriting both directories for that batch_id."""
+    from ..functions import text as X
+
+    flow_dir = os.path.join(root_dir, "flow")
+    vol_dir = os.path.join(root_dir, "volume")
+
+    def ingest(batch: DataFrame, batch_id: int) -> None:
+        enriched = batch.select(
+            "doc_id",
+            "source",
+            "lang",
+            "n_chars",
+            X.fingerprint(F.col("text")).alias("fp"),
+            X.token_count(F.col("text")).cast("bigint").alias("n_toks"),
+        ).cache()
+        try:
+            _dup_flow_ingest(enriched, batch_id, flow_dir)
+            _volume_ingest(enriched, batch_id, vol_dir)
+        finally:
+            enriched.unpersist()
+
+    q = (
+        docs.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()
+    return flow_dir, vol_dir

@@ -452,3 +452,82 @@ def test_report_card_store_equals_batch_q157_any_arrival_order(spark, tmp_path):
             for r in report_card_from_store(spark, vol_store, flow_store).collect()
         ]
         assert got == want, case
+
+
+def test_ingest_suite_single_pass_equals_batch_twins(spark, tmp_path):
+    """One foreachBatch pass over the raw document stream must leave BOTH
+    stores in the same state as running them separately: the dup-flow fold
+    equals batch q146 (id-ordered drops) and the report-card fold equals
+    batch q157."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_computing_final_project_spark.streaming.events import (
+        dup_flow_matrix_from_store,
+        report_card_from_store,
+        run_stream_ingest_suite,
+    )
+
+    rows = [
+        (1, "shared text one", "en", "srcA"),
+        (2, "shared  text  one", "en", "srcB"),
+        (3, "Shared Text One", "en", "srcB"),
+        (4, "shared text two", "de", "srcB"),
+        (5, "shared text two", "en", "srcA"),
+        (6, "shared text three", "en", "srcC"),
+        (7, "shared text three", "en", "srcC"),
+        (8, "completely different", "de", "srcA"),
+    ]
+
+    def _tbl(sub):
+        return pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in sub], pa.int64()),
+                "text": pa.array([r[1] for r in sub], pa.string()),
+                "lang": pa.array([r[2] for r in sub], pa.string()),
+                "source": pa.array([r[3] for r in sub], pa.string()),
+                "n_chars": pa.array([len(r[1]) for r in sub], pa.int64()),
+            }
+        )
+
+    corpus_dir = tmp_path / "corpus"
+    corpus_dir.mkdir()
+    pq.write_table(_tbl(rows), str(corpus_dir / "documents.parquet"))
+    want_flow = [
+        tuple(r)
+        for r in all_queries()["q146_dup_flow_matrix"](spark, str(corpus_dir)).collect()
+    ]
+    want_card = [
+        tuple(r)
+        for r in all_queries()["q157_corpus_report_card"](
+            spark, str(corpus_dir)
+        ).collect()
+    ]
+
+    src_dir = tmp_path / "arrivals"
+    src_dir.mkdir()
+    base = time.time() - 3600
+    for i, sub in enumerate([rows[0:3], rows[3:6], rows[6:8]]):
+        p = str(src_dir / f"drop_{i}.parquet")
+        pq.write_table(_tbl(sub), p)
+        os.utime(p, (base + 10 * i, base + 10 * i))
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id bigint, text string, lang string, source string, n_chars bigint"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src_dir))
+    )
+    flow_dir, vol_dir = run_stream_ingest_suite(
+        stream, str(tmp_path / "stores"), str(tmp_path / "ckpt_suite")
+    )
+
+    got_flow = [tuple(r) for r in dup_flow_matrix_from_store(spark, flow_dir).collect()]
+    assert got_flow == want_flow
+    got_card = [
+        tuple(r) for r in report_card_from_store(spark, vol_dir, flow_dir).collect()
+    ]
+    assert got_card == want_card
