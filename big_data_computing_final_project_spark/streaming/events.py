@@ -111,6 +111,43 @@ def view_click_join_stream(
     )
 
 
+
+def _drain_available_now(q, timeout_sec: int, label: str) -> None:
+    """Wait for an availableNow query to drain its backlog, stop it, and
+    RAISE if the timeout lapsed first: a timed-out drain leaves partially
+    ingested stores/sinks, and returning silently would let callers fold
+    confidently wrong answers out of the missing-tail state."""
+    done = q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()
+    if not done:
+        raise TimeoutError(
+            f"{label}: streaming backlog did not drain within {timeout_sec}s; "
+            "store/sink state is partial"
+        )
+
+
+def _run_foreach_batch(
+    src: DataFrame,
+    fn,
+    checkpoint_dir: str,
+    timeout_sec: int,
+    label: str,
+    output_mode: str | None = None,
+) -> None:
+    """The shared foreachBatch runner: checkpointed availableNow trigger,
+    drained with a hard timeout (see _drain_available_now)."""
+    w = src.writeStream.foreachBatch(fn)
+    if output_mode is not None:
+        w = w.outputMode(output_mode)
+    q = (
+        w.option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain_available_now(q, timeout_sec, label)
+
+
 def run_stream_to_memory(
     result: DataFrame, query_name: str, checkpoint_dir: str, timeout_sec: int = 120
 ) -> None:
@@ -124,9 +161,7 @@ def run_stream_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
-    if q.isActive:
-        q.stop()
+    _drain_available_now(q, timeout_sec, "run_stream_to_memory")
 
 
 def run_stream_to_parquet(
@@ -144,9 +179,7 @@ def run_stream_to_parquet(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
-    if q.isActive:
-        q.stop()
+    _drain_available_now(q, timeout_sec, "run_stream_to_parquet")
 
 
 def run_stream_upsert(
@@ -189,16 +222,9 @@ def run_stream_upsert(
             shutil.rmtree(data_dir)
         os.replace(tmp_dir, data_dir)
 
-    q = (
-        result.writeStream.foreachBatch(upsert)
-        .outputMode("update")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    _run_foreach_batch(
+        result, upsert, checkpoint_dir, timeout_sec, "run_stream_upsert", output_mode="update"
     )
-    q.awaitTermination(timeout_sec)
-    if q.isActive:
-        q.stop()
 
 
 def run_stream_tdigest(
@@ -233,15 +259,9 @@ def run_stream_tdigest(
             .parquet(os.path.join(store_dir, f"batch_id={batch_id}"))
         )
 
-    q = (
-        events.writeStream.foreachBatch(append_partials)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    _run_foreach_batch(
+        events, append_partials, checkpoint_dir, timeout_sec, "run_stream_tdigest"
     )
-    q.awaitTermination(timeout_sec)
-    if q.isActive:
-        q.stop()
 
 
 def sketch_store_quantiles(
@@ -278,15 +298,9 @@ def run_stream_heavy_hitters(
             .parquet(os.path.join(store_dir, f"batch_id={batch_id}"))
         )
 
-    q = (
-        stream.writeStream.foreachBatch(append_partials)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    _run_foreach_batch(
+        stream, append_partials, checkpoint_dir, timeout_sec, "run_stream_heavy_hitters"
     )
-    q.awaitTermination(timeout_sec)
-    if q.isActive:
-        q.stop()
 
 
 def hh_store_topk(spark: SparkSession, store_dir: str, k: int = 20) -> DataFrame:
@@ -347,15 +361,9 @@ def run_stream_dq_audit(
         report = check_predicates(batch, checks)
         report.write.mode("overwrite").parquet(os.path.join(store_dir, f"batch_id={batch_id}"))
 
-    q = (
-        events.writeStream.foreachBatch(audit)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    _run_foreach_batch(
+        events, audit, checkpoint_dir, timeout_sec, "run_stream_dq_audit"
     )
-    q.awaitTermination(timeout_sec)
-    if q.isActive:
-        q.stop()
 
 
 def dq_store_report(spark: SparkSession, store_dir: str) -> DataFrame:
@@ -413,32 +421,39 @@ def _dup_flow_ingest(batch: DataFrame, batch_id: int, store_dir: str) -> None:
         )
     else:
         prior = spark.createDataFrame([], "fp string, store_keeper string")
-    hit = ranked.join(prior, "fp", "left")
-    new_keepers = hit.where(
-        F.col("store_keeper").isNull() & (F.col("rn") == 1)
-    ).select("fp", F.col("source").alias("keeper_source"))
-    new_keepers.write.mode("overwrite").parquet(
-        os.path.join(keepers_dir, f"batch_id={batch_id}")
-    )
-    # within-batch keeper source per fp (the rn==1 row's source)
-    batch_first = ranked.where(F.col("rn") == 1).select(
-        "fp", F.col("source").alias("batch_keeper")
-    )
-    dup_rows = (
-        hit.join(batch_first, "fp")
-        .where(F.col("store_keeper").isNotNull() | (F.col("rn") > 1))
-        .select(
-            "fp",
-            F.coalesce("store_keeper", "batch_keeper").alias("keeper_source"),
-            F.col("source").alias("dup_source"),
+    # cached: both writes below consume it, and recomputation would scan
+    # the (ever-growing) keeper store and re-run the rn window twice per
+    # batch. The prior read filters batch_id < this batch, so the edges
+    # action seeing the store AFTER the keeper write is still consistent.
+    hit = ranked.join(prior, "fp", "left").cache()
+    try:
+        new_keepers = hit.where(
+            F.col("store_keeper").isNull() & (F.col("rn") == 1)
+        ).select("fp", F.col("source").alias("keeper_source"))
+        new_keepers.write.mode("overwrite").parquet(
+            os.path.join(keepers_dir, f"batch_id={batch_id}")
         )
-    )
-    edges = dup_rows.groupBy("fp", "keeper_source", "dup_source").agg(
-        F.count(F.lit(1)).alias("n_docs")
-    )
-    edges.write.mode("overwrite").parquet(
-        os.path.join(store_dir, "edges", f"batch_id={batch_id}")
-    )
+        # within-batch keeper source per fp (the rn==1 row's source)
+        batch_first = hit.where(F.col("rn") == 1).select(
+            "fp", F.col("source").alias("batch_keeper")
+        )
+        dup_rows = (
+            hit.join(batch_first, "fp")
+            .where(F.col("store_keeper").isNotNull() | (F.col("rn") > 1))
+            .select(
+                "fp",
+                F.coalesce("store_keeper", "batch_keeper").alias("keeper_source"),
+                F.col("source").alias("dup_source"),
+            )
+        )
+        edges = dup_rows.groupBy("fp", "keeper_source", "dup_source").agg(
+            F.count(F.lit(1)).alias("n_docs")
+        )
+        edges.write.mode("overwrite").parquet(
+            os.path.join(store_dir, "edges", f"batch_id={batch_id}")
+        )
+    finally:
+        hit.unpersist()
 
 
 def run_stream_dup_flow(
@@ -483,15 +498,9 @@ def run_stream_dup_flow(
     def ingest(batch: DataFrame, batch_id: int) -> None:
         _dup_flow_ingest(batch, batch_id, store_dir)
 
-    q = (
-        docs.writeStream.foreachBatch(ingest)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    _run_foreach_batch(
+        docs, ingest, checkpoint_dir, timeout_sec, "run_stream_dup_flow"
     )
-    q.awaitTermination(timeout_sec)
-    if q.isActive:
-        q.stop()
 
 
 def dup_flow_matrix_from_store(spark: SparkSession, store_dir: str) -> DataFrame:
@@ -546,15 +555,9 @@ def run_stream_psi_counts(
             .parquet(os.path.join(store_dir, f"batch_id={batch_id}"))
         )
 
-    q = (
-        values.writeStream.foreachBatch(bin_counts)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    _run_foreach_batch(
+        values, bin_counts, checkpoint_dir, timeout_sec, "run_stream_psi_counts"
     )
-    q.awaitTermination(timeout_sec)
-    if q.isActive:
-        q.stop()
 
 
 def psi_from_store(
@@ -709,15 +712,9 @@ def run_stream_drift_monitor(
             os.path.join(log_dir, f"batch_id={batch_id}")
         )
 
-    q = (
-        values.writeStream.foreachBatch(monitor)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    _run_foreach_batch(
+        values, monitor, checkpoint_dir, timeout_sec, "run_stream_drift_monitor"
     )
-    q.awaitTermination(timeout_sec)
-    if q.isActive:
-        q.stop()
 
 
 def drift_monitor_log(spark: SparkSession, store_dir: str) -> DataFrame:
@@ -773,15 +770,9 @@ def run_stream_volume_counts(
     def partials(batch: DataFrame, batch_id: int) -> None:
         _volume_ingest(batch, batch_id, store_dir)
 
-    q = (
-        docs.writeStream.foreachBatch(partials)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    _run_foreach_batch(
+        docs, partials, checkpoint_dir, timeout_sec, "run_stream_volume_counts"
     )
-    q.awaitTermination(timeout_sec)
-    if q.isActive:
-        q.stop()
 
 
 def report_card_from_store(
@@ -896,13 +887,7 @@ def run_stream_ingest_suite(
         finally:
             enriched.unpersist()
 
-    q = (
-        docs.writeStream.foreachBatch(ingest)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    _run_foreach_batch(
+        docs, ingest, checkpoint_dir, timeout_sec, "run_stream_ingest_suite"
     )
-    q.awaitTermination(timeout_sec)
-    if q.isActive:
-        q.stop()
     return flow_dir, vol_dir

@@ -287,16 +287,82 @@ def test_stream_mixture_monitor_equals_batch(spark, sf_dir, tmp_path):
     assert got == want and len(got) > 0
 
 
-def test_stream_dup_flow_store_equals_batch_q146(spark, tmp_path):
-    """Dedup-at-ingest twin of q146: the planted corpus (same fixture as
-    test_q146_dup_flow_on_planted_corpus) arrives as 3 doc_id-ordered
-    micro-batches; the incremental dup-flow store's matrix must equal
-    batch q146 on the full corpus exactly (the ingest contract: arrival
-    order respects doc_id order, so first-arrival == min-doc_id keeper)."""
+# ---------------------------------------------------------------------------
+# Shared planted corpus for the ingest-store tests below: three exact-dup
+# groups spanning sources (case/whitespace variants -> same fingerprint,
+# DIFFERENT n_chars, so char accounting is keeper-sensitive) + one unique
+# doc, two languages. Changing it changes every store pin together — the
+# three tests deliberately cannot drift onto different corpora.
+# ---------------------------------------------------------------------------
+
+_PLANTED_DOCS = [
+    (1, "shared text one", "en", "srcA"),
+    (2, "shared  text  one", "en", "srcB"),   # same fp as 1, more chars
+    (3, "Shared Text One", "en", "srcB"),     # same fp as 1
+    (4, "shared text two", "de", "srcB"),
+    (5, "shared text two", "en", "srcA"),
+    (6, "shared text three", "en", "srcC"),
+    (7, "shared text three", "en", "srcC"),
+    (8, "completely different", "de", "srcA"),
+]
+_PLANTED_DROPS = [_PLANTED_DOCS[0:3], _PLANTED_DOCS[3:6], _PLANTED_DOCS[6:8]]
+_DOCS_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+
+def _docs_tbl(sub):
+    import pyarrow as pa
+
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in sub], pa.int64()),
+            "text": pa.array([r[1] for r in sub], pa.string()),
+            "lang": pa.array([r[2] for r in sub], pa.string()),
+            "source": pa.array([r[3] for r in sub], pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in sub], pa.int64()),
+        }
+    )
+
+
+def _write_corpus(corpus_dir) -> str:
+    """One documents.parquet over the full planted corpus (batch input)."""
+    import pyarrow.parquet as pq
+
+    corpus_dir.mkdir()
+    pq.write_table(_docs_tbl(_PLANTED_DOCS), str(corpus_dir / "documents.parquet"))
+    return str(corpus_dir)
+
+
+def _write_doc_drops(src_dir, drops) -> str:
+    """Stage drops as parquet files with MONOTONIC past mtimes —
+    FileStreamSource processes oldest-first, so this pins the arrival
+    order without sleeps."""
     import time
 
-    import pyarrow as pa
     import pyarrow.parquet as pq
+
+    src_dir.mkdir()
+    base = time.time() - 3600
+    for i, sub in enumerate(drops):
+        p = str(src_dir / f"drop_{i}.parquet")
+        pq.write_table(_docs_tbl(sub), p)
+        os.utime(p, (base + 10 * i, base + 10 * i))
+    return str(src_dir)
+
+
+def _docs_stream(spark, src_dir: str):
+    return (
+        spark.readStream.schema(_DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+
+
+def test_stream_dup_flow_store_equals_batch_q146(spark, tmp_path):
+    """Dedup-at-ingest twin of q146: the planted corpus arrives as 3
+    doc_id-ordered micro-batches; the incremental dup-flow store's matrix
+    must equal batch q146 on the full corpus exactly (the ingest contract:
+    arrival order respects doc_id order, so first-arrival == min-doc_id
+    keeper)."""
     from pyspark.sql import functions as F
 
     from big_data_computing_final_project_spark.functions import text as X
@@ -305,50 +371,15 @@ def test_stream_dup_flow_store_equals_batch_q146(spark, tmp_path):
         run_stream_dup_flow,
     )
 
-    rows = [
-        (1, "shared text one", "en", "srcA"),
-        (2, "shared text one", "en", "srcB"),
-        (3, "shared text one", "en", "srcB"),
-        (4, "shared text two", "en", "srcB"),
-        (5, "shared text two", "en", "srcA"),
-        (6, "shared text three", "en", "srcC"),
-        (7, "shared text three", "en", "srcC"),
-        (8, "completely different", "en", "srcA"),
+    corpus = _write_corpus(tmp_path / "corpus")
+    want = [
+        tuple(r) for r in all_queries()["q146_dup_flow_matrix"](spark, corpus).collect()
     ]
-
-    def _tbl(sub):
-        return pa.table(
-            {
-                "doc_id": pa.array([r[0] for r in sub], pa.int64()),
-                "text": pa.array([r[1] for r in sub], pa.string()),
-                "lang": pa.array([r[2] for r in sub], pa.string()),
-                "source": pa.array([r[3] for r in sub], pa.string()),
-                "n_chars": pa.array([len(r[1]) for r in sub], pa.int64()),
-            }
-        )
-
-    # batch q146 wants one documents.parquet over the whole corpus
-    corpus_dir = tmp_path / "corpus"
-    corpus_dir.mkdir()
-    pq.write_table(_tbl(rows), str(corpus_dir / "documents.parquet"))
-    want = [tuple(r) for r in all_queries()["q146_dup_flow_matrix"](spark, str(corpus_dir)).collect()]
     assert len(want) == 3  # planted matrix: srcA->srcB, srcB->srcA, srcC->srcC
 
-    # stream the same docs as 3 files; FileStreamSource processes oldest
-    # mtime first, so spaced writes pin the arrival order to doc_id order
-    src_dir = tmp_path / "arrivals"
-    src_dir.mkdir()
-    for i, sub in enumerate([rows[0:3], rows[3:6], rows[6:8]]):
-        pq.write_table(_tbl(sub), str(src_dir / f"drop_{i}.parquet"))
-        time.sleep(1.1)
-
-    stream = (
-        spark.readStream.schema(
-            "doc_id bigint, text string, lang string, source string, n_chars bigint"
-        )
-        .option("maxFilesPerTrigger", "1")
-        .parquet(str(src_dir))
-        .select("doc_id", "source", X.fingerprint(F.col("text")).alias("fp"))
+    src_dir = _write_doc_drops(tmp_path / "arrivals", _PLANTED_DROPS)
+    stream = _docs_stream(spark, src_dir).select(
+        "doc_id", "source", X.fingerprint(F.col("text")).alias("fp")
     )
     store = str(tmp_path / "flowstore")
     run_stream_dup_flow(stream, store, str(tmp_path / "ckpt_flow"))
@@ -363,10 +394,6 @@ def test_report_card_store_equals_batch_q157_any_arrival_order(spark, tmp_path):
     EXPOSURE is arrival-order-independent (each multi-copy-group member
     counts once for its own source, keeper or dup), so the equality must
     hold for id-ordered AND reversed drop order."""
-    import time
-
-    import pyarrow as pa
-    import pyarrow.parquet as pq
     from pyspark.sql import functions as F
 
     from big_data_computing_final_project_spark.functions import text as X
@@ -376,61 +403,20 @@ def test_report_card_store_equals_batch_q157_any_arrival_order(spark, tmp_path):
         run_stream_volume_counts,
     )
 
-    rows = [
-        (1, "shared text one", "en", "srcA"),
-        (2, "shared  text  one", "en", "srcB"),   # same fp, more chars
-        (3, "Shared Text One", "en", "srcB"),
-        (4, "shared text two", "de", "srcB"),
-        (5, "shared text two", "en", "srcA"),
-        (6, "shared text three", "en", "srcC"),
-        (7, "shared text three", "en", "srcC"),
-        (8, "completely different", "de", "srcA"),
-    ]
-
-    def _tbl(sub):
-        return pa.table(
-            {
-                "doc_id": pa.array([r[0] for r in sub], pa.int64()),
-                "text": pa.array([r[1] for r in sub], pa.string()),
-                "lang": pa.array([r[2] for r in sub], pa.string()),
-                "source": pa.array([r[3] for r in sub], pa.string()),
-                "n_chars": pa.array([len(r[1]) for r in sub], pa.int64()),
-            }
-        )
-
-    corpus_dir = tmp_path / "corpus"
-    corpus_dir.mkdir()
-    pq.write_table(_tbl(rows), str(corpus_dir / "documents.parquet"))
+    corpus = _write_corpus(tmp_path / "corpus")
     want = [
         tuple(r)
-        for r in all_queries()["q157_corpus_report_card"](
-            spark, str(corpus_dir)
-        ).collect()
+        for r in all_queries()["q157_corpus_report_card"](spark, corpus).collect()
     ]
 
-    drops = [rows[0:3], rows[3:6], rows[6:8]]
-    for case, order in (("fwd", drops), ("rev", list(reversed(drops)))):
-        src_dir = tmp_path / f"arrivals_{case}"
-        src_dir.mkdir()
-        base = time.time() - 3600
-        for i, sub in enumerate(order):
-            p = str(src_dir / f"drop_{i}.parquet")
-            pq.write_table(_tbl(sub), p)
-            os.utime(p, (base + 10 * i, base + 10 * i))
-
-        def _stream():
-            return (
-                spark.readStream.schema(
-                    "doc_id bigint, text string, lang string, source string, "
-                    "n_chars bigint"
-                )
-                .option("maxFilesPerTrigger", "1")
-                .parquet(str(src_dir))
-            )
-
+    for case, order in (
+        ("fwd", _PLANTED_DROPS),
+        ("rev", list(reversed(_PLANTED_DROPS))),
+    ):
+        src_dir = _write_doc_drops(tmp_path / f"arrivals_{case}", order)
         flow_store = str(tmp_path / f"flow_{case}")
         run_stream_dup_flow(
-            _stream().select(
+            _docs_stream(spark, src_dir).select(
                 "doc_id", "source", X.fingerprint(F.col("text")).alias("fp")
             ),
             flow_store,
@@ -438,7 +424,7 @@ def test_report_card_store_equals_batch_q157_any_arrival_order(spark, tmp_path):
         )
         vol_store = str(tmp_path / f"vol_{case}")
         run_stream_volume_counts(
-            _stream().select(
+            _docs_stream(spark, src_dir).select(
                 "source",
                 "lang",
                 "n_chars",
@@ -459,70 +445,24 @@ def test_ingest_suite_single_pass_equals_batch_twins(spark, tmp_path):
     stores in the same state as running them separately: the dup-flow fold
     equals batch q146 (id-ordered drops) and the report-card fold equals
     batch q157."""
-    import time
-
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
     from big_data_computing_final_project_spark.streaming.events import (
         dup_flow_matrix_from_store,
         report_card_from_store,
         run_stream_ingest_suite,
     )
 
-    rows = [
-        (1, "shared text one", "en", "srcA"),
-        (2, "shared  text  one", "en", "srcB"),
-        (3, "Shared Text One", "en", "srcB"),
-        (4, "shared text two", "de", "srcB"),
-        (5, "shared text two", "en", "srcA"),
-        (6, "shared text three", "en", "srcC"),
-        (7, "shared text three", "en", "srcC"),
-        (8, "completely different", "de", "srcA"),
-    ]
-
-    def _tbl(sub):
-        return pa.table(
-            {
-                "doc_id": pa.array([r[0] for r in sub], pa.int64()),
-                "text": pa.array([r[1] for r in sub], pa.string()),
-                "lang": pa.array([r[2] for r in sub], pa.string()),
-                "source": pa.array([r[3] for r in sub], pa.string()),
-                "n_chars": pa.array([len(r[1]) for r in sub], pa.int64()),
-            }
-        )
-
-    corpus_dir = tmp_path / "corpus"
-    corpus_dir.mkdir()
-    pq.write_table(_tbl(rows), str(corpus_dir / "documents.parquet"))
+    corpus = _write_corpus(tmp_path / "corpus")
     want_flow = [
-        tuple(r)
-        for r in all_queries()["q146_dup_flow_matrix"](spark, str(corpus_dir)).collect()
+        tuple(r) for r in all_queries()["q146_dup_flow_matrix"](spark, corpus).collect()
     ]
     want_card = [
         tuple(r)
-        for r in all_queries()["q157_corpus_report_card"](
-            spark, str(corpus_dir)
-        ).collect()
+        for r in all_queries()["q157_corpus_report_card"](spark, corpus).collect()
     ]
 
-    src_dir = tmp_path / "arrivals"
-    src_dir.mkdir()
-    base = time.time() - 3600
-    for i, sub in enumerate([rows[0:3], rows[3:6], rows[6:8]]):
-        p = str(src_dir / f"drop_{i}.parquet")
-        pq.write_table(_tbl(sub), p)
-        os.utime(p, (base + 10 * i, base + 10 * i))
-
-    stream = (
-        spark.readStream.schema(
-            "doc_id bigint, text string, lang string, source string, n_chars bigint"
-        )
-        .option("maxFilesPerTrigger", "1")
-        .parquet(str(src_dir))
-    )
+    src_dir = _write_doc_drops(tmp_path / "arrivals", _PLANTED_DROPS)
     flow_dir, vol_dir = run_stream_ingest_suite(
-        stream, str(tmp_path / "stores"), str(tmp_path / "ckpt_suite")
+        _docs_stream(spark, src_dir), str(tmp_path / "stores"), str(tmp_path / "ckpt_suite")
     )
 
     got_flow = [tuple(r) for r in dup_flow_matrix_from_store(spark, flow_dir).collect()]
