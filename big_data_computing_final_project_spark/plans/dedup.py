@@ -95,9 +95,15 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", X.shingles(F.col("text"), 3).alias("sh"))
 
 
-def _exact_jaccard_pairs(sh: DataFrame, threshold: float = _JACCARD_T) -> DataFrame:
+def _exact_jaccard_pairs(
+    sh: DataFrame, threshold: float = _JACCARD_T, sort: bool = True
+) -> DataFrame:
     """(doc_a, doc_b, jac) for ALL pairs sharing >=1 shingle, jac >=
-    ``threshold`` — the exact (oracle) path: explode + shingle self-join."""
+    ``threshold`` — the exact (oracle) path: explode + shingle self-join.
+    ``sort=False`` skips the trailing global pair sort for consumers that
+    immediately re-aggregate (q159's sweep) — at the sweep's 0.50 floor
+    the pair set is the largest of any caller and the sort exchange would
+    be pure wasted work."""
     sizes = sh.select(F.col("doc_id"), F.size("sh").alias("n"))
     # explode_outer, deliberately: plain explode triggers
     # InferFiltersFromGenerate, which injects a `size(sh) > 0` pre-filter
@@ -116,13 +122,13 @@ def _exact_jaccard_pairs(sh: DataFrame, threshold: float = _JACCARD_T) -> DataFr
     la = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     lb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("common").cast("double") / (F.col("na") + F.col("nb") - F.col("common"))
-    return (
+    out = (
         pairs.join(broadcast_if_small(la), "doc_a")
         .join(broadcast_if_small(lb), "doc_b")
         .select("doc_a", "doc_b", jac.alias("jac"))
         .filter(F.col("jac") >= threshold)
-        .orderBy("doc_a", "doc_b")
     )
+    return out.orderBy("doc_a", "doc_b") if sort else out
 
 
 def _verify_candidate_pairs(sh: DataFrame, candidates: DataFrame) -> DataFrame:
@@ -1150,7 +1156,7 @@ ORDER BY threshold
 def q159_jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint: same three-consumer reuse argument as q35
     pairs = _exact_jaccard_pairs(
-        _shingled(spark, sf_dir).localCheckpoint(eager=True), threshold=0.50
+        _shingled(spark, sf_dir).localCheckpoint(eager=True), threshold=0.50, sort=False
     )
     ths = F.array(*[F.lit(t) for t in _SWEEP_THRESHOLDS])
     counted = (

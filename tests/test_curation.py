@@ -299,9 +299,8 @@ def test_q157_report_card_on_planted_corpus(spark, tmp_path):
     doc 1), token/char/lang stats are per-source exact. Hash-matched
     against the DuckDB oracle on the same data."""
     import duckdb
-    import pyarrow as pa
-    import pyarrow.parquet as pq
 
+    from _fixtures import write_planted_corpus
     from big_data_computing_final_project_spark.plans import all_oracles
     from tools.check_oracle import frame_digest
 
@@ -313,16 +312,7 @@ def test_q157_report_card_on_planted_corpus(spark, tmp_path):
         (5, "unique beta", "de", "srcB"),
         (6, "SOLO GAMMA", "en", "srcC"),
     ]
-    tbl = pa.table(
-        {
-            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
-            "text": pa.array([r[1] for r in rows], pa.string()),
-            "lang": pa.array([r[2] for r in rows], pa.string()),
-            "source": pa.array([r[3] for r in rows], pa.string()),
-            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
-        }
-    )
-    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    write_planted_corpus(tmp_path, rows)
 
     sdf = _Q["q157_corpus_report_card"](spark, str(tmp_path))
     got = [tuple(r) for r in sdf.collect()]

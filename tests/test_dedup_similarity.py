@@ -544,17 +544,9 @@ def test_levenshtein_is_character_level_on_unicode(spark):
 
 
 def _planted_docs_table(rows):
-    import pyarrow as pa
+    from _fixtures import planted_docs_table
 
-    return pa.table(
-        {
-            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
-            "text": pa.array([r[1] for r in rows], pa.string()),
-            "lang": pa.array([r[2] for r in rows], pa.string()),
-            "source": pa.array([r[3] for r in rows], pa.string()),
-            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
-        }
-    )
+    return planted_docs_table(rows)
 
 
 def test_q158_dedup_savings_on_planted_corpus(spark, tmp_path):

@@ -310,26 +310,16 @@ _DOCS_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars 
 
 
 def _docs_tbl(sub):
-    import pyarrow as pa
+    from _fixtures import planted_docs_table
 
-    return pa.table(
-        {
-            "doc_id": pa.array([r[0] for r in sub], pa.int64()),
-            "text": pa.array([r[1] for r in sub], pa.string()),
-            "lang": pa.array([r[2] for r in sub], pa.string()),
-            "source": pa.array([r[3] for r in sub], pa.string()),
-            "n_chars": pa.array([len(r[1]) for r in sub], pa.int64()),
-        }
-    )
+    return planted_docs_table(sub)
 
 
 def _write_corpus(corpus_dir) -> str:
     """One documents.parquet over the full planted corpus (batch input)."""
-    import pyarrow.parquet as pq
+    from _fixtures import write_planted_corpus
 
-    corpus_dir.mkdir()
-    pq.write_table(_docs_tbl(_PLANTED_DOCS), str(corpus_dir / "documents.parquet"))
-    return str(corpus_dir)
+    return write_planted_corpus(corpus_dir, _PLANTED_DOCS)
 
 
 def _write_doc_drops(src_dir, drops) -> str:

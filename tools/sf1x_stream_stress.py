@@ -84,6 +84,28 @@ def main() -> None:
     work = tempfile.mkdtemp(prefix="sf1x_stream_")
     timings: dict[str, float] = {}
     checks: dict[str, bool] = {}
+    try:
+        _body(spark, queries, work, timings, checks)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "sf1x_stream_stress_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "checks": checks,
+        "sf": "sf0.1x10",
+        "ok": all(checks.values()),
+    }
+    line = json.dumps(out)
+    if len(sys.argv) > 1:
+        with open(sys.argv[1], "w") as f:
+            f.write(line + "\n")
+    print(line)
+
+
+def _body(spark, queries, work, timings, checks) -> None:
 
     # ---- dup-flow store: 50k docs, 8 ordered crawl drops -----------------
     docs = spark.read.parquet(f"{DST}/documents.parquet").select(
@@ -118,7 +140,9 @@ def main() -> None:
     # ---- PSI store: 1.5M orders' current split in micro-batches ----------
     orders = spark.read.parquet(f"{DST}/orders.parquet")
     d = orders.select(
-        F.col("o_totalprice").alias("v"), (_obucket() < 80).alias("is_ref")
+        "o_orderkey",
+        F.col("o_totalprice").alias("v"),
+        (_obucket() < 80).alias("is_ref"),
     )
     lo, hi = d.where("is_ref").agg(F.min("v"), F.max("v")).first()
     width = (float(hi) - float(lo)) / _N_BINS
@@ -130,18 +154,20 @@ def main() -> None:
     )
     cur_arrivals = os.path.join(work, "cur_drops")
     t0 = time.time()
+    # split on the STABLE o_orderkey (monotonically_increasing_id would be
+    # re-evaluated per job and depends on partition layout — rows could be
+    # dropped or duplicated across drop files if layouts differ between
+    # the min/max action and each chunk write)
     _write_drops(
-        d.where(~F.col("is_ref")).select(
-            F.monotonically_increasing_id().alias("rid"), "v"
-        ),
-        "rid",
+        d.where(~F.col("is_ref")).select("o_orderkey", "v"),
+        "o_orderkey",
         cur_arrivals,
         N_DROPS,
     )
     timings["psi_write_drops"] = round(time.time() - t0, 3)
 
     cur_stream = (
-        spark.readStream.schema("rid bigint, v double")
+        spark.readStream.schema("o_orderkey bigint, v double")
         .option("maxFilesPerTrigger", "1")
         .parquet(cur_arrivals)
         .select("v")
@@ -164,22 +190,6 @@ def main() -> None:
     ]
     checks["psi_equals_batch_q151"] = got_psi == want_psi
 
-    shutil.rmtree(work, ignore_errors=True)
-    total = round(sum(timings.values()), 3)
-    out = {
-        "metric": "sf1x_stream_stress_wall_clock",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "checks": checks,
-        "sf": "sf0.1x10",
-        "ok": all(checks.values()),
-    }
-    line = json.dumps(out)
-    if len(sys.argv) > 1:
-        with open(sys.argv[1], "w") as f:
-            f.write(line + "\n")
-    print(line)
 
 
 if __name__ == "__main__":
