@@ -485,3 +485,93 @@ def q156_ks_drift_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(counts["ref"], counts["cur"], float(ks))],
         "n_ref bigint, n_cur bigint, ks_stat_approx double",
     )
+
+
+# ---------------------------------------------------------------------------
+# q160 — PSI per SEGMENT (multi-population monitor): q151's frozen-bin PSI
+# computed independently per o_orderpriority — the per-model-segment
+# deployment shape (one scored segment drifting hides inside a flat
+# corpus-level PSI; per-segment terms localize it). Bin edges are frozen
+# per segment from THAT segment's reference rows; shares are per-segment
+# exact int/int divisions; only the ln() term is rounded (q54 rule).
+#
+# Scale: edges = one |segments|-row aggregate broadcast back; then one
+# narrow map + one (segment, bin)-keyed aggregate (O(segments x bins)
+# output) + a |segments|-row totals broadcast. No window, no skew hazard
+# beyond the groupBy itself.
+# ---------------------------------------------------------------------------
+
+_Q160_ORACLE = f"""
+WITH d AS (
+  SELECT o_orderpriority AS segment, o_totalprice AS v,
+         {_SQL_OBUCKET} < 80 AS is_ref
+  FROM orders
+), edges AS (
+  SELECT segment, MIN(v) AS lo, MAX(v) AS hi FROM d WHERE is_ref GROUP BY segment
+), binned AS (
+  SELECT d.segment,
+         LEAST(GREATEST(CAST(FLOOR((v - lo) / ((hi - lo) / {_N_BINS}.0)) AS INTEGER), 0),
+               {_N_BINS - 1}) AS bin,
+         is_ref
+  FROM d JOIN edges ON d.segment = edges.segment
+), counts AS (
+  SELECT segment, bin,
+         COUNT(*) FILTER (is_ref) AS n_ref,
+         COUNT(*) FILTER (NOT is_ref) AS n_cur
+  FROM binned GROUP BY segment, bin
+), tot AS (
+  SELECT segment, SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM counts GROUP BY segment
+)
+SELECT counts.segment,
+       bin,
+       CAST(n_ref AS BIGINT) AS n_ref,
+       CAST(n_cur AS BIGINT) AS n_cur,
+       CAST(n_ref AS DOUBLE) / tr AS ref_share,
+       CAST(n_cur AS DOUBLE) / tc AS cur_share,
+       ROUND((CAST(n_cur AS DOUBLE) / tc - CAST(n_ref AS DOUBLE) / tr)
+             * ln(GREATEST(CAST(n_cur AS DOUBLE) / tc, {_EPS!r})
+                  / GREATEST(CAST(n_ref AS DOUBLE) / tr, {_EPS!r})), 12) AS psi_term
+FROM counts JOIN tot ON counts.segment = tot.segment
+ORDER BY counts.segment, bin
+"""
+
+
+@register("q160_psi_by_segment", oracle=_Q160_ORACLE)
+def q160_psi_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.select(
+        F.col("o_orderpriority").alias("segment"),
+        F.col("o_totalprice").alias("v"),
+        (_obucket() < 80).alias("is_ref"),
+    )
+    edges = d.where("is_ref").groupBy("segment").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / float(_N_BINS)
+    binned = d.join(F.broadcast(edges), "segment").select(
+        "segment",
+        bin_expr(F.col("v"), F.col("lo"), width).alias("bin"),
+        "is_ref",
+    )
+    counts = binned.groupBy("segment", "bin").agg(
+        F.count(F.when(F.col("is_ref"), 1)).alias("n_ref"),
+        F.count(F.when(~F.col("is_ref"), 1)).alias("n_cur"),
+    )
+    tot = counts.groupBy("segment").agg(
+        F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc")
+    )
+    ref_share = F.col("n_ref").cast("double") / F.col("tr")
+    cur_share = F.col("n_cur").cast("double") / F.col("tc")
+    return (
+        counts.join(F.broadcast(tot), "segment")
+        .select(
+            "segment",
+            "bin",
+            "n_ref",
+            "n_cur",
+            ref_share.alias("ref_share"),
+            cur_share.alias("cur_share"),
+            F.round(psi_term_expr(ref_share, cur_share), 12).alias("psi_term"),
+        )
+        .orderBy("segment", "bin")
+    )

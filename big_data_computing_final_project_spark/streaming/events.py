@@ -891,3 +891,90 @@ def run_stream_ingest_suite(
         docs, ingest, checkpoint_dir, timeout_sec, "run_stream_ingest_suite"
     )
     return flow_dir, vol_dir
+
+
+def run_stream_psi_counts_by_key(
+    values: DataFrame,
+    ref_edges: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    timeout_sec: int = 120,
+) -> None:
+    """Keyed drift-monitor ingestion — the streaming twin of batch q160
+    (plans/drift.py): bin a (key, v) stream against PER-KEY frozen
+    reference edges (``ref_edges``: key, lo, width — computed once when
+    the per-segment reference windows froze) and append per-batch
+    (key, bin) counts under batch_id=N (staged overwrite, replay
+    idempotent). Rows whose key has no reference edges are dropped — the
+    same contract as q160's inner edges join (a segment never seen at
+    training time has no frozen bins to count into).
+
+    Scale: the edges side is O(segments) rows (broadcast per batch); the
+    store grows O(batches x segments x bins) of additive state."""
+    from ..plans.drift import bin_expr
+
+    edges = ref_edges.select("key", "lo", "width")
+
+    def bin_counts(batch: DataFrame, batch_id: int) -> None:
+        b = batch.join(F.broadcast(edges), "key").select(
+            "key",
+            bin_expr(F.col("v"), F.col("lo"), F.col("width")).alias("bin"),
+        )
+        (
+            b.groupBy("key", "bin")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(store_dir, f"batch_id={batch_id}"))
+        )
+
+    _run_foreach_batch(
+        values, bin_counts, checkpoint_dir, timeout_sec, "run_stream_psi_counts_by_key"
+    )
+
+
+def psi_by_key_from_store(
+    spark: SparkSession,
+    store_dir: str,
+    ref_counts: DataFrame,
+    eps: float = 1e-9,
+) -> DataFrame:
+    """Per-(key, bin) PSI terms of the streamed populations vs per-key
+    frozen reference histograms (``ref_counts``: key, bin, n_ref). Counts
+    are additive across micro-batches, so once the backlog drains this
+    equals batch q160 on the same splits/edges exactly (pytest-pinned);
+    bin and term math are IMPORTED from plans/drift, so the twins cannot
+    drift apart by construction."""
+    from ..plans.drift import psi_term_expr
+
+    if os.path.exists(store_dir):
+        cur = (
+            spark.read.option("basePath", store_dir)
+            .parquet(f"{store_dir}/batch_id=*")
+            .groupBy("key", "bin")
+            .agg(F.sum("n").alias("n_cur"))
+        )
+    else:
+        cur = spark.createDataFrame([], "key string, bin int, n_cur bigint")
+    joined = (
+        ref_counts.select("key", "bin", "n_ref")
+        .join(cur, ["key", "bin"], "full_outer")
+        .na.fill(0, ["n_ref", "n_cur"])
+    )
+    tot = joined.groupBy("key").agg(
+        F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc")
+    )
+    ref_share = F.col("n_ref").cast("double") / F.col("tr")
+    cur_share = F.col("n_cur").cast("double") / F.col("tc")
+    return (
+        joined.join(F.broadcast(tot), "key")
+        .select(
+            "key",
+            "bin",
+            "n_ref",
+            "n_cur",
+            ref_share.alias("ref_share"),
+            cur_share.alias("cur_share"),
+            F.round(psi_term_expr(ref_share, cur_share, eps), 12).alias("psi_term"),
+        )
+        .orderBy("key", "bin")
+    )

@@ -456,3 +456,100 @@ def test_stream_drift_monitor_alerts_on_shift_only(spark, tmp_path):
     quiet_log, _, _, quiet_cur = _run(0.0, "quiet")
     assert [r["alert"] for r in quiet_log] == [False, False, False]
     assert quiet_log[-1]["n_cur"] == quiet_cur.size
+
+
+def test_keyed_psi_store_equals_batch_q160_and_localizes_shift(spark, tmp_path):
+    """q160 per-segment PSI on a planted PER-SEGMENT shift: only the
+    1-URGENT segment's current rows moved, so its per-bin terms must sum
+    past the 0.2 alert line while every other segment stays quiet — the
+    localization a corpus-level PSI (q151) cannot give. The keyed
+    streaming store, fed the current split in 3 micro-batches against
+    INDEPENDENTLY numpy-derived frozen edges/histograms, must reproduce
+    batch q160 row-for-row."""
+    from big_data_computing_final_project_spark.streaming.events import (
+        psi_by_key_from_store,
+        run_stream_psi_counts_by_key,
+    )
+
+    # n sized for the quiet assertion: PSI's pure-sampling expectation is
+    # ~bins/n_cur + bins/n_ref per segment; at n=16000 each segment holds
+    # ~640 current rows -> noise floor ~0.02, far under the 0.1 line
+    # (n=4000 measured 0.13 on an unshifted segment — honest noise)
+    n = 16000
+    keys = np.arange(n, dtype=np.int64)
+    is_ref = np.array([_bucket(int(k)) < 80 for k in keys])
+    prio = np.array([_PRIOS[int(k) % 5] for k in keys])  # all prios, BOTH splits
+    # UNIFORM values (single hash draw), not the pseudo-normal the other
+    # fixtures use: with only ~160 current rows per segment a normal's
+    # tail bin can land zero current mass and the eps-floored ln() term
+    # alone reads ~0.4 "drift" — a uniform fills every frozen bin evenly,
+    # so the quiet segments actually read quiet
+    u = np.array(
+        [int(hashlib.md5(f"{k}:v".encode()).hexdigest()[:8], 16) / 16**8 for k in keys]
+    )
+    v = 1000.0 + 200.0 * u
+    v = np.where(~is_ref & (prio == _PRIOS[0]), v + 150.0, v)  # shift ONE segment
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array(keys, pa.int64()),
+            "o_custkey": pa.array(keys % 100, pa.int64()),
+            "o_orderstatus": pa.array(["F"] * n, pa.string()),
+            "o_totalprice": pa.array(v, pa.float64()),
+            "o_orderpriority": pa.array(prio, pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "orders.parquet"))
+
+    want = [
+        tuple(r)
+        for r in all_queries()["q160_psi_by_segment"](spark, str(tmp_path)).collect()
+    ]
+    by_seg: dict[str, float] = {}
+    for row in want:
+        by_seg[row[0]] = by_seg.get(row[0], 0.0) + row[6]
+    assert by_seg[_PRIOS[0]] > 0.2, "shifted segment must alert"
+    for seg in _PRIOS[1:]:
+        # < 0.1 is the standard "no significant change" PSI reading
+        assert abs(by_seg[seg]) < 0.1, f"unshifted segment {seg} must stay quiet"
+
+    # frozen per-segment edges + histograms, derived INDEPENDENTLY in numpy
+    edges_rows, count_rows = [], []
+    for seg in _PRIOS:
+        rv = v[is_ref & (prio == seg)]
+        lo, hi = float(rv.min()), float(rv.max())
+        width = (hi - lo) / 10.0
+        bins = np.clip(np.floor((rv - lo) / width).astype(int), 0, 9)
+        edges_rows.append((seg, lo, width))
+        count_rows += [
+            (seg, int(b), int((bins == b).sum())) for b in sorted(set(bins))
+        ]
+    ref_edges = spark.createDataFrame(edges_rows, "key string, lo double, width double")
+    ref_counts = spark.createDataFrame(count_rows, "key string, bin int, n_ref bigint")
+
+    # stream the current split in 3 drops
+    src = tmp_path / "cur_stream"
+    src.mkdir()
+    cur_mask = ~is_ref
+    parts = np.array_split(np.flatnonzero(cur_mask), 3)
+    for i, idx in enumerate(parts):
+        pq.write_table(
+            pa.table(
+                {
+                    "key": pa.array(prio[idx], pa.string()),
+                    "v": pa.array(v[idx], pa.float64()),
+                }
+            ),
+            str(src / f"drop_{i}.parquet"),
+        )
+    stream = (
+        spark.readStream.schema("key string, v double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    store = str(tmp_path / "psistore_keyed")
+    run_stream_psi_counts_by_key(
+        stream, ref_edges, store, str(tmp_path / "ckpt_psi_keyed")
+    )
+
+    got = [tuple(r) for r in psi_by_key_from_store(spark, store, ref_counts).collect()]
+    assert got == want
