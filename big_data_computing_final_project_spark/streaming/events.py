@@ -978,3 +978,81 @@ def psi_by_key_from_store(
         )
         .orderBy("key", "bin")
     )
+
+
+def run_stream_drift_monitor_by_key(
+    values: DataFrame,
+    ref_edges: DataFrame,
+    ref_counts: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    psi_alert: float = 0.2,
+    timeout_sec: int = 120,
+) -> None:
+    """Keyed operational drift monitor — run_stream_drift_monitor's
+    multi-population face (q160's deployment): per micro-batch, append
+    the per-key frozen-edge bin counts (the run_stream_psi_counts_by_key
+    store) AND one evaluation-log row PER KEY (batch_id, key, psi_total,
+    n_cur, alert) computed from the cumulative store vs the per-key
+    reference histograms. One segment crossing ``psi_alert`` raises its
+    own flag without the quiet segments' mass diluting it — the
+    localization a corpus-level monitor can't give.
+
+    Like the unkeyed monitor, psi_total is a driver-side float sum of the
+    per-(key, bin) rounded terms — an operational signal; the per-bin
+    terms (oracle-paired via q160) stay in the store for exact auditing.
+    Counts and log are both staged per batch_id (replay idempotent)."""
+    from ..plans.drift import bin_expr
+
+    counts_dir = os.path.join(store_dir, "counts")
+    log_dir = os.path.join(store_dir, "log")
+    edges = ref_edges.select("key", "lo", "width")
+
+    def monitor(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        b = batch.join(F.broadcast(edges), "key").select(
+            "key",
+            bin_expr(F.col("v"), F.col("lo"), F.col("width")).alias("bin"),
+        )
+        (
+            b.groupBy("key", "bin")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(counts_dir, f"batch_id={batch_id}"))
+        )
+        per_key: dict[str, list[float]] = {}
+        for r in psi_by_key_from_store(spark, counts_dir, ref_counts).collect():
+            acc = per_key.setdefault(r["key"], [0.0, 0])
+            acc[0] += r["psi_term"]
+            acc[1] += r["n_cur"]
+        rows = [
+            (k, float(psi), int(n), float(psi) >= psi_alert)
+            for k, (psi, n) in sorted(per_key.items())
+        ]
+        spark.createDataFrame(
+            rows, "key string, psi_total double, n_cur bigint, alert boolean"
+        ).write.mode("overwrite").parquet(
+            os.path.join(log_dir, f"batch_id={batch_id}")
+        )
+
+    _run_foreach_batch(
+        values, monitor, checkpoint_dir, timeout_sec, "run_stream_drift_monitor_by_key"
+    )
+
+
+def drift_monitor_log_by_key(spark: SparkSession, store_dir: str) -> DataFrame:
+    """The keyed monitor's append-only evaluation log, ordered by
+    (batch, key)."""
+    log_dir = os.path.join(store_dir, "log")
+    if not os.path.exists(log_dir):
+        return spark.createDataFrame(
+            [],
+            "batch_id bigint, key string, psi_total double, n_cur bigint, "
+            "alert boolean",
+        )
+    return (
+        spark.read.option("basePath", log_dir)
+        .parquet(f"{log_dir}/batch_id=*")
+        .select("batch_id", "key", "psi_total", "n_cur", "alert")
+        .orderBy("batch_id", "key")
+    )

@@ -458,32 +458,22 @@ def test_stream_drift_monitor_alerts_on_shift_only(spark, tmp_path):
     assert quiet_log[-1]["n_cur"] == quiet_cur.size
 
 
-def test_keyed_psi_store_equals_batch_q160_and_localizes_shift(spark, tmp_path):
-    """q160 per-segment PSI on a planted PER-SEGMENT shift: only the
-    1-URGENT segment's current rows moved, so its per-bin terms must sum
-    past the 0.2 alert line while every other segment stays quiet — the
-    localization a corpus-level PSI (q151) cannot give. The keyed
-    streaming store, fed the current split in 3 micro-batches against
-    INDEPENDENTLY numpy-derived frozen edges/histograms, must reproduce
-    batch q160 row-for-row."""
-    from big_data_computing_final_project_spark.streaming.events import (
-        psi_by_key_from_store,
-        run_stream_psi_counts_by_key,
-    )
+def _plant_segment_shift(tmp_path, n: int = 16000):
+    """Planted per-segment shift shared by the q160 twins: uniform values
+    (every frozen bin filled — a normal's empty tail bin plus the eps
+    floor reads ~0.4 phantom drift at this n), only the 1-URGENT
+    segment's current rows moved. Writes orders.parquet and the current
+    split as 3 stream drops; returns (edges_rows, count_rows, src_dir)
+    with the frozen per-segment edges/histograms derived INDEPENDENTLY
+    in numpy.
 
-    # n sized for the quiet assertion: PSI's pure-sampling expectation is
-    # ~bins/n_cur + bins/n_ref per segment; at n=16000 each segment holds
-    # ~640 current rows -> noise floor ~0.02, far under the 0.1 line
-    # (n=4000 measured 0.13 on an unshifted segment — honest noise)
-    n = 16000
+    n is sized for the quiet assertions: PSI's pure-sampling expectation
+    is ~bins/n_cur + bins/n_ref per segment; at n=16000 each segment
+    holds ~640 current rows -> noise floor ~0.02, far under the 0.1 line
+    (n=4000 measured 0.13 on an unshifted segment — honest noise)."""
     keys = np.arange(n, dtype=np.int64)
     is_ref = np.array([_bucket(int(k)) < 80 for k in keys])
     prio = np.array([_PRIOS[int(k) % 5] for k in keys])  # all prios, BOTH splits
-    # UNIFORM values (single hash draw), not the pseudo-normal the other
-    # fixtures use: with only ~160 current rows per segment a normal's
-    # tail bin can land zero current mass and the eps-floored ln() term
-    # alone reads ~0.4 "drift" — a uniform fills every frozen bin evenly,
-    # so the quiet segments actually read quiet
     u = np.array(
         [int(hashlib.md5(f"{k}:v".encode()).hexdigest()[:8], 16) / 16**8 for k in keys]
     )
@@ -500,6 +490,55 @@ def test_keyed_psi_store_equals_batch_q160_and_localizes_shift(spark, tmp_path):
     )
     pq.write_table(tbl, str(tmp_path / "orders.parquet"))
 
+    edges_rows, count_rows = [], []
+    for seg in _PRIOS:
+        rv = v[is_ref & (prio == seg)]
+        lo, hi = float(rv.min()), float(rv.max())
+        width = (hi - lo) / 10.0
+        bins = np.clip(np.floor((rv - lo) / width).astype(int), 0, 9)
+        edges_rows.append((seg, lo, width))
+        count_rows += [
+            (seg, int(b), int((bins == b).sum())) for b in sorted(set(bins))
+        ]
+
+    src = tmp_path / "cur_stream"
+    src.mkdir()
+    cur_idx = np.flatnonzero(~is_ref)
+    for i, idx in enumerate(np.array_split(cur_idx, 3)):
+        pq.write_table(
+            pa.table(
+                {
+                    "key": pa.array(prio[idx], pa.string()),
+                    "v": pa.array(v[idx], pa.float64()),
+                }
+            ),
+            str(src / f"drop_{i}.parquet"),
+        )
+    return edges_rows, count_rows, str(src)
+
+
+def _keyed_stream(spark, src_dir: str):
+    return (
+        spark.readStream.schema("key string, v double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+
+
+def test_keyed_psi_store_equals_batch_q160_and_localizes_shift(spark, tmp_path):
+    """q160 per-segment PSI on a planted PER-SEGMENT shift: only the
+    1-URGENT segment's current rows moved, so its per-bin terms must sum
+    past the 0.2 alert line while every other segment stays quiet — the
+    localization a corpus-level PSI (q151) cannot give. The keyed
+    streaming store, fed the current split in 3 micro-batches against
+    INDEPENDENTLY numpy-derived frozen edges/histograms, must reproduce
+    batch q160 row-for-row."""
+    from big_data_computing_final_project_spark.streaming.events import (
+        psi_by_key_from_store,
+        run_stream_psi_counts_by_key,
+    )
+
+    edges_rows, count_rows, src_dir = _plant_segment_shift(tmp_path)
     want = [
         tuple(r)
         for r in all_queries()["q160_psi_by_segment"](spark, str(tmp_path)).collect()
@@ -512,44 +551,50 @@ def test_keyed_psi_store_equals_batch_q160_and_localizes_shift(spark, tmp_path):
         # < 0.1 is the standard "no significant change" PSI reading
         assert abs(by_seg[seg]) < 0.1, f"unshifted segment {seg} must stay quiet"
 
-    # frozen per-segment edges + histograms, derived INDEPENDENTLY in numpy
-    edges_rows, count_rows = [], []
-    for seg in _PRIOS:
-        rv = v[is_ref & (prio == seg)]
-        lo, hi = float(rv.min()), float(rv.max())
-        width = (hi - lo) / 10.0
-        bins = np.clip(np.floor((rv - lo) / width).astype(int), 0, 9)
-        edges_rows.append((seg, lo, width))
-        count_rows += [
-            (seg, int(b), int((bins == b).sum())) for b in sorted(set(bins))
-        ]
     ref_edges = spark.createDataFrame(edges_rows, "key string, lo double, width double")
     ref_counts = spark.createDataFrame(count_rows, "key string, bin int, n_ref bigint")
-
-    # stream the current split in 3 drops
-    src = tmp_path / "cur_stream"
-    src.mkdir()
-    cur_mask = ~is_ref
-    parts = np.array_split(np.flatnonzero(cur_mask), 3)
-    for i, idx in enumerate(parts):
-        pq.write_table(
-            pa.table(
-                {
-                    "key": pa.array(prio[idx], pa.string()),
-                    "v": pa.array(v[idx], pa.float64()),
-                }
-            ),
-            str(src / f"drop_{i}.parquet"),
-        )
-    stream = (
-        spark.readStream.schema("key string, v double")
-        .option("maxFilesPerTrigger", "1")
-        .parquet(str(src))
-    )
     store = str(tmp_path / "psistore_keyed")
     run_stream_psi_counts_by_key(
-        stream, ref_edges, store, str(tmp_path / "ckpt_psi_keyed")
+        _keyed_stream(spark, src_dir), ref_edges, store, str(tmp_path / "ckpt_psi_keyed")
     )
 
     got = [tuple(r) for r in psi_by_key_from_store(spark, store, ref_counts).collect()]
     assert got == want
+
+
+def test_keyed_drift_monitor_alerts_only_shifted_segment(spark, tmp_path):
+    """The keyed monitor's per-batch log must flag ONLY the shifted
+    segment — in every batch (the shift is present from the first drop) —
+    and its final psi_total must equal batch q160's per-segment term sum
+    (rounded-terms composition, same floats)."""
+    from big_data_computing_final_project_spark.streaming.events import (
+        drift_monitor_log_by_key,
+        run_stream_drift_monitor_by_key,
+    )
+
+    edges_rows, count_rows, src_dir = _plant_segment_shift(tmp_path)
+    ref_edges = spark.createDataFrame(edges_rows, "key string, lo double, width double")
+    ref_counts = spark.createDataFrame(count_rows, "key string, bin int, n_ref bigint")
+    store = str(tmp_path / "monitor_keyed")
+    run_stream_drift_monitor_by_key(
+        _keyed_stream(spark, src_dir),
+        ref_edges,
+        ref_counts,
+        store,
+        str(tmp_path / "ckpt_monitor_keyed"),
+    )
+
+    log = drift_monitor_log_by_key(spark, store).collect()
+    assert {r["batch_id"] for r in log} == {0, 1, 2}
+    assert len(log) == 15  # 3 batches x 5 segments
+    for r in log:
+        assert r["alert"] == (r["key"] == _PRIOS[0]), (r["batch_id"], r["key"])
+
+    want_by_seg: dict[str, float] = {}
+    for row in all_queries()["q160_psi_by_segment"](spark, str(tmp_path)).collect():
+        want_by_seg[row["segment"]] = (
+            want_by_seg.get(row["segment"], 0.0) + row["psi_term"]
+        )
+    final = {r["key"]: r["psi_total"] for r in log if r["batch_id"] == 2}
+    for seg in _PRIOS:
+        assert final[seg] == pytest.approx(want_by_seg[seg], abs=1e-12), seg
