@@ -575,3 +575,154 @@ def q160_psi_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment", "bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# q161 — token JS divergence PER SOURCE (q155's multi-population face,
+# the same localization move q160 makes for PSI): one crawl feed whose
+# vocabulary moved hides inside the corpus-level JSD; per-source terms
+# name the feed. Counts key on (source, term); totals and shares are
+# per-source exact bigint divisions; zero-share branches are 0 and only
+# the log2 terms are rounded (q54 rule).
+# Scale: explode -> one groupBy(source, term) (the q67 per-source TF
+# class) + a |sources|-row totals broadcast; output is O(sources x
+# per-source vocabulary) — the unbounded-vocab path is the q100
+# certified head per source, exactly as q155 documents corpus-wide.
+# ---------------------------------------------------------------------------
+
+
+def _q161_oracle() -> str:
+    from .dedup import _SQL_BUCKET
+    from .textops import _SQL_TOKS
+
+    p = "(CAST(n_ref AS DOUBLE) / tr)"
+    q = "(CAST(n_cur AS DOUBLE) / tc)"
+    m = f"(({p} + {q}) / 2.0)"
+    return f"""
+WITH tok AS (
+  SELECT source, {_SQL_BUCKET} < 80 AS is_ref, unnest({_SQL_TOKS}) AS term
+  FROM documents
+), counts AS (
+  SELECT source, term,
+         COUNT(*) FILTER (is_ref) AS n_ref,
+         COUNT(*) FILTER (NOT is_ref) AS n_cur
+  FROM tok WHERE term <> '' GROUP BY source, term
+), tot AS (
+  SELECT source, SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM counts GROUP BY source
+)
+SELECT counts.source, term,
+       CAST(n_ref AS BIGINT) AS n_ref,
+       CAST(n_cur AS BIGINT) AS n_cur,
+       ROUND({_sql_js_term(p, m)} + {_sql_js_term(q, m)}, 12) AS js_term
+FROM counts JOIN tot ON counts.source = tot.source
+ORDER BY counts.source, term
+"""
+
+
+@register("q161_token_js_by_source", oracle=_q161_oracle())
+def q161_token_js_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source",
+        (_bucket("doc_id") < 80).alias("is_ref"),
+        F.explode_outer(X.tokens(F.col("text"))).alias("term"),
+    ).where(F.col("term").isNotNull() & (F.col("term") != ""))
+    counts = tok.groupBy("source", "term").agg(
+        F.count(F.when(F.col("is_ref"), 1)).alias("n_ref"),
+        F.count(F.when(~F.col("is_ref"), 1)).alias("n_cur"),
+    )
+    tot = counts.groupBy("source").agg(
+        F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc")
+    )
+    p = F.col("n_ref").cast("double") / F.col("tr")
+    q = F.col("n_cur").cast("double") / F.col("tc")
+    m = (p + q) / 2.0
+
+    def _js(share: F.Column) -> F.Column:
+        return F.when(share > 0, 0.5 * share * F.log2(share / m)).otherwise(F.lit(0.0))
+
+    return (
+        counts.join(F.broadcast(tot), "source")
+        .select(
+            "source",
+            "term",
+            "n_ref",
+            "n_cur",
+            F.round(_js(p) + _js(q), 12).alias("js_term"),
+        )
+        .orderBy("source", "term")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q162 — embedding-centroid shift PER LABEL (q154's multi-population
+# face): a drifting class centroid (one label's vectors moved — a
+# re-embedded slice, a poisoned class) hides inside the all-vector
+# means; per-(label, dim) shifts name the class. Same FP determinism as
+# q154/q72: per-group means are sorted-fold sums (hash-exact, NO
+# rounding), splits by the vec_id md5 bucket.
+# Scale: posexplode -> one groupBy(label, dim); collect_list holds one
+# group's values per (label, dim) — bounded by the largest class, the
+# same envelope as q154's per-dim lists; output O(labels x dims).
+# ---------------------------------------------------------------------------
+
+_Q162_ORACLE = f"""
+WITH v AS (
+  SELECT label, {_SQL_VBUCKET} < 80 AS is_ref,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), ex AS (
+  SELECT label, is_ref, unnest(range(len(e))) AS dim, unnest(e) AS val FROM v
+), c AS (
+  SELECT label, dim,
+         CAST(COUNT(*) FILTER (is_ref) AS BIGINT) AS n_ref,
+         CAST(COUNT(*) FILTER (NOT is_ref) AS BIGINT) AS n_cur,
+         list_sum(list_sort(list(val) FILTER (is_ref)))
+           / COUNT(*) FILTER (is_ref) AS c_ref,
+         list_sum(list_sort(list(val) FILTER (NOT is_ref)))
+           / COUNT(*) FILTER (NOT is_ref) AS c_cur
+  FROM ex GROUP BY label, dim
+)
+SELECT label, dim, n_ref, n_cur, c_ref, c_cur,
+       c_cur - c_ref AS shift,
+       (c_cur - c_ref) * (c_cur - c_ref) AS shift2
+FROM c ORDER BY label, dim
+"""
+
+
+@register("q162_embedding_drift_by_label", oracle=_Q162_ORACLE)
+def q162_embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import as_double
+
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "label",
+        (_bucket("vec_id") < 80).alias("is_ref"),
+        as_double(F.col("embedding")).alias("e"),
+    )
+    ex = v.select("label", "is_ref", F.posexplode("e").alias("dim", "val"))
+
+    def _fold_mean(flag: F.Column) -> F.Column:
+        vals = F.array_sort(F.collect_list(F.when(flag, F.col("val"))))
+        return F.aggregate(vals, F.lit(0.0), lambda a, x: a + x) / F.count(
+            F.when(flag, 1)
+        )
+
+    c = ex.groupBy("label", "dim").agg(
+        F.count(F.when(F.col("is_ref"), 1)).alias("n_ref"),
+        F.count(F.when(~F.col("is_ref"), 1)).alias("n_cur"),
+        _fold_mean(F.col("is_ref")).alias("c_ref"),
+        _fold_mean(~F.col("is_ref")).alias("c_cur"),
+    )
+    shift = F.col("c_cur") - F.col("c_ref")
+    return c.select(
+        "label",
+        "dim",
+        "n_ref",
+        "n_cur",
+        "c_ref",
+        "c_cur",
+        shift.alias("shift"),
+        (shift * shift).alias("shift2"),
+    ).orderBy("label", "dim")

@@ -598,3 +598,78 @@ def test_keyed_drift_monitor_alerts_only_shifted_segment(spark, tmp_path):
     final = {r["key"]: r["psi_total"] for r in log if r["batch_id"] == 2}
     for seg in _PRIOS:
         assert final[seg] == pytest.approx(want_by_seg[seg], abs=1e-12), seg
+
+
+def test_token_js_by_source_localizes_the_shifted_feed(spark, tmp_path):
+    """q161 on a planted two-source corpus: only srcB's current docs swap
+    their vocabulary ('fox' -> 'zebra'); srcB's per-term JS contributions
+    must carry the drift (zebra dominates, total past 0.1) while srcA —
+    identical text in both splits — reads exactly zero everywhere."""
+    n = 1200
+    keys = np.arange(n, dtype=np.int64)
+    is_ref = np.array([_bucket(int(k)) < 80 for k in keys])
+    src = np.where(keys % 2 == 0, "srcA", "srcB")
+    texts = [
+        "the quick zebra zebra"
+        if (not r) and s == "srcB"
+        else "the quick brown fox"
+        for r, s in zip(is_ref, src)
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(keys, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+            "source": pa.array(src, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    rows = all_queries()["q161_token_js_by_source"](spark, str(tmp_path)).collect()
+    by_src: dict[str, float] = {}
+    terms: dict[str, dict[str, float]] = {}
+    for r in rows:
+        by_src[r["source"]] = by_src.get(r["source"], 0.0) + r["js_term"]
+        terms.setdefault(r["source"], {})[r["term"]] = r["js_term"]
+    assert by_src["srcA"] == 0.0  # identical shares split-to-split: every term exactly 0
+    assert by_src["srcB"] > 0.1, "shifted feed must carry the divergence"
+    assert terms["srcB"]["zebra"] > terms["srcB"]["the"]
+    assert "zebra" not in terms["srcA"]
+
+
+def test_embedding_drift_by_label_localizes_the_shifted_class(spark, tmp_path):
+    """q162 on planted embeddings: only label 1's current vectors carry a
+    per-dim offset; the per-(label, dim) shifts must recover that offset
+    for label 1 and read ~0 for labels 0 and 2."""
+    n, dims, delta = 2400, 4, np.array([0.5, -0.25, 0.0, 1.0])
+    keys = np.arange(n, dtype=np.int64)
+    is_ref = np.array([_bucket(int(k)) < 80 for k in keys])
+    label = (keys % 3).astype(np.int32)
+    base = np.array(
+        [
+            [
+                int(hashlib.md5(f"{k}:{d}".encode()).hexdigest()[:8], 16) / 16**8
+                for d in range(dims)
+            ]
+            for k in keys
+        ]
+    )
+    shifted = (~is_ref) & (label == 1)
+    vecs = np.where(shifted[:, None], base + delta[None, :], base).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(keys, pa.int64()),
+            "embedding": pa.array([list(v) for v in vecs], pa.list_(pa.float32())),
+            "label": pa.array(label, pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+    rows = all_queries()["q162_embedding_drift_by_label"](spark, str(tmp_path)).collect()
+    assert len(rows) == 3 * dims
+    for r in rows:
+        want = float(delta[r["dim"]]) if r["label"] == 1 else 0.0
+        # per-label halves are ~n/3 of the q154 fixture: mean noise ~0.03
+        assert r["shift"] == pytest.approx(want, abs=0.08), (r["label"], r["dim"])
+        assert r["shift2"] == pytest.approx(r["shift"] * r["shift"], abs=1e-12)
