@@ -86,6 +86,28 @@ def psi_term_expr(ref_share: F.Column, cur_share: F.Column, eps: float = _EPS) -
     )
 
 
+def js_term_expr(p: F.Column, q: F.Column) -> F.Column:
+    """Per-item Jensen-Shannon contribution (UNrounded; callers apply the
+    12-dp q54 rounding): 1/2·p·log2(p/m) + 1/2·q·log2(q/m) with
+    m=(p+q)/2 and zero-share branches defined as 0 — ONE definition for
+    the corpus-wide (q155) and per-source (q161) twins."""
+    m = (p + q) / 2.0
+
+    def _half(share: F.Column) -> F.Column:
+        return F.when(share > 0, 0.5 * share * F.log2(share / m)).otherwise(F.lit(0.0))
+
+    return _half(p) + _half(q)
+
+
+def fold_mean_expr(flag: F.Column, val: F.Column) -> F.Column:
+    """FP-deterministic split mean (the q72 sorted-fold rule): collect
+    the flagged values, sort, left-fold sum, divide — bit-identical on
+    any partitioning, so shift columns hash-match with NO rounding. ONE
+    definition for the all-vector (q154) and per-label (q162) twins."""
+    vals = F.array_sort(F.collect_list(F.when(flag, val)))
+    return F.aggregate(vals, F.lit(0.0), lambda a, x: a + x) / F.count(F.when(flag, 1))
+
+
 # ---------------------------------------------------------------------------
 # q151 — PSI per bin. Bin width/origin come from the reference split's
 # min/max only (current rows outside clamp into the edge bins, exactly the
@@ -335,18 +357,11 @@ def q154_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_double(F.col("embedding")).alias("e"),
     )
     ex = v.select("is_ref", F.posexplode("e").alias("dim", "val"))
-
-    def _fold_mean(flag: F.Column) -> F.Column:
-        vals = F.array_sort(F.collect_list(F.when(flag, F.col("val"))))
-        return F.aggregate(vals, F.lit(0.0), lambda a, x: a + x) / F.count(
-            F.when(flag, 1)
-        )
-
     c = ex.groupBy("dim").agg(
         F.count(F.when(F.col("is_ref"), 1)).alias("n_ref"),
         F.count(F.when(~F.col("is_ref"), 1)).alias("n_cur"),
-        _fold_mean(F.col("is_ref")).alias("c_ref"),
-        _fold_mean(~F.col("is_ref")).alias("c_cur"),
+        fold_mean_expr(F.col("is_ref"), F.col("val")).alias("c_ref"),
+        fold_mean_expr(~F.col("is_ref"), F.col("val")).alias("c_cur"),
     )
     shift = F.col("c_cur") - F.col("c_ref")
     return c.select(
@@ -424,20 +439,13 @@ def q155_token_js_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = counts.agg(F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc"))
     p = F.col("n_ref").cast("double") / F.col("tr")
     q = F.col("n_cur").cast("double") / F.col("tc")
-    m = (p + q) / 2.0
-
-    def _js(share: F.Column) -> F.Column:
-        return F.when(
-            share > 0, 0.5 * share * F.log2(share / m)
-        ).otherwise(F.lit(0.0))
-
     return (
         counts.crossJoin(F.broadcast(tot))
         .select(
             "term",
             "n_ref",
             "n_cur",
-            F.round(_js(p) + _js(q), 12).alias("js_term"),
+            F.round(js_term_expr(p, q), 12).alias("js_term"),
         )
         .orderBy("term")
     )
@@ -638,11 +646,6 @@ def q161_token_js_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = F.col("n_ref").cast("double") / F.col("tr")
     q = F.col("n_cur").cast("double") / F.col("tc")
-    m = (p + q) / 2.0
-
-    def _js(share: F.Column) -> F.Column:
-        return F.when(share > 0, 0.5 * share * F.log2(share / m)).otherwise(F.lit(0.0))
-
     return (
         counts.join(F.broadcast(tot), "source")
         .select(
@@ -650,7 +653,7 @@ def q161_token_js_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "term",
             "n_ref",
             "n_cur",
-            F.round(_js(p) + _js(q), 12).alias("js_term"),
+            F.round(js_term_expr(p, q), 12).alias("js_term"),
         )
         .orderBy("source", "term")
     )
@@ -702,18 +705,11 @@ def q162_embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame
         as_double(F.col("embedding")).alias("e"),
     )
     ex = v.select("label", "is_ref", F.posexplode("e").alias("dim", "val"))
-
-    def _fold_mean(flag: F.Column) -> F.Column:
-        vals = F.array_sort(F.collect_list(F.when(flag, F.col("val"))))
-        return F.aggregate(vals, F.lit(0.0), lambda a, x: a + x) / F.count(
-            F.when(flag, 1)
-        )
-
     c = ex.groupBy("label", "dim").agg(
         F.count(F.when(F.col("is_ref"), 1)).alias("n_ref"),
         F.count(F.when(~F.col("is_ref"), 1)).alias("n_cur"),
-        _fold_mean(F.col("is_ref")).alias("c_ref"),
-        _fold_mean(~F.col("is_ref")).alias("c_cur"),
+        fold_mean_expr(F.col("is_ref"), F.col("val")).alias("c_ref"),
+        fold_mean_expr(~F.col("is_ref"), F.col("val")).alias("c_cur"),
     )
     shift = F.col("c_cur") - F.col("c_ref")
     return c.select(

@@ -524,6 +524,156 @@ def dup_flow_matrix_from_store(spark: SparkSession, store_dir: str) -> DataFrame
     )
 
 
+# ---------------------------------------------------------------------------
+# PSI-store core shared by the unkeyed (q151) and keyed (q160) twins: the
+# unkeyed case IS the keyed case with key_cols=[] — one implementation so
+# a store-contract fix cannot apply to one twin and miss the other.
+# ---------------------------------------------------------------------------
+
+
+def _counts_read_schema(key_cols: list[str]) -> str:
+    return ", ".join([f"{k} string" for k in key_cols] + ["bin int", "n bigint"])
+
+
+def _stage_bin_counts(
+    binned: DataFrame, batch_id: int, store_dir: str, key_cols: list[str]
+) -> None:
+    (
+        binned.groupBy(*key_cols, "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(store_dir, f"batch_id={batch_id}"))
+    )
+
+
+def _psi_fold(
+    spark: SparkSession,
+    store_dir: str,
+    ref_counts: DataFrame,
+    key_cols: list[str],
+    eps: float,
+) -> DataFrame:
+    """Per-(key..., bin) PSI terms of the accumulated store vs the frozen
+    reference histograms. Two hardening contracts beyond the happy path:
+
+    - EXPLICIT read schema: an empty micro-batch (or a keyed edges join
+      that dropped every row) stages a part-file-less batch_id dir, and
+      schema INFERENCE over zero parquet files raises — the declared
+      schema reads it as simply empty instead of crashing the monitor.
+    - ZERO-TOTAL guard: a population with tr=0 or tc=0 (vanished segment,
+      key unseen at training time) would make n/0 shares NaN, and NaN
+      poisons psi_total while `NaN >= alert` is False — the most extreme
+      drift would never alert. Shares are 0.0 when their total is 0, so
+      the eps floor turns total loss into the LARGEST signal instead.
+    """
+    from ..plans.drift import psi_term_expr
+
+    if os.path.exists(store_dir):
+        cur = (
+            spark.read.schema(_counts_read_schema(key_cols))
+            .option("basePath", store_dir)
+            .parquet(f"{store_dir}/batch_id=*")
+            .groupBy(*key_cols, "bin")
+            .agg(F.sum("n").alias("n_cur"))
+        )
+    else:
+        # zero micro-batches processed: report ref-only bins, n_cur = 0
+        # (same empty-store contract as dup_flow_matrix_from_store)
+        cur = spark.createDataFrame(
+            [],
+            ", ".join([f"{k} string" for k in key_cols] + ["bin int", "n_cur bigint"]),
+        )
+    joined = (
+        ref_counts.select(*key_cols, "bin", "n_ref")
+        .join(cur, [*key_cols, "bin"], "full_outer")
+        .na.fill(0, ["n_ref", "n_cur"])
+    )
+    totals = [F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc")]
+    if key_cols:
+        tot = joined.groupBy(*key_cols).agg(*totals)
+        with_tot = joined.join(F.broadcast(tot), list(key_cols))
+    else:
+        tot = joined.agg(*totals)
+        with_tot = joined.crossJoin(F.broadcast(tot))
+    ref_share = F.when(
+        F.col("tr") > 0, F.col("n_ref").cast("double") / F.col("tr")
+    ).otherwise(F.lit(0.0))
+    cur_share = F.when(
+        F.col("tc") > 0, F.col("n_cur").cast("double") / F.col("tc")
+    ).otherwise(F.lit(0.0))
+    return (
+        with_tot.select(
+            *key_cols,
+            "bin",
+            "n_ref",
+            "n_cur",
+            ref_share.alias("ref_share"),
+            cur_share.alias("cur_share"),
+            F.round(psi_term_expr(ref_share, cur_share, eps), 12).alias("psi_term"),
+        )
+        .orderBy(*key_cols, "bin")
+    )
+
+
+def _monitor_ingest(
+    batch: DataFrame,
+    batch_id: int,
+    binner,
+    counts_dir: str,
+    log_dir: str,
+    ref_counts: DataFrame,
+    key_cols: list[str],
+    psi_alert: float,
+) -> None:
+    """One monitor micro-batch: stage this batch's bin counts, evaluate
+    the cumulative store, stage one log row per key (or one total row
+    when unkeyed). Both writes land under batch_id=N — replay idempotent."""
+    spark = batch.sparkSession
+    _stage_bin_counts(binner(batch), batch_id, counts_dir, key_cols)
+    rows = _psi_fold(spark, counts_dir, ref_counts, key_cols, 1e-9).collect()
+    if key_cols:
+        per: dict[tuple, list[float]] = {}
+        for r in rows:
+            acc = per.setdefault(tuple(r[k] for k in key_cols), [0.0, 0])
+            acc[0] += r["psi_term"]
+            acc[1] += r["n_cur"]
+        out = [
+            (*k, float(psi), int(n), float(psi) >= psi_alert)
+            for k, (psi, n) in sorted(per.items())
+        ]
+        schema = (
+            ", ".join(f"{k} string" for k in key_cols)
+            + ", psi_total double, n_cur bigint, alert boolean"
+        )
+    else:
+        psi_total = float(sum(r["psi_term"] for r in rows))
+        n_cur = int(sum(r["n_cur"] for r in rows))
+        out = [(psi_total, n_cur, psi_total >= psi_alert)]
+        schema = "psi_total double, n_cur bigint, alert boolean"
+    spark.createDataFrame(out, schema).write.mode("overwrite").parquet(
+        os.path.join(log_dir, f"batch_id={batch_id}")
+    )
+
+
+def _keyed_binner(ref_edges: DataFrame, n_bins: int):
+    """(key, v) batch -> (key, bin) rows against per-key frozen edges
+    (``ref_edges``: key, lo, width). Rows whose key has no reference
+    edges are dropped — the same contract as q160's inner edges join (a
+    segment never seen at training time has no frozen bins to count
+    into); ``n_bins`` must match the frozen reference histograms."""
+    from ..plans.drift import bin_expr
+
+    edges = ref_edges.select("key", "lo", "width")
+
+    def binner(batch: DataFrame) -> DataFrame:
+        return batch.join(F.broadcast(edges), "key").select(
+            "key",
+            bin_expr(F.col("v"), F.col("lo"), F.col("width"), n_bins).alias("bin"),
+        )
+
+    return binner
+
+
 def run_stream_psi_counts(
     values: DataFrame,
     lo: float,
@@ -545,14 +695,13 @@ def run_stream_psi_counts(
     from ..plans.drift import bin_expr
 
     def bin_counts(batch: DataFrame, batch_id: int) -> None:
-        b = batch.select(
-            bin_expr(F.col("v"), F.lit(lo), F.lit(width), n_bins).alias("bin")
-        )
-        (
-            b.groupBy("bin")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .write.mode("overwrite")
-            .parquet(os.path.join(store_dir, f"batch_id={batch_id}"))
+        _stage_bin_counts(
+            batch.select(
+                bin_expr(F.col("v"), F.lit(lo), F.lit(width), n_bins).alias("bin")
+            ),
+            batch_id,
+            store_dir,
+            [],
         )
 
     _run_foreach_batch(
@@ -572,41 +721,7 @@ def psi_from_store(
     batch q151 on the same split/edges exactly (pytest-pinned); the term
     math is IMPORTED from plans/drift (bin_expr there too), so the twins
     cannot drift apart by construction."""
-    from ..plans.drift import psi_term_expr
-
-    if os.path.exists(store_dir):
-        cur = (
-            spark.read.option("basePath", store_dir)
-            .parquet(f"{store_dir}/batch_id=*")
-            .groupBy("bin")
-            .agg(F.sum("n").alias("n_cur"))
-        )
-    else:
-        # zero micro-batches processed: report ref-only bins, n_cur = 0
-        # (same empty-store contract as dup_flow_matrix_from_store)
-        cur = spark.createDataFrame([], "bin int, n_cur bigint")
-    joined = (
-        ref_counts.select("bin", "n_ref")
-        .join(cur, "bin", "full_outer")
-        .na.fill(0, ["n_ref", "n_cur"])
-    )
-    tot = joined.agg(
-        F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc")
-    )
-    ref_share = F.col("n_ref").cast("double") / F.col("tr")
-    cur_share = F.col("n_cur").cast("double") / F.col("tc")
-    return (
-        joined.crossJoin(F.broadcast(tot))
-        .select(
-            "bin",
-            "n_ref",
-            "n_cur",
-            ref_share.alias("ref_share"),
-            cur_share.alias("cur_share"),
-            F.round(psi_term_expr(ref_share, cur_share, eps), 12).alias("psi_term"),
-        )
-        .orderBy("bin")
-    )
+    return _psi_fold(spark, store_dir, ref_counts, [], eps)
 
 
 def ks_from_digest_store(
@@ -691,25 +806,14 @@ def run_stream_drift_monitor(
     counts_dir = os.path.join(store_dir, "counts")
     log_dir = os.path.join(store_dir, "log")
 
-    def monitor(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        b = batch.select(
+    def binner(batch: DataFrame) -> DataFrame:
+        return batch.select(
             bin_expr(F.col("v"), F.lit(lo), F.lit(width), n_bins).alias("bin")
         )
-        (
-            b.groupBy("bin")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .write.mode("overwrite")
-            .parquet(os.path.join(counts_dir, f"batch_id={batch_id}"))
-        )
-        rows = psi_from_store(spark, counts_dir, ref_counts).collect()
-        psi_total = float(sum(r["psi_term"] for r in rows))
-        n_cur = int(sum(r["n_cur"] for r in rows))
-        spark.createDataFrame(
-            [(psi_total, n_cur, psi_total >= psi_alert)],
-            "psi_total double, n_cur bigint, alert boolean",
-        ).write.mode("overwrite").parquet(
-            os.path.join(log_dir, f"batch_id={batch_id}")
+
+    def monitor(batch: DataFrame, batch_id: int) -> None:
+        _monitor_ingest(
+            batch, batch_id, binner, counts_dir, log_dir, ref_counts, [], psi_alert
         )
 
     _run_foreach_batch(
@@ -898,6 +1002,7 @@ def run_stream_psi_counts_by_key(
     ref_edges: DataFrame,
     store_dir: str,
     checkpoint_dir: str,
+    n_bins: int = 10,
     timeout_sec: int = 120,
 ) -> None:
     """Keyed drift-monitor ingestion — the streaming twin of batch q160
@@ -911,21 +1016,10 @@ def run_stream_psi_counts_by_key(
 
     Scale: the edges side is O(segments) rows (broadcast per batch); the
     store grows O(batches x segments x bins) of additive state."""
-    from ..plans.drift import bin_expr
-
-    edges = ref_edges.select("key", "lo", "width")
+    binner = _keyed_binner(ref_edges, n_bins)
 
     def bin_counts(batch: DataFrame, batch_id: int) -> None:
-        b = batch.join(F.broadcast(edges), "key").select(
-            "key",
-            bin_expr(F.col("v"), F.col("lo"), F.col("width")).alias("bin"),
-        )
-        (
-            b.groupBy("key", "bin")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .write.mode("overwrite")
-            .parquet(os.path.join(store_dir, f"batch_id={batch_id}"))
-        )
+        _stage_bin_counts(binner(batch), batch_id, store_dir, ["key"])
 
     _run_foreach_batch(
         values, bin_counts, checkpoint_dir, timeout_sec, "run_stream_psi_counts_by_key"
@@ -944,40 +1038,7 @@ def psi_by_key_from_store(
     equals batch q160 on the same splits/edges exactly (pytest-pinned);
     bin and term math are IMPORTED from plans/drift, so the twins cannot
     drift apart by construction."""
-    from ..plans.drift import psi_term_expr
-
-    if os.path.exists(store_dir):
-        cur = (
-            spark.read.option("basePath", store_dir)
-            .parquet(f"{store_dir}/batch_id=*")
-            .groupBy("key", "bin")
-            .agg(F.sum("n").alias("n_cur"))
-        )
-    else:
-        cur = spark.createDataFrame([], "key string, bin int, n_cur bigint")
-    joined = (
-        ref_counts.select("key", "bin", "n_ref")
-        .join(cur, ["key", "bin"], "full_outer")
-        .na.fill(0, ["n_ref", "n_cur"])
-    )
-    tot = joined.groupBy("key").agg(
-        F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc")
-    )
-    ref_share = F.col("n_ref").cast("double") / F.col("tr")
-    cur_share = F.col("n_cur").cast("double") / F.col("tc")
-    return (
-        joined.join(F.broadcast(tot), "key")
-        .select(
-            "key",
-            "bin",
-            "n_ref",
-            "n_cur",
-            ref_share.alias("ref_share"),
-            cur_share.alias("cur_share"),
-            F.round(psi_term_expr(ref_share, cur_share, eps), 12).alias("psi_term"),
-        )
-        .orderBy("key", "bin")
-    )
+    return _psi_fold(spark, store_dir, ref_counts, ["key"], eps)
 
 
 def run_stream_drift_monitor_by_key(
@@ -986,6 +1047,7 @@ def run_stream_drift_monitor_by_key(
     ref_counts: DataFrame,
     store_dir: str,
     checkpoint_dir: str,
+    n_bins: int = 10,
     psi_alert: float = 0.2,
     timeout_sec: int = 120,
 ) -> None:
@@ -1002,37 +1064,13 @@ def run_stream_drift_monitor_by_key(
     per-(key, bin) rounded terms — an operational signal; the per-bin
     terms (oracle-paired via q160) stay in the store for exact auditing.
     Counts and log are both staged per batch_id (replay idempotent)."""
-    from ..plans.drift import bin_expr
-
     counts_dir = os.path.join(store_dir, "counts")
     log_dir = os.path.join(store_dir, "log")
-    edges = ref_edges.select("key", "lo", "width")
+    binner = _keyed_binner(ref_edges, n_bins)
 
     def monitor(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        b = batch.join(F.broadcast(edges), "key").select(
-            "key",
-            bin_expr(F.col("v"), F.col("lo"), F.col("width")).alias("bin"),
-        )
-        (
-            b.groupBy("key", "bin")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .write.mode("overwrite")
-            .parquet(os.path.join(counts_dir, f"batch_id={batch_id}"))
-        )
-        per_key: dict[str, list[float]] = {}
-        for r in psi_by_key_from_store(spark, counts_dir, ref_counts).collect():
-            acc = per_key.setdefault(r["key"], [0.0, 0])
-            acc[0] += r["psi_term"]
-            acc[1] += r["n_cur"]
-        rows = [
-            (k, float(psi), int(n), float(psi) >= psi_alert)
-            for k, (psi, n) in sorted(per_key.items())
-        ]
-        spark.createDataFrame(
-            rows, "key string, psi_total double, n_cur bigint, alert boolean"
-        ).write.mode("overwrite").parquet(
-            os.path.join(log_dir, f"batch_id={batch_id}")
+        _monitor_ingest(
+            batch, batch_id, binner, counts_dir, log_dir, ref_counts, ["key"], psi_alert
         )
 
     _run_foreach_batch(

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -673,3 +674,75 @@ def test_embedding_drift_by_label_localizes_the_shifted_class(spark, tmp_path):
         # per-label halves are ~n/3 of the q154 fixture: mean noise ~0.03
         assert r["shift"] == pytest.approx(want, abs=0.08), (r["label"], r["dim"])
         assert r["shift2"] == pytest.approx(r["shift"] * r["shift"], abs=1e-12)
+
+
+def test_keyed_monitor_alerts_on_vanished_segment_and_survives_unknown_keys(
+    spark, tmp_path
+):
+    """Two hardening contracts of the keyed store (code-review findings):
+    (1) a segment present in the reference but ABSENT from the stream —
+    the most extreme drift — must read share-0 (eps-floored) and ALERT,
+    not NaN-and-never-alert; (2) a first micro-batch whose keys are all
+    unknown to ref_edges stages a part-file-less counts dir, which the
+    in-batch evaluation must read as empty (explicit schema) instead of
+    crashing the stream on parquet schema inference."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_computing_final_project_spark.streaming.events import (
+        drift_monitor_log_by_key,
+        run_stream_drift_monitor_by_key,
+    )
+
+    ref_edges = spark.createDataFrame(
+        [("segA", 0.0, 0.1), ("segB", 0.0, 0.1)], "key string, lo double, width double"
+    )
+    ref_counts = spark.createDataFrame(
+        [("segA", b, 10) for b in range(10)] + [("segB", b, 10) for b in range(10)],
+        "key string, bin int, n_ref bigint",
+    )
+
+    src = tmp_path / "drops"
+    src.mkdir()
+    # drop 0: ONLY unknown keys (edges join drops every row -> empty stage)
+    pq.write_table(
+        pa.table({"key": pa.array(["mystery"] * 5), "v": pa.array([0.5] * 5)}),
+        str(src / "drop_0.parquet"),
+    )
+    # drop 1: segA flows (uniform over the reference bins); segB never arrives
+    pq.write_table(
+        pa.table(
+            {
+                "key": pa.array(["segA"] * 100),
+                "v": pa.array([(i % 10) * 0.1 + 0.05 for i in range(100)]),
+            }
+        ),
+        str(src / "drop_1.parquet"),
+    )
+    os.utime(str(src / "drop_0.parquet"), (1_000_000_000, 1_000_000_000))
+    os.utime(str(src / "drop_1.parquet"), (1_000_000_100, 1_000_000_100))
+
+    stream = (
+        spark.readStream.schema("key string, v double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    store = str(tmp_path / "monitor")
+    run_stream_drift_monitor_by_key(
+        stream, ref_edges, ref_counts, store, str(tmp_path / "ckpt")
+    )
+
+    log = {(r["batch_id"], r["key"]): r for r in drift_monitor_log_by_key(spark, store).collect()}
+
+    # batch 0 (unknown keys only): both ref segments have tc=0 -> share-0
+    # guard -> finite psi ~= ref-mass * ln(1/eps), alert=True — total loss
+    # of a segment is the LOUDEST signal, not a NaN
+    for key in ("segA", "segB"):
+        r = log[(0, key)]
+        assert not math.isnan(r["psi_total"])
+        assert r["alert"], (0, key)
+    # batch 1: segA matches its uniform reference exactly -> quiet;
+    # segB still absent -> still alerting
+    assert log[(1, "segA")]["psi_total"] == pytest.approx(0.0, abs=1e-9)
+    assert not log[(1, "segA")]["alert"]
+    assert log[(1, "segB")]["alert"]
