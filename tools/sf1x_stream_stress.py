@@ -13,6 +13,12 @@ run — asserts the store answers EQUAL their batch twins at that scale:
             q151's split), in several micro-batches; bin counts are
             additive so psi_from_store must equal batch q151_psi_drift
             EXACTLY, independent of arrival order.
+  suite     run_stream_ingest_suite over the same 50k-doc drops: ONE
+            read feeds BOTH corpus-health stores; the dup-flow fold must
+            equal batch q146 and the report-card fold batch q157.
+  keyed psi run_stream_psi_counts_by_key over the same 300k current
+            orders keyed by o_orderpriority; psi_by_key_from_store must
+            equal batch q160_psi_by_segment exactly.
 
 Drop files are written once per chunk (coalesce(1), renamed into the
 arrivals dir) and their mtimes are set MONOTONICALLY in the past with
@@ -46,9 +52,13 @@ from big_data_computing_final_project_spark.plans.drift import (  # noqa: E402
 from big_data_computing_final_project_spark.session import get_spark  # noqa: E402
 from big_data_computing_final_project_spark.streaming.events import (  # noqa: E402
     dup_flow_matrix_from_store,
+    psi_by_key_from_store,
     psi_from_store,
+    report_card_from_store,
     run_stream_dup_flow,
+    run_stream_ingest_suite,
     run_stream_psi_counts,
+    run_stream_psi_counts_by_key,
 )
 from tools.sf1x_stress import DST, ensure_data  # noqa: E402
 
@@ -189,6 +199,103 @@ def _body(spark, queries, work, timings, checks) -> None:
         tuple(r) for r in queries["q151_psi_drift"](spark, DST).collect()
     ]
     checks["psi_equals_batch_q151"] = got_psi == want_psi
+
+    # ---- single-pass ingest suite: one read, both corpus-health stores ---
+    docs_arrivals = os.path.join(work, "suite_drops")
+    t0 = time.time()
+    _write_drops(
+        spark.read.parquet(f"{DST}/documents.parquet").select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        ),
+        "doc_id",
+        docs_arrivals,
+        N_DROPS,
+    )
+    timings["suite_write_drops"] = round(time.time() - t0, 3)
+    suite_stream = (
+        spark.readStream.schema(
+            "doc_id bigint, text string, lang string, source string, n_chars bigint"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(docs_arrivals)
+    )
+    t0 = time.time()
+    flow_dir, vol_dir = run_stream_ingest_suite(
+        suite_stream,
+        os.path.join(work, "suite_stores"),
+        os.path.join(work, "ckpt_suite"),
+        timeout_sec=600,
+    )
+    timings["suite_stream"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    got_sf = [tuple(r) for r in dup_flow_matrix_from_store(spark, flow_dir).collect()]
+    got_rc = [
+        tuple(r) for r in report_card_from_store(spark, vol_dir, flow_dir).collect()
+    ]
+    timings["suite_fold"] = round(time.time() - t0, 3)
+    checks["suite_flow_equals_batch_q146"] = got_sf == want
+    want_rc = [
+        tuple(r) for r in queries["q157_corpus_report_card"](spark, DST).collect()
+    ]
+    checks["suite_card_equals_batch_q157"] = got_rc == want_rc
+
+    # ---- keyed PSI store: per-segment frozen edges over the same split --
+    seg = orders.select(
+        F.col("o_orderpriority").alias("key"),
+        F.col("o_totalprice").alias("v"),
+        (_obucket() < 80).alias("is_ref"),
+        "o_orderkey",
+    )
+    ref_edges = (
+        seg.where("is_ref")
+        .groupBy("key")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .select(
+            "key", "lo", ((F.col("hi") - F.col("lo")) / float(_N_BINS)).alias("width")
+        )
+    )
+    ref_counts_k = (
+        seg.where("is_ref")
+        .join(F.broadcast(ref_edges), "key")
+        .select(
+            "key",
+            bin_expr(F.col("v"), F.col("lo"), F.col("width")).alias("bin"),
+        )
+        .groupBy("key", "bin")
+        .agg(F.count(F.lit(1)).alias("n_ref"))
+    )
+    kcur_arrivals = os.path.join(work, "kcur_drops")
+    t0 = time.time()
+    _write_drops(
+        seg.where(~F.col("is_ref")).select("o_orderkey", "key", "v"),
+        "o_orderkey",
+        kcur_arrivals,
+        N_DROPS,
+    )
+    timings["keyed_psi_write_drops"] = round(time.time() - t0, 3)
+    kcur_stream = (
+        spark.readStream.schema("o_orderkey bigint, key string, v double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(kcur_arrivals)
+        .select("key", "v")
+    )
+    kpsi_store = os.path.join(work, "kpsistore")
+    t0 = time.time()
+    run_stream_psi_counts_by_key(
+        kcur_stream, ref_edges, kpsi_store, os.path.join(work, "ckpt_kpsi"),
+        timeout_sec=600,
+    )
+    timings["keyed_psi_stream"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    got_kpsi = [
+        tuple(r)
+        for r in psi_by_key_from_store(spark, kpsi_store, ref_counts_k).collect()
+    ]
+    timings["keyed_psi_fold"] = round(time.time() - t0, 3)
+    want_kpsi = [
+        tuple(r) for r in queries["q160_psi_by_segment"](spark, DST).collect()
+    ]
+    checks["keyed_psi_equals_batch_q160"] = got_kpsi == want_kpsi
 
 
 
