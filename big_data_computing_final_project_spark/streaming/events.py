@@ -1094,3 +1094,99 @@ def drift_monitor_log_by_key(spark: SparkSession, store_dir: str) -> DataFrame:
         .select("batch_id", "key", "psi_total", "n_cur", "alert")
         .orderBy("batch_id", "key")
     )
+
+
+# ---------------------------------------------------------------------------
+# Store compaction: the maintenance half of the staged-delta contract.
+# Every foreachBatch store above appends one batch_id=N delta per
+# micro-batch, so store reads (keeper lookups, PSI folds) grow linearly
+# with batch COUNT even when the folded state is tiny. Compaction merges
+# all deltas into a single batch_id=0 delta with the identical fold.
+#
+# CONTRACT: run only while no stream is writing the store AND the last
+# drain completed (all batches committed). A replayed batch overwrites
+# its own batch_id dir; compacting an uncommitted batch's delta into
+# batch_id=0 would double-count it on replay, and the dup-flow keeper
+# lookup's `batch_id < N` filter would see batch N's own compacted
+# keepers. Between availableNow drains — the natural maintenance window
+# — both hazards are impossible.
+# ---------------------------------------------------------------------------
+
+
+def _compact_partitioned(spark: SparkSession, store_dir: str, schema: str, merge) -> None:
+    """Read every batch_id delta with the declared schema, merge, swap the
+    store for a single-delta copy (batch_id=0). Build-then-rename keeps a
+    readable store at every instant; the half-built tree never shares the
+    live name."""
+    import shutil
+
+    if not os.path.exists(store_dir):
+        return
+    df = (
+        spark.read.schema(schema)
+        .option("basePath", store_dir)
+        .parquet(f"{store_dir}/batch_id=*")
+    )
+    merged = merge(df)
+    tmp = store_dir + ".compacting"
+    shutil.rmtree(tmp, ignore_errors=True)
+    merged.write.mode("overwrite").parquet(os.path.join(tmp, "batch_id=0"))
+    old = store_dir + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(store_dir, old)
+    os.rename(tmp, store_dir)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def compact_counts_store(
+    spark: SparkSession, store_dir: str, key_cols: list[str] | None = None
+) -> None:
+    """Compact a (keyed or unkeyed) PSI bin-counts store: additive counts
+    merge by summation; psi(_by_key)_from_store reads identically before
+    and after (pytest-pinned)."""
+    keys = list(key_cols or [])
+    _compact_partitioned(
+        spark,
+        store_dir,
+        _counts_read_schema(keys),
+        lambda df: df.groupBy(*keys, "bin").agg(F.sum("n").alias("n")),
+    )
+
+
+def compact_volume_store(spark: SparkSession, store_dir: str) -> None:
+    """Compact the report-card volume store: all five measures are
+    additive per (source, lang) cell."""
+    _compact_partitioned(
+        spark,
+        store_dir,
+        "source string, lang string, n_docs bigint, n_tokens bigint, n_chars bigint",
+        lambda df: df.groupBy("source", "lang").agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("n_chars").alias("n_chars"),
+        ),
+    )
+
+
+def compact_dup_flow_store(spark: SparkSession, store_dir: str) -> None:
+    """Compact the dup-flow store: keepers are one row per distinct kept
+    fingerprint (the union IS the merged state — fp is unique across
+    deltas by construction, so this is a plain rewrite), edges sum their
+    n_docs per (fp, keeper_source, dup_source). Continued ingestion after
+    compaction keeps working: new batches get ids above the checkpoint's
+    high-water mark, and the keeper lookup's `batch_id < N` filter always
+    includes the compacted batch_id=0 delta."""
+    _compact_partitioned(
+        spark,
+        os.path.join(store_dir, "keepers"),
+        "fp string, keeper_source string",
+        lambda df: df.select("fp", "keeper_source"),
+    )
+    _compact_partitioned(
+        spark,
+        os.path.join(store_dir, "edges"),
+        "fp string, keeper_source string, dup_source string, n_docs bigint",
+        lambda df: df.groupBy("fp", "keeper_source", "dup_source").agg(
+            F.sum("n_docs").alias("n_docs")
+        ),
+    )

@@ -461,3 +461,121 @@ def test_ingest_suite_single_pass_equals_batch_twins(spark, tmp_path):
         tuple(r) for r in report_card_from_store(spark, vol_dir, flow_dir).collect()
     ]
     assert got_card == want_card
+
+
+def test_store_compaction_preserves_folds_and_continued_ingest(spark, tmp_path):
+    """Compacting the dup-flow store between drains must (1) leave the
+    folded matrix identical, (2) keep serving keeper lookups when the
+    stream CONTINUES on the same checkpoint afterwards — new batch ids
+    sit above the checkpoint high-water mark and the `batch_id < N`
+    lookup always includes the compacted batch_id=0 delta."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from big_data_computing_final_project_spark.functions import text as X
+    from big_data_computing_final_project_spark.streaming.events import (
+        compact_dup_flow_store,
+        dup_flow_matrix_from_store,
+        run_stream_dup_flow,
+    )
+
+    partial_dir = tmp_path / "corpus_partial"
+    partial_dir.mkdir()
+    pq.write_table(
+        _docs_tbl(_PLANTED_DOCS[0:6]), str(partial_dir / "documents.parquet")
+    )
+    corpus = _write_corpus(tmp_path / "corpus")
+
+    # first two drops, drain, compact
+    src_dir = tmp_path / "arrivals"
+    _write_doc_drops(src_dir, _PLANTED_DROPS[0:2])
+
+    def _stream():
+        return _docs_stream(spark, str(src_dir)).select(
+            "doc_id", "source", X.fingerprint(F.col("text")).alias("fp")
+        )
+
+    store = str(tmp_path / "flowstore")
+    ckpt = str(tmp_path / "ckpt_flow")
+    run_stream_dup_flow(_stream(), store, ckpt)
+    before = [tuple(r) for r in dup_flow_matrix_from_store(spark, store).collect()]
+    compact_dup_flow_store(spark, store)
+    after = [tuple(r) for r in dup_flow_matrix_from_store(spark, store).collect()]
+    assert after == before
+    want_partial = [
+        tuple(r)
+        for r in all_queries()["q146_dup_flow_matrix"](spark, str(partial_dir)).collect()
+    ]
+    assert after == want_partial
+    # exactly one delta dir per store half remains
+    assert sorted(os.listdir(os.path.join(store, "keepers"))) == ["batch_id=0"]
+
+    # continue ingesting the third drop on the SAME checkpoint
+    import time as _time
+
+    p = str(src_dir / "drop_late.parquet")
+    pq.write_table(_docs_tbl(_PLANTED_DROPS[2]), p)
+    os.utime(p, (_time.time(), _time.time()))
+    run_stream_dup_flow(_stream(), store, ckpt)
+    final = [tuple(r) for r in dup_flow_matrix_from_store(spark, store).collect()]
+    want_full = [
+        tuple(r) for r in all_queries()["q146_dup_flow_matrix"](spark, corpus).collect()
+    ]
+    assert final == want_full
+
+
+def test_counts_and_volume_store_compaction_fold_identical(spark, tmp_path):
+    """PSI counts (keyed) and volume stores: the compacted single-delta
+    store must fold to the identical rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_computing_final_project_spark.streaming.events import (
+        compact_counts_store,
+        compact_volume_store,
+        psi_by_key_from_store,
+        report_card_from_store,
+        run_stream_ingest_suite,
+        run_stream_psi_counts_by_key,
+    )
+
+    # keyed PSI store from a 2-drop numeric stream
+    src = tmp_path / "vals"
+    src.mkdir()
+    for i, vals in enumerate([[0.05, 0.15, 0.25], [0.35, 0.95, 0.15]]):
+        pq.write_table(
+            pa.table(
+                {"key": pa.array(["k"] * len(vals)), "v": pa.array(vals)}
+            ),
+            str(src / f"drop_{i}.parquet"),
+        )
+    ref_edges = spark.createDataFrame([("k", 0.0, 0.1)], "key string, lo double, width double")
+    ref_counts = spark.createDataFrame(
+        [("k", b, 5) for b in range(10)], "key string, bin int, n_ref bigint"
+    )
+    stream = (
+        spark.readStream.schema("key string, v double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    store = str(tmp_path / "kpsi")
+    run_stream_psi_counts_by_key(stream, ref_edges, store, str(tmp_path / "ckpt_kpsi"))
+    before = [tuple(r) for r in psi_by_key_from_store(spark, store, ref_counts).collect()]
+    compact_counts_store(spark, store, ["key"])
+    after = [tuple(r) for r in psi_by_key_from_store(spark, store, ref_counts).collect()]
+    assert after == before and len(after) == 10
+    assert sorted(os.listdir(store)) == ["batch_id=0"]
+
+    # volume + flow stores via the suite, compacted, report card identical
+    src2 = _write_doc_drops(tmp_path / "docs", _PLANTED_DROPS)
+    flow_dir, vol_dir = run_stream_ingest_suite(
+        _docs_stream(spark, src2), str(tmp_path / "stores"), str(tmp_path / "ckpt_suite")
+    )
+    card_before = [
+        tuple(r) for r in report_card_from_store(spark, vol_dir, flow_dir).collect()
+    ]
+    compact_volume_store(spark, vol_dir)
+    card_after = [
+        tuple(r) for r in report_card_from_store(spark, vol_dir, flow_dir).collect()
+    ]
+    assert card_after == card_before
