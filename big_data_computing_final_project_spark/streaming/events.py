@@ -1190,3 +1190,74 @@ def compact_dup_flow_store(spark: SparkSession, store_dir: str) -> None:
             F.sum("n_docs").alias("n_docs")
         ),
     )
+
+
+def run_stream_ks_monitor(
+    events: DataFrame,
+    key_col: str,
+    value_col: str,
+    ref_means,
+    ref_weights,
+    store_dir: str,
+    checkpoint_dir: str,
+    key: str | None = None,
+    ks_alert: float = 0.1,
+    delta: float = 200.0,
+    timeout_sec: int = 120,
+) -> None:
+    """Operational KS monitor — the t-digest counterpart of
+    run_stream_drift_monitor, closing the drift family's last
+    evaluate-at-ingest gap: per micro-batch, append the batch's t-digest
+    partials (the run_stream_tdigest store) AND one evaluation-log row
+    (batch_id, ks_stat, n_cur, alert) from the CUMULATIVE store vs the
+    frozen reference digest (``ref_means``/``ref_weights``, the
+    training-time artifact). No raw event is ever revisited: each
+    evaluation merges O(batches x delta) centroid rows.
+
+    Alert contract: fires when the approximate KS crosses ``ks_alert``,
+    AND when the monitored population has zero accumulated mass while a
+    reference exists (n_cur = 0 -> ks is NaN, and ``NaN >= x`` is False —
+    the same silent-never-alert trap the PSI store's zero-total guard
+    closes; total loss of an expected population is the loudest drift).
+    Both writes stage per batch_id — replay idempotent."""
+    from ..operators.sketches import tdigest_partials
+
+    partials_dir = os.path.join(store_dir, "partials")
+    log_dir = os.path.join(store_dir, "log")
+
+    def monitor(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        (
+            tdigest_partials(batch, key_col, value_col, delta)
+            .write.mode("overwrite")
+            .parquet(os.path.join(partials_dir, f"batch_id={batch_id}"))
+        )
+        ks, n_cur = ks_from_digest_store(
+            spark, partials_dir, ref_means, ref_weights, key=key, delta=delta
+        )
+        alert = bool(ks >= ks_alert) or n_cur == 0
+        spark.createDataFrame(
+            [(float(ks), int(n_cur), alert)],
+            "ks_stat double, n_cur bigint, alert boolean",
+        ).write.mode("overwrite").parquet(
+            os.path.join(log_dir, f"batch_id={batch_id}")
+        )
+
+    _run_foreach_batch(
+        events, monitor, checkpoint_dir, timeout_sec, "run_stream_ks_monitor"
+    )
+
+
+def ks_monitor_log(spark: SparkSession, store_dir: str) -> DataFrame:
+    """The KS monitor's append-only evaluation log, ordered by batch."""
+    log_dir = os.path.join(store_dir, "log")
+    if not os.path.exists(log_dir):
+        return spark.createDataFrame(
+            [], "batch_id bigint, ks_stat double, n_cur bigint, alert boolean"
+        )
+    return (
+        spark.read.option("basePath", log_dir)
+        .parquet(f"{log_dir}/batch_id=*")
+        .select("batch_id", "ks_stat", "n_cur", "alert")
+        .orderBy("batch_id")
+    )

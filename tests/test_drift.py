@@ -746,3 +746,58 @@ def test_keyed_monitor_alerts_on_vanished_segment_and_survives_unknown_keys(
     assert log[(1, "segA")]["psi_total"] == pytest.approx(0.0, abs=1e-9)
     assert not log[(1, "segA")]["alert"]
     assert log[(1, "segB")]["alert"]
+
+
+def test_ks_monitor_alerts_on_shift_and_quiet_otherwise(spark, tmp_path):
+    """The KS monitor's per-batch log on a planted shift: every batch's
+    cumulative statistic clears the alert line, the final entry matches a
+    direct post-hoc store evaluation, and an UNSHIFTED planting stays
+    quiet in the final (full-population) entry."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_computing_final_project_spark.operators.sketches import (
+        build_centroids,
+    )
+    from big_data_computing_final_project_spark.streaming.events import (
+        ks_from_digest_store,
+        ks_monitor_log,
+        run_stream_ks_monitor,
+    )
+
+    for case, shift in (("shifted", 120.0), ("quiet", 0.0)):
+        ref, cur = _write_orders(tmp_path, 3000, shift=shift)
+        ref_m, ref_w = build_centroids(ref, delta=200.0)
+        src = tmp_path / f"vals_{case}"
+        src.mkdir()
+        for i, p in enumerate(np.array_split(cur, 3)):
+            pq.write_table(
+                pa.table({"v": pa.array(p, pa.float64())}),
+                str(src / f"drop_{i}.parquet"),
+            )
+        stream = (
+            spark.readStream.schema("v double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+            .selectExpr("'cur' AS k", "v")
+        )
+        store = str(tmp_path / f"ksmon_{case}")
+        run_stream_ks_monitor(
+            stream, "k", "v", ref_m, ref_w, store, str(tmp_path / f"ckpt_{case}")
+        )
+        log = ks_monitor_log(spark, store).collect()
+        assert [r["batch_id"] for r in log] == [0, 1, 2]
+        assert log[-1]["n_cur"] == cur.size
+        ks_direct, n_direct = ks_from_digest_store(
+            spark, os.path.join(store, "partials"), ref_m, ref_w
+        )
+        assert log[-1]["ks_stat"] == pytest.approx(ks_direct, abs=1e-12)
+        assert n_direct == cur.size
+        if shift:
+            # the shift is visible from the very first drop's cumulative view
+            assert all(r["alert"] for r in log), case
+        else:
+            # same distribution: the full-population entry must be quiet
+            # (early 1/3-size views carry more sketch+sample noise)
+            assert not log[-1]["alert"], case
+            assert log[-1]["ks_stat"] < 0.1
