@@ -508,6 +508,7 @@ def dup_flow_matrix_from_store(spark: SparkSession, store_dir: str) -> DataFrame
     incremental dup-flow store — read only the edge deltas (linear in
     duplicates), never the corpus."""
     edges_dir = os.path.join(store_dir, "edges")
+    _recover_compaction(edges_dir)
     if not os.path.exists(edges_dir):
         return spark.createDataFrame(
             [],
@@ -568,6 +569,7 @@ def _psi_fold(
     """
     from ..plans.drift import psi_term_expr
 
+    _recover_compaction(store_dir)
     if os.path.exists(store_dir):
         cur = (
             spark.read.schema(_counts_read_schema(key_cols))
@@ -750,11 +752,20 @@ def ks_from_digest_store(
     micro-batches) -> (nan, 0)."""
     import numpy as np
 
-    from ..operators.sketches import ks_from_digests, merge_partial_rows
+    from ..operators.sketches import (
+        _SKETCH_SCHEMA,
+        ks_from_digests,
+        merge_partial_rows,
+    )
 
+    _recover_compaction(store_dir)
     if not os.path.exists(store_dir):
         return float("nan"), 0
-    store = spark.read.parquet(store_dir)
+    # explicit schema: an empty micro-batch stages a part-file-less
+    # batch_id dir (tdigest_partials yields nothing for zero rows), and
+    # schema inference over zero parquet files would raise instead of
+    # reading empty — the _psi_fold hardening contract
+    store = spark.read.schema(_SKETCH_SCHEMA).parquet(store_dir)
     if key is not None:
         store = store.where(F.col("key") == key)
     else:
@@ -773,6 +784,22 @@ def ks_from_digest_store(
     return (
         float(ks_from_digests(ref_m, ref_w, cur_m, cur_w)),
         int(round(float(cur_w.sum()))),
+    )
+
+
+def _monitor_log(spark: SparkSession, log_dir: str, schema: str) -> DataFrame:
+    """Shared append-only evaluation-log reader (explicit schema: a log
+    staged by an empty evaluation would otherwise break inference),
+    ordered by batch then any key columns."""
+    cols = [c.split()[0] for c in schema.split(", ")]
+    if not os.path.exists(log_dir):
+        return spark.createDataFrame([], "batch_id bigint, " + schema)
+    return (
+        spark.read.schema(schema)
+        .option("basePath", log_dir)
+        .parquet(f"{log_dir}/batch_id=*")
+        .select("batch_id", *cols)
+        .orderBy("batch_id", *[c for c in cols if c in ("key",)])
     )
 
 
@@ -823,16 +850,10 @@ def run_stream_drift_monitor(
 
 def drift_monitor_log(spark: SparkSession, store_dir: str) -> DataFrame:
     """The monitor's append-only evaluation log, ordered by batch."""
-    log_dir = os.path.join(store_dir, "log")
-    if not os.path.exists(log_dir):
-        return spark.createDataFrame(
-            [], "batch_id bigint, psi_total double, n_cur bigint, alert boolean"
-        )
-    return (
-        spark.read.option("basePath", log_dir)
-        .parquet(f"{log_dir}/batch_id=*")
-        .select("batch_id", "psi_total", "n_cur", "alert")
-        .orderBy("batch_id")
+    return _monitor_log(
+        spark,
+        os.path.join(store_dir, "log"),
+        "psi_total double, n_cur bigint, alert boolean",
     )
 
 
@@ -895,6 +916,7 @@ def report_card_from_store(
     whoever arrives first, each member of a multi-copy group is counted
     exactly once for its own source — so the fold equals batch q157 under
     any arrival order, not just id-ordered drops (pytest pins both)."""
+    _recover_compaction(vol_store_dir)
     if os.path.exists(vol_store_dir):
         vol = (
             spark.read.option("basePath", vol_store_dir)
@@ -1081,18 +1103,10 @@ def run_stream_drift_monitor_by_key(
 def drift_monitor_log_by_key(spark: SparkSession, store_dir: str) -> DataFrame:
     """The keyed monitor's append-only evaluation log, ordered by
     (batch, key)."""
-    log_dir = os.path.join(store_dir, "log")
-    if not os.path.exists(log_dir):
-        return spark.createDataFrame(
-            [],
-            "batch_id bigint, key string, psi_total double, n_cur bigint, "
-            "alert boolean",
-        )
-    return (
-        spark.read.option("basePath", log_dir)
-        .parquet(f"{log_dir}/batch_id=*")
-        .select("batch_id", "key", "psi_total", "n_cur", "alert")
-        .orderBy("batch_id", "key")
+    return _monitor_log(
+        spark,
+        os.path.join(store_dir, "log"),
+        "key string, psi_total double, n_cur bigint, alert boolean",
     )
 
 
@@ -1113,15 +1127,43 @@ def drift_monitor_log_by_key(spark: SparkSession, store_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _compact_partitioned(spark: SparkSession, store_dir: str, schema: str, merge) -> None:
-    """Read every batch_id delta with the declared schema, merge, swap the
-    store for a single-delta copy (batch_id=0). Build-then-rename keeps a
-    readable store at every instant; the half-built tree never shares the
-    live name."""
+def _recover_compaction(store_dir: str) -> None:
+    """Heal a compaction interrupted between its two renames: if the live
+    name is missing but the `.old` backup exists, restore the backup (and
+    drop the half-promoted build). Called by _compact_partitioned and by
+    every store fold, so a crashed compaction can never read as an empty
+    store — at worst the next compaction redoes the merge."""
     import shutil
 
+    old = store_dir + ".old"
+    if os.path.exists(store_dir):
+        if os.path.exists(old):  # completed swap, stale backup
+            shutil.rmtree(old, ignore_errors=True)
+    elif os.path.exists(old):
+        os.rename(old, store_dir)
+        shutil.rmtree(store_dir + ".compacting", ignore_errors=True)
+
+
+def _compact_partitioned(spark: SparkSession, store_dir: str, schema: str, merge) -> None:
+    """Read every batch_id delta with the declared schema, merge, swap the
+    store for a single-delta copy living at the MAX existing batch_id —
+    not 0, so a stream mistakenly restarted on a FRESH checkpoint (ids
+    restart at 0) overwrites at most an empty low-id delta instead of the
+    whole compacted history. The swap is rename-rename with a `.old`
+    backup; a crash between the renames is healed by _recover_compaction
+    (run this in the maintenance window — no concurrent readers/writers)."""
+    import re
+    import shutil
+
+    _recover_compaction(store_dir)
     if not os.path.exists(store_dir):
         return
+    ids = [
+        int(m.group(1))
+        for d in os.listdir(store_dir)
+        if (m := re.match(r"batch_id=(\d+)$", d))
+    ]
+    target = max(ids) if ids else 0
     df = (
         spark.read.schema(schema)
         .option("basePath", store_dir)
@@ -1130,7 +1172,7 @@ def _compact_partitioned(spark: SparkSession, store_dir: str, schema: str, merge
     merged = merge(df)
     tmp = store_dir + ".compacting"
     shutil.rmtree(tmp, ignore_errors=True)
-    merged.write.mode("overwrite").parquet(os.path.join(tmp, "batch_id=0"))
+    merged.write.mode("overwrite").parquet(os.path.join(tmp, f"batch_id={target}"))
     old = store_dir + ".old"
     shutil.rmtree(old, ignore_errors=True)
     os.rename(store_dir, old)
@@ -1250,14 +1292,8 @@ def run_stream_ks_monitor(
 
 def ks_monitor_log(spark: SparkSession, store_dir: str) -> DataFrame:
     """The KS monitor's append-only evaluation log, ordered by batch."""
-    log_dir = os.path.join(store_dir, "log")
-    if not os.path.exists(log_dir):
-        return spark.createDataFrame(
-            [], "batch_id bigint, ks_stat double, n_cur bigint, alert boolean"
-        )
-    return (
-        spark.read.option("basePath", log_dir)
-        .parquet(f"{log_dir}/batch_id=*")
-        .select("batch_id", "ks_stat", "n_cur", "alert")
-        .orderBy("batch_id")
+    return _monitor_log(
+        spark,
+        os.path.join(store_dir, "log"),
+        "ks_stat double, n_cur bigint, alert boolean",
     )

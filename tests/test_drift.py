@@ -801,3 +801,47 @@ def test_ks_monitor_alerts_on_shift_and_quiet_otherwise(spark, tmp_path):
             # (early 1/3-size views carry more sketch+sample noise)
             assert not log[-1]["alert"], case
             assert log[-1]["ks_stat"] < 0.1
+
+
+def test_ks_monitor_survives_empty_first_drop(spark, tmp_path):
+    """A dead feed from the very first micro-batch (zero-row drop) must
+    log an n_cur=0 ALERT — not crash the stream on parquet schema
+    inference over the part-file-less partials delta (the _psi_fold
+    hardening contract, applied to the digest store)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_computing_final_project_spark.operators.sketches import (
+        build_centroids,
+    )
+    from big_data_computing_final_project_spark.streaming.events import (
+        ks_monitor_log,
+        run_stream_ks_monitor,
+    )
+
+    ref_m, ref_w = build_centroids(np.linspace(0.0, 1.0, 200), delta=200.0)
+    src = tmp_path / "vals"
+    src.mkdir()
+    empty = pa.table({"v": pa.array([], pa.float64())})
+    pq.write_table(empty, str(src / "drop_0.parquet"))
+    pq.write_table(
+        pa.table({"v": pa.array(np.linspace(0.0, 1.0, 100))}),
+        str(src / "drop_1.parquet"),
+    )
+    os.utime(str(src / "drop_0.parquet"), (1_000_000_000, 1_000_000_000))
+    os.utime(str(src / "drop_1.parquet"), (1_000_000_100, 1_000_000_100))
+
+    stream = (
+        spark.readStream.schema("v double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+        .selectExpr("'cur' AS k", "v")
+    )
+    store = str(tmp_path / "ksmon")
+    run_stream_ks_monitor(
+        stream, "k", "v", ref_m, ref_w, store, str(tmp_path / "ckpt")
+    )
+    log = ks_monitor_log(spark, store).collect()
+    assert [r["batch_id"] for r in log] == [0, 1]
+    assert log[0]["n_cur"] == 0 and log[0]["alert"]  # dead feed: loudest signal
+    assert log[1]["n_cur"] == 100 and not log[1]["alert"]  # same distribution

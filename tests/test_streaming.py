@@ -507,8 +507,9 @@ def test_store_compaction_preserves_folds_and_continued_ingest(spark, tmp_path):
         for r in all_queries()["q146_dup_flow_matrix"](spark, str(partial_dir)).collect()
     ]
     assert after == want_partial
-    # exactly one delta dir per store half remains
-    assert sorted(os.listdir(os.path.join(store, "keepers"))) == ["batch_id=0"]
+    # exactly one delta dir per store half remains — at the MAX batch id
+    # (a fresh-checkpoint restart overwrites low ids, not the history)
+    assert sorted(os.listdir(os.path.join(store, "keepers"))) == ["batch_id=1"]
 
     # continue ingesting the third drop on the SAME checkpoint
     import time as _time
@@ -564,7 +565,7 @@ def test_counts_and_volume_store_compaction_fold_identical(spark, tmp_path):
     compact_counts_store(spark, store, ["key"])
     after = [tuple(r) for r in psi_by_key_from_store(spark, store, ref_counts).collect()]
     assert after == before and len(after) == 10
-    assert sorted(os.listdir(store)) == ["batch_id=0"]
+    assert sorted(os.listdir(store)) == ["batch_id=1"]
 
     # volume + flow stores via the suite, compacted, report card identical
     src2 = _write_doc_drops(tmp_path / "docs", _PLANTED_DROPS)
@@ -579,3 +580,44 @@ def test_counts_and_volume_store_compaction_fold_identical(spark, tmp_path):
         tuple(r) for r in report_card_from_store(spark, vol_dir, flow_dir).collect()
     ]
     assert card_after == card_before
+
+
+def test_compaction_crash_between_renames_is_recovered(spark, tmp_path):
+    """A compaction that dies between its two renames leaves no live store
+    dir; every fold (and the next compaction) must restore the .old
+    backup instead of silently reading an empty store."""
+    import shutil
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from big_data_computing_final_project_spark.functions import text as X
+    from big_data_computing_final_project_spark.streaming.events import (
+        compact_dup_flow_store,
+        dup_flow_matrix_from_store,
+        run_stream_dup_flow,
+    )
+
+    src_dir = _write_doc_drops(tmp_path / "arrivals", _PLANTED_DROPS)
+    store = str(tmp_path / "flowstore")
+    run_stream_dup_flow(
+        _docs_stream(spark, src_dir).select(
+            "doc_id", "source", X.fingerprint(F.col("text")).alias("fp")
+        ),
+        store,
+        str(tmp_path / "ckpt"),
+    )
+    want = [tuple(r) for r in dup_flow_matrix_from_store(spark, store).collect()]
+
+    # simulate the crash window: live edges dir renamed away, no new dir yet
+    edges = os.path.join(store, "edges")
+    os.rename(edges, edges + ".old")
+    got = [tuple(r) for r in dup_flow_matrix_from_store(spark, store).collect()]
+    assert got == want  # fold healed the store, not an empty answer
+
+    # and a fresh compaction attempt after the same crash also recovers
+    os.rename(edges, edges + ".old")
+    shutil.rmtree(edges + ".compacting", ignore_errors=True)
+    compact_dup_flow_store(spark, store)
+    got2 = [tuple(r) for r in dup_flow_matrix_from_store(spark, store).collect()]
+    assert got2 == want
