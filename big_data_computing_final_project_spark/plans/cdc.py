@@ -1,0 +1,326 @@
+"""Warehouse-maintenance / change-data-capture plans (north-star extension;
+the reference — a pandas/sklearn notebook pipeline — has no mutation or
+versioning surface at all, so like `temporal.py` these come from the
+driver-mandated "what a 100 TB training-data pipeline needs" extension
+surface: dimension history, log compaction, and smoothed trend monitoring
+are the three maintenance jobs every large ingest loop runs nightly).
+
+q163: SCD2 merge — apply an update batch to a versioned dimension
+      (close changed rows, open new versions, pass no-ops through,
+      insert unseen keys). One key-shuffle join + a map-side explode;
+      no window, no second pass over the dimension.
+q164: CDC apply — latest-wins compaction of an I/U/D change log onto a
+      base snapshot (the merge-on-read compaction loop of any log-
+      structured table format). Latest op per key via `max_by` (a
+      map-side-combinable aggregate, NOT a window sort), then one full
+      outer join against the base.
+q165: EWMA revenue trend — exponentially weighted moving average over
+      monthly revenue per order priority, trailing 12 months, alpha=0.5.
+      A RANGE-frame window + one exact decimal fold per row; weights
+      2^-j are binary-exact so engine and oracle agree bit-for-bit.
+
+All three are oracle-paired (plain ANSI SQL on the same parquet), so the
+driver's hash gate covers them like any relational query.
+
+Scale notes (100 TB): the SCD2/CDC merges shuffle once on the natural
+key — on a real deployment the dimension/base table is bucketed by that
+key, so the join co-locates and only the (much smaller) update/log side
+moves. The change feeds here are *derived deterministically from the
+driver's own testdata* (orders) purely so the oracle can recompute them;
+the operators themselves take any DataFrame with the right columns. The
+synthetic insert-key offsets (+1e7 / +1e8) are test-data derivation
+details, not operator properties.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.stats import dec_sum, sql_dec_sum
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# q163 — SCD2 merge. The dimension is `customer` seeded as a single open
+# version (valid_from 1990-01-01, valid_to NULL). The update batch is the
+# 2000+ per-customer spend from `orders`; customers with custkey % 11 == 0
+# are planted as NO-OP updates (incoming value == current value — a correct
+# merge must NOT version them), and custkey % 13 == 0 spawns an unseen key
+# (custkey + 10_000_000) to exercise the insert path. Effective date
+# 2001-01-01.
+#
+# Shape: updates join the dimension once (key shuffle), then each matched
+# row explodes into 1 (unchanged) or 2 (closed old + open new) versions —
+# the whole merge is one shuffle plus map-side work, which is the plan a
+# bucketed-dimension deployment keeps at 100 TB.
+# ---------------------------------------------------------------------------
+
+_EFF = "2001-01-01"
+_SEED_FROM = "1990-01-01"
+
+_Q163_ORACLE = f"""
+WITH spend AS (
+  SELECT o_custkey AS k, {sql_dec_sum('o_totalprice')} AS spend
+  FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+  GROUP BY o_custkey
+),
+upd AS (
+  SELECT s.k,
+         CASE WHEN s.k % 11 = 0 THEN c.c_acctbal ELSE s.spend END AS u_bal
+  FROM spend s JOIN customer c ON c.c_custkey = s.k
+),
+merged AS (
+  SELECT c.c_custkey, c.c_acctbal AS cur_bal, u.u_bal
+  FROM customer c LEFT JOIN upd u ON u.k = c.c_custkey
+)
+SELECT c_custkey, bal, valid_from, valid_to, is_current FROM (
+  SELECT c_custkey, cur_bal AS bal, DATE '{_SEED_FROM}' AS valid_from,
+         CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
+  FROM merged WHERE u_bal IS NULL OR u_bal = cur_bal
+  UNION ALL
+  SELECT c_custkey, cur_bal, DATE '{_SEED_FROM}', DATE '{_EFF}', FALSE
+  FROM merged WHERE u_bal IS NOT NULL AND u_bal <> cur_bal
+  UNION ALL
+  SELECT c_custkey, u_bal, DATE '{_EFF}', CAST(NULL AS DATE), TRUE
+  FROM merged WHERE u_bal IS NOT NULL AND u_bal <> cur_bal
+  UNION ALL
+  SELECT k + 10000000, u_bal, DATE '{_EFF}', CAST(NULL AS DATE), TRUE
+  FROM (SELECT s.k, s.spend AS u_bal FROM spend s WHERE s.k % 13 = 0)
+)
+ORDER BY c_custkey, valid_from
+"""
+
+
+@register("q163_scd2_merge", oracle=_Q163_ORACLE)
+def q163_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz"))
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(dec_sum(F.col("o_totalprice")).alias("spend"))
+    )
+    # Update feed: planted no-ops read the current value (k % 11), all
+    # other keys propose the spend as the new balance.
+    upd = spend.join(cust, spend.k == cust.c_custkey).select(
+        "k",
+        F.when(F.col("k") % 11 == 0, F.col("c_acctbal"))
+        .otherwise(F.col("spend"))
+        .alias("u_bal"),
+    )
+    eff = F.lit(_EFF).cast("date")
+    seed = F.lit(_SEED_FROM).cast("date")
+    null_date = F.lit(None).cast("date")
+    m = cust.join(upd, upd.k == cust.c_custkey, "left")
+    changed = F.col("u_bal").isNotNull() & (F.col("u_bal") != F.col("c_acctbal"))
+    version = lambda bal, vf, vt, cur: F.struct(  # noqa: E731
+        bal.alias("bal"), vf.alias("valid_from"), vt.alias("valid_to"),
+        F.lit(cur).alias("is_current"),
+    )
+    merged = m.select(
+        "c_custkey",
+        F.explode(
+            F.when(
+                changed,
+                F.array(
+                    version(F.col("c_acctbal"), seed, eff, False),
+                    version(F.col("u_bal"), eff, null_date, True),
+                ),
+            ).otherwise(F.array(version(F.col("c_acctbal"), seed, null_date, True)))
+        ).alias("v"),
+    ).select("c_custkey", "v.bal", "v.valid_from", "v.valid_to", "v.is_current")
+    inserts = spend.filter(F.col("k") % 13 == 0).select(
+        (F.col("k") + 10_000_000).alias("c_custkey"),
+        F.col("spend").alias("bal"),
+        eff.alias("valid_from"),
+        null_date.alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return merged.unionByName(inserts).orderBy("c_custkey", "valid_from")
+
+
+# ---------------------------------------------------------------------------
+# q164 — CDC apply (latest-wins log compaction). Base snapshot = orders;
+# the change log carries three sequence points derived from the base so the
+# oracle can recompute it: seq 1 updates keys % 10 IN (1,2,3) (status 'U1',
+# price + 10 — an EXACT double delta, so downstream decimal sums stay
+# tie-free cross-engine), seq 2 deletes keys % 20 == 3 and inserts fresh
+# keys (+1e8) for % 50 == 7, seq 3 re-updates keys % 20 == 1 (status 'U2',
+# price + 20) — overriding their seq-1 op, which is what makes latest-wins
+# observable. Sequence numbers are unique per key by construction (the
+# determinism contract any latest-wins compaction needs).
+#
+# latest-op-per-key is max_by(struct, seq) — a hash aggregate with map-side
+# partial combine, NOT a window sort: at 100 TB the log shuffles once on
+# the key and never materializes a per-key sorted run. The result is the
+# per-status fingerprint of the post-apply snapshot (counts + exact sums),
+# which witnesses deletes (counts), updates (sums + status migration) and
+# inserts (the NEW status row) without shipping the full snapshot.
+# ---------------------------------------------------------------------------
+
+_Q164_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS pr FROM orders
+),
+ops AS (
+  SELECT k, 1 AS seq, 'U' AS op, 'U1' AS st, pr + 10 AS pr
+  FROM base WHERE k % 10 IN (1, 2, 3)
+  UNION ALL
+  SELECT k, 2, 'D', CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+  FROM base WHERE k % 20 = 3
+  UNION ALL
+  SELECT k + 100000000, 2, 'I', 'NEW', pr FROM base WHERE k % 50 = 7
+  UNION ALL
+  SELECT k, 3, 'U', 'U2', pr + 20 FROM base WHERE k % 20 = 1
+),
+latest AS (
+  SELECT k, op, st, pr FROM ops
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) = 1
+),
+final AS (
+  SELECT COALESCE(l.k, b.k) AS k,
+         CASE WHEN l.k IS NULL THEN b.st ELSE l.st END AS st,
+         CASE WHEN l.k IS NULL THEN b.pr ELSE l.pr END AS pr,
+         l.op
+  FROM base b FULL JOIN latest l ON b.k = l.k
+)
+SELECT st AS o_orderstatus, COUNT(*) AS n_orders, {sql_dec_sum('pr')} AS total
+FROM final WHERE op IS DISTINCT FROM 'D'
+GROUP BY st ORDER BY st
+"""
+
+
+@register("q164_cdc_apply", oracle=_Q164_ORACLE)
+def q164_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.col("o_totalprice").alias("pr"),
+    )
+    k, pr = F.col("k"), F.col("pr")
+    null_s, null_d = F.lit(None).cast("string"), F.lit(None).cast("double")
+    ops = (
+        base.filter((k % 10).isin(1, 2, 3)).select(
+            k, F.lit(1).alias("seq"), F.lit("U").alias("op"),
+            F.lit("U1").alias("st"), (pr + 10).alias("pr"),
+        )
+        .unionByName(
+            base.filter(k % 20 == 3).select(
+                k, F.lit(2).alias("seq"), F.lit("D").alias("op"),
+                null_s.alias("st"), null_d.alias("pr"),
+            )
+        )
+        .unionByName(
+            base.filter(k % 50 == 7).select(
+                (k + 100_000_000).alias("k"), F.lit(2).alias("seq"),
+                F.lit("I").alias("op"), F.lit("NEW").alias("st"), pr.alias("pr"),
+            )
+        )
+        .unionByName(
+            base.filter(k % 20 == 1).select(
+                k, F.lit(3).alias("seq"), F.lit("U").alias("op"),
+                F.lit("U2").alias("st"), (pr + 20).alias("pr"),
+            )
+        )
+    )
+    latest = ops.groupBy("k").agg(
+        F.max_by(F.struct("op", "st", "pr"), "seq").alias("l")
+    ).select("k", "l.op", "l.st", "l.pr")
+    j = base.alias("b").join(latest.alias("l"), "k", "full_outer")
+    applied = j.select(
+        F.coalesce(F.col("l.op"), F.lit(None).cast("string")).alias("op"),
+        F.when(F.col("l.op").isNull(), F.col("b.st")).otherwise(F.col("l.st")).alias("st"),
+        F.when(F.col("l.op").isNull(), F.col("b.pr")).otherwise(F.col("l.pr")).alias("pr"),
+    ).filter((F.col("op").isNull()) | (F.col("op") != "D"))
+    return (
+        applied.groupBy(F.col("st").alias("o_orderstatus"))
+        .agg(F.count(F.lit(1)).alias("n_orders"), dec_sum(F.col("pr")).alias("total"))
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q165 — EWMA revenue trend. Monthly revenue per order priority, smoothed
+# with an exponentially weighted moving average (alpha = 0.5, trailing 12
+# MONTHS — a RANGE frame on the month index, so a gap month ages older
+# observations out exactly like a calendar would; pandas `ewm(adjust=True)`
+# normalization, i.e. ewma = sum(w_j * x_j) / sum(w_j), w_j = 0.5^gap).
+#
+# Cross-engine exactness: weights 0.5^gap are binary-exact, so scaling
+# every term by 2^11 * 10^4 makes the whole fold EXACT int64 math:
+# term = round(revenue * 1e4) * 2^(11 - gap) — revenue is an exact
+# <=4-decimal double (decimal-summed), gap <= 11. Both engines sum
+# identical longs (a first decimal attempt hash-mismatched by 1 ulp:
+# DuckDB's wide-DECIMAL->DOUBLE cast double-rounds via hugeint/1e15,
+# Spark's BigDecimal cast is correctly rounded — int64->double casts,
+# by contrast, are correctly rounded everywhere). The final
+# num/den/1e4 is the same IEEE op sequence on identical inputs.
+# Overflow contract: monthly revenue < ~4e13 keeps the scaled fold
+# < 2^63 (sf100's largest month is ~1e10); ANSI mode errors loudly
+# beyond, never wraps.
+#
+# Shape: one scan + hash aggregate to months (the only fact-sized work),
+# then a 400-row window; the fold is per-row over a <=12-element frame.
+# ---------------------------------------------------------------------------
+
+_Q165_ORACLE = f"""
+WITH monthly AS (
+  SELECT o_orderpriority,
+         (EXTRACT(year FROM o_orderdate) - 1995) * 12
+           + EXTRACT(month FROM o_orderdate) - 1 AS month_idx,
+         {sql_dec_sum('o_totalprice')} AS revenue
+  FROM orders GROUP BY 1, 2
+)
+SELECT m1.o_orderpriority, m1.month_idx, m1.revenue,
+       CAST(CAST(SUM(CAST(round(m2.revenue * 1e4) AS BIGINT)
+                     * CAST(pow(2, 11 - (m1.month_idx - m2.month_idx)) AS BIGINT))
+                 AS BIGINT) AS DOUBLE)
+       / CAST(CAST(SUM(CAST(pow(2, 11 - (m1.month_idx - m2.month_idx)) AS BIGINT))
+                   AS BIGINT) AS DOUBLE)
+       / 1e4 AS ewma
+FROM monthly m1
+JOIN monthly m2
+  ON m2.o_orderpriority = m1.o_orderpriority
+ AND m2.month_idx BETWEEN m1.month_idx - 11 AND m1.month_idx
+GROUP BY m1.o_orderpriority, m1.month_idx, m1.revenue
+ORDER BY m1.o_orderpriority, m1.month_idx
+"""
+
+
+@register("q165_ewma_revenue", oracle=_Q165_ORACLE)
+def q165_ewma_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        "o_orderpriority",
+        (
+            (F.year("o_orderdate") - F.lit(1995)) * F.lit(12)
+            + F.month("o_orderdate") - F.lit(1)
+        ).alias("month_idx"),
+    ).agg(dec_sum(F.col("o_totalprice")).alias("revenue"))
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("month_idx")
+        .rangeBetween(-11, 0)
+    )
+    frame = F.collect_list(F.struct("month_idx", "revenue")).over(w)
+    zero = F.lit(0).cast("long")
+    weight = lambda e: F.pow(  # noqa: E731
+        F.lit(2.0), F.lit(11) - (F.col("month_idx") - e["month_idx"])
+    ).cast("long")
+    num = F.aggregate(
+        frame,
+        zero,
+        lambda acc, e: acc
+        + F.round(e["revenue"] * F.lit(1e4)).cast("long") * weight(e),
+    )
+    den = F.aggregate(frame, zero, lambda acc, e: acc + weight(e))
+    return (
+        monthly.select(
+            "o_orderpriority",
+            "month_idx",
+            "revenue",
+            (num.cast("double") / den.cast("double") / F.lit(1e4)).alias("ewma"),
+        )
+        .orderBy("o_orderpriority", "month_idx")
+    )

@@ -48,6 +48,7 @@ def _load_plans() -> None:
     """Import every plan module exactly once so decorators run."""
     from . import (  # noqa: F401
         analytics,
+        cdc,
         curation,
         decision_support,
         dedup,
