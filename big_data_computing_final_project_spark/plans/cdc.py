@@ -191,16 +191,28 @@ GROUP BY st ORDER BY st
 """
 
 
-@register("q164_cdc_apply", oracle=_Q164_ORACLE)
-def q164_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = load_table(spark, sf_dir, "orders").select(
+# The CDC op-row contract shared by batch q164 and the streaming op store
+# (streaming/events.run_stream_cdc_ops): key, unique-per-key sequence, op
+# in {'I','U','D'}, payload. One schema string so the stream's explicit
+# read schema and the batch derivation cannot drift apart.
+CDC_OPS_SCHEMA = "k bigint, seq int, op string, st string, pr double"
+
+
+def cdc_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q164 base snapshot: orders as (k, st, pr)."""
+    return load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("k"),
         F.col("o_orderstatus").alias("st"),
         F.col("o_totalprice").alias("pr"),
     )
+
+
+def derive_cdc_ops(base: DataFrame) -> DataFrame:
+    """The deterministic three-sequence-point change log q164 documents,
+    derived from the base so the oracle can recompute it."""
     k, pr = F.col("k"), F.col("pr")
     null_s, null_d = F.lit(None).cast("string"), F.lit(None).cast("double")
-    ops = (
+    return (
         base.filter((k % 10).isin(1, 2, 3)).select(
             k, F.lit(1).alias("seq"), F.lit("U").alias("op"),
             F.lit("U1").alias("st"), (pr + 10).alias("pr"),
@@ -224,20 +236,44 @@ def q164_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    latest = ops.groupBy("k").agg(
-        F.max_by(F.struct("op", "st", "pr"), "seq").alias("l")
-    ).select("k", "l.op", "l.st", "l.pr")
+
+
+def latest_cdc_ops(ops: DataFrame) -> DataFrame:
+    """Latest op per key: max_by(payload, seq) — a map-side-combinable
+    hash aggregate (the merge is associative because sequences are unique
+    per key, the contract derive_cdc_ops upholds and any real CDC feed
+    must supply). Keeps seq so incremental folds can re-merge deltas."""
+    return ops.groupBy("k").agg(
+        F.max_by(F.struct("seq", "op", "st", "pr"), "seq").alias("l")
+    ).select("k", "l.seq", "l.op", "l.st", "l.pr")
+
+
+def apply_cdc_ops(base: DataFrame, latest: DataFrame) -> DataFrame:
+    """Merge the latest-op-per-key frame onto the base snapshot: D drops
+    the row, U/I take the op payload (an upsert — U on an unseen key and
+    I on an existing key both resolve to the payload), absent keys pass
+    through. One full outer join on the natural key."""
     j = base.alias("b").join(latest.alias("l"), "k", "full_outer")
-    applied = j.select(
+    return j.select(
         F.coalesce(F.col("l.op"), F.lit(None).cast("string")).alias("op"),
         F.when(F.col("l.op").isNull(), F.col("b.st")).otherwise(F.col("l.st")).alias("st"),
         F.when(F.col("l.op").isNull(), F.col("b.pr")).otherwise(F.col("l.pr")).alias("pr"),
     ).filter((F.col("op").isNull()) | (F.col("op") != "D"))
+
+
+def cdc_status_fingerprint(applied: DataFrame) -> DataFrame:
+    """Per-status (count, exact sum) fingerprint of a post-apply snapshot."""
     return (
         applied.groupBy(F.col("st").alias("o_orderstatus"))
         .agg(F.count(F.lit(1)).alias("n_orders"), dec_sum(F.col("pr")).alias("total"))
         .orderBy("o_orderstatus")
     )
+
+
+@register("q164_cdc_apply", oracle=_Q164_ORACLE)
+def q164_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = cdc_base(spark, sf_dir)
+    return cdc_status_fingerprint(apply_cdc_ops(base, latest_cdc_ops(derive_cdc_ops(base))))
 
 
 # ---------------------------------------------------------------------------

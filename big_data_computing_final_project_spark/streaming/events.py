@@ -1297,3 +1297,81 @@ def ks_monitor_log(spark: SparkSession, store_dir: str) -> DataFrame:
         os.path.join(store_dir, "log"),
         "ks_stat double, n_cur bigint, alert boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC-at-ingest: the streaming twin of batch q164 (plans/cdc.py). The op
+# log arrives as micro-batches; the store keeps latest-op-per-key deltas;
+# the fold applies them to a base snapshot with the SAME apply/fingerprint
+# code the batch query uses (imported — batch==stream cannot drift apart).
+# ---------------------------------------------------------------------------
+
+
+def run_stream_cdc_ops(
+    ops: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    timeout_sec: int = 120,
+) -> None:
+    """foreachBatch latest-wins op store: each micro-batch of CDC op rows
+    (``plans.cdc.CDC_OPS_SCHEMA``: k, seq unique per key, op I/U/D,
+    payload) is pre-collapsed to its own latest-op-per-key and staged
+    under ``batch_id=N`` — a replayed batch overwrites its own delta
+    (at-least-once in, exactly-once effect, the run_stream_heavy_hitters
+    idiom). The fold re-merges deltas by max seq, so out-of-order arrival
+    ACROSS batches is also correct (latest-wins is associative under the
+    unique-seq contract) — strictly stronger than the arrival-order
+    contract the dup-flow store needs.
+
+    Scale shape: per-batch work is one keyed hash aggregate over the
+    batch (map-side combinable), O(batch) writes, and NO read of the
+    existing store — unlike a swap-per-batch upsert, ingest cost never
+    grows with state size; the store is bounded by distinct touched keys
+    after compact_cdc_store."""
+    from ..plans.cdc import latest_cdc_ops
+
+    def ingest(batch: DataFrame, batch_id: int) -> None:
+        latest_cdc_ops(batch).write.mode("overwrite").parquet(
+            os.path.join(store_dir, f"batch_id={batch_id}")
+        )
+
+    _run_foreach_batch(ops, ingest, checkpoint_dir, timeout_sec, "run_stream_cdc_ops")
+
+
+def _cdc_store_latest(spark: SparkSession, store_dir: str) -> DataFrame:
+    from ..plans.cdc import CDC_OPS_SCHEMA, latest_cdc_ops
+
+    _recover_compaction(store_dir)
+    if not os.path.exists(store_dir):
+        return spark.createDataFrame([], CDC_OPS_SCHEMA)
+    deltas = (
+        spark.read.schema(CDC_OPS_SCHEMA)
+        .option("basePath", store_dir)
+        .parquet(f"{store_dir}/batch_id=*")
+    )
+    return latest_cdc_ops(deltas)
+
+
+def cdc_snapshot_from_store(
+    spark: SparkSession, base: DataFrame, store_dir: str
+) -> DataFrame:
+    """Batch q164's post-apply per-status fingerprint, computed from the
+    accumulated op store instead of a one-shot log: merge the deltas
+    (max seq per key), then the shared apply + fingerprint. With zero
+    micro-batches processed this is the fingerprint of the unchanged
+    base (empty-store contract, as dup_flow_matrix_from_store)."""
+    from ..plans.cdc import apply_cdc_ops, cdc_status_fingerprint
+
+    return cdc_status_fingerprint(
+        apply_cdc_ops(base, _cdc_store_latest(spark, store_dir))
+    )
+
+
+def compact_cdc_store(spark: SparkSession, store_dir: str) -> None:
+    """Compact the CDC op store to one latest-op-per-key delta: the merge
+    IS latest_cdc_ops (associative under unique seqs), so folds before and
+    after compaction agree exactly and continued ingestion keeps working
+    (new ids land above the checkpoint's high-water mark)."""
+    from ..plans.cdc import CDC_OPS_SCHEMA, latest_cdc_ops
+
+    _compact_partitioned(spark, store_dir, CDC_OPS_SCHEMA, latest_cdc_ops)

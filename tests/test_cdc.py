@@ -124,3 +124,115 @@ def test_ewma_matches_independent_computation(spark, sf_dir):
                 num += rev * w
                 den += w
         assert math.isclose(r["ewma"], num / den, rel_tol=1e-9), r
+
+
+# ---------------------------------------------------------------------------
+# streaming twin (streaming/events.run_stream_cdc_ops)
+# ---------------------------------------------------------------------------
+
+
+def _write_op_drops(spark, sf_dir, src_dir, seq_groups):
+    """Stage the derived CDC log as parquet drops (one per seq group) with
+    monotonic past mtimes — FileStreamSource processes oldest-first, so
+    this pins arrival order without sleeps."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_computing_final_project_spark.plans.cdc import cdc_base, derive_cdc_ops
+
+    ops = derive_cdc_ops(cdc_base(spark, sf_dir))
+    arrow_schema = pa.schema(
+        [
+            ("k", pa.int64()),
+            ("seq", pa.int32()),
+            ("op", pa.string()),
+            ("st", pa.string()),
+            ("pr", pa.float64()),
+        ]
+    )
+    src_dir.mkdir()
+    base_t = time.time() - 3600
+    for i, seqs in enumerate(seq_groups):
+        rows = [tuple(r) for r in ops.filter(F.col("seq").isin(*seqs)).collect()]
+        tbl = pa.Table.from_pylist(
+            [dict(zip(("k", "seq", "op", "st", "pr"), r)) for r in rows],
+            schema=arrow_schema,
+        )
+        p = str(src_dir / f"drop_{i}.parquet")
+        pq.write_table(tbl, p)
+        os.utime(p, (base_t + 10 * i, base_t + 10 * i))
+    return str(src_dir)
+
+
+def _ops_stream(spark, src_dir):
+    from big_data_computing_final_project_spark.plans.cdc import CDC_OPS_SCHEMA
+
+    return (
+        spark.readStream.schema(CDC_OPS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+
+
+def test_stream_cdc_store_equals_batch_q164_any_arrival_order(spark, sf_dir, tmp_path):
+    """CDC-at-ingest twin: the op log arrives as one micro-batch per
+    sequence point; the store's post-apply fingerprint must equal batch
+    q164 exactly — in seq order AND in REVERSED order (latest-wins merges
+    by seq, not by arrival, the stronger contract the batch==stream pin
+    exercises), and compaction must not change the fold while continued
+    ingestion (the seq-3 drop after compacting seqs 1-2) still lands."""
+    from big_data_computing_final_project_spark.plans.cdc import cdc_base
+    from big_data_computing_final_project_spark.streaming.events import (
+        cdc_snapshot_from_store,
+        compact_cdc_store,
+        run_stream_cdc_ops,
+    )
+
+    base = cdc_base(spark, sf_dir)
+    want = [tuple(r) for r in _Q["q164_cdc_apply"](spark, sf_dir).collect()]
+
+    for label, groups in (("inorder", [[1], [2], [3]]), ("reversed", [[3], [2], [1]])):
+        src = _write_op_drops(spark, sf_dir, tmp_path / f"ops_{label}", groups)
+        store = str(tmp_path / f"store_{label}")
+        run_stream_cdc_ops(_ops_stream(spark, src), store, str(tmp_path / f"ckpt_{label}"))
+        got = [tuple(r) for r in cdc_snapshot_from_store(spark, base, store).collect()]
+        assert got == want, label
+
+    # compaction mid-ingest: seqs 1-2 arrive, compact, then seq 3 arrives
+    src = _write_op_drops(spark, sf_dir, tmp_path / "ops_split", [[1, 2]])
+    store, ckpt = str(tmp_path / "store_split"), str(tmp_path / "ckpt_split")
+    run_stream_cdc_ops(_ops_stream(spark, src), store, ckpt)
+    compact_cdc_store(spark, store)
+    import os
+
+    late = _write_op_drops(spark, sf_dir, tmp_path / "ops_late", [[3]])
+    for f in os.listdir(late):
+        os.rename(os.path.join(late, f), os.path.join(src, "late_" + f))
+    run_stream_cdc_ops(_ops_stream(spark, src), store, ckpt)
+    got = [tuple(r) for r in cdc_snapshot_from_store(spark, base, store).collect()]
+    assert got == want
+
+
+def test_cdc_empty_store_is_unchanged_base(spark, sf_dir, tmp_path):
+    from big_data_computing_final_project_spark.plans.cdc import (
+        cdc_base,
+        cdc_status_fingerprint,
+    )
+    from big_data_computing_final_project_spark.streaming.events import (
+        cdc_snapshot_from_store,
+    )
+
+    base = cdc_base(spark, sf_dir)
+    want = [
+        tuple(r)
+        for r in cdc_status_fingerprint(base.withColumn("op", F.lit(None).cast("string")))
+        .collect()
+    ]
+    got = [
+        tuple(r)
+        for r in cdc_snapshot_from_store(spark, base, str(tmp_path / "nostore")).collect()
+    ]
+    assert got == want
