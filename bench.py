@@ -95,6 +95,7 @@ HEADLINE = [
     "q151_psi_drift",          # drift monitoring: frozen-bin PSI (round-5 family)
     "q157_corpus_report_card", # curation reporting: fp-window + source agg (round-5)
     "q116_sole_blame_suppliers",  # EXISTS/NOT EXISTS self-join fold (Q21 shape)
+    "q164_cdc_apply",          # CDC latest-wins compaction + full-outer merge (round-5)
 ]
 # Deliberately not benched: q68 (iterative CC — timing at this SF is
 # convergence-loop job overhead, not throughput) and exact pairwise
