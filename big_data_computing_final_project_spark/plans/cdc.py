@@ -18,8 +18,12 @@ q165: EWMA revenue trend — exponentially weighted moving average over
       monthly revenue per order priority, trailing 12 months, alpha=0.5.
       A RANGE-frame window + one exact decimal fold per row; weights
       2^-j are binary-exact so engine and oracle agree bit-for-bit.
+q166: snapshot diff — the inverse of q164: reconcile two snapshots into
+      the minimal I/U/D change set (CDC bootstrap / replica audit);
+      round-trip law apply(base, diff(base, target)) == target is
+      pytest-pinned.
 
-All three are oracle-paired (plain ANSI SQL on the same parquet), so the
+All four are oracle-paired (plain ANSI SQL on the same parquet), so the
 driver's hash gate covers them like any relational query.
 
 Scale notes (100 TB): the SCD2/CDC merges shuffle once on the natural
@@ -255,6 +259,7 @@ def apply_cdc_ops(base: DataFrame, latest: DataFrame) -> DataFrame:
     through. One full outer join on the natural key."""
     j = base.alias("b").join(latest.alias("l"), "k", "full_outer")
     return j.select(
+        F.col("k"),
         F.coalesce(F.col("l.op"), F.lit(None).cast("string")).alias("op"),
         F.when(F.col("l.op").isNull(), F.col("b.st")).otherwise(F.col("l.st")).alias("st"),
         F.when(F.col("l.op").isNull(), F.col("b.pr")).otherwise(F.col("l.pr")).alias("pr"),
@@ -360,3 +365,97 @@ def q165_ewma_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", "month_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# q166 — snapshot diff: the INVERSE of q164. Given two snapshots of the
+# same keyed table, emit the minimal I/U/D change set that transforms one
+# into the other — how CDC gets bootstrapped on plain files (no log yet),
+# and how a reconciliation job audits a replica. One full outer join on
+# the key; matched-and-identical rows vanish map-side, so the output is
+# linear in actual drift, not table size. Null-safe comparison via
+# eqNullSafe / IS NOT DISTINCT FROM keeps NULL payloads honest.
+#
+# The target here is the q164 post-apply snapshot (recomputed from the
+# same derived log), which makes the diff's expected content exactly the
+# collapsed change set — and gives the round-trip property the pytest
+# pins: apply(base, diff(base, target)) == target, row for row.
+# ---------------------------------------------------------------------------
+
+
+def snapshot_diff(base: DataFrame, target: DataFrame) -> DataFrame:
+    """Minimal change set turning ``base`` into ``target`` (both keyed by
+    ``k`` with payload (st, pr)): 'I' for keys only in target, 'D' for
+    keys only in base, 'U' where the payload differs null-safely.
+    Identical rows emit nothing — map-side, right after the join, so the
+    output is linear in drift. Columns mirror the op-log contract minus
+    seq (a diff is one consistent cut: every op shares one logical
+    sequence point, the caller's to assign). Presence comes from literal
+    markers, not payload NULL-ness, so NULL payloads stay honest."""
+    b = base.select(
+        "k", F.col("st").alias("b_st"), F.col("pr").alias("b_pr"), F.lit(1).alias("in_b")
+    )
+    t = target.select(
+        "k", F.col("st").alias("t_st"), F.col("pr").alias("t_pr"), F.lit(1).alias("in_t")
+    )
+    j = b.join(t, "k", "full_outer")
+    same = F.col("t_st").eqNullSafe(F.col("b_st")) & F.col("t_pr").eqNullSafe(F.col("b_pr"))
+    return (
+        j.filter(F.col("in_b").isNull() | F.col("in_t").isNull() | ~same)
+        .select(
+            "k",
+            F.when(F.col("in_b").isNull(), F.lit("I"))
+            .when(F.col("in_t").isNull(), F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            F.when(F.col("in_t").isNotNull(), F.col("t_st")).alias("st"),
+            F.when(F.col("in_t").isNotNull(), F.col("t_pr")).alias("pr"),
+        )
+    )
+
+
+_Q166_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS pr FROM orders
+),
+ops AS (
+  SELECT k, 1 AS seq, 'U' AS op, 'U1' AS st, pr + 10 AS pr
+  FROM base WHERE k % 10 IN (1, 2, 3)
+  UNION ALL
+  SELECT k, 2, 'D', CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+  FROM base WHERE k % 20 = 3
+  UNION ALL
+  SELECT k + 100000000, 2, 'I', 'NEW', pr FROM base WHERE k % 50 = 7
+  UNION ALL
+  SELECT k, 3, 'U', 'U2', pr + 20 FROM base WHERE k % 20 = 1
+),
+latest AS (
+  SELECT k, op, st, pr FROM ops
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) = 1
+),
+target AS (
+  SELECT COALESCE(l.k, b.k) AS k,
+         CASE WHEN l.k IS NULL THEN b.st ELSE l.st END AS st,
+         CASE WHEN l.k IS NULL THEN b.pr ELSE l.pr END AS pr
+  FROM base b FULL JOIN latest l ON b.k = l.k
+  WHERE l.op IS DISTINCT FROM 'D'
+)
+SELECT COALESCE(b.k, t.k) AS k,
+       CASE WHEN b.k IS NULL THEN 'I'
+            WHEN t.k IS NULL THEN 'D'
+            ELSE 'U' END AS op,
+       t.st, t.pr
+FROM base b FULL JOIN target t ON b.k = t.k
+WHERE b.k IS NULL OR t.k IS NULL
+   OR t.st IS DISTINCT FROM b.st OR t.pr IS DISTINCT FROM b.pr
+ORDER BY k
+"""
+
+
+@register("q166_snapshot_diff", oracle=_Q166_ORACLE)
+def q166_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = cdc_base(spark, sf_dir)
+    target = apply_cdc_ops(base, latest_cdc_ops(derive_cdc_ops(base))).select(
+        "k", "st", "pr"
+    )
+    return snapshot_diff(base, target).orderBy("k")

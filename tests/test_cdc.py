@@ -236,3 +236,39 @@ def test_cdc_empty_store_is_unchanged_base(spark, sf_dir, tmp_path):
         for r in cdc_snapshot_from_store(spark, base, str(tmp_path / "nostore")).collect()
     ]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# q166 snapshot diff
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_diff_round_trip(spark, sf_dir):
+    """The reconciliation law: applying the diff as a one-cut op log
+    reproduces the target exactly (row-for-row, both directions empty
+    under exceptAll)."""
+    from big_data_computing_final_project_spark.plans.cdc import (
+        apply_cdc_ops,
+        cdc_base,
+        derive_cdc_ops,
+        latest_cdc_ops,
+        snapshot_diff,
+    )
+
+    base = cdc_base(spark, sf_dir)
+    target = apply_cdc_ops(base, latest_cdc_ops(derive_cdc_ops(base))).select(
+        "k", "st", "pr"
+    )
+    ops = snapshot_diff(base, target).withColumn("seq", F.lit(1))
+    rebuilt = apply_cdc_ops(base, ops.select("k", "seq", "op", "st", "pr")).select(
+        "k", "st", "pr"
+    )
+    assert rebuilt.exceptAll(target).count() == 0
+    assert target.exceptAll(rebuilt).count() == 0
+
+
+def test_snapshot_diff_identical_snapshots_is_empty(spark, sf_dir):
+    from big_data_computing_final_project_spark.plans.cdc import cdc_base, snapshot_diff
+
+    base = cdc_base(spark, sf_dir)
+    assert snapshot_diff(base, base).count() == 0
