@@ -65,4 +65,5 @@ def _load_plans() -> None:
         similarity,
         temporal,
         textops,
+        timeseries,
     )
