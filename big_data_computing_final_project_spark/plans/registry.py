@@ -55,6 +55,7 @@ def _load_plans() -> None:
         drift,
         events,
         impurity,
+        layout,
         lm,
         misc,
         ml_queries,
