@@ -54,6 +54,7 @@ def _load_plans() -> None:
         dedup,
         drift,
         events,
+        graph,
         impurity,
         layout,
         lm,
