@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import epoch_us, load_table
 from ..functions.stats import dec_sum, sql_dec_sum
 from ..operators.temporal import asof_join
 from .registry import register
@@ -108,4 +108,100 @@ def q66_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("band_id")
         .agg(F.count(F.lit(1)).alias("n_events"), dec_sum(F.col("value")).alias("total_value"))
         .orderBy("band_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q176 — leakage-free training-set assembly (the point-in-time feature
+# join every feature store exists to get right). One training row per
+# 'purchase' event; its features summarize the user's activity in the 7
+# days STRICTLY BEFORE the purchase — a RANGE frame of [-7d, -1us] on
+# microsecond epochs, so the label event can never leak into its own
+# features, and neither can any same-microsecond peer (the frame's upper
+# bound is -1, and RANGE treats exact ties as peers in both engines —
+# identical semantics on the oracle side).
+#
+# Exactness: features are COUNTS, a MAX (order-free), and an integer
+# timestamp gap — deliberately no sum of raw full-mantissa doubles, which
+# is the one window reduction two engines won't reproduce bit-for-bit.
+# The label is the purchase's own value, untouched.
+#
+# Scale: a single window pass over events hash-partitioned by user — the
+# exact shape Spark executes as one shuffle + one sorted window; no join
+# at all (the "join" of the feature store is against the same stream).
+# At 100 TB the window state per user is bounded by 7 days of activity.
+# ---------------------------------------------------------------------------
+
+_7D_US = 7 * 86_400 * 1_000_000
+
+_Q176_ORACLE = f"""
+WITH w AS (
+  SELECT event_id, user_id, event_type, value,
+         epoch_us(ts) AS ts_us,
+         COUNT(*) OVER fr AS n_prior_total,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER fr AS n_prior_views,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER fr AS n_prior_clicks,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER fr AS n_prior_purchases,
+         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) OVER fr AS n_prior_errors,
+         MAX(epoch_us(ts)) OVER fr AS last_prior_us
+  FROM events
+  WINDOW fr AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                RANGE BETWEEN {_7D_US} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id,
+       CAST(ts_us AS BIGINT) AS ts_us,
+       value AS label_value,
+       CAST(COALESCE(n_prior_total, 0) AS BIGINT) AS n_prior_total,
+       CAST(COALESCE(n_prior_views, 0) AS BIGINT) AS n_prior_views,
+       CAST(COALESCE(n_prior_clicks, 0) AS BIGINT) AS n_prior_clicks,
+       CAST(COALESCE(n_prior_purchases, 0) AS BIGINT) AS n_prior_purchases,
+       CAST(COALESCE(n_prior_errors, 0) AS BIGINT) AS n_prior_errors,
+       CAST(ts_us - last_prior_us AS BIGINT) AS last_gap_us
+FROM w
+WHERE event_type = 'purchase'
+ORDER BY event_id
+"""
+
+
+@register("q176_pit_training_set", oracle=_Q176_ORACLE)
+def q176_pit_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    ts_us = epoch_us(F.col("ts"))
+    fr = (
+        Window.partitionBy("user_id")
+        .orderBy(ts_us)
+        .rangeBetween(-_7D_US, -1)
+    )
+    is_ = lambda t: (F.col("event_type") == t).cast("int")  # noqa: E731
+    w = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        ts_us.alias("ts_us"),
+        F.count(F.lit(1)).over(fr).alias("n_prior_total"),
+        F.sum(is_("view")).over(fr).alias("n_prior_views"),
+        F.sum(is_("click")).over(fr).alias("n_prior_clicks"),
+        F.sum(is_("purchase")).over(fr).alias("n_prior_purchases"),
+        F.sum(is_("error")).over(fr).alias("n_prior_errors"),
+        F.max(ts_us).over(fr).alias("last_prior_us"),
+    )
+    z = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c)  # noqa: E731
+    return (
+        w.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts_us").cast("bigint").alias("ts_us"),
+            F.col("value").alias("label_value"),
+            z("n_prior_total"),
+            z("n_prior_views"),
+            z("n_prior_clicks"),
+            z("n_prior_purchases"),
+            z("n_prior_errors"),
+            (F.col("ts_us") - F.col("last_prior_us")).cast("bigint").alias("last_gap_us"),
+        )
+        .orderBy("event_id")
     )

@@ -7,6 +7,7 @@ from __future__ import annotations
 import datetime as dt
 
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from big_data_computing_final_project_spark.operators.temporal import asof_join
 from big_data_computing_final_project_spark.plans import all_queries
@@ -62,3 +63,67 @@ def test_q66_bands_partition_events(spark, sf_dir):
         .count()
     )
     assert sum(r.n_events for r in rows) == n_nonnull
+
+
+# ---------------------------------------------------------------------------
+# q176 point-in-time training set — the leakage pins
+# ---------------------------------------------------------------------------
+
+_EV_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _write_events(spark, tmp_path, rows) -> str:
+    spark.createDataFrame(rows, _EV_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/events.parquet")
+    return str(tmp_path)
+
+
+def test_q176_boundary_and_leakage_semantics(spark, tmp_path):
+    """One purchase at T for user 1, with planted neighbors probing every
+    frame edge: exactly-7-days-before counts (lower bound inclusive),
+    7-days-and-1us-before does not, 1us-before counts, the same-microsecond
+    event does not (upper bound is -1), and the future event never counts."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 20, 12, 0, 0)
+    us = dt.timedelta(microseconds=1)
+    week = dt.timedelta(days=7)
+    rows = [
+        (1, t0 - week - us, 1, "view", 1.0),   # too old: out
+        (2, t0 - week, 1, "view", 1.0),        # exactly -7d: in
+        (3, t0 - dt.timedelta(days=1), 1, "click", 1.0),  # in
+        (4, t0 - us, 1, "view", 1.0),          # -1us: in
+        (5, t0, 1, "error", 1.0),              # same microsecond: OUT
+        (6, t0 + us, 1, "view", 1.0),          # future: out
+        (7, t0, 1, "purchase", 42.5),          # the label row
+        (8, t0 - us, 2, "view", 1.0),          # other user: out
+    ]
+    out = _Q["q176_pit_training_set"](spark, _write_events(spark, tmp_path, rows))
+    got = out.collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.event_id == 7 and r.label_value == 42.5
+    assert r.n_prior_total == 3          # events 2, 3, 4
+    assert r.n_prior_views == 2 and r.n_prior_clicks == 1
+    assert r.n_prior_errors == 0 and r.n_prior_purchases == 0
+    assert r.last_gap_us == 1            # event 4 is 1us before
+
+
+def test_q176_cold_start_purchase_has_zero_features(spark, tmp_path):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 20, 12, 0, 0)
+    rows = [(1, t0, 1, "purchase", 10.0)]
+    r = _Q["q176_pit_training_set"](
+        spark, _write_events(spark, tmp_path, rows)
+    ).collect()[0]
+    assert r.n_prior_total == 0 and r.last_gap_us is None
