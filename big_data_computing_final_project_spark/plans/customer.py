@@ -1,0 +1,370 @@
+"""Customer-analytics family: the segmentation / association / attribution
+/ concentration queries a commercial analytics team runs on the same star
+schema the decision-support family (q106-q142) reports on.
+
+q177: RFM segmentation — recency / frequency / monetary quintiles per
+      customer, rolled up to segment cells (the classic CRM cube).
+q178: market-basket association rules — part pairs with support,
+      confidence, and lift from co-purchase counts; top rules by lift.
+q179: last-touch campaign attribution — each purchase's value attributed
+      to the campaign (props.k) of the user's latest click in the prior
+      7 days, strictly before the purchase; revenue per campaign.
+q180: supplier concentration (HHI) per nation — the antitrust-style
+      Herfindahl-Hirschman index over supplier revenue shares, plus the
+      effective-competitor count 1/HHI.
+
+Exactness notes (the repo-wide oracle discipline):
+- Quintiles are ntile(5) over a UNIQUE ordering (metric, custkey) — ties
+  broken by key, so both engines assign identical buckets.
+- Association metrics are ratios of exact int64 counts; lift's cross
+  products stay < 2^63 even at 1e9 orders x 1e9 baskets.
+- HHI avoids the order-dependent sum of squared double shares: with
+  revenues in exact 1e-4 integer units, HHI = (sum r_i^2) / (sum r_i)^2 —
+  both sides exact decimals, one double division at the end.
+- Attribution picks the click by max (ts, event_id) packed into one exact
+  decimal key, so microsecond ties can't make the two engines pick
+  different clicks.
+
+Scale: q177/q180 are one fact aggregate + kilobyte window math. q178's
+pair explosion is bounded by per-order basket size (<= C(13,2) pairs per
+order in this schema) and aggregates straight down to distinct pairs.
+q179 is one window pass + an aggregate — no self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import epoch_us, load_table
+from ..functions.stats import sql_dec_sum
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# q177 — RFM segmentation. Recency = last order's epoch-day (newer = higher
+# quintile), frequency = order count, monetary = exact decimal revenue.
+# ntile(5) over (metric, custkey): deterministic under ties. Output: the
+# populated (r,f,m) cells with size and exact average monetary value.
+# ---------------------------------------------------------------------------
+
+_Q177_ORACLE = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         MAX(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)))
+           AS last_day,
+         COUNT(*) AS n_orders,
+         SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS mon_dec
+  FROM orders GROUP BY 1
+), scored AS (
+  SELECT o_custkey, mon_dec,
+         NTILE(5) OVER (ORDER BY last_day, o_custkey) AS r_q,
+         NTILE(5) OVER (ORDER BY n_orders, o_custkey) AS f_q,
+         NTILE(5) OVER (ORDER BY mon_dec, o_custkey) AS m_q
+  FROM per_cust
+)
+SELECT r_q, f_q, m_q,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(CAST(SUM(mon_dec) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_monetary
+FROM scored
+GROUP BY r_q, f_q, m_q
+ORDER BY r_q, f_q, m_q
+"""
+
+
+@register("q177_rfm_segmentation", oracle=_Q177_ORACLE)
+def q177_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max(F.datediff(F.to_date("o_orderdate"), F.to_date(F.lit("1970-01-01")))).alias(
+            "last_day"
+        ),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,4)")).alias("mon_dec"),
+    )
+    scored = per_cust.select(
+        "o_custkey",
+        "mon_dec",
+        F.ntile(5).over(Window.orderBy("last_day", "o_custkey")).alias("r_q"),
+        F.ntile(5).over(Window.orderBy("n_orders", "o_custkey")).alias("f_q"),
+        F.ntile(5).over(Window.orderBy("mon_dec", "o_custkey")).alias("m_q"),
+    )
+    return (
+        scored.groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.sum("mon_dec").cast("double") / F.count(F.lit(1))).alias(
+                "avg_monetary"
+            ),
+        )
+        .orderBy("r_q", "f_q", "m_q")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q178 — market-basket association rules on co-purchased parts. Baskets are
+# orders; pair counts come from the p1 < p2 self-join (bounded by basket
+# size, never by catalog size). For the DIRECTED rule p1 -> p2 (and its
+# mirror): support = n_both/n_orders, confidence = n_both/n(antecedent),
+# lift = n_both * n_orders / (n_p1 * n_p2). Rules with n_both >= 3, top 50
+# by (lift, p1, p2) — the unique tiebreak any deterministic LIMIT needs.
+# ---------------------------------------------------------------------------
+
+_Q178_MIN_BOTH = 3
+_Q178_TOPK = 50
+
+_Q178_ORACLE = f"""
+WITH baskets AS (
+  SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem
+), item AS (
+  SELECT l_partkey AS p, COUNT(DISTINCT l_orderkey) AS n_p
+  FROM lineitem GROUP BY 1
+), pair AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+         COUNT(DISTINCT a.l_orderkey) AS n_both
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+), rules AS (
+  SELECT p1 AS antecedent, p2 AS consequent, n_both, i1.n_p AS n_ante,
+         i2.n_p AS n_cons, baskets.n_orders AS n_orders
+  FROM pair JOIN item i1 ON i1.p = pair.p1
+            JOIN item i2 ON i2.p = pair.p2, baskets
+  UNION ALL
+  SELECT p2, p1, n_both, i2.n_p, i1.n_p, baskets.n_orders
+  FROM pair JOIN item i1 ON i1.p = pair.p1
+            JOIN item i2 ON i2.p = pair.p2, baskets
+)
+SELECT antecedent, consequent,
+       CAST(n_both AS BIGINT) AS n_both,
+       CAST(n_both AS DOUBLE) / n_orders AS support,
+       CAST(n_both AS DOUBLE) / n_ante AS confidence,
+       CAST(n_both * n_orders AS DOUBLE) / CAST(n_ante * n_cons AS DOUBLE) AS lift
+FROM rules
+WHERE n_both >= {_Q178_MIN_BOTH}
+ORDER BY lift DESC, antecedent, consequent
+LIMIT {_Q178_TOPK}
+"""
+
+
+@register("q178_basket_rules", oracle=_Q178_ORACLE)
+def q178_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    item = li.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.countDistinct("l_orderkey").alias("n_p")
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    pair = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.countDistinct("l_orderkey").alias("n_both"))
+    )
+    i1 = item.select(F.col("p").alias("p1"), F.col("n_p").alias("n_ante_fwd"))
+    i2 = item.select(F.col("p").alias("p2"), F.col("n_p").alias("n_cons_fwd"))
+    enriched = (
+        pair.join(F.broadcast(i1), "p1")
+        .join(F.broadcast(i2), "p2")
+        .crossJoin(F.broadcast(baskets))
+    )
+    fwd = enriched.select(
+        F.col("p1").alias("antecedent"),
+        F.col("p2").alias("consequent"),
+        "n_both",
+        F.col("n_ante_fwd").alias("n_ante"),
+        F.col("n_cons_fwd").alias("n_cons"),
+        "n_orders",
+    )
+    rev = enriched.select(
+        F.col("p2").alias("antecedent"),
+        F.col("p1").alias("consequent"),
+        "n_both",
+        F.col("n_cons_fwd").alias("n_ante"),
+        F.col("n_ante_fwd").alias("n_cons"),
+        "n_orders",
+    )
+    rules = fwd.unionAll(rev).filter(F.col("n_both") >= _Q178_MIN_BOTH)
+    lift = (F.col("n_both") * F.col("n_orders")).cast("double") / (
+        F.col("n_ante") * F.col("n_cons")
+    ).cast("double")
+    return (
+        rules.select(
+            "antecedent",
+            "consequent",
+            F.col("n_both").cast("bigint").alias("n_both"),
+            (F.col("n_both").cast("double") / F.col("n_orders")).alias("support"),
+            (F.col("n_both").cast("double") / F.col("n_ante")).alias("confidence"),
+            lift.alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "antecedent", "consequent")
+        .limit(_Q178_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q179 — last-touch campaign attribution. The campaign is the click's
+# props.k; each purchase takes the campaign of the user's latest click in
+# [-7d, -1us]. "Latest" is max over the frame of the exact decimal key
+# ts_us * 10^7 + (event_id mod 10^7) — one packed value, so a microsecond
+# tie resolves by event id identically in both engines (max of a double
+# key would round; max of two columns isn't a window aggregate). The k of
+# that click rides in the SAME packed key's low digits trick — rather than
+# a second lookup join, pack (key, k) as key * 100 + k and unpack with
+# integer div/mod (k is 0..99 in this data; guarded by a mod).
+# Purchases with no prior click attribute to campaign -1 (organic).
+# ---------------------------------------------------------------------------
+
+_7D_US = 7 * 86_400 * 1_000_000
+
+_Q179_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, event_type, value, epoch_us(ts) AS ts_us,
+         CASE WHEN event_type = 'click'
+              THEN ((CAST(epoch_us(ts) AS DECIMAL(25,0)) * 10000000
+                     + CAST(event_id % 10000000 AS DECIMAL(25,0))) * 100
+                    + CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 100
+                           AS DECIMAL(25,0)))
+              ELSE NULL END AS click_key
+  FROM events
+), w AS (
+  SELECT user_id, event_type, value, ts_us,
+         MAX(click_key) OVER (PARTITION BY user_id ORDER BY ts_us
+                              RANGE BETWEEN {_7D_US} PRECEDING AND 1 PRECEDING)
+           AS best_click
+  FROM ev
+)
+SELECT CAST(COALESCE(best_click % 100, -1) AS BIGINT) AS campaign,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       {sql_dec_sum("value")} AS attributed_revenue
+FROM w
+WHERE event_type = 'purchase'
+GROUP BY 1
+ORDER BY campaign
+"""
+
+
+@register("q179_lasttouch_attribution", oracle=_Q179_ORACLE)
+def q179_lasttouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.stats import dec_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    ts_us = epoch_us(F.col("ts"))
+    k = F.get_json_object("props", "$.k").cast("bigint") % 100
+    click_key = F.when(
+        F.col("event_type") == "click",
+        (
+            ts_us.cast("decimal(25,0)") * 10_000_000
+            + (F.col("event_id") % 10_000_000).cast("decimal(25,0)")
+        )
+        * 100
+        + k.cast("decimal(25,0)"),
+    )
+    fr = (
+        Window.partitionBy("user_id")
+        .orderBy(ts_us)
+        .rangeBetween(-_7D_US, -1)
+    )
+    w = ev.select(
+        "event_type",
+        "value",
+        F.max(click_key).over(fr).alias("best_click"),
+    )
+    return (
+        w.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.coalesce(F.col("best_click") % 100, F.lit(-1))
+            .cast("bigint")
+            .alias("campaign")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            dec_sum(F.col("value")).alias("attributed_revenue"),
+        )
+        .orderBy("campaign")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q180 — supplier revenue concentration per nation (HHI). Revenue per
+# supplier in exact 1e-4 integer units u_i = round(rev * 1e4); then
+#   HHI = sum(u_i^2) / (sum u_i)^2
+# — numerator and denominator are exact decimals (u_i < 2^53 holds through
+# sf100; u_i^2 as DECIMAL(19,0) x DECIMAL(19,0) stays inside 38 digits),
+# and the units cancel, so no unit correction is needed. One double
+# division at the end; 1/HHI is the effective number of equal-size
+# competitors, the number a regulator actually quotes.
+# ---------------------------------------------------------------------------
+
+_Q180_ORACLE = """
+WITH rev AS (
+  SELECT s_nationkey,
+         CAST(round(CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                       AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+                    * 1e4) AS BIGINT) AS u
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY s_nationkey, l_suppkey
+), agg AS (
+  SELECT s_nationkey,
+         COUNT(*) AS n_suppliers,
+         SUM(CAST(u AS DECIMAL(19,0)) * CAST(u AS DECIMAL(19,0))) AS num_dec,
+         SUM(CAST(u AS DECIMAL(38,0))) AS den_sum,
+         MAX(u) AS max_u
+  FROM rev GROUP BY 1
+)
+SELECT n.n_name AS nation,
+       CAST(n_suppliers AS BIGINT) AS n_suppliers,
+       CAST(CAST(den_sum AS VARCHAR) AS DOUBLE) / 1e4 AS total_revenue,
+       CAST(CAST(num_dec AS VARCHAR) AS DOUBLE)
+         / (CAST(CAST(den_sum AS VARCHAR) AS DOUBLE)
+            * CAST(CAST(den_sum AS VARCHAR) AS DOUBLE)) AS hhi,
+       (CAST(CAST(den_sum AS VARCHAR) AS DOUBLE)
+        * CAST(CAST(den_sum AS VARCHAR) AS DOUBLE))
+         / CAST(CAST(num_dec AS VARCHAR) AS DOUBLE) AS effective_competitors,
+       CAST(max_u AS DOUBLE) / CAST(CAST(den_sum AS VARCHAR) AS DOUBLE)
+         AS top_share
+FROM agg JOIN nation n ON n.n_nationkey = agg.s_nationkey
+ORDER BY nation
+"""
+
+
+@register("q180_supplier_hhi", oracle=_Q180_ORACLE)
+def q180_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.stats import dec_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            F.round(
+                dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=6)
+                * F.lit(1e4)
+            )
+            .cast("long")
+            .alias("u")
+        )
+    )
+    u19 = F.col("u").cast("decimal(19,0)")
+    agg = rev.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum(u19 * u19).alias("num_dec"),
+        F.sum(F.col("u").cast("decimal(38,0)")).alias("den_sum"),
+        F.max("u").alias("max_u"),
+    )
+    den = F.col("den_sum").cast("double")
+    num = F.col("num_dec").cast("double")
+    return (
+        agg.join(F.broadcast(nat), agg["s_nationkey"] == nat["n_nationkey"])
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("n_suppliers").cast("bigint").alias("n_suppliers"),
+            (den / F.lit(1e4)).alias("total_revenue"),
+            (num / (den * den)).alias("hhi"),
+            ((den * den) / num).alias("effective_competitors"),
+            (F.col("max_u").cast("double") / den).alias("top_share"),
+        )
+        .orderBy("nation")
+    )

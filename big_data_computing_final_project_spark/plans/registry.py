@@ -50,6 +50,7 @@ def _load_plans() -> None:
         analytics,
         cdc,
         curation,
+        customer,
         decision_support,
         dedup,
         drift,
