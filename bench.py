@@ -96,6 +96,11 @@ HEADLINE = [
     "q157_corpus_report_card", # curation reporting: fp-window + source agg (round-5)
     "q116_sole_blame_suppliers",  # EXISTS/NOT EXISTS self-join fold (Q21 shape)
     "q164_cdc_apply",          # CDC latest-wins compaction + full-outer merge (round-5)
+    "q169_rolling_anomaly",    # trailing-frame anomaly flags (time-series family)
+    "q172_partition_skew_audit",  # layout advisor: per-key skew + exact Gini
+    "q174_pagerank",           # 5 Jacobi supersteps, int fixed-point (graph family)
+    "q178_basket_rules",       # basket self-join -> pair counts -> lift top-k
+    "q176_pit_training_set",   # point-in-time feature window (one user-hash pass)
 ]
 # Deliberately not benched: q68 (iterative CC — timing at this SF is
 # convergence-loop job overhead, not throughput) and exact pairwise

@@ -97,48 +97,56 @@ ORDER BY node
 
 @register("q174_pagerank", oracle=_q174_oracle())
 def q174_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Internal node ids are BIGINTs (suppkey*2 / custkey*2+1): every
+    # superstep joins and shuffles on an 8-byte key instead of a string —
+    # the labels the oracle compares against are rebuilt once at the end.
+    # Out-degrees are pre-attached to the edge list (one cached frame), so
+    # each superstep is exactly one join + one hash aggregate — the Pregel
+    # gather step with nothing extra on the wire.
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     pairs = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .select("l_suppkey", "o_custkey")
+        .select(
+            (F.col("l_suppkey") * 2).alias("s"),
+            (F.col("o_custkey") * 2 + 1).alias("c"),
+        )
         .distinct()
     )
-    s = F.concat(F.lit("S:"), F.col("l_suppkey").cast("string"))
-    c = F.concat(F.lit("C:"), F.col("o_custkey").cast("string"))
-    edges = (
-        pairs.select(s.alias("src"), c.alias("dst"))
-        .unionAll(pairs.select(c.alias("src"), s.alias("dst")))
-        .cache()  # reused by all 5 supersteps + the degree build
+    edges = pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")).unionAll(
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
     )
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("outdeg")
+    )
+    edges_deg = (
+        edges.join(deg, edges["src"] == deg["node"])
+        .select("src", "dst", "outdeg")
+        .cache()  # reused by all 5 supersteps
     )
     consts = deg.agg(
         F.expr(f"{_UNIT} div count(*)").alias("r0"),
         F.expr(f"(15 * {_UNIT}) div 100 div count(*)").alias("base"),
     )
-    ranks = deg.crossJoin(F.broadcast(consts)).select(
-        "node", "outdeg", F.col("r0").alias("r")
-    )
+    ranks = deg.crossJoin(F.broadcast(consts)).select("node", F.col("r0").alias("r"))
     for _ in range(_ITERS):
-        inflow = (
-            edges.join(ranks, edges["src"] == ranks["node"])
+        ranks = (
+            edges_deg.join(ranks, edges_deg["src"] == ranks["node"])
             .select("dst", F.expr("r div outdeg").alias("share"))
             .groupBy("dst")
             .agg(F.sum("share").alias("inflow"))
-        )
-        ranks = (
-            inflow.crossJoin(F.broadcast(consts))
+            .crossJoin(F.broadcast(consts))
             .select(
                 F.col("dst").alias("node"),
                 (F.col("base") + F.expr("(85 * inflow) div 100")).alias("r"),
             )
-            .join(deg, "node")
-            .select("node", "outdeg", "r")
         )
+    label = F.concat(
+        F.when(F.col("node") % 2 == 0, F.lit("S:")).otherwise(F.lit("C:")),
+        F.expr("node div 2").cast("string"),
+    )
     return ranks.select(
-        "node",
+        label.alias("node"),
         F.col("r").cast("bigint").alias("rank_units"),
         (F.col("r").cast("double") / F.lit(float(_UNIT))).alias("rank"),
     ).orderBy("node")
