@@ -368,3 +368,164 @@ def q180_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# q182 — reorder-gap distribution: days between a customer's consecutive
+# orders (lag over (orderdate, orderkey) — the orderkey tiebreak makes the
+# sequence, and therefore every gap, unique and engine-identical), bucketed
+# into the retention bands a lifecycle team watches. Counts and the int64
+# gap-sum are exact; share and avg_gap_days are one division each. Same-day
+# repeat orders land in 'same_day' rather than polluting the 1-7d band.
+# ---------------------------------------------------------------------------
+
+_Q182_BANDS = [
+    ("same_day", 0, 0),
+    ("1-7d", 1, 7),
+    ("8-30d", 8, 30),
+    ("31-90d", 31, 90),
+    ("91-365d", 91, 365),
+    ("365d+", 366, None),
+]
+
+
+def _q182_band_sql(gap: str) -> str:
+    arms = []
+    for name, lo, hi in _Q182_BANDS:
+        cond = f"{gap} >= {lo}" if hi is None else f"{gap} BETWEEN {lo} AND {hi}"
+        arms.append(f"WHEN {cond} THEN '{name}'")
+    return "CASE " + " ".join(arms) + " END"
+
+
+_Q182_ORACLE = f"""
+WITH seq AS (
+  SELECT o_custkey,
+         date_diff('day',
+                   lag(CAST(o_orderdate AS DATE)) OVER w,
+                   CAST(o_orderdate AS DATE)) AS gap
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+), banded AS (
+  SELECT {_q182_band_sql("gap")} AS band, gap FROM seq WHERE gap IS NOT NULL
+)
+SELECT band,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER () AS share,
+       CAST(SUM(gap) AS DOUBLE) / COUNT(*) AS avg_gap_days
+FROM banded
+GROUP BY band
+ORDER BY band
+"""
+
+
+@register("q182_reorder_gaps", oracle=_Q182_ORACLE)
+def q182_reorder_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gap = F.datediff(
+        F.to_date("o_orderdate"), F.lag(F.to_date("o_orderdate")).over(w)
+    )
+    expr = None
+    for name, lo, hi in _Q182_BANDS:
+        cond = (F.col("gap") >= lo) if hi is None else F.col("gap").between(lo, hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    banded = (
+        o.select(gap.alias("gap"))
+        .filter(F.col("gap").isNotNull())
+        .select("gap", expr.alias("band"))
+    )
+    tot = Window.partitionBy()
+    return (
+        banded.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("gap").alias("gap_sum"),
+        )
+        .select(
+            "band",
+            F.col("n_gaps").cast("bigint").alias("n_gaps"),
+            (F.col("n_gaps").cast("double") / F.sum("n_gaps").over(tot)).alias(
+                "share"
+            ),
+            (F.col("gap_sum").cast("double") / F.col("n_gaps")).alias("avg_gap_days"),
+        )
+        .orderBy("band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q183 — cohort lifetime-value matrix: customers grouped by first-order
+# month; for each (cohort, months-since-first-order) cell, that month's
+# revenue and the cohort's CUMULATIVE revenue per member — the LTV curve a
+# growth team reads off the diagonal. Monthly revenues are exact decimal
+# sums; the cumulative is a window SUM OVER DECIMALS (exact, order-free);
+# per-member LTV is one double division by the exact cohort size.
+#
+# Scale: two passes over orders (first-order month per customer, then the
+# cohort/month rollup joined back on custkey — the join is fact->tiny only
+# after aggregation; the per-customer min is a partial-agg groupBy).
+# ---------------------------------------------------------------------------
+
+_SQL_MONTH_IDX = (
+    "(EXTRACT(year FROM o_orderdate) - 1995) * 12 + EXTRACT(month FROM o_orderdate) - 1"
+)
+
+_Q183_ORACLE = f"""
+WITH first_m AS (
+  SELECT o_custkey, MIN({_SQL_MONTH_IDX}) AS cohort
+  FROM orders GROUP BY 1
+), sizes AS (
+  SELECT cohort, COUNT(*) AS cohort_size FROM first_m GROUP BY 1
+), cells AS (
+  SELECT f.cohort,
+         {_SQL_MONTH_IDX} - f.cohort AS months_since,
+         SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS rev_dec
+  FROM orders o JOIN first_m f ON f.o_custkey = o.o_custkey
+  GROUP BY 1, 2
+), cum AS (
+  SELECT cohort, months_since, rev_dec,
+         SUM(rev_dec) OVER (PARTITION BY cohort ORDER BY months_since) AS cum_dec
+  FROM cells
+)
+SELECT CAST(c.cohort AS BIGINT) AS cohort_month,
+       CAST(c.months_since AS BIGINT) AS months_since,
+       CAST(s.cohort_size AS BIGINT) AS cohort_size,
+       CAST(CAST(c.rev_dec AS VARCHAR) AS DOUBLE) AS month_revenue,
+       CAST(CAST(c.cum_dec AS VARCHAR) AS DOUBLE) AS cum_revenue,
+       CAST(CAST(c.cum_dec AS VARCHAR) AS DOUBLE) / s.cohort_size AS ltv_per_customer
+FROM cum c JOIN sizes s ON s.cohort = c.cohort
+ORDER BY cohort_month, months_since
+"""
+
+
+@register("q183_cohort_ltv", oracle=_Q183_ORACLE)
+def q183_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    month_idx = (
+        (F.year("o_orderdate") - F.lit(1995)) * 12 + F.month("o_orderdate") - 1
+    )
+    first_m = o.groupBy("o_custkey").agg(F.min(month_idx).alias("cohort"))
+    sizes = first_m.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
+    cells = (
+        o.join(first_m, "o_custkey")
+        .groupBy("cohort", (month_idx - F.col("cohort")).alias("months_since"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(38,4)")).alias("rev_dec"))
+    )
+    cum = cells.withColumn(
+        "cum_dec",
+        F.sum("rev_dec").over(Window.partitionBy("cohort").orderBy("months_since")),
+    )
+    return (
+        cum.join(F.broadcast(sizes), "cohort")
+        .select(
+            F.col("cohort").cast("bigint").alias("cohort_month"),
+            F.col("months_since").cast("bigint").alias("months_since"),
+            F.col("cohort_size").cast("bigint").alias("cohort_size"),
+            F.col("rev_dec").cast("double").alias("month_revenue"),
+            F.col("cum_dec").cast("double").alias("cum_revenue"),
+            (F.col("cum_dec").cast("double") / F.col("cohort_size")).alias(
+                "ltv_per_customer"
+            ),
+        )
+        .orderBy("cohort_month", "months_since")
+    )

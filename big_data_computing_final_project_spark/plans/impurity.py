@@ -305,3 +305,87 @@ def q58_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dec_sum(revenue, 6).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
         .orderBy("p_brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# q181 — mutual information between order priority and order status, per
+# order year: MI = Σ_ij (n_ij/n) · log2(n_ij·n / (n_i·n_j)), the feature-
+# relevance score a tree builder compares against information gain (A14 is
+# exactly MI of the split indicator). Same exactness recipe as q53: both
+# class domains are pinned and tiny (5 priorities × 3 statuses), so every
+# cell/marginal is an explicit conditional COUNT and the Σ over 15 cells is
+# one left-associated expression written in the SAME order in both engines
+# — no aggregation-order dependence — with the log argument formed from
+# EXACT int64 products (n_ij·n and n_i·n_j stay < 2^63 through sf100k).
+# ROUND(…,12) guards the last-ulp libm divergence, as everywhere else.
+# Also emitted: marginal entropies and the normalized MI/min(H_p, H_s).
+# ---------------------------------------------------------------------------
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def _q181_oracle() -> str:
+    cell = lambda p, s: f'COUNT(*) FILTER (WHERE o_orderpriority = \'{p}\' AND o_orderstatus = \'{s}\')'  # noqa: E731
+    marg_p = lambda p: f"COUNT(*) FILTER (WHERE o_orderpriority = '{p}')"  # noqa: E731
+    marg_s = _sql_class_count
+    n = "COUNT(*)"
+    mi_terms = []
+    for p in _PRIORITIES:
+        for s in _STATUSES:
+            nij = cell(p, s)
+            mi_terms.append(
+                f"(CASE WHEN {nij} > 0 THEN (CAST({nij} AS DOUBLE) / {n})"
+                f" * log2(CAST({nij} * {n} AS DOUBLE)"
+                f" / CAST({marg_p(p)} * {marg_s(s)} AS DOUBLE)) ELSE 0.0 END)"
+            )
+    mi = "(0.0 + " + " + ".join(mi_terms) + ")"
+    h_p = _sql_entropy([marg_p(p) for p in _PRIORITIES], n)
+    h_s = _sql_entropy([marg_s(s) for s in _STATUSES], n)
+    return f"""
+SELECT EXTRACT(year FROM o_orderdate) AS order_year,
+       CAST({n} AS BIGINT) AS n_orders,
+       ROUND({mi}, 12) AS mi_bits,
+       ROUND({h_p}, 12) AS h_priority,
+       ROUND({h_s}, 12) AS h_status,
+       ROUND(CASE WHEN least({h_p}, {h_s}) > 0
+                  THEN {mi} / least({h_p}, {h_s}) ELSE 0.0 END, 12) AS mi_normalized
+FROM orders
+GROUP BY 1
+ORDER BY order_year
+"""
+
+
+@register("q181_mutual_information", oracle=_q181_oracle())
+def q181_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    n = F.count(F.lit(1))
+    cell = lambda p, s: F.count(  # noqa: E731
+        F.when((F.col("o_orderpriority") == p) & (F.col("o_orderstatus") == s), 1)
+    )
+    marg_p = lambda p: F.count(F.when(F.col("o_orderpriority") == p, 1))  # noqa: E731
+    mi = F.lit(0.0)
+    for p in _PRIORITIES:
+        for s in _STATUSES:
+            nij = cell(p, s)
+            term = (nij.cast("double") / n) * F.log2(
+                (nij * n).cast("double") / (marg_p(p) * _class_count(s)).cast("double")
+            )
+            mi = mi + F.when(nij > 0, term).otherwise(F.lit(0.0))
+    h_p = _entropy_terms([marg_p(p) for p in _PRIORITIES], n)
+    h_s = _entropy_terms([_class_count(s) for s in _STATUSES], n)
+    return (
+        o.groupBy(F.year("o_orderdate").cast("bigint").alias("order_year"))
+        .agg(
+            n.cast("bigint").alias("n_orders"),
+            F.round(mi, 12).alias("mi_bits"),
+            F.round(h_p, 12).alias("h_priority"),
+            F.round(h_s, 12).alias("h_status"),
+            F.round(
+                F.when(F.least(h_p, h_s) > 0, mi / F.least(h_p, h_s)).otherwise(
+                    F.lit(0.0)
+                ),
+                12,
+            ).alias("mi_normalized"),
+        )
+        .orderBy("order_year")
+    )

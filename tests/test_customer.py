@@ -191,3 +191,119 @@ def test_hhi_discount_applied(spark, sf_dir):
     got = sum(r.total_revenue for r in out)
     assert abs(got - want) / want < 1e-9
     assert all(0.0 < r.hhi <= 1.0 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# q181 mutual information (lives in plans/impurity.py; pinned here with the
+# other planted-orders analytics)
+# ---------------------------------------------------------------------------
+
+_ORD = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+        T.StructField("o_orderdate", T.TimestampType()),
+        T.StructField("o_orderpriority", T.StringType()),
+    ]
+)
+
+
+def test_mutual_information_independent_is_exactly_zero(spark, tmp_path):
+    """Product distribution (every (priority, status) cell equal): each
+    cell's log argument is exactly 1, so MI is exactly 0.0 — not an
+    epsilon."""
+    d0 = dt.datetime(1995, 6, 1)
+    rows = []
+    i = 0
+    for p in ("1-URGENT", "2-HIGH"):
+        for s in ("F", "O"):
+            for _ in range(10):
+                rows.append((i, 1, s, 100.0, d0, p))
+                i += 1
+    _write(spark, tmp_path, "orders", _ORD, rows)
+    out = _Q["q181_mutual_information"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    assert out[0].mi_bits == 0.0 and out[0].mi_normalized == 0.0
+
+
+def test_mutual_information_bijection_saturates(spark, tmp_path):
+    """priority determines status (3 pairs, equal mass): MI = H_status =
+    log2(3), normalized exactly 1."""
+    import math
+
+    d0 = dt.datetime(1995, 6, 1)
+    pairs = [("1-URGENT", "F"), ("2-HIGH", "O"), ("3-MEDIUM", "P")]
+    rows = [
+        (i * 100 + j, 1, s, 100.0, d0, p)
+        for i, (p, s) in enumerate(pairs)
+        for j in range(10)
+    ]
+    _write(spark, tmp_path, "orders", _ORD, rows)
+    r = _Q["q181_mutual_information"](spark, str(tmp_path)).collect()[0]
+    assert abs(r.mi_bits - math.log2(3)) < 1e-11
+    assert r.mi_normalized == 1.0
+    assert r.h_status == r.mi_bits
+
+
+def test_mutual_information_bounds_on_real_data(spark, sf_dir):
+    for r in _Q["q181_mutual_information"](spark, sf_dir).collect():
+        assert -1e-12 <= r.mi_bits <= min(r.h_priority, r.h_status) + 1e-9
+        assert 0.0 <= r.mi_normalized <= 1.0 + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# q182 reorder gaps
+# ---------------------------------------------------------------------------
+
+
+def test_reorder_gaps_planted_bands(spark, tmp_path):
+    d0 = dt.datetime(2024, 1, 1)
+
+    def day(n):
+        return d0 + dt.timedelta(days=n)
+
+    rows = [
+        (1, 1, "O", 10.0, day(0), "5-LOW"),
+        (2, 1, "O", 10.0, day(0), "5-LOW"),    # same-day repeat -> gap 0
+        (3, 1, "O", 10.0, day(3), "5-LOW"),    # gap 3 -> 1-7d
+        (4, 1, "O", 10.0, day(40), "5-LOW"),   # gap 37 -> 31-90d
+        (5, 1, "O", 10.0, day(500), "5-LOW"),  # gap 460 -> 365d+
+        (6, 2, "O", 10.0, day(100), "5-LOW"),  # single order: no gap
+    ]
+    _write(spark, tmp_path, "orders", _ORD, rows)
+    out = {r.band: r for r in _Q["q182_reorder_gaps"](spark, str(tmp_path)).collect()}
+    assert set(out) == {"same_day", "1-7d", "31-90d", "365d+"}
+    assert all(r.n_gaps == 1 for r in out.values())
+    assert out["31-90d"].avg_gap_days == 37.0
+    assert abs(sum(r.share for r in out.values()) - 1.0) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# q183 cohort LTV
+# ---------------------------------------------------------------------------
+
+
+def test_cohort_ltv_conserves_revenue_and_accumulates(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    rows = _Q["q183_cohort_ltv"](spark, sf_dir).collect()
+    total = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .agg(F.sum("o_totalprice"))
+        .collect()[0][0]
+    )
+    got = sum(r.month_revenue for r in rows)
+    assert abs(got - total) / total < 1e-9
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_month, []).append(r)
+    for cells in by_cohort.values():
+        cells.sort(key=lambda r: r.months_since)
+        assert cells[0].months_since == 0  # the first-order month is a cell
+        cum = 0.0
+        for c in cells:
+            cum += c.month_revenue
+            assert abs(c.cum_revenue - cum) / max(cum, 1.0) < 1e-9
+            assert abs(c.ltv_per_customer - c.cum_revenue / c.cohort_size) < 1e-6
