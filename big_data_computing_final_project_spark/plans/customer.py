@@ -244,21 +244,41 @@ ORDER BY campaign
 """
 
 
+def attribution_click_key(ts_us, event_id, campaign):
+    """The packed (ts, event_id, campaign) ordering key q179 and its
+    streaming twin share: ts_us * 1e9 + (event_id mod 1e7) * 100 + k.
+    Monotone in (ts, id), campaign recoverable as key mod 100, and the
+    range [lo*1e9, hi*1e9) selects clicks with ts in [lo, hi) exactly.
+    Pinned to DECIMAL(38,0) so store parquet schemas are stable."""
+    return (
+        (
+            ts_us.cast("decimal(25,0)") * 10_000_000
+            + (event_id % 10_000_000).cast("decimal(25,0)")
+        )
+        * 100
+        + campaign.cast("decimal(25,0)")
+    ).cast("decimal(38,0)")
+
+
+def attribution_campaign_expr(props_col):
+    """props.k as the campaign id, mod-guarded to the 2 low digits the
+    packed key reserves."""
+    return F.get_json_object(props_col, "$.k").cast("bigint") % 100
+
+
+ATTR_WINDOW_US = _7D_US
+
+
 @register("q179_lasttouch_attribution", oracle=_Q179_ORACLE)
 def q179_lasttouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.stats import dec_sum
 
     ev = load_table(spark, sf_dir, "events")
     ts_us = epoch_us(F.col("ts"))
-    k = F.get_json_object("props", "$.k").cast("bigint") % 100
+    k = attribution_campaign_expr("props")
     click_key = F.when(
         F.col("event_type") == "click",
-        (
-            ts_us.cast("decimal(25,0)") * 10_000_000
-            + (F.col("event_id") % 10_000_000).cast("decimal(25,0)")
-        )
-        * 100
-        + k.cast("decimal(25,0)"),
+        attribution_click_key(ts_us, F.col("event_id"), k),
     )
     fr = (
         Window.partitionBy("user_id")

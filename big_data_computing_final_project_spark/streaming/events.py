@@ -1375,3 +1375,157 @@ def compact_cdc_store(spark: SparkSession, store_dir: str) -> None:
     from ..plans.cdc import CDC_OPS_SCHEMA, latest_cdc_ops
 
     _compact_partitioned(spark, store_dir, CDC_OPS_SCHEMA, latest_cdc_ops)
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution at ingest: the streaming twin of batch q179
+# (plans/customer.py). Two per-batch-staged stores (the dup-flow idiom —
+# batch_id directories make replays idempotent):
+#
+#   clicks/batch_id=N/   (user_id, click_key) — batch N's per-user BEST
+#                        packed click key (attribution_click_key: ts, id,
+#                        campaign in one decimal; max = latest click).
+#   revenue/batch_id=N/  (campaign, n_purchases, rev_units) — batch N's
+#                        purchases attributed against (store clicks from
+#                        batches < N) ∪ (same-batch clicks strictly before
+#                        the purchase, the q179 window applied within the
+#                        batch). Revenue in exact 1e-4 int units.
+#
+# The packed key makes the store lookup pure range algebra: a click is
+# eligible for a purchase at ts_p iff click_key ∈ [(ts_p - 7d)·1e9,
+# ts_p·1e9) — strictly-before and the 7-day lookback in one decimal range,
+# no timestamp column needed. Because eligibility is enforced by the key
+# range (not by arrival order), a store click "from the future" of some
+# replayed purchase can never win; the only contract is the usual one:
+# a click must not ARRIVE in a later batch than a purchase it should have
+# attributed (time-ordered drops), same as the dup-flow store.
+# ---------------------------------------------------------------------------
+
+
+def _attribution_ingest(batch: DataFrame, batch_id: int, store_dir: str) -> None:
+    from ..plans.customer import (
+        ATTR_WINDOW_US,
+        attribution_campaign_expr,
+        attribution_click_key,
+    )
+
+    spark = batch.sparkSession
+    clicks_dir = os.path.join(store_dir, "clicks")
+    ts_us = epoch_us(F.col("ts"))
+    ck = F.when(
+        F.col("event_type") == "click",
+        attribution_click_key(
+            ts_us, F.col("event_id"), attribution_campaign_expr("props")
+        ),
+    )
+    enriched = batch.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        ts_us.alias("ts_us"),
+        ck.alias("click_key"),
+    )
+    fr = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-ATTR_WINDOW_US, -1)
+    )
+    # cached: consumed by the clicks write AND the purchase attribution
+    wb = enriched.withColumn("batch_best", F.max("click_key").over(fr)).cache()
+    try:
+        wb.where(F.col("click_key").isNotNull()).groupBy("user_id").agg(
+            F.max("click_key").alias("click_key")
+        ).write.mode("overwrite").parquet(
+            os.path.join(clicks_dir, f"batch_id={batch_id}")
+        )
+
+        purch = wb.where(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts_us", "value", "batch_best"
+        )
+        if os.path.exists(clicks_dir):
+            prior = (
+                spark.read.option("basePath", clicks_dir)
+                .parquet(f"{clicks_dir}/batch_id=*")
+                .where(F.col("batch_id") < batch_id)
+                .select("user_id", F.col("click_key").alias("store_key"))
+            )
+            lo = (F.col("ts_us") - F.lit(ATTR_WINDOW_US)).cast(
+                "decimal(25,0)"
+            ) * 1_000_000_000
+            hi = F.col("ts_us").cast("decimal(25,0)") * 1_000_000_000
+            store_best = (
+                purch.join(prior, "user_id")
+                .where((F.col("store_key") >= lo) & (F.col("store_key") < hi))
+                .groupBy("event_id")
+                .agg(F.max("store_key").alias("store_best"))
+            )
+            purch = purch.join(store_best, "event_id", "left")
+        else:
+            purch = purch.withColumn("store_best", F.lit(None).cast("decimal(38,0)"))
+
+        best = F.greatest("batch_best", "store_best")
+        out = (
+            purch.groupBy(
+                F.coalesce(best % 100, F.lit(-1)).cast("bigint").alias("campaign")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_purchases"),
+                F.sum(F.round(F.col("value") * F.lit(1e4)).cast("long")).alias(
+                    "rev_units"
+                ),
+            )
+        )
+        out.write.mode("overwrite").parquet(
+            os.path.join(store_dir, "revenue", f"batch_id={batch_id}")
+        )
+    finally:
+        wb.unpersist()
+
+
+def run_stream_attribution(
+    events: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    timeout_sec: int = 120,
+) -> None:
+    """foreachBatch incremental last-touch attribution (see the block
+    comment above). ``events`` is a streaming frame with the events-table
+    schema. Equals batch q179 exactly whenever drops arrive in event-time
+    order per user."""
+
+    def ingest(batch: DataFrame, batch_id: int) -> None:
+        _attribution_ingest(batch, batch_id, store_dir)
+
+    _run_foreach_batch(
+        events, ingest, checkpoint_dir, timeout_sec, "run_stream_attribution"
+    )
+
+
+def attribution_from_store(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Fold the revenue deltas into q179's (campaign, n_purchases,
+    attributed_revenue) — reads only the per-batch aggregates, never the
+    event stream. The unit recombination mirrors dec_sum exactly (decimal
+    total × 10^-4, one correctly-rounded cast), so the doubles match the
+    batch query bit-for-bit."""
+    from decimal import Decimal
+
+    rev_dir = os.path.join(store_dir, "revenue")
+    if not os.path.exists(rev_dir):
+        return spark.createDataFrame(
+            [], "campaign bigint, n_purchases bigint, attributed_revenue double"
+        )
+    rows = spark.read.option("basePath", rev_dir).parquet(f"{rev_dir}/batch_id=*")
+    return (
+        rows.groupBy("campaign")
+        .agg(
+            F.sum("n_purchases").cast("bigint").alias("n_purchases"),
+            (
+                F.sum("rev_units").cast("decimal(38,0)")
+                * F.lit(Decimal(1).scaleb(-4))
+            )
+            .cast("double")
+            .alias("attributed_revenue"),
+        )
+        .orderBy("campaign")
+    )

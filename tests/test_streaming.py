@@ -621,3 +621,108 @@ def test_compaction_crash_between_renames_is_recovered(spark, tmp_path):
     compact_dup_flow_store(spark, store)
     got2 = [tuple(r) for r in dup_flow_matrix_from_store(spark, store).collect()]
     assert got2 == want
+
+
+# ---------------------------------------------------------------------------
+# streaming last-touch attribution (twin of batch q179)
+# ---------------------------------------------------------------------------
+
+_EV_SCHEMA_STR = (
+    "event_id bigint, ts timestamp_ntz, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def _write_event_drops(spark, src_dir, all_rows, n_drops: int) -> str:
+    """Split ts-sorted event rows into contiguous drops, one parquet FILE
+    per drop (the file stream source does not recurse into the directory
+    a DataFrame write produces), mtimes ascending so maxFilesPerTrigger=1
+    replays in order."""
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(src_dir)
+    base = _time.time() - 3600
+    rows = sorted(all_rows, key=lambda r: (r[1], r[0]))
+    per = (len(rows) + n_drops - 1) // n_drops
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    for i in range(n_drops):
+        chunk = rows[i * per : (i + 1) * per]
+        tbl = pa.Table.from_pylist(
+            [dict(zip(schema.names, r)) for r in chunk], schema=schema
+        )
+        p = os.path.join(src_dir, f"drop_{i}.parquet")
+        pq.write_table(tbl, p)
+        os.utime(p, (base + 10 * i, base + 10 * i))
+    return src_dir
+
+
+def test_stream_attribution_equals_batch_q179(spark, sf_dir, tmp_path):
+    """The real sf events replayed as 4 time-ordered drops: the incremental
+    attribution store's fold must equal batch q179 EXACTLY (hash-grade:
+    same campaigns, counts, and revenue doubles) — purchases near drop
+    boundaries are attributed from the click store, not just the batch."""
+    from big_data_computing_final_project_spark.streaming.events import (
+        attribution_from_store,
+        run_stream_attribution,
+    )
+
+    want = [
+        tuple(r)
+        for r in all_queries()["q179_lasttouch_attribution"](spark, sf_dir).collect()
+    ]
+    rows = [tuple(r) for r in spark.read.parquet(f"{sf_dir}/events.parquet").collect()]
+    src = _write_event_drops(spark, str(tmp_path / "evdrops"), rows, 4)
+    stream = (
+        spark.readStream.schema(_EV_SCHEMA_STR)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    store = str(tmp_path / "attrstore")
+    run_stream_attribution(stream, store, str(tmp_path / "ckpt_attr"))
+    got = [tuple(r) for r in attribution_from_store(spark, store).collect()]
+    assert got == want
+
+
+def test_stream_attribution_cross_batch_click_wins(spark, tmp_path):
+    """A click that arrived two drops before its purchase must still win
+    (the store lookup), and one outside the 7-day window must not."""
+    import datetime as dt
+
+    from big_data_computing_final_project_spark.streaming.events import (
+        attribution_from_store,
+        run_stream_attribution,
+    )
+
+    t0 = dt.datetime(2024, 1, 20, 12, 0, 0)
+    d = dt.timedelta
+    rows = [
+        (1, t0 - d(days=10), 1, "click", 0.0, '{"k": 4}'),   # stale: > 7d out
+        (2, t0 - d(days=3), 1, "click", 0.0, '{"k": 6}'),    # drop 1
+        (3, t0 - d(days=2), 2, "view", 0.0, "{}"),           # drop 2 filler
+        (4, t0, 1, "purchase", 80.0, "{}"),                  # drop 3
+        (5, t0, 2, "purchase", 10.0, "{}"),                  # organic
+    ]
+    src = _write_event_drops(spark, str(tmp_path / "evdrops2"), rows, 3)
+    stream = (
+        spark.readStream.schema(_EV_SCHEMA_STR)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    store = str(tmp_path / "attrstore2")
+    run_stream_attribution(stream, store, str(tmp_path / "ckpt_attr2"))
+    got = {r.campaign: r for r in attribution_from_store(spark, store).collect()}
+    assert set(got) == {6, -1}
+    assert got[6].n_purchases == 1 and got[6].attributed_revenue == 80.0
+    assert got[-1].n_purchases == 1 and got[-1].attributed_revenue == 10.0
