@@ -459,3 +459,127 @@ def q166_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k", "st", "pr"
     )
     return snapshot_diff(base, target).orderBy("k")
+
+
+# ---------------------------------------------------------------------------
+# q184 — deletion manifest (right-to-be-forgotten planning). Given a subject
+# list (customers with custkey % 97 == 0 — deterministic so the oracle can
+# re-derive it), compute the CASCADE of rows a compliant delete must touch:
+# the customer rows themselves, their orders, and those orders' lineitems,
+# grouped per (table, shard) where shard = table-key % 16 — the unit a
+# rewrite job actually schedules (one output file rewrite per touched
+# shard). A delete planner must know the blast radius BEFORE running: the
+# manifest is the plan, produced without modifying anything.
+#
+# Scale: subjects are a broadcast semi-join against each table (at 100 TB
+# the same plan with a bloom pre-filter on l_orderkey — q101's operator —
+# keeps the lineitem pass scan-bound); output is |tables| x 16 rows.
+# ---------------------------------------------------------------------------
+
+_Q184_MOD = 97
+
+_Q184_ORACLE = f"""
+WITH subjects AS (
+  SELECT c_custkey FROM customer WHERE c_custkey % {_Q184_MOD} = 0
+), del_orders AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_custkey IN (SELECT c_custkey FROM subjects)
+)
+SELECT 'customer' AS table_name, c_custkey % 16 AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM subjects GROUP BY 2
+UNION ALL
+SELECT 'orders', o_orderkey % 16, CAST(COUNT(*) AS BIGINT)
+FROM del_orders GROUP BY 2
+UNION ALL
+SELECT 'lineitem', l_orderkey % 16, CAST(COUNT(*) AS BIGINT)
+FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM del_orders)
+GROUP BY 2
+ORDER BY table_name, shard
+"""
+
+
+@register("q184_deletion_manifest", oracle=_Q184_ORACLE)
+def q184_deletion_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    subjects = cust.filter(F.col("c_custkey") % _Q184_MOD == 0).select("c_custkey")
+    del_orders = orders.join(
+        F.broadcast(subjects), orders["o_custkey"] == subjects["c_custkey"], "left_semi"
+    ).select("o_orderkey")
+    del_li = li.join(
+        F.broadcast(del_orders), li["l_orderkey"] == del_orders["o_orderkey"], "left_semi"
+    )
+
+    def manifest(df: DataFrame, table: str, key: str) -> DataFrame:
+        return df.groupBy((F.col(key) % 16).alias("shard")).agg(
+            F.count(F.lit(1)).alias("n_rows")
+        ).select(F.lit(table).alias("table_name"), "shard", F.col("n_rows").cast("bigint"))
+
+    return (
+        manifest(subjects, "customer", "c_custkey")
+        .unionAll(manifest(del_orders, "orders", "o_orderkey"))
+        .unionAll(manifest(del_li, "lineitem", "l_orderkey"))
+        .orderBy("table_name", "shard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q185 — SCD2 point-in-time join: every order joined to the q163 dimension
+# VERSION that was valid on its order date (valid_from <= d < valid_to,
+# open version = +infinity) — the temporal-correctness join a warehouse
+# runs against a type-2 dimension, and the reason SCD2 exists at all.
+# Orders before the 2001-01-01 effective date must resolve to the seed
+# version even when the customer was later updated. Rolled up per version
+# epoch: how many orders, how much revenue, and how many distinct
+# customers each dimension regime served.
+#
+# Exactness: the interval predicate is date arithmetic on exact dates;
+# revenue is the usual decimal sum. Every order matches exactly one
+# version (the SCD2 invariant q163's tests pin), so the rollup conserves
+# order count — the pytest asserts it.
+#
+# Scale: dimension versions are |customers| x <=2 — broadcastable through
+# sf100; the orders fact never shuffles (broadcast interval-equi join on
+# custkey + map-side date filter).
+# ---------------------------------------------------------------------------
+
+_Q185_ORACLE = f"""
+WITH scd AS (
+{_Q163_ORACLE.replace("ORDER BY c_custkey, valid_from", "")}
+)
+SELECT s.valid_from AS version_epoch,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+       {sql_dec_sum('o.o_totalprice')} AS revenue
+FROM orders o
+JOIN scd s
+  ON s.c_custkey = o.o_custkey
+ AND CAST(o.o_orderdate AS DATE) >= s.valid_from
+ AND (s.valid_to IS NULL OR CAST(o.o_orderdate AS DATE) < s.valid_to)
+GROUP BY 1
+ORDER BY version_epoch
+"""
+
+
+@register("q185_scd2_pit_join", oracle=_Q185_ORACLE)
+def q185_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scd = q163_scd2_merge(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    cond = (
+        (scd["c_custkey"] == orders["o_custkey"])
+        & (d >= scd["valid_from"])
+        & (scd["valid_to"].isNull() | (d < scd["valid_to"]))
+    )
+    return (
+        orders.join(F.broadcast(scd), cond)
+        .groupBy(F.col("valid_from").alias("version_epoch"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
+            dec_sum(F.col("o_totalprice")).alias("revenue"),
+        )
+        .orderBy("version_epoch")
+    )

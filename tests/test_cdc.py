@@ -272,3 +272,61 @@ def test_snapshot_diff_identical_snapshots_is_empty(spark, sf_dir):
 
     base = cdc_base(spark, sf_dir)
     assert snapshot_diff(base, base).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# q184 deletion manifest
+# ---------------------------------------------------------------------------
+
+
+def test_deletion_manifest_counts_full_cascade(spark, sf_dir):
+    """The manifest's per-table totals must equal the true cascade sizes
+    recomputed directly, and the customer shard histogram must cover only
+    subjects (custkey % 97 == 0)."""
+    out = _Q["q184_deletion_manifest"](spark, sf_dir).collect()
+    per_table = {}
+    for r in out:
+        per_table[r.table_name] = per_table.get(r.table_name, 0) + r.n_rows
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_custkey") % 97 == 0
+    )
+    subj = {r.c_custkey for r in cust.select("c_custkey").collect()}
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    del_orders = {
+        r.o_orderkey
+        for r in orders.filter(F.col("o_custkey").isin(list(subj))).collect()
+    }
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    n_li = li.filter(F.col("l_orderkey").isin(list(del_orders))).count()
+    assert per_table["customer"] == len(subj)
+    assert per_table["orders"] == len(del_orders)
+    assert per_table["lineitem"] == n_li
+    assert all(0 <= r.shard <= 15 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# q185 SCD2 point-in-time join
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_pit_join_conserves_orders_and_respects_epochs(spark, sf_dir):
+    """The SCD2 invariant (non-overlapping versions covering every date)
+    means each order matches EXACTLY one version: total n_orders equals the
+    orders rowcount. Orders strictly before the effective date can only sit
+    in the seed epoch."""
+    import datetime as dt
+
+    rows = _Q["q185_scd2_pit_join"](spark, sf_dir).collect()
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert sum(r.n_orders for r in rows) == n_orders
+    epochs = {r.version_epoch for r in rows}
+    assert dt.date(1990, 1, 1) in epochs
+    seed = [r for r in rows if r.version_epoch == dt.date(1990, 1, 1)][0]
+    pre_eff = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderdate") < F.lit("2001-01-01").cast("timestamp_ntz"))
+        .count()
+    )
+    # every pre-effective order is in the seed epoch; the seed epoch may
+    # also hold post-effective orders of customers whose merge was a no-op
+    assert seed.n_orders >= pre_eff
