@@ -916,3 +916,133 @@ def q150_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# q186 — kNN classifier over the embedding store: predict each query
+# vector's label by majority vote of its 10 nearest neighbors (exact
+# cosine, q38's ordered-fold dot product so both engines score
+# identically), ties broken (count DESC, label ASC) so the vote is
+# deterministic. Emits the prediction, the true label, the vote count,
+# and the mean neighbor similarity — the eval row a retrieval-quality
+# dashboard ingests. Completes the ML surface with the one classic
+# classifier that needs no training phase at all.
+#
+# Exactness: the vote is integer; mean_sim folds exactly 10 doubles in
+# rank order via an ordered array fold (sort_array of (rk, sim) structs),
+# not an aggregation-order-dependent SUM — the same trick the EWMA fold
+# uses. Scale: queries broadcast against the store; per-query top-k via
+# ranking window — q38's plan plus a kilobyte vote rollup.
+# ---------------------------------------------------------------------------
+
+_KNN_K = 10
+
+_Q186_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS q_id, label AS true_label, e AS qe FROM v
+  WHERE vec_id < {_N_QUERIES}
+), scored AS (
+  SELECT q.q_id, q.true_label, v.vec_id AS cand_id, v.label AS cand_label,
+         list_sum(list_transform(list_zip(q.qe, v.e), p -> p[1] * p[2]))
+         / (sqrt(list_sum(list_transform(q.qe, x -> x * x)))
+            * sqrt(list_sum(list_transform(v.e, x -> x * x)))) AS cos_sim
+  FROM q, v
+  WHERE v.vec_id != q.q_id
+), topk AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                 ORDER BY cos_sim DESC, cand_id) AS rk
+    FROM scored
+  ) WHERE rk <= {_KNN_K}
+), votes AS (
+  SELECT q_id, true_label, cand_label,
+         COUNT(*) AS n_votes,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY COUNT(*) DESC, cand_label) AS vrk
+  FROM topk GROUP BY q_id, true_label, cand_label
+), sims AS (
+  -- rank-ordered exact fold: sum sims at rk=1..K left to right
+  SELECT q_id, list_sum(list_transform(
+           list_sort(list_zip(list(rk), list(cos_sim))), p -> p[2]
+         )) / {_KNN_K} AS mean_sim
+  FROM topk GROUP BY q_id
+)
+SELECT v.q_id,
+       CAST(v.true_label AS BIGINT) AS true_label,
+       CAST(v.cand_label AS BIGINT) AS predicted_label,
+       CAST(v.n_votes AS BIGINT) AS n_votes,
+       s.mean_sim,
+       v.cand_label = v.true_label AS is_correct
+FROM votes v JOIN sims s ON s.q_id = v.q_id
+WHERE v.vrk = 1
+ORDER BY v.q_id
+"""
+
+
+@register("q186_knn_classifier", oracle=_Q186_ORACLE)
+def q186_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("e")
+    )
+    emb = emb.select("vec_id", "label", "e", norm(F.col("e")).alias("nc"))
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("true_label"),
+        F.col("e").alias("qe"),
+        F.col("nc").alias("nq"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(emb, F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "true_label",
+            F.col("vec_id").alias("cand_id"),
+            F.col("label").alias("cand_label"),
+            (dot(F.col("qe"), F.col("e")) / (F.col("nq") * F.col("nc"))).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
+    topk = scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= _KNN_K
+    )
+    votes = (
+        topk.groupBy("q_id", "true_label", "cand_label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+        .withColumn(
+            "vrk",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(
+                    F.col("n_votes").desc(), "cand_label"
+                )
+            ),
+        )
+    )
+    # rank-ordered exact fold of the K sims (see oracle note)
+    pair = F.sort_array(F.collect_list(F.struct("rk", "cos_sim")))
+    sims = topk.groupBy("q_id").agg(
+        (
+            F.aggregate(
+                pair, F.lit(0.0), lambda acc, p: acc + p["cos_sim"]
+            )
+            / F.lit(_KNN_K)
+        ).alias("mean_sim")
+    )
+    return (
+        votes.filter(F.col("vrk") == 1)
+        .join(sims, "q_id")
+        .select(
+            "q_id",
+            F.col("true_label").cast("bigint").alias("true_label"),
+            F.col("cand_label").cast("bigint").alias("predicted_label"),
+            F.col("n_votes").cast("bigint").alias("n_votes"),
+            "mean_sim",
+            (F.col("cand_label") == F.col("true_label")).alias("is_correct"),
+        )
+        .orderBy("q_id")
+    )

@@ -620,3 +620,62 @@ def test_q159_threshold_sweep_on_planted_jaccards(spark, tmp_path):
     assert frame_digest(sdf.columns, got) == frame_digest(
         [d[0] for d in res.description], res.fetchall()
     )
+
+
+# ---------------------------------------------------------------------------
+# q186 kNN classifier
+# ---------------------------------------------------------------------------
+
+
+def _write_embeddings(spark, tmp_path, rows) -> str:
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/embeddings.parquet"
+    )
+    return str(tmp_path)
+
+
+def test_knn_predicts_planted_cluster(spark, tmp_path):
+    """Query sits in cluster A (label 0): all 10 nearest neighbors are the
+    cluster-A members, so the vote is unanimous and correct."""
+    dim = 8
+    a = [1.0] + [0.0] * (dim - 1)
+    b = [-1.0] + [0.0] * (dim - 1)
+    rows = [(0, a, 0)]  # the query (vec_id < 20)
+    for i in range(10):
+        rows.append((100 + i, [1.0, 0.01 * (i + 1)] + [0.0] * (dim - 2), 0))
+    for i in range(10):
+        rows.append((200 + i, b, 1))
+    out = _Q["q186_knn_classifier"](
+        spark, _write_embeddings(spark, tmp_path, rows)
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.predicted_label == 0 and r.n_votes == 10 and bool(r.is_correct)
+    assert r.mean_sim > 0.99
+
+
+def test_knn_vote_tie_breaks_to_smaller_label(spark, tmp_path):
+    """Exactly 5 votes per label at identical similarity: the documented
+    tie-break (count DESC, label ASC) must pick the smaller label."""
+    dim = 4
+    v = [1.0, 0.0, 0.0, 0.0]
+    rows = [(0, v, 7)]
+    for i in range(5):
+        rows.append((100 + i, v, 3))
+    for i in range(5):
+        rows.append((300 + i, v, 1))
+    out = _Q["q186_knn_classifier"](
+        spark, _write_embeddings(spark, tmp_path, rows)
+    ).collect()
+    assert len(out) == 1
+    assert out[0].predicted_label == 1 and out[0].n_votes == 5
+    assert not bool(out[0].is_correct)

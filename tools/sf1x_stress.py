@@ -57,6 +57,15 @@ QUERIES = [
     "q157_corpus_report_card",
     "q158_dedup_savings",
     "q159_jaccard_threshold_sweep",
+    # round-5 continuation families: the ones whose work grows superlinearly
+    # in the fact (graph joins, basket pairs) or that carry a global sort
+    # (layout simulation) — exactly where a 10x cliff would hide
+    "q174_pagerank",
+    "q175_triangle_census",
+    "q178_basket_rules",
+    "q170_zorder_layout",
+    "q176_pit_training_set",
+    "q183_cohort_ltv",
 ]
 
 
