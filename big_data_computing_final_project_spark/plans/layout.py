@@ -115,34 +115,52 @@ ORDER BY layout
 
 @register("q170_zorder_layout", oracle=_Q170_ORACLE)
 def q170_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Distributed global row numbers (the sf1x stress caught the naive
+    # form: Window.orderBy with no partition serializes the whole fact
+    # into ONE task — 33 s at ~sf1, unbounded at 100 TB). The sort keys
+    # here have <= 256 distinct values, so the exact global rank is
+    # (rows in earlier key groups) + (rank within my group): the group
+    # offsets come from a 256-row cumulative window, broadcast back, and
+    # the within-group row_number parallelizes across the key partitions.
+    # Same numbers, no single-partition stage.
     li = load_table(spark, sf_dir, "lineitem")
-    base = li.select(
+    keyed = li.select(
         (F.col("l_partkey") % 16).alias("zx"),
         (F.col("l_suppkey") % 16).alias("zy"),
         (F.col("l_orderkey") * 16 + F.col("l_linenumber")).alias("rid"),
+    ).select(
+        "zx", "zy", "rid", _interleave4(F.col("zx"), F.col("zy")).alias("zkey")
     )
-    keyed = base.select(
-        "zx",
-        "zy",
-        "rid",
-        _interleave4(F.col("zx"), F.col("zy")).alias("zkey"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-    )
-    rows_per_file = F.ceil(F.col("n") / F.lit(float(_Q170_FILES))).cast("bigint")
 
     def placed(order_col: str, name: str) -> DataFrame:
-        rn = F.row_number().over(Window.orderBy(order_col, "rid"))
-        return keyed.select(
-            F.lit(name).alias("layout"),
-            "zx",
-            "zy",
-            rn.cast("bigint").alias("rn"),
-            rows_per_file.alias("rpf"),
-        ).select(
-            "layout",
-            "zx",
-            "zy",
-            F.expr("(rn - 1) div rpf").cast("bigint").alias("file_id"),
+        grp = keyed.groupBy(order_col).agg(F.count(F.lit(1)).alias("gcnt"))
+        cum = (
+            Window.orderBy(order_col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offs = grp.select(
+            order_col,
+            F.coalesce(F.sum("gcnt").over(cum), F.lit(0)).alias("goff"),
+            F.sum("gcnt").over(Window.partitionBy()).alias("n"),
+        )
+        rn_in = F.row_number().over(Window.partitionBy(order_col).orderBy("rid"))
+        return (
+            keyed.join(F.broadcast(offs), order_col)
+            .select(
+                F.lit(name).alias("layout"),
+                "zx",
+                "zy",
+                (F.col("goff") + rn_in - 1).cast("bigint").alias("rn0"),
+                F.ceil(F.col("n") / F.lit(float(_Q170_FILES)))
+                .cast("bigint")
+                .alias("rpf"),
+            )
+            .select(
+                "layout",
+                "zx",
+                "zy",
+                F.expr("rn0 div rpf").cast("bigint").alias("file_id"),
+            )
         )
 
     stats = (
