@@ -321,13 +321,32 @@ def q172_partition_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts = li.groupBy(_spark_candidate(name).alias("k")).agg(
             F.count(F.lit(1)).alias("c")
         )
-        ranked = counts.select(
+        # Distributed Gini: an unpartitioned row_number over the keys frame
+        # would serialize |keys| rows into one task (the q170 cliff, here at
+        # 1e9 partition keys). Keys with EQUAL count form a contiguous rank
+        # block whose rank-sum has a closed form —
+        #   sum_{i=off+1..off+g} (2i - n - 1) = g * (2*off + g - n)
+        # — so only the DISTINCT count values need the (tiny) cumulative
+        # window; the per-key global sort disappears. The oracle keeps the
+        # ROW_NUMBER form, which doubles as the proof the algebra is right.
+        cgrp = counts.groupBy("c").agg(F.count(F.lit(1)).alias("g"))
+        cum = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
+        whole = Window.partitionBy()
+        blocks = cgrp.select(
             "c",
-            F.row_number().over(Window.orderBy("c", "k")).alias("rk"),
-            F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+            "g",
+            F.coalesce(F.sum("g").over(cum), F.lit(0)).alias("off"),
+            F.sum("g").over(whole).alias("n"),
         )
-        mx, tot, nk = F.max("c"), F.sum("c"), F.count(F.lit(1))
-        return ranked.agg(
+        # block rows c*g <= total rows (int64-safe); the rank factor can
+        # push the product past 2^63 at extreme scale, so it goes decimal
+        contrib = (F.col("c") * F.col("g")).cast("decimal(38,0)") * (
+            2 * F.col("off") + F.col("g") - F.col("n")
+        ).cast("decimal(38,0)")
+        mx = F.max("c")
+        tot = F.sum(F.col("c") * F.col("g"))
+        nk = F.sum("g")
+        return blocks.agg(
             F.lit(name).alias("candidate"),
             nk.cast("bigint").alias("n_keys"),
             tot.cast("bigint").alias("total_rows"),
@@ -335,7 +354,7 @@ def q172_partition_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (mx.cast("double") / tot).alias("top_share"),
             ((mx * nk).cast("double") / tot).alias("skew_factor"),
             (
-                F.sum((2 * F.col("rk") - F.col("n") - 1) * F.col("c")).cast("double")
+                F.sum(contrib).cast("double")
                 / (F.max("n").cast("double") * tot)
             ).alias("gini"),
             F.when(mx * nk > 4 * tot, F.lit("salt"))
