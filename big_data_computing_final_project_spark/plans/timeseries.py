@@ -267,19 +267,10 @@ ORDER BY day_idx
 """
 
 
-@register("q169_rolling_anomaly", oracle=_Q169_ORACLE)
-def q169_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    daily = o.groupBy(_day_idx().alias("day_idx")).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(38,4)")).alias("rev_dec")
-    )
-    x = daily.select(
-        "day_idx",
-        F.col("rev_dec").cast("double").alias("revenue"),
-        F.round(F.col("rev_dec").cast("double") * F.lit(1e4))
-        .cast("long")
-        .alias("u"),
-    )
+def score_daily_anomalies(x: DataFrame) -> DataFrame:
+    """q169's scoring over a (day_idx, revenue, u) daily series — shared
+    with the streaming revenue monitor, whose store fold reconstructs the
+    identical series from per-batch integer-unit partials."""
     w = Window.orderBy("day_idx").rangeBetween(-28, -1)
     u19 = F.col("u").cast("decimal(19,0)")
     win = x.select(
@@ -312,3 +303,19 @@ def q169_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs("zscore") > 3.0)
         .orderBy("day_idx")
     )
+
+
+@register("q169_rolling_anomaly", oracle=_Q169_ORACLE)
+def q169_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(_day_idx().alias("day_idx")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,4)")).alias("rev_dec")
+    )
+    x = daily.select(
+        "day_idx",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        F.round(F.col("rev_dec").cast("double") * F.lit(1e4))
+        .cast("long")
+        .alias("u"),
+    )
+    return score_daily_anomalies(x)

@@ -1529,3 +1529,126 @@ def attribution_from_store(spark: SparkSession, store_dir: str) -> DataFrame:
         )
         .orderBy("campaign")
     )
+
+
+# ---------------------------------------------------------------------------
+# Revenue anomaly monitor at ingest: the streaming twin of batch q169
+# (plans/timeseries.py). Per micro-batch of orders:
+#
+#   partials/batch_id=N/  (day_idx, u_partial) — the batch's per-day
+#                         revenue in exact 1e-4 integer units (additive,
+#                         order-free, replay-idempotent per batch dir).
+#   monitor/batch_id=N/   one evaluation row: the folded daily series
+#                         scored with q169's trailing-28d rule — how many
+#                         days currently flag, the loudest |z|, and its
+#                         day — the ops signal per drop.
+#
+# The fold reconstructs q169's (day_idx, revenue, u) EXACTLY: summed units
+# are the same integers the batch query derives from its decimal sums, and
+# revenue re-emerges via one decimal-scaled correctly-rounded cast — so
+# revenue_anomalies_from_store == batch q169, tuple for tuple, no matter
+# how the orders were split into batches (day partials are commutative;
+# this store is arrival-order-INDEPENDENT, unlike the attribution store).
+# ---------------------------------------------------------------------------
+
+
+def _daily_units(batch: DataFrame):
+    from ..plans.timeseries import _day_idx
+
+    return batch.groupBy(_day_idx().alias("day_idx")).agg(
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(38,4)")).cast("double")
+            * F.lit(1e4)
+        )
+        .cast("long")
+        .alias("u_partial")
+    )
+
+
+def _fold_daily_series(spark: SparkSession, partials_dir: str) -> DataFrame:
+    from decimal import Decimal
+
+    rows = spark.read.option("basePath", partials_dir).parquet(
+        f"{partials_dir}/batch_id=*"
+    )
+    return rows.groupBy("day_idx").agg(
+        (F.sum("u_partial").cast("decimal(38,0)") * F.lit(Decimal(1).scaleb(-4)))
+        .cast("double")
+        .alias("revenue"),
+        F.sum("u_partial").cast("long").alias("u"),
+    )
+
+
+def run_stream_revenue_monitor(
+    orders: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    timeout_sec: int = 120,
+) -> None:
+    """foreachBatch revenue-anomaly monitor (see block comment). ``orders``
+    is a streaming frame with at least (o_orderdate, o_totalprice)."""
+    from ..plans.timeseries import score_daily_anomalies
+
+    def ingest(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        partials_dir = os.path.join(store_dir, "partials")
+        _daily_units(batch).write.mode("overwrite").parquet(
+            os.path.join(partials_dir, f"batch_id={batch_id}")
+        )
+        flagged = score_daily_anomalies(
+            _fold_daily_series(spark, partials_dir)
+        ).cache()
+        try:
+            top = flagged.orderBy(F.abs(F.col("zscore")).desc(), "day_idx").limit(1)
+            row = top.collect()
+            n = flagged.count()
+            spark.createDataFrame(
+                [
+                    (
+                        batch_id,
+                        n,
+                        float(row[0].zscore) if row else None,
+                        int(row[0].day_idx) if row else None,
+                    )
+                ],
+                "batch_id bigint, n_anomalies bigint, max_abs_z double, max_z_day bigint",
+            ).write.mode("overwrite").parquet(
+                os.path.join(store_dir, "monitor", f"batch_id={batch_id}")
+            )
+        finally:
+            flagged.unpersist()
+
+    _run_foreach_batch(
+        orders, ingest, checkpoint_dir, timeout_sec, "run_stream_revenue_monitor"
+    )
+
+
+def revenue_anomalies_from_store(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Fold the partials into the daily series and score with q169's rule —
+    equals batch q169 tuple-for-tuple under any batch split."""
+    from ..plans.timeseries import score_daily_anomalies
+
+    partials_dir = os.path.join(store_dir, "partials")
+    if not os.path.exists(partials_dir):
+        return spark.createDataFrame(
+            [],
+            "day_idx bigint, revenue double, n_prior bigint, "
+            "mean_28 double, sd_28 double, zscore double",
+        )
+    return score_daily_anomalies(_fold_daily_series(spark, partials_dir))
+
+
+def revenue_monitor_log(spark: SparkSession, store_dir: str) -> DataFrame:
+    mon_dir = os.path.join(store_dir, "monitor")
+    if not os.path.exists(mon_dir):
+        return spark.createDataFrame(
+            [], "batch_id bigint, n_anomalies bigint, max_abs_z double, max_z_day bigint"
+        )
+    return (
+        spark.read.schema(
+            "batch_id bigint, n_anomalies bigint, max_abs_z double, max_z_day bigint"
+        )
+        .option("basePath", mon_dir)
+        .parquet(f"{mon_dir}/batch_id=*")
+        .orderBy("batch_id")
+    )

@@ -726,3 +726,88 @@ def test_stream_attribution_cross_batch_click_wins(spark, tmp_path):
     assert set(got) == {6, -1}
     assert got[6].n_purchases == 1 and got[6].attributed_revenue == 80.0
     assert got[-1].n_purchases == 1 and got[-1].attributed_revenue == 10.0
+
+
+# ---------------------------------------------------------------------------
+# streaming revenue anomaly monitor (twin of batch q169)
+# ---------------------------------------------------------------------------
+
+_ORD_SCHEMA_STR = (
+    "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+    "o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string"
+)
+
+
+def _write_order_drops(spark, src_dir, rows, n_drops, shuffle=False) -> str:
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(src_dir)
+    base = _time.time() - 3600
+    if shuffle:
+        # deterministic interleave: round-robin across drops — violates
+        # time order on purpose (the monitor must not care)
+        chunks = [rows[i::n_drops] for i in range(n_drops)]
+    else:
+        rows = sorted(rows, key=lambda r: (r[4], r[0]))
+        per = (len(rows) + n_drops - 1) // n_drops
+        chunks = [rows[i * per : (i + 1) * per] for i in range(n_drops)]
+    schema = pa.schema(
+        [
+            ("o_orderkey", pa.int64()),
+            ("o_custkey", pa.int64()),
+            ("o_orderstatus", pa.string()),
+            ("o_totalprice", pa.float64()),
+            ("o_orderdate", pa.timestamp("us")),
+            ("o_orderpriority", pa.string()),
+        ]
+    )
+    for i, chunk in enumerate(chunks):
+        tbl = pa.Table.from_pylist(
+            [dict(zip(schema.names, r)) for r in chunk], schema=schema
+        )
+        p = os.path.join(src_dir, f"drop_{i}.parquet")
+        pq.write_table(tbl, p)
+        os.utime(p, (base + 10 * i, base + 10 * i))
+    return src_dir
+
+
+def test_stream_revenue_monitor_equals_batch_q169_any_split(spark, sf_dir, tmp_path):
+    """Day partials are commutative: the store fold must equal batch q169
+    tuple-for-tuple for a time-ordered split AND a round-robin (time-
+    violating) split."""
+    from big_data_computing_final_project_spark.streaming.events import (
+        revenue_anomalies_from_store,
+        revenue_monitor_log,
+        run_stream_revenue_monitor,
+    )
+
+    want = [
+        tuple(r) for r in all_queries()["q169_rolling_anomaly"](spark, sf_dir).collect()
+    ]
+    assert want, "sf data has planted anomalies; the pin needs non-empty output"
+    rows = [tuple(r) for r in spark.read.parquet(f"{sf_dir}/orders.parquet").collect()]
+    for label, shuffle in (("ordered", False), ("roundrobin", True)):
+        src = _write_order_drops(
+            spark, str(tmp_path / f"odrops_{label}"), rows, 3, shuffle=shuffle
+        )
+        stream = (
+            spark.readStream.schema(_ORD_SCHEMA_STR)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        store = str(tmp_path / f"revstore_{label}")
+        run_stream_revenue_monitor(stream, store, str(tmp_path / f"ckpt_{label}"))
+        got = [
+            tuple(r)
+            for r in revenue_anomalies_from_store(spark, store)
+            .orderBy("day_idx")
+            .collect()
+        ]
+        assert got == want, label
+        log = revenue_monitor_log(spark, store).collect()
+        assert [r.batch_id for r in log] == [0, 1, 2]
+        # the final evaluation saw the full series: its count matches batch
+        assert log[-1].n_anomalies == len(want)
