@@ -74,10 +74,10 @@ ORDER BY r_q, f_q, m_q
 @register("q177_rfm_segmentation", oracle=_Q177_ORACLE)
 def q177_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
+    from .timeseries import order_epoch_day
+
     per_cust = o.groupBy("o_custkey").agg(
-        F.max(F.datediff(F.to_date("o_orderdate"), F.to_date(F.lit("1970-01-01")))).alias(
-            "last_day"
-        ),
+        F.max(order_epoch_day()).alias("last_day"),
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(38,4)")).alias("mon_dec"),
     )
@@ -217,14 +217,23 @@ def q178_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _7D_US = 7 * 86_400 * 1_000_000
 
+# Packed-key layout: ts_us * 10^15 + (event_id mod 10^13) * 100 + campaign.
+# 10^13 of id space (review fix: the first cut used 10^7, which a 100 TB
+# event stream exceeds, silently inverting the documented higher-id-wins
+# microsecond tie-break); one key is <= ~7.3e30 through year 2200, inside
+# DECIMAL(38,0). KEY_UNITS_PER_US is what converts a ts bound into a key
+# bound: click_ts < t  <=>  key < t * 10^15.
+_ID_MOD = 10_000_000_000_000
+ATTR_KEY_UNITS_PER_US = _ID_MOD * 100
+
 _Q179_ORACLE = f"""
 WITH ev AS (
   SELECT user_id, event_type, value, epoch_us(ts) AS ts_us,
          CASE WHEN event_type = 'click'
-              THEN ((CAST(epoch_us(ts) AS DECIMAL(25,0)) * 10000000
-                     + CAST(event_id % 10000000 AS DECIMAL(25,0))) * 100
+              THEN ((CAST(epoch_us(ts) AS DECIMAL(16,0)) * {_ID_MOD}
+                     + CAST(event_id % {_ID_MOD} AS DECIMAL(16,0))) * 100
                     + CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 100
-                           AS DECIMAL(25,0)))
+                           AS DECIMAL(16,0)))
               ELSE NULL END AS click_key
   FROM events
 ), w AS (
@@ -246,17 +255,19 @@ ORDER BY campaign
 
 def attribution_click_key(ts_us, event_id, campaign):
     """The packed (ts, event_id, campaign) ordering key q179 and its
-    streaming twin share: ts_us * 1e9 + (event_id mod 1e7) * 100 + k.
-    Monotone in (ts, id), campaign recoverable as key mod 100, and the
-    range [lo*1e9, hi*1e9) selects clicks with ts in [lo, hi) exactly.
-    Pinned to DECIMAL(38,0) so store parquet schemas are stable."""
+    streaming twin share: ts_us * 10^15 + (event_id mod 10^13) * 100 + k.
+    Monotone in (ts, id) for ids < 10^13 (beyond that the microsecond
+    tie-break is by id mod 10^13 — deterministic, documented); campaign
+    recoverable as key mod 100; the range [lo*10^15, hi*10^15) selects
+    clicks with ts in [lo, hi) exactly. Pinned to DECIMAL(38,0) so store
+    parquet schemas are stable."""
     return (
         (
-            ts_us.cast("decimal(25,0)") * 10_000_000
-            + (event_id % 10_000_000).cast("decimal(25,0)")
+            ts_us.cast("decimal(16,0)") * F.lit(_ID_MOD)
+            + (event_id % _ID_MOD).cast("decimal(16,0)")
         )
         * 100
-        + campaign.cast("decimal(25,0)")
+        + campaign.cast("decimal(16,0)")
     ).cast("decimal(38,0)")
 
 

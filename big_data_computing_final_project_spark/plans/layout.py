@@ -25,7 +25,7 @@ Reference parity: the reference (single-node pandas/sklearn notebooks) has
 no layout surface at all — this is the driver-mandated scale extension, the
 operations you only need once data stops fitting one machine.
 
-Scale shape: q171-q173 are single partial-aggregated passes over the fact
+Scale shape: q171-q173 are parallel single passes over the fact
 (q171 aggregates to a file manifest first; the packing itself is
 manifest-sized window math). q170's row_number layout simulation is the one
 deliberately global sort — the advisor mirrors what OPTIMIZE ZORDER itself
@@ -86,8 +86,12 @@ WITH base AS (
   -- integer division, explicitly: bigint '/' is true division in BOTH
   -- engines, and DuckDB's double->bigint cast ROUNDS (Spark's truncates) —
   -- '//' / 'div' keeps the file boundaries exact at any scale
+  -- rid is NOT unique ((orderkey, linenumber) repeats in this data), so zy
+  -- joins the linear tiebreak: remaining ties agree on BOTH dimensions and
+  -- cannot move the per-file min/max stats. zorder ties already share zkey
+  -- (hence zx AND zy), so rid suffices there.
   SELECT 'linear' AS layout, zx, zy,
-         CAST((ROW_NUMBER() OVER (ORDER BY zx, rid) - 1)
+         CAST((ROW_NUMBER() OVER (ORDER BY zx, rid, zy) - 1)
               // CAST(ceil(n / {_Q170_FILES}.0) AS BIGINT) AS BIGINT) AS file_id
   FROM keyed
   UNION ALL
@@ -143,7 +147,12 @@ def q170_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("gcnt").over(cum), F.lit(0)).alias("goff"),
             F.sum("gcnt").over(Window.partitionBy()).alias("n"),
         )
-        rn_in = F.row_number().over(Window.partitionBy(order_col).orderBy("rid"))
+        # see the oracle note: zy joins the linear tiebreak because rid is
+        # not unique; for zorder the partition key already fixes (zx, zy)
+        tiebreak = ["rid", "zy"] if order_col == "zx" else ["rid"]
+        rn_in = F.row_number().over(
+            Window.partitionBy(order_col).orderBy(*tiebreak)
+        )
         return (
             keyed.join(F.broadcast(offs), order_col)
             .select(
@@ -207,13 +216,16 @@ WITH manifest AS (
          CAST(SUM(n_chars) AS BIGINT) AS bytes
   FROM documents GROUP BY 1, 2
 ), packed AS (
+  -- '//', explicitly: the window SUM is HUGEINT and happens to divide
+  -- integrally today, but BIGINT '/' is true division whose BIGINT cast
+  -- ROUNDS in DuckDB (the q170 lesson) — floor must be spelled out
   SELECT source, file_key, bytes,
-         CAST(COALESCE(SUM(bytes) OVER (PARTITION BY source ORDER BY file_key
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-              / {_Q171_TARGET} AS BIGINT) AS grp
+         COALESCE(SUM(bytes) OVER (PARTITION BY source ORDER BY file_key
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              // {_Q171_TARGET} AS grp
   FROM manifest
 )
-SELECT source, grp,
+SELECT source, CAST(grp AS BIGINT) AS grp,
        CAST(COUNT(*) AS BIGINT) AS n_input_files,
        CAST(SUM(bytes) AS BIGINT) AS total_bytes,
        CAST(SUM(bytes) AS DOUBLE) / {_Q171_TARGET} AS fill_ratio
@@ -371,20 +383,29 @@ def q172_partition_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q173 — encoding advisor. Per audited column: rows, exact NDV, dictionary
 # ratio ndv/rows, average run length in write order (runs counted with one
-# lag-window pass in the table's physical sort key (orderkey, linenumber) —
-# the order a writer would stream rows), average encoded width (string
-# lengths for varchars; 8 bytes for fixed-width types), and the encoding a
-# parquet writer should choose: RLE when runs average >= 8, else DICT when
-# the dictionary is < 1% of rows, else PLAIN.
+# lag-window pass in the table's physical sort key (orderkey, linenumber),
+# partitioned into 1024-orderkey write buckets — see _Q173_BUCKET), average
+# encoded width (string lengths for varchars; 8 bytes for fixed-width
+# types), and the encoding a parquet writer should choose: RLE when runs
+# average >= 8, else DICT when the dictionary is < 1% of rows, else PLAIN.
 #
-# One fact scan: all five columns' run flags come from a single window pass
-# (one sort), all fifteen aggregates from one row, exploded to five rows at
-# the end. NDVs are exact multi-count-distinct (Expand) — at 100 TB swap in
-# approx_count_distinct; the advisor's thresholds tolerate 2% HLL error.
+# One fact scan: all five columns' run flags come from a single
+# bucket-parallel window pass, all fifteen aggregates from one row,
+# exploded to five rows at the end. NDVs are exact multi-count-distinct
+# (Expand) — at 100 TB swap in approx_count_distinct; the advisor's
+# thresholds tolerate 2% HLL error.
 # ---------------------------------------------------------------------------
 
 _Q173_COLS = ["l_returnflag", "l_linestatus", "l_shipdate", "l_partkey", "l_quantity"]
 _Q173_VARCHAR = {"l_returnflag", "l_linestatus"}
+
+# Runs are counted WITHIN write buckets of 1024 orderkeys: an unpartitioned
+# lag window would serialize the fact into one task (the q170 cliff, caught
+# by review before the stress did), and the bucket restart is truthful
+# anyway — parquet encoders see runs per row group, so a run crossing a
+# write-bucket boundary restarts in the real file too. Each bucket's first
+# row counts as a change (lag is NULL there), matching that physical model.
+_Q173_BUCKET = 1024
 
 
 def _q173_width_sql(c: str) -> str:
@@ -401,9 +422,11 @@ WITH flagged AS (
     CASE WHEN {c} IS DISTINCT FROM lag({c}) OVER w THEN 1 ELSE 0 END AS chg_{c}"""
         for c in _Q173_COLS
     )
-    + """
+    + f"""
   FROM lineitem
-  WINDOW w AS (ORDER BY l_orderkey, l_linenumber)
+  WINDOW w AS (PARTITION BY l_orderkey // {_Q173_BUCKET}
+               ORDER BY l_orderkey, l_linenumber, l_returnflag, l_linestatus,
+                        l_shipdate, l_partkey, l_quantity)
 ), agg AS (
   SELECT COUNT(*) AS n,
 """
@@ -437,7 +460,19 @@ FROM agg"""
 @register("q173_encoding_advisor", oracle=_Q173_ORACLE)
 def q173_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    w = Window.orderBy("l_orderkey", "l_linenumber")
+    # (l_orderkey, l_linenumber) is NOT unique in this data (the generator
+    # reuses line numbers), so the sort appends the audited columns: rows
+    # still tied after that are value-identical in every audited column,
+    # making the run counts invariant to how either engine breaks the tie.
+    w = Window.partitionBy(F.expr(f"l_orderkey div {_Q173_BUCKET}")).orderBy(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+        "l_partkey",
+        "l_quantity",
+    )
     flagged = li.select(
         *_Q173_COLS,
         *[

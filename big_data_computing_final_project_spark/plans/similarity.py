@@ -964,10 +964,11 @@ WITH v AS (
                             ORDER BY COUNT(*) DESC, cand_label) AS vrk
   FROM topk GROUP BY q_id, true_label, cand_label
 ), sims AS (
-  -- rank-ordered exact fold: sum sims at rk=1..K left to right
+  -- rank-ordered exact fold: sum sims at rk=1..K left to right; divide by
+  -- the RETRIEVED count (a tiny store can have < K candidates)
   SELECT q_id, list_sum(list_transform(
            list_sort(list_zip(list(rk), list(cos_sim))), p -> p[2]
-         )) / {_KNN_K} AS mean_sim
+         )) / COUNT(*) AS mean_sim
   FROM topk GROUP BY q_id
 )
 SELECT v.q_id,
@@ -1030,7 +1031,7 @@ def q186_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate(
                 pair, F.lit(0.0), lambda acc, p: acc + p["cos_sim"]
             )
-            / F.lit(_KNN_K)
+            / F.count(F.lit(1))
         ).alias("mean_sim")
     )
     return (

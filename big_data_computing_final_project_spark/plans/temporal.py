@@ -132,6 +132,8 @@ def q66_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # At 100 TB the window state per user is bounded by 7 days of activity.
 # ---------------------------------------------------------------------------
 
+# q176's lookback — deliberately its OWN knob (plans.customer.ATTR_WINDOW_US
+# is the attribution family's; retuning one must not retune the other)
 _7D_US = 7 * 86_400 * 1_000_000
 
 _Q176_ORACLE = f"""

@@ -48,7 +48,9 @@ _DOW_NAMES = ["Thu", "Fri", "Sat", "Sun", "Mon", "Tue", "Wed"]
 _SQL_DAY_IDX = "date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))"
 
 
-def _day_idx() -> F.Column:
+def order_epoch_day() -> F.Column:
+    """Epoch-day index of o_orderdate — the portable calendar key this
+    family and the customer-analytics family (q177) share."""
     return F.datediff(F.to_date("o_orderdate"), F.to_date(F.lit("1970-01-01")))
 
 
@@ -94,7 +96,7 @@ ORDER BY dow_idx
 @register("q167_seasonal_dow_index", oracle=_Q167_ORACLE)
 def q167_seasonal_dow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    per_dow = o.groupBy((_day_idx() % 7).alias("dow_idx")).agg(
+    per_dow = o.groupBy((order_epoch_day() % 7).alias("dow_idx")).agg(
         F.countDistinct(F.to_date("o_orderdate")).alias("n_days"),
         F.sum(F.col("o_totalprice").cast("decimal(38,4)")).alias("rev_dec"),
     )
@@ -175,7 +177,7 @@ ORDER BY priority
 def q168_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     daily = o.groupBy(
-        F.col("o_orderpriority").alias("priority"), _day_idx().alias("day_idx")
+        F.col("o_orderpriority").alias("priority"), order_epoch_day().alias("day_idx")
     ).agg(F.sum(F.col("o_totalprice").cast("decimal(38,4)")).alias("rev_dec"))
 
     ordered = Window.partitionBy("priority").orderBy("day_idx")
@@ -308,7 +310,7 @@ def score_daily_anomalies(x: DataFrame) -> DataFrame:
 @register("q169_rolling_anomaly", oracle=_Q169_ORACLE)
 def q169_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    daily = o.groupBy(_day_idx().alias("day_idx")).agg(
+    daily = o.groupBy(order_epoch_day().alias("day_idx")).agg(
         F.sum(F.col("o_totalprice").cast("decimal(38,4)")).alias("rev_dec")
     )
     x = daily.select(

@@ -1450,10 +1450,12 @@ def _attribution_ingest(batch: DataFrame, batch_id: int, store_dir: str) -> None
                 .where(F.col("batch_id") < batch_id)
                 .select("user_id", F.col("click_key").alias("store_key"))
             )
+            from ..plans.customer import ATTR_KEY_UNITS_PER_US
+
             lo = (F.col("ts_us") - F.lit(ATTR_WINDOW_US)).cast(
-                "decimal(25,0)"
-            ) * 1_000_000_000
-            hi = F.col("ts_us").cast("decimal(25,0)") * 1_000_000_000
+                "decimal(16,0)"
+            ) * F.lit(ATTR_KEY_UNITS_PER_US)
+            hi = F.col("ts_us").cast("decimal(16,0)") * F.lit(ATTR_KEY_UNITS_PER_US)
             store_best = (
                 purch.join(prior, "user_id")
                 .where((F.col("store_key") >= lo) & (F.col("store_key") < hi))
@@ -1553,9 +1555,9 @@ def attribution_from_store(spark: SparkSession, store_dir: str) -> DataFrame:
 
 
 def _daily_units(batch: DataFrame):
-    from ..plans.timeseries import _day_idx
+    from ..plans.timeseries import order_epoch_day
 
-    return batch.groupBy(_day_idx().alias("day_idx")).agg(
+    return batch.groupBy(order_epoch_day().alias("day_idx")).agg(
         F.round(
             F.sum(F.col("o_totalprice").cast("decimal(38,4)")).cast("double")
             * F.lit(1e4)

@@ -147,6 +147,22 @@ def test_attribution_microsecond_tie_breaks_by_event_id(spark, tmp_path):
     assert len(out) == 1 and out[0].campaign == 8
 
 
+def test_attribution_tie_break_survives_large_event_ids(spark, tmp_path):
+    """Ids past 1e7 (a 100 TB stream certainly has them): the packed key's
+    id space is 1e13, so the higher id still wins the same-microsecond tie
+    (the first cut's 1e7 modulus silently inverted this)."""
+    t0 = dt.datetime(2024, 1, 20, 12, 0, 0)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        (10_000_000_001, t0, 1, "click", 0.0, '{"k": 3}'),
+        (5, t0, 1, "click", 0.0, '{"k": 8}'),
+        (12, t0 + s, 1, "purchase", 60.0, "{}"),
+    ]
+    _write(spark, tmp_path, "events", _EV, rows)
+    out = _Q["q179_lasttouch_attribution"](spark, str(tmp_path)).collect()
+    assert len(out) == 1 and out[0].campaign == 3
+
+
 # ---------------------------------------------------------------------------
 # q180 supplier HHI
 # ---------------------------------------------------------------------------

@@ -679,3 +679,17 @@ def test_knn_vote_tie_breaks_to_smaller_label(spark, tmp_path):
     assert len(out) == 1
     assert out[0].predicted_label == 1 and out[0].n_votes == 5
     assert not bool(out[0].is_correct)
+
+
+def test_knn_small_store_mean_uses_retrieved_count(spark, tmp_path):
+    """Fewer than K candidates: mean_sim divides by the retrieved count,
+    not the constant K (review fix)."""
+    dim = 4
+    v = [1.0, 0.0, 0.0, 0.0]
+    rows = [(0, v, 0)] + [(100 + i, v, 0) for i in range(4)]  # 4 candidates
+    out = _Q["q186_knn_classifier"](
+        spark, _write_embeddings(spark, tmp_path, rows)
+    ).collect()
+    assert len(out) == 1
+    assert out[0].n_votes == 4
+    assert abs(out[0].mean_sim - 1.0) < 1e-12

@@ -64,6 +64,7 @@ QUERIES = [
     "q175_triangle_census",
     "q178_basket_rules",
     "q170_zorder_layout",
+    "q173_encoding_advisor",
     "q176_pit_training_set",
     "q183_cohort_ltv",
 ]
