@@ -560,3 +560,193 @@ def q183_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_month", "months_since")
     )
+
+
+# ---------------------------------------------------------------------------
+# q187 — hierarchical revenue shares: one ROLLUP(region, nation) pass
+# emitting every level with its share OF ITS PARENT — nation within region,
+# region within grand total — the drill-down tree a revenue dashboard
+# renders. Shares divide exact per-level decimal sums (the rollup re-sums
+# raw decimals at every level, so a parent is bit-exactly the sum of its
+# children); the parent lookup is a window over the rollup output keyed by
+# the grouping level, never a second scan.
+#
+# Scale: one fact aggregate (ROLLUP = grouping-sets expansion inside the
+# same hash aggregate) + window math over ~|nations| rows.
+# ---------------------------------------------------------------------------
+
+_Q187_ORACLE = """
+WITH ro AS (
+  SELECT r_name, n_name,
+         GROUPING(r_name) AS g_r, GROUPING(n_name) AS g_n,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS rev_dec
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY ROLLUP (r_name, n_name)
+), shared AS (
+  SELECT r_name, n_name, g_r, g_n, rev_dec,
+         SUM(CASE WHEN g_n = 1 AND g_r = 0 THEN rev_dec END)
+           OVER (PARTITION BY r_name) AS region_dec,
+         SUM(CASE WHEN g_r = 1 THEN rev_dec END) OVER () AS total_dec
+  FROM ro
+)
+SELECT CASE WHEN g_r = 1 THEN 'total' WHEN g_n = 1 THEN 'region' ELSE 'nation' END
+         AS level,
+       COALESCE(r_name, 'ALL') AS region,
+       COALESCE(n_name, 'ALL') AS nation,
+       CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) AS revenue,
+       CASE WHEN g_n = 0 AND g_r = 0
+            THEN CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(region_dec AS VARCHAR) AS DOUBLE)
+            WHEN g_n = 1 AND g_r = 0
+            THEN CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(total_dec AS VARCHAR) AS DOUBLE)
+            ELSE 1.0 END AS share_of_parent
+FROM shared
+ORDER BY level, region, nation
+"""
+
+
+@register("q187_hierarchical_shares", oracle=_Q187_ORACLE)
+def q187_hierarchical_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    joined = (
+        li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+    )
+    ro = joined.rollup("r_name", "n_name").agg(
+        F.grouping("r_name").alias("g_r"),
+        F.grouping("n_name").alias("g_n"),
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(38,6)"
+            )
+        ).alias("rev_dec"),
+    )
+    shared = ro.select(
+        "*",
+        F.sum(F.when((F.col("g_n") == 1) & (F.col("g_r") == 0), F.col("rev_dec")))
+        .over(Window.partitionBy("r_name"))
+        .alias("region_dec"),
+        F.sum(F.when(F.col("g_r") == 1, F.col("rev_dec")))
+        .over(Window.partitionBy())
+        .alias("total_dec"),
+    )
+    level = (
+        F.when(F.col("g_r") == 1, F.lit("total"))
+        .when(F.col("g_n") == 1, F.lit("region"))
+        .otherwise(F.lit("nation"))
+    )
+    rev = F.col("rev_dec").cast("double")
+    share = (
+        F.when(
+            (F.col("g_n") == 0) & (F.col("g_r") == 0),
+            rev / F.col("region_dec").cast("double"),
+        )
+        .when(
+            (F.col("g_n") == 1) & (F.col("g_r") == 0),
+            rev / F.col("total_dec").cast("double"),
+        )
+        .otherwise(F.lit(1.0))
+    )
+    return shared.select(
+        level.alias("level"),
+        F.coalesce("r_name", F.lit("ALL")).alias("region"),
+        F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+        rev.alias("revenue"),
+        share.alias("share_of_parent"),
+    ).orderBy("level", "region", "nation")
+
+
+# ---------------------------------------------------------------------------
+# q188 — Benford first-digit audit on order totals (the classic fraud /
+# data-fabrication screen: organically-grown monetary amounts follow
+# P(d) = log10(1 + 1/d); fabricated ones usually don't). The first digit
+# is extracted EXACTLY: amounts become integer cents (round(x*100), exact
+# for this 2-decimal money column), and the digit is the first character
+# of the integer's decimal string — bigint->varchar is identical in both
+# engines, with no log10-near-power-boundary hazard. The Benford
+# expectations are PRECOMPUTED python literals embedded in both plans
+# (math.log10 once, offline), so no cross-libm transcendental enters the
+# hash. chi2 folds its 9 terms left-associated in digit order.
+#
+# Scale: one scan -> 9-row aggregate; the chi2 is driver-free window math.
+# ---------------------------------------------------------------------------
+
+_BENFORD = [
+    (1, 0.3010299956639812),
+    (2, 0.17609125905568124),
+    (3, 0.12493873660829992),
+    (4, 0.09691001300805642),
+    (5, 0.07918124604762482),
+    (6, 0.06694678963061322),
+    (7, 0.05799194697768673),
+    (8, 0.05115252244738129),
+    (9, 0.04575749056067514),
+]
+
+_Q188_ORACLE = f"""
+WITH digits AS (
+  SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+                        1, 1) AS BIGINT) AS d
+  FROM orders WHERE o_totalprice > 0
+), counts AS (
+  SELECT d, COUNT(*) AS n, SUM(COUNT(*)) OVER () AS total FROM digits GROUP BY d
+), bf(d, expected) AS (
+  -- CAST AS DOUBLE, explicitly: DuckDB types a bare decimal literal as
+  -- DECIMAL, whose trailing-zero stringification breaks the value hash
+  VALUES {", ".join(f"({d}, CAST({e!r} AS DOUBLE))" for d, e in _BENFORD)}
+)
+SELECT bf.d AS first_digit,
+       CAST(COALESCE(counts.n, 0) AS BIGINT) AS n_orders,
+       CAST(COALESCE(counts.n, 0) AS DOUBLE) / ANY_VALUE(t.total) AS share,
+       bf.expected,
+       (CAST(COALESCE(counts.n, 0) AS DOUBLE) / ANY_VALUE(t.total) - bf.expected)
+       * (CAST(COALESCE(counts.n, 0) AS DOUBLE) / ANY_VALUE(t.total) - bf.expected)
+       / bf.expected AS chi2_term
+FROM bf
+LEFT JOIN counts ON counts.d = bf.d
+CROSS JOIN (SELECT ANY_VALUE(total) AS total FROM counts) t
+GROUP BY bf.d, bf.expected, counts.n
+ORDER BY first_digit
+"""
+
+
+@register("q188_benford_audit", oracle=_Q188_ORACLE)
+def q188_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"), 1, 1
+    ).cast("bigint")
+    counts = (
+        o.filter(F.col("o_totalprice") > 0)
+        .groupBy(d.alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("total", F.sum("n").over(Window.partitionBy()))
+    )
+    bf = spark.createDataFrame(_BENFORD, "d bigint, expected double")
+    share = F.coalesce(F.col("n"), F.lit(0)).cast("double") / F.col("total_all")
+    total_all = counts.agg(F.max("total").alias("total_all"))
+    return (
+        F.broadcast(bf)
+        .join(counts, "d", "left")
+        .crossJoin(F.broadcast(total_all))
+        .select(
+            F.col("d").alias("first_digit"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_orders"),
+            share.alias("share"),
+            "expected",
+            (
+                (share - F.col("expected"))
+                * (share - F.col("expected"))
+                / F.col("expected")
+            ).alias("chi2_term"),
+        )
+        .orderBy("first_digit")
+    )

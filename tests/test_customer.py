@@ -323,3 +323,63 @@ def test_cohort_ltv_conserves_revenue_and_accumulates(spark, sf_dir):
             cum += c.month_revenue
             assert abs(c.cum_revenue - cum) / max(cum, 1.0) < 1e-9
             assert abs(c.ltv_per_customer - c.cum_revenue / c.cohort_size) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# q187 hierarchical shares / q188 Benford audit
+# ---------------------------------------------------------------------------
+
+
+def test_hierarchical_shares_sum_to_one_per_parent(spark, sf_dir):
+    rows = _Q["q187_hierarchical_shares"](spark, sf_dir).collect()
+    total = [r for r in rows if r.level == "total"]
+    assert len(total) == 1 and total[0].share_of_parent == 1.0
+    regions = [r for r in rows if r.level == "region"]
+    nations = [r for r in rows if r.level == "nation"]
+    assert abs(sum(r.share_of_parent for r in regions) - 1.0) < 1e-9
+    per_region = {}
+    for r in nations:
+        per_region[r.region] = per_region.get(r.region, 0.0) + r.share_of_parent
+    for s in per_region.values():
+        assert abs(s - 1.0) < 1e-9
+    # parent-child revenue conservation
+    assert abs(sum(r.revenue for r in regions) - total[0].revenue) < 1e-4
+
+
+def test_benford_counts_every_order_once_and_digit_extraction_exact(spark, sf_dir):
+    rows = _Q["q188_benford_audit"](spark, sf_dir).collect()
+    assert [r.first_digit for r in rows] == list(range(1, 10))
+    n_orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter("o_totalprice > 0")
+        .count()
+    )
+    assert sum(r.n_orders for r in rows) == n_orders
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-12
+    # independent digit recount in python, exact-cents route
+    import collections
+
+    vals = [
+        r.o_totalprice
+        for r in spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_totalprice")
+        .collect()
+    ]
+    cnt = collections.Counter(str(round(v * 100))[0] for v in vals if v > 0)
+    for r in rows:
+        assert r.n_orders == cnt.get(str(r.first_digit), 0)
+
+
+def test_benford_flags_fabricated_uniform_amounts(spark, tmp_path):
+    """Uniform 100..999 amounts (every first digit equally likely) are the
+    textbook Benford violation: digit-1 share ~1/9, far below 0.301, and
+    the chi2 total is large."""
+    d0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, 1, "O", float(100 + (i * 37) % 900) + 0.5, d0, "5-LOW")
+        for i in range(3600)
+    ]
+    _write(spark, tmp_path, "orders", _ORD, rows)
+    out = {r.first_digit: r for r in _Q["q188_benford_audit"](spark, str(tmp_path)).collect()}
+    assert abs(out[1].share - 1 / 9) < 0.01
+    assert sum(r.chi2_term for r in out.values()) > 0.1
