@@ -449,3 +449,68 @@ def q134_window_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q189 — rolling 7-day active users (DAU / WAU / stickiness). COUNT
+# (DISTINCT) over a sliding window is the one aggregate window frames
+# cannot express (no engine supports it), so this uses the standard
+# explode rewrite: each user's distinct ACTIVITY DAY covers the 7 calendar
+# days [a, a+6]; dedup (user, covered_day) and count per day. The rewrite
+# is exact (a user counts for day d iff some activity falls in [d-6, d])
+# and scale-linear: the fact collapses to distinct (user, day) FIRST (the
+# only fact-sized aggregate), the x7 explode happens on that much smaller
+# frame, and everything shuffles on the natural (user, day) keys. Days are
+# emitted only where the day itself had activity (a DAU of 0 has no
+# stickiness to report).
+#
+# Exactness: all counts; stickiness = dau/wau is the single division.
+# ---------------------------------------------------------------------------
+
+_SQL_EV_DAY = "date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))"
+
+_Q189_ORACLE = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, {_SQL_EV_DAY} AS d FROM events
+), covered AS (
+  SELECT DISTINCT user_id, d + o AS day_idx
+  FROM ud, (SELECT unnest(generate_series(0, 6)) AS o)
+), wau AS (
+  SELECT day_idx, COUNT(*) AS wau FROM covered GROUP BY day_idx
+), dau AS (
+  SELECT d AS day_idx, COUNT(*) AS dau FROM ud GROUP BY d
+)
+SELECT dau.day_idx AS day_idx,
+       CAST(dau.dau AS BIGINT) AS dau,
+       CAST(wau.wau AS BIGINT) AS wau,
+       CAST(dau.dau AS DOUBLE) / wau.wau AS stickiness
+FROM dau JOIN wau ON wau.day_idx = dau.day_idx
+ORDER BY dau.day_idx
+"""
+
+
+@register("q189_rolling_active_users", oracle=_Q189_ORACLE)
+def q189_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01")))
+    ud = ev.select("user_id", day.alias("d")).distinct()
+    covered = (
+        ud.select(
+            "user_id", F.explode(F.sequence(F.col("d"), F.col("d") + 6)).alias("day_idx")
+        )
+        .distinct()
+    )
+    wau = covered.groupBy("day_idx").agg(F.count(F.lit(1)).alias("wau"))
+    dau = ud.groupBy(F.col("d").alias("day_idx")).agg(
+        F.count(F.lit(1)).alias("dau")
+    )
+    return (
+        dau.join(wau, "day_idx")
+        .select(
+            "day_idx",
+            F.col("dau").cast("bigint").alias("dau"),
+            F.col("wau").cast("bigint").alias("wau"),
+            (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
+        )
+        .orderBy("day_idx")
+    )

@@ -42,7 +42,7 @@ PLAN_ONLY = {
     "q151", "q152", "q153", "q154", "q155", "q157", "q158", "q160",
     "q161", "q162", "q163", "q164", "q165", "q166", "q167", "q168", "q169",
     "q170", "q171", "q172", "q173", "q176", "q177", "q178", "q179", "q180",
-    "q181", "q182", "q183", "q184", "q185", "q186", "q187", "q188",
+    "q181", "q182", "q183", "q184", "q185", "q186", "q187", "q188", "q189",
 }
 # Multi-COUNT(DISTINCT) Expand rewrites order their column lists
 # nondeterministically across sessions (ExpressionSet iteration) — same

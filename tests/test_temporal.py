@@ -127,3 +127,43 @@ def test_q176_cold_start_purchase_has_zero_features(spark, tmp_path):
         spark, _write_events(spark, tmp_path, rows)
     ).collect()[0]
     assert r.n_prior_total == 0 and r.last_gap_us is None
+
+
+# ---------------------------------------------------------------------------
+# q189 rolling active users
+# ---------------------------------------------------------------------------
+
+
+def test_rolling_active_users_window_semantics(spark, tmp_path):
+    """User A active on days 0 and 10; user B on day 3. WAU(day 3) counts
+    A (day 0 is within [−6, 0] of day 3) and B; WAU(day 10) counts only A
+    (B's day 3 aged out); stickiness is dau/wau exactly."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def day(n):
+        return t0 + dt.timedelta(days=n)
+
+    rows = [
+        (1, day(0), 1, "view", 1.0),
+        (2, day(10), 1, "view", 1.0),
+        (3, day(3), 2, "view", 1.0),
+    ]
+    out = {r.day_idx: r for r in _Q["q189_rolling_active_users"](
+        spark, _write_events(spark, tmp_path, rows)
+    ).collect()}
+    epoch0 = (dt.date(2024, 1, 1) - dt.date(1970, 1, 1)).days
+    assert set(out) == {epoch0, epoch0 + 3, epoch0 + 10}
+    assert out[epoch0].dau == 1 and out[epoch0].wau == 1
+    assert out[epoch0 + 3].dau == 1 and out[epoch0 + 3].wau == 2
+    assert out[epoch0 + 3].stickiness == 0.5
+    assert out[epoch0 + 10].dau == 1 and out[epoch0 + 10].wau == 1
+
+
+def test_rolling_active_users_wau_at_least_dau(spark, sf_dir):
+    rows = _Q["q189_rolling_active_users"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.wau >= r.dau >= 1
+        assert 0 < r.stickiness <= 1.0
