@@ -1444,8 +1444,13 @@ def _attribution_ingest(batch: DataFrame, batch_id: int, store_dir: str) -> None
             "event_id", "user_id", "ts_us", "value", "batch_best"
         )
         if os.path.exists(clicks_dir):
+            # explicit schema: the PSI-store lesson — a staged batch dir can
+            # exist with zero part files, and schema inference dies there
             prior = (
-                spark.read.option("basePath", clicks_dir)
+                spark.read.schema(
+                    "user_id bigint, click_key decimal(38,0), batch_id bigint"
+                )
+                .option("basePath", clicks_dir)
                 .parquet(f"{clicks_dir}/batch_id=*")
                 .where(F.col("batch_id") < batch_id)
                 .select("user_id", F.col("click_key").alias("store_key"))
@@ -1517,7 +1522,13 @@ def attribution_from_store(spark: SparkSession, store_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "campaign bigint, n_purchases bigint, attributed_revenue double"
         )
-    rows = spark.read.option("basePath", rev_dir).parquet(f"{rev_dir}/batch_id=*")
+    rows = (
+        spark.read.schema(
+            "campaign bigint, n_purchases bigint, rev_units bigint, batch_id bigint"
+        )
+        .option("basePath", rev_dir)
+        .parquet(f"{rev_dir}/batch_id=*")
+    )
     return (
         rows.groupBy("campaign")
         .agg(
@@ -1570,8 +1581,10 @@ def _daily_units(batch: DataFrame):
 def _fold_daily_series(spark: SparkSession, partials_dir: str) -> DataFrame:
     from decimal import Decimal
 
-    rows = spark.read.option("basePath", partials_dir).parquet(
-        f"{partials_dir}/batch_id=*"
+    rows = (
+        spark.read.schema("day_idx int, u_partial bigint, batch_id bigint")
+        .option("basePath", partials_dir)
+        .parquet(f"{partials_dir}/batch_id=*")
     )
     return rows.groupBy("day_idx").agg(
         (F.sum("u_partial").cast("decimal(38,0)") * F.lit(Decimal(1).scaleb(-4)))
