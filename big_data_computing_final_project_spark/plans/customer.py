@@ -81,13 +81,28 @@ def q177_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(38,4)")).alias("mon_dec"),
     )
-    scored = per_cust.select(
-        "o_custkey",
-        "mon_dec",
-        F.ntile(5).over(Window.orderBy("last_day", "o_custkey")).alias("r_q"),
-        F.ntile(5).over(Window.orderBy("n_orders", "o_custkey")).alias("f_q"),
-        F.ntile(5).over(Window.orderBy("mon_dec", "o_custkey")).alias("m_q"),
-    )
+    # distributed NTILE (operators/ranking.py): an unpartitioned ntile
+    # window serializes |customers| rows into one task — ruinous at 1e9
+    # customers. Buckets: the low-cardinality metrics bucket on themselves;
+    # monetary buckets on $1000 bands (bounded by the price DOMAIN, not the
+    # customer count). The oracle keeps NTILE, so the hash match doubles as
+    # the proof the closed-form tile assignment is standard-equivalent.
+    from ..operators.ranking import distributed_ntile
+
+    scored = per_cust
+    for out_col, order_cols, bucket in (
+        ("r_q", ["last_day", "o_custkey"], None),
+        ("f_q", ["n_orders", "o_custkey"], None),
+        (
+            "m_q",
+            ["mon_dec", "o_custkey"],
+            (F.col("mon_dec") / 1000).cast("bigint"),
+        ),
+    ):
+        scored = distributed_ntile(
+            scored, order_cols, 5, bucket=bucket, out_col=out_col
+        )
+    scored = scored.select("o_custkey", "mon_dec", "r_q", "f_q", "m_q")
     return (
         scored.groupBy("r_q", "f_q", "m_q")
         .agg(
