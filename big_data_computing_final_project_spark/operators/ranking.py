@@ -52,17 +52,24 @@ def global_rank(
     b = bucket if bucket is not None else F.col(order_cols[0])
     tagged = df.withColumn(_BKT, b)
     grp = tagged.groupBy(_BKT).agg(F.count(F.lit(1)).alias("__gcnt"))
-    cum = Window.orderBy(_BKT).rowsBetween(Window.unboundedPreceding, -1)
+    # asc_nulls_first matches Window.orderBy's default NULL placement, so a
+    # NULL bucket (from a NULL leading sort key) ranks first, not dropped
+    cum = Window.orderBy(F.asc_nulls_first(_BKT)).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
     offs = grp.select(
-        _BKT,
+        F.col(_BKT).alias("__obkt"),
         F.coalesce(F.sum("__gcnt").over(cum), F.lit(0)).alias(_OFF),
         F.sum("__gcnt").over(Window.partitionBy()).alias(_N),
     )
     rn = F.row_number().over(Window.partitionBy(_BKT).orderBy(*order_cols))
     out = (
-        tagged.join(F.broadcast(offs), _BKT)
+        # eqNullSafe: a plain equi-join silently DELETES null-bucket rows
+        tagged.join(
+            F.broadcast(offs), F.col(_BKT).eqNullSafe(F.col("__obkt"))
+        )
         .withColumn(rank_col, (F.col(_OFF) + rn).cast("bigint"))
-        .drop(_BKT, _OFF)
+        .drop(_BKT, "__obkt", _OFF)
     )
     if n_col is not None:
         out = out.withColumnRenamed(_N, n_col)
@@ -74,8 +81,10 @@ def global_rank(
 def ntile_from_rank(rank: Column, n: Column, tiles: int) -> Column:
     """NTILE(tiles) from a 1-based global rank and the total count —
     standard SQL semantics (first n mod tiles tiles take the extra row).
-    Integer arithmetic throughout; q == 0 (n < tiles) degenerates to
-    rank itself, matching NTILE."""
+    Divisions are exact-double (numerators are exact multiples of their
+    divisors), so correctness requires n < 2^53 — document-level bound,
+    same as every epoch/count column here. q == 0 (n < tiles) degenerates
+    to rank itself, matching NTILE."""
     q = (n - n % tiles) / tiles  # exact: numerator is a multiple of tiles
     q = q.cast("bigint")
     r = (n % tiles).cast("bigint")

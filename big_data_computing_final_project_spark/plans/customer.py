@@ -84,25 +84,35 @@ def q177_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distributed NTILE (operators/ranking.py): an unpartitioned ntile
     # window serializes |customers| rows into one task — ruinous at 1e9
     # customers. Buckets: the low-cardinality metrics bucket on themselves;
-    # monetary buckets on $1000 bands (bounded by the price DOMAIN, not the
-    # customer count). The oracle keeps NTILE, so the hash match doubles as
-    # the proof the closed-form tile assignment is standard-equivalent.
+    # monetary buckets on floor(log2(spend)) — ~40 bands over ANY positive
+    # spend domain, heavy tails included (a $1000 linear band would grow
+    # with the domain). The oracle keeps NTILE, so the hash match doubles
+    # as the proof the closed-form tile assignment is standard-equivalent.
+    # per_cust is cached: each tile branch re-reads it, and without the
+    # cache the fact aggregate would run once per branch.
     from ..operators.ranking import distributed_ntile
 
-    scored = per_cust
+    per_cust = per_cust.cache()
+    tiles = []
     for out_col, order_cols, bucket in (
         ("r_q", ["last_day", "o_custkey"], None),
         ("f_q", ["n_orders", "o_custkey"], None),
         (
             "m_q",
             ["mon_dec", "o_custkey"],
-            (F.col("mon_dec") / 1000).cast("bigint"),
+            F.floor(F.log2(F.col("mon_dec").cast("double"))).cast("bigint"),
         ),
     ):
-        scored = distributed_ntile(
-            scored, order_cols, 5, bucket=bucket, out_col=out_col
+        keep = {"o_custkey", *order_cols}
+        tiles.append(
+            distributed_ntile(
+                per_cust.select(*sorted(keep)), order_cols, 5,
+                bucket=bucket, out_col=out_col,
+            ).select("o_custkey", out_col)
         )
-    scored = scored.select("o_custkey", "mon_dec", "r_q", "f_q", "m_q")
+    scored = per_cust.select("o_custkey", "mon_dec")
+    for t in tiles:
+        scored = scored.join(t, "o_custkey")
     return (
         scored.groupBy("r_q", "f_q", "m_q")
         .agg(

@@ -40,6 +40,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..operators.ranking import global_rank
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -119,14 +120,11 @@ ORDER BY layout
 
 @register("q170_zorder_layout", oracle=_Q170_ORACLE)
 def q170_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Distributed global row numbers (the sf1x stress caught the naive
-    # form: Window.orderBy with no partition serializes the whole fact
-    # into ONE task — 33 s at ~sf1, unbounded at 100 TB). The sort keys
-    # here have <= 256 distinct values, so the exact global rank is
-    # (rows in earlier key groups) + (rank within my group): the group
-    # offsets come from a 256-row cumulative window, broadcast back, and
-    # the within-group row_number parallelizes across the key partitions.
-    # Same numbers, no single-partition stage.
+    # Distributed global row numbers via operators/ranking.global_rank
+    # (the sf1x stress caught the naive form: Window.orderBy with no
+    # partition serializes the whole fact into ONE task — 33 s at ~sf1,
+    # unbounded at 100 TB). The sort keys have <= 256 distinct values, so
+    # the bucket-offset decomposition is exact and fully parallel.
     li = load_table(spark, sf_dir, "lineitem")
     keyed = li.select(
         (F.col("l_partkey") % 16).alias("zx"),
@@ -137,39 +135,25 @@ def q170_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def placed(order_col: str, name: str) -> DataFrame:
-        grp = keyed.groupBy(order_col).agg(F.count(F.lit(1)).alias("gcnt"))
-        cum = (
-            Window.orderBy(order_col)
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        offs = grp.select(
-            order_col,
-            F.coalesce(F.sum("gcnt").over(cum), F.lit(0)).alias("goff"),
-            F.sum("gcnt").over(Window.partitionBy()).alias("n"),
-        )
         # see the oracle note: zy joins the linear tiebreak because rid is
         # not unique; for zorder the partition key already fixes (zx, zy)
         tiebreak = ["rid", "zy"] if order_col == "zx" else ["rid"]
-        rn_in = F.row_number().over(
-            Window.partitionBy(order_col).orderBy(*tiebreak)
+        ranked = global_rank(
+            keyed, [order_col, *tiebreak], rank_col="__gr", n_col="__n"
         )
-        return (
-            keyed.join(F.broadcast(offs), order_col)
-            .select(
-                F.lit(name).alias("layout"),
-                "zx",
-                "zy",
-                (F.col("goff") + rn_in - 1).cast("bigint").alias("rn0"),
-                F.ceil(F.col("n") / F.lit(float(_Q170_FILES)))
-                .cast("bigint")
-                .alias("rpf"),
-            )
-            .select(
-                "layout",
-                "zx",
-                "zy",
-                F.expr("rn0 div rpf").cast("bigint").alias("file_id"),
-            )
+        return ranked.select(
+            F.lit(name).alias("layout"),
+            "zx",
+            "zy",
+            (F.col("__gr") - 1).cast("bigint").alias("rn0"),
+            F.ceil(F.col("__n") / F.lit(float(_Q170_FILES)))
+            .cast("bigint")
+            .alias("rpf"),
+        ).select(
+            "layout",
+            "zx",
+            "zy",
+            F.expr("rn0 div rpf").cast("bigint").alias("file_id"),
         )
 
     stats = (
