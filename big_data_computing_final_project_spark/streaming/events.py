@@ -1667,3 +1667,129 @@ def revenue_monitor_log(spark: SparkSession, store_dir: str) -> DataFrame:
         .parquet(f"{mon_dir}/batch_id=*")
         .orderBy("batch_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket mining at ingest: the streaming twin of batch q178. The
+# ingest contract is the natural one — a basket (order) arrives WHOLE in
+# one micro-batch and never repeats — under which every q178 input is a
+# plain additive count: per-batch partials
+#
+#   pairs/batch_id=N/    (p1, p2, n_both)   distinct co-occurrence counts
+#   items/batch_id=N/    (p, n_p)           per-item basket counts
+#   baskets/batch_id=N/  (n_orders)         basket count
+#
+# fold by SUM, and the folded rules equal batch q178 exactly under ANY
+# arrival order (unlike the dup-flow/attribution stores, nothing here is
+# order-sensitive). Pair work per batch is bounded by basket size, same
+# as batch; the store grows with distinct pairs, and the same compaction
+# helpers apply.
+# ---------------------------------------------------------------------------
+
+
+def run_stream_basket_counts(
+    lineitems: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    timeout_sec: int = 120,
+) -> None:
+    """foreachBatch basket-count partials (see block comment). ``lineitems``
+    is a streaming frame with (l_orderkey, l_partkey)."""
+
+    def ingest(batch: DataFrame, batch_id: int) -> None:
+        li = batch.select("l_orderkey", "l_partkey")
+        a = li.select("l_orderkey", F.col("l_partkey").alias("p1"))
+        b = li.select("l_orderkey", F.col("l_partkey").alias("p2"))
+        # cached: three partial writes share the batch's projection
+        li = li.cache()
+        try:
+            pairs = (
+                a.join(b, "l_orderkey")
+                .filter(F.col("p1") < F.col("p2"))
+                .groupBy("p1", "p2")
+                .agg(F.countDistinct("l_orderkey").alias("n_both"))
+            )
+            pairs.write.mode("overwrite").parquet(
+                os.path.join(store_dir, "pairs", f"batch_id={batch_id}")
+            )
+            items = li.groupBy(F.col("l_partkey").alias("p")).agg(
+                F.countDistinct("l_orderkey").alias("n_p")
+            )
+            items.write.mode("overwrite").parquet(
+                os.path.join(store_dir, "items", f"batch_id={batch_id}")
+            )
+            li.agg(F.countDistinct("l_orderkey").alias("n_orders")).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(store_dir, "baskets", f"batch_id={batch_id}"))
+        finally:
+            li.unpersist()
+
+    _run_foreach_batch(
+        lineitems, ingest, checkpoint_dir, timeout_sec, "run_stream_basket_counts"
+    )
+
+
+def basket_rules_from_store(
+    spark: SparkSession, store_dir: str, min_both: int = 3, topk: int = 50
+) -> DataFrame:
+    """Fold the partials into q178's rule table (same thresholds, same
+    deterministic (lift, antecedent, consequent) top-k)."""
+    pairs = (
+        spark.read.schema("p1 bigint, p2 bigint, n_both bigint, batch_id bigint")
+        .option("basePath", os.path.join(store_dir, "pairs"))
+        .parquet(os.path.join(store_dir, "pairs", "batch_id=*"))
+        .groupBy("p1", "p2")
+        .agg(F.sum("n_both").alias("n_both"))
+    )
+    items = (
+        spark.read.schema("p bigint, n_p bigint, batch_id bigint")
+        .option("basePath", os.path.join(store_dir, "items"))
+        .parquet(os.path.join(store_dir, "items", "batch_id=*"))
+        .groupBy("p")
+        .agg(F.sum("n_p").alias("n_p"))
+    )
+    baskets = (
+        spark.read.schema("n_orders bigint, batch_id bigint")
+        .option("basePath", os.path.join(store_dir, "baskets"))
+        .parquet(os.path.join(store_dir, "baskets", "batch_id=*"))
+        .agg(F.sum("n_orders").alias("n_orders"))
+    )
+    i1 = items.select(F.col("p").alias("p1"), F.col("n_p").alias("n_ante_fwd"))
+    i2 = items.select(F.col("p").alias("p2"), F.col("n_p").alias("n_cons_fwd"))
+    enriched = (
+        pairs.join(F.broadcast(i1), "p1")
+        .join(F.broadcast(i2), "p2")
+        .crossJoin(F.broadcast(baskets))
+    )
+    fwd = enriched.select(
+        F.col("p1").alias("antecedent"),
+        F.col("p2").alias("consequent"),
+        "n_both",
+        F.col("n_ante_fwd").alias("n_ante"),
+        F.col("n_cons_fwd").alias("n_cons"),
+        "n_orders",
+    )
+    rev = enriched.select(
+        F.col("p2").alias("antecedent"),
+        F.col("p1").alias("consequent"),
+        "n_both",
+        F.col("n_cons_fwd").alias("n_ante"),
+        F.col("n_ante_fwd").alias("n_cons"),
+        "n_orders",
+    )
+    rules = fwd.unionAll(rev).filter(F.col("n_both") >= min_both)
+    lift = (F.col("n_both") * F.col("n_orders")).cast("double") / (
+        F.col("n_ante") * F.col("n_cons")
+    ).cast("double")
+    return (
+        rules.select(
+            "antecedent",
+            "consequent",
+            F.col("n_both").cast("bigint").alias("n_both"),
+            (F.col("n_both").cast("double") / F.col("n_orders")).alias("support"),
+            (F.col("n_both").cast("double") / F.col("n_ante")).alias("confidence"),
+            lift.alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "antecedent", "consequent")
+        .limit(topk)
+    )

@@ -811,3 +811,55 @@ def test_stream_revenue_monitor_equals_batch_q169_any_split(spark, sf_dir, tmp_p
         assert [r.batch_id for r in log] == [0, 1, 2]
         # the final evaluation saw the full series: its count matches batch
         assert log[-1].n_anomalies == len(want)
+
+
+# ---------------------------------------------------------------------------
+# streaming basket rules (twin of batch q178)
+# ---------------------------------------------------------------------------
+
+
+def test_stream_basket_rules_equal_batch_q178_any_basket_split(spark, sf_dir, tmp_path):
+    """Baskets (whole orders) split into 3 drops — and, because every
+    partial is an additive count, ALSO in reversed drop order — must fold
+    to batch q178 tuple-for-tuple."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import time as _time
+
+    from big_data_computing_final_project_spark.streaming.events import (
+        basket_rules_from_store,
+        run_stream_basket_counts,
+    )
+
+    want = [
+        tuple(r) for r in all_queries()["q178_basket_rules"](spark, sf_dir).collect()
+    ]
+    assert want
+    li = [
+        (r.l_orderkey, r.l_partkey)
+        for r in spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    ]
+    schema = pa.schema([("l_orderkey", pa.int64()), ("l_partkey", pa.int64())])
+    for label, keyfn in (("mod", lambda o: o % 3), ("revmod", lambda o: 2 - o % 3)):
+        src = str(tmp_path / f"basket_drops_{label}")
+        os.makedirs(src)
+        base = _time.time() - 3600
+        for i in range(3):
+            chunk = [r for r in li if keyfn(r[0]) == i]  # whole orders per drop
+            tbl = pa.Table.from_pylist(
+                [{"l_orderkey": o, "l_partkey": p} for o, p in chunk], schema=schema
+            )
+            p = os.path.join(src, f"drop_{i}.parquet")
+            pq.write_table(tbl, p)
+            os.utime(p, (base + 10 * i, base + 10 * i))
+        stream = (
+            spark.readStream.schema("l_orderkey bigint, l_partkey bigint")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        store = str(tmp_path / f"basketstore_{label}")
+        run_stream_basket_counts(stream, store, str(tmp_path / f"ckpt_bk_{label}"))
+        got = [tuple(r) for r in basket_rules_from_store(spark, store).collect()]
+        assert got == want, label
