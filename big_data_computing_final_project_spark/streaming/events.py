@@ -1793,3 +1793,60 @@ def basket_rules_from_store(
         .orderBy(F.col("lift").desc(), "antecedent", "consequent")
         .limit(topk)
     )
+
+
+def compact_basket_store(spark: SparkSession, store_dir: str) -> None:
+    """Compact the basket-count store: every partial is additive."""
+    _compact_partitioned(
+        spark,
+        os.path.join(store_dir, "pairs"),
+        "p1 bigint, p2 bigint, n_both bigint",
+        lambda df: df.groupBy("p1", "p2").agg(F.sum("n_both").alias("n_both")),
+    )
+    _compact_partitioned(
+        spark,
+        os.path.join(store_dir, "items"),
+        "p bigint, n_p bigint",
+        lambda df: df.groupBy("p").agg(F.sum("n_p").alias("n_p")),
+    )
+    _compact_partitioned(
+        spark,
+        os.path.join(store_dir, "baskets"),
+        "n_orders bigint",
+        lambda df: df.agg(F.sum("n_orders").alias("n_orders")),
+    )
+
+
+def compact_revenue_monitor_store(spark: SparkSession, store_dir: str) -> None:
+    """Compact the revenue-monitor store's day partials (additive). The
+    monitor/ directory is an immutable evaluation LOG, not mergeable state
+    — it stays as written."""
+    _compact_partitioned(
+        spark,
+        os.path.join(store_dir, "partials"),
+        "day_idx int, u_partial bigint",
+        lambda df: df.groupBy("day_idx").agg(F.sum("u_partial").alias("u_partial")),
+    )
+
+
+def compact_attribution_store(spark: SparkSession, store_dir: str) -> None:
+    """Compact the attribution store. revenue/ deltas are additive.
+    clicks/ compact to the per-user MAX key, which is sufficient under the
+    store's time-ordered contract: keys grow with ts, so a user's newest
+    click is the only one any FUTURE purchase's [lo, hi) range can pick —
+    if the newest is older than lo, every discarded older click was too."""
+    _compact_partitioned(
+        spark,
+        os.path.join(store_dir, "revenue"),
+        "campaign bigint, n_purchases bigint, rev_units bigint",
+        lambda df: df.groupBy("campaign").agg(
+            F.sum("n_purchases").alias("n_purchases"),
+            F.sum("rev_units").alias("rev_units"),
+        ),
+    )
+    _compact_partitioned(
+        spark,
+        os.path.join(store_dir, "clicks"),
+        "user_id bigint, click_key decimal(38,0)",
+        lambda df: df.groupBy("user_id").agg(F.max("click_key").alias("click_key")),
+    )

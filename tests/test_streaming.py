@@ -863,3 +863,136 @@ def test_stream_basket_rules_equal_batch_q178_any_basket_split(spark, sf_dir, tm
         run_stream_basket_counts(stream, store, str(tmp_path / f"ckpt_bk_{label}"))
         got = [tuple(r) for r in basket_rules_from_store(spark, store).collect()]
         assert got == want, label
+
+
+# ---------------------------------------------------------------------------
+# compaction of the round's new stores
+# ---------------------------------------------------------------------------
+
+
+def test_new_store_compactions_preserve_folds_and_continued_ingest(
+    spark, sf_dir, tmp_path
+):
+    """For each new store: fold before == fold after compaction; and for
+    the attribution store (the only order-sensitive one), ingest drops 1-2,
+    compact, ingest drop 3 on the SAME checkpoint — the final fold must
+    still equal batch q179 (the compacted per-user max click is sufficient
+    state under the time-ordered contract)."""
+    from big_data_computing_final_project_spark.streaming.events import (
+        attribution_from_store,
+        basket_rules_from_store,
+        compact_attribution_store,
+        compact_basket_store,
+        compact_revenue_monitor_store,
+        revenue_anomalies_from_store,
+        run_stream_attribution,
+        run_stream_basket_counts,
+        run_stream_revenue_monitor,
+    )
+
+    # --- basket store: ingest all, compact, fold unchanged
+    li = [
+        (r.l_orderkey, r.l_partkey)
+        for r in spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    ]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import time as _time
+
+    schema = pa.schema([("l_orderkey", pa.int64()), ("l_partkey", pa.int64())])
+    src = str(tmp_path / "cmp_basket_src")
+    os.makedirs(src)
+    base = _time.time() - 3600
+    for i in range(3):
+        chunk = [r for r in li if r[0] % 3 == i]
+        pq.write_table(
+            pa.Table.from_pylist(
+                [{"l_orderkey": o, "l_partkey": p} for o, p in chunk], schema=schema
+            ),
+            os.path.join(src, f"drop_{i}.parquet"),
+        )
+        os.utime(os.path.join(src, f"drop_{i}.parquet"), (base + 10 * i,) * 2)
+    store = str(tmp_path / "cmp_basket_store")
+    run_stream_basket_counts(
+        spark.readStream.schema("l_orderkey bigint, l_partkey bigint")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src),
+        store,
+        str(tmp_path / "cmp_basket_ckpt"),
+    )
+    before = [tuple(r) for r in basket_rules_from_store(spark, store).collect()]
+    compact_basket_store(spark, store)
+    after = [tuple(r) for r in basket_rules_from_store(spark, store).collect()]
+    assert before == after and before
+
+    # --- revenue monitor: same additive pattern
+    orows = [tuple(r) for r in spark.read.parquet(f"{sf_dir}/orders.parquet").collect()]
+    osrc = _write_order_drops(spark, str(tmp_path / "cmp_rev_src"), orows, 3)
+    rstore = str(tmp_path / "cmp_rev_store")
+    run_stream_revenue_monitor(
+        spark.readStream.schema(_ORD_SCHEMA_STR)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(osrc),
+        rstore,
+        str(tmp_path / "cmp_rev_ckpt"),
+    )
+    before = [
+        tuple(r)
+        for r in revenue_anomalies_from_store(spark, rstore).orderBy("day_idx").collect()
+    ]
+    compact_revenue_monitor_store(spark, rstore)
+    after = [
+        tuple(r)
+        for r in revenue_anomalies_from_store(spark, rstore).orderBy("day_idx").collect()
+    ]
+    assert before == after and before
+
+    # --- attribution: compact MID-STREAM, then continue on the same ckpt
+    want = [
+        tuple(r)
+        for r in all_queries()["q179_lasttouch_attribution"](spark, sf_dir).collect()
+    ]
+    erows = [tuple(r) for r in spark.read.parquet(f"{sf_dir}/events.parquet").collect()]
+    erows.sort(key=lambda r: (r[1], r[0]))
+    per = (len(erows) + 2) // 3
+    esrc = str(tmp_path / "cmp_attr_src")
+    os.makedirs(esrc)
+    eschema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+
+    def _drop(i):
+        chunk = erows[i * per : (i + 1) * per]
+        p = os.path.join(esrc, f"drop_{i}.parquet")
+        pq.write_table(
+            pa.Table.from_pylist(
+                [dict(zip(eschema.names, r)) for r in chunk], schema=eschema
+            ),
+            p,
+        )
+        os.utime(p, (base + 10 * i,) * 2)
+
+    astore = str(tmp_path / "cmp_attr_store")
+    ackpt = str(tmp_path / "cmp_attr_ckpt")
+    _drop(0)
+    _drop(1)
+    stream = lambda: (  # noqa: E731
+        spark.readStream.schema(_EV_SCHEMA_STR)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(esrc)
+    )
+    run_stream_attribution(stream(), astore, ackpt)
+    compact_attribution_store(spark, astore)
+    _drop(2)
+    run_stream_attribution(stream(), astore, ackpt)
+    got = [tuple(r) for r in attribution_from_store(spark, astore).collect()]
+    assert got == want
