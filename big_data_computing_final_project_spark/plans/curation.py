@@ -777,3 +777,51 @@ def q157_corpus_report_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q190 — deterministic weighted sampling WITHOUT replacement (A-ES /
+# Efraimidis-Spirtsis): per source, keep the K docs with the largest
+# priority u^(1/w) (ranked equivalently by ln(u)/w), u the md5-uniform of
+# (salt, doc_id) and w the token count. The A-ES guarantee: the K kept
+# items are exactly a weight-proportional sample without replacement —
+# for K=1, P(pick i) = w_i / sum(w) exactly. Registered ROWS-ONLY: the
+# ln() tie ranking is a transcendental of a full-mantissa double, the one
+# thing the cross-engine hash discipline forbids — the pytest property
+# pin (inclusion frequencies across salts converge to w/sum(w)) is the
+# oracle instead.
+#
+# Scale: priorities are a narrow map; per-source top-K is the grouped
+# top-k window on (source)-hash partitions — one shuffle, K rows kept per
+# source. Deterministic for a fixed salt: a re-run on any cluster keeps
+# the same documents.
+# ---------------------------------------------------------------------------
+
+_Q190_K = 50
+
+
+def weighted_sample(
+    docs: DataFrame, k: int, weight: Column, salt: str = "r5"
+) -> DataFrame:
+    """A-ES weighted sampling without replacement, k per source."""
+    u = _u60(F.concat(F.lit(salt), F.lit(":"), F.col("doc_id").cast("string")))
+    # ln(u)/w: monotone transform of u^(1/w); u in [0,1) makes ln(u) <= 0,
+    # so LARGER is better. w <= 0 rows are excluded (undefined priority).
+    pri = F.log(u) / weight
+    ranked = docs.filter(weight > 0).withColumn("__pri", pri)
+    w = Window.partitionBy("source").orderBy(F.col("__pri").desc(), "doc_id")
+    return (
+        ranked.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__pri", "__rk")
+    )
+
+
+@register("q190_weighted_sample")  # rows-only: see block comment
+def q190_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    wt = X.token_count(F.col("text")).cast("double")
+    sampled = weighted_sample(
+        docs.select("doc_id", "source", wt.alias("weight")), _Q190_K, F.col("weight")
+    )
+    return sampled.select("doc_id", "source", "weight").orderBy("source", "doc_id")

@@ -328,3 +328,61 @@ def test_q157_report_card_on_planted_corpus(spark, tmp_path):
     assert frame_digest(sdf.columns, got) == frame_digest(
         [d[0] for d in res.description], res.fetchall()
     )
+
+
+# ---------------------------------------------------------------------------
+# q190 weighted sampling (A-ES)
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_deterministic_and_k_per_source(spark, sf_dir):
+    q = all_queries()["q190_weighted_sample"]
+    a = [tuple(r) for r in q(spark, sf_dir).collect()]
+    b = [tuple(r) for r in q(spark, sf_dir).collect()]
+    assert a == b and a
+    per_src = {}
+    n_docs_per_src = {}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for r in docs.groupBy("source").count().collect():
+        n_docs_per_src[r.source] = r["count"]
+    for row in a:
+        per_src[row[1]] = per_src.get(row[1], 0) + 1
+    for src, n in per_src.items():
+        assert n == min(50, n_docs_per_src[src])
+
+
+def test_weighted_sample_inclusion_matches_aes_theory(spark):
+    """K=1 A-ES property: P(pick i) = w_i / sum(w) exactly. 600 salts over
+    weights (1, 3, 6) in ONE job; frequencies must converge (binomial sd
+    ~0.02 at n=600; tolerance 4 sd)."""
+    from pyspark.sql import functions as F
+
+    from big_data_computing_final_project_spark.plans.curation import (
+        weighted_sample,
+    )
+
+    # 600 independent trials: each trial is its own source with FRESH doc
+    # ids (the sampler's uniform hashes doc_id, so ids must differ across
+    # trials for the draws to be independent)
+    docs = spark.createDataFrame(
+        [(1, 1.0), (2, 3.0), (3, 6.0)], "base long, weight double"
+    )
+    trials = spark.range(600).select(F.col("id").alias("trial"))
+    tagged = docs.crossJoin(trials).select(
+        (F.col("trial") * 10 + F.col("base")).alias("doc_id"),
+        F.concat(F.lit("s"), "trial").alias("source"),
+        "weight",
+    )
+    picked = weighted_sample(tagged, 1, F.col("weight"), salt="prop")
+    freq = {
+        r.base: r["count"]
+        for r in picked.select((F.col("doc_id") % 10).alias("base"))
+        .groupBy("base")
+        .count()
+        .collect()
+    }
+    n = sum(freq.values())
+    assert n == 600
+    for doc, w in ((1, 0.1), (2, 0.3), (3, 0.6)):
+        got = freq.get(doc, 0) / n
+        assert abs(got - w) < 0.08, (doc, got)
