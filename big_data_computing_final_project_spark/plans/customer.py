@@ -775,3 +775,59 @@ def q188_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("first_digit")
     )
+
+
+# ---------------------------------------------------------------------------
+# q191 — keyset pagination: page 3 (rows 101-150) of the customer ledger
+# ordered by (c_acctbal DESC, c_custkey). OFFSET pagination re-sorts and
+# discards 100 rows per page — O(page_depth) work that collapses under
+# deep pagination; keyset pagination seeks WHERE (bal, key) < last-seen
+# and takes LIMIT, making every page the same cost and pushdown-friendly
+# (the predicate reaches the scan). The query derives page 3's cursor the
+# same way a client would — from page 2's last row — then fetches with
+# the seek predicate; the oracle does the identical two steps, and the
+# pytest cross-checks against the OFFSET form row-for-row.
+#
+# The composite seek on a DESC+ASC mixed order can't be a single row
+# comparison: (bal < c) OR (bal = c AND key > k) — spelled out in both
+# engines.
+# ---------------------------------------------------------------------------
+
+_Q191_PAGE = 50
+
+_Q191_ORACLE = f"""
+WITH cursor_row AS (
+  SELECT c_acctbal AS cb, c_custkey AS ck
+  FROM customer
+  ORDER BY c_acctbal DESC, c_custkey
+  LIMIT 1 OFFSET {2 * _Q191_PAGE - 1}
+)
+SELECT c.c_custkey, c.c_name, c.c_acctbal
+FROM customer c, cursor_row
+WHERE c.c_acctbal < cursor_row.cb
+   OR (c.c_acctbal = cursor_row.cb AND c.c_custkey > cursor_row.ck)
+ORDER BY c.c_acctbal DESC, c.c_custkey
+LIMIT {_Q191_PAGE}
+"""
+
+
+@register("q191_keyset_pagination", oracle=_Q191_ORACLE)
+def q191_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    cursor = (
+        cust.orderBy(F.col("c_acctbal").desc(), "c_custkey")
+        .limit(2 * _Q191_PAGE)
+        .orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").desc())
+        .limit(1)
+        .select(F.col("c_acctbal").alias("cb"), F.col("c_custkey").alias("ck"))
+    )
+    seek = (F.col("c_acctbal") < F.col("cb")) | (
+        (F.col("c_acctbal") == F.col("cb")) & (F.col("c_custkey") > F.col("ck"))
+    )
+    return (
+        cust.crossJoin(F.broadcast(cursor))
+        .filter(seek)
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy(F.col("c_acctbal").desc(), "c_custkey")
+        .limit(_Q191_PAGE)
+    )

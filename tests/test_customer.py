@@ -383,3 +383,27 @@ def test_benford_flags_fabricated_uniform_amounts(spark, tmp_path):
     out = {r.first_digit: r for r in _Q["q188_benford_audit"](spark, str(tmp_path)).collect()}
     assert abs(out[1].share - 1 / 9) < 0.01
     assert sum(r.chi2_term for r in out.values()) > 0.1
+
+
+# ---------------------------------------------------------------------------
+# q191 keyset pagination
+# ---------------------------------------------------------------------------
+
+
+def test_keyset_page_equals_offset_page(spark, sf_dir):
+    """The seek-predicate page must equal rows 101-150 of the full ordering
+    (the OFFSET form it replaces), row for row."""
+    got = [
+        (r.c_custkey, r.c_acctbal)
+        for r in _Q["q191_keyset_pagination"](spark, sf_dir).collect()
+    ]
+    import pyspark.sql.functions as F
+
+    full = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .orderBy(F.col("c_acctbal").desc(), "c_custkey")
+        .limit(150)
+        .collect()
+    )
+    want = [(r.c_custkey, r.c_acctbal) for r in full[100:150]]
+    assert got == want and len(got) == 50
