@@ -814,11 +814,18 @@ LIMIT {_Q191_PAGE}
 @register("q191_keyset_pagination", oracle=_Q191_ORACLE)
 def q191_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
+    # Cursor = the row at position exactly 2*PAGE in (bal DESC, key) order:
+    # limit(2*PAGE) is a distributed TakeOrderedAndProject, then row_number
+    # over the <=2*PAGE survivors (trivially single-task at that size) picks
+    # position 2*PAGE — so a table with fewer than 2*PAGE rows produces an
+    # EMPTY cursor and an empty page 3, matching the oracle's LIMIT 1 OFFSET
+    # 2*PAGE-1 (a re-sort-last-row derivation would wrongly return rows).
+    wn = Window.orderBy(F.col("c_acctbal").desc(), "c_custkey")
     cursor = (
         cust.orderBy(F.col("c_acctbal").desc(), "c_custkey")
         .limit(2 * _Q191_PAGE)
-        .orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").desc())
-        .limit(1)
+        .withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn") == 2 * _Q191_PAGE)
         .select(F.col("c_acctbal").alias("cb"), F.col("c_custkey").alias("ck"))
     )
     seek = (F.col("c_acctbal") < F.col("cb")) | (

@@ -230,12 +230,12 @@ def q171_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("file_key")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # exact integer '//' (matching the oracle): bigint `div`, never double
+    # '/'+cast — a double quotient near 2^53 of cumulative bytes can land on
+    # the wrong side of a group boundary (the q170 lesson, applied here too)
     packed = manifest.withColumn(
-        "grp",
-        (F.coalesce(F.sum("bytes").over(w), F.lit(0)) / F.lit(_Q171_TARGET)).cast(
-            "bigint"
-        ),
-    )
+        "cum_bytes", F.coalesce(F.sum("bytes").over(w), F.lit(0).cast("bigint"))
+    ).withColumn("grp", F.expr(f"cum_bytes div {_Q171_TARGET}"))
     return (
         packed.groupBy("source", "grp")
         .agg(

@@ -224,7 +224,8 @@ def q168_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # decimal-cast the double x*x at scale 8 hash-mismatched by 1 ulp (the cast
 # genuinely rounds there, and Spark's HALF_UP disagrees with DuckDB's
 # rounding of a full-mantissa product), so instead each day carries
-# u = round(x * 1e4) — exact, x is a 4-decimal value — and the frame sums
+# u = rev_dec * 1e4 via exact decimal multiply (integral, since rev_dec has
+# scale 4; no double round-trip, so exact at any magnitude) — and the frame sums
 # u (int64) and u*u (a DECIMAL(19,0) x DECIMAL(19,0) product, exact at both
 # engines' max-38-digit width). s1 = u-sum/1e4 and s2 = u²-sum/1e8 then
 # reach double via one correctly-rounded conversion each (VARCHAR-routed on
@@ -243,7 +244,7 @@ WITH daily AS (
 ), x AS (
   SELECT day_idx,
          CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) AS revenue,
-         CAST(round(CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) * 1e4) AS BIGINT) AS u
+         CAST(CAST(rev_dec AS DECIMAL(28,4)) * 10000 AS BIGINT) AS u
   FROM daily
 ), win AS (
   SELECT day_idx, revenue,
@@ -316,7 +317,11 @@ def q169_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = daily.select(
         "day_idx",
         F.col("rev_dec").cast("double").alias("revenue"),
-        F.round(F.col("rev_dec").cast("double") * F.lit(1e4))
+        # exact: rev_dec has scale 4, so rev_dec*1e4 is integral and the
+        # decimal product stays inside 38 digits — no double round-trip,
+        # so u is exact at ANY day-revenue magnitude (not just < 2^53/1e4)
+        (F.col("rev_dec") * F.lit(10000))
+        .cast("decimal(38,0)")
         .cast("long")
         .alias("u"),
     )

@@ -1568,11 +1568,13 @@ def attribution_from_store(spark: SparkSession, store_dir: str) -> DataFrame:
 def _daily_units(batch: DataFrame):
     from ..plans.timeseries import order_epoch_day
 
+    # exact decimal -> integer units (same derivation as batch q169): the
+    # per-batch decimal sum has scale 4, so *1e4 is integral and the product
+    # stays inside 38 digits — no double round-trip, hence no 2^53 magnitude
+    # precondition on the batch==stream tuple-exact fold.
     return batch.groupBy(order_epoch_day().alias("day_idx")).agg(
-        F.round(
-            F.sum(F.col("o_totalprice").cast("decimal(38,4)")).cast("double")
-            * F.lit(1e4)
-        )
+        (F.sum(F.col("o_totalprice").cast("decimal(38,4)")) * F.lit(10000))
+        .cast("decimal(38,0)")
         .cast("long")
         .alias("u_partial")
     )
