@@ -211,6 +211,178 @@ ORDER BY vec_a, vec_b
 """
 
 
+# ---------------------------------------------------------------------------
+# Primary path: banded hyperplane-LSH candidates + exact rescore. An
+# L-table x b-bit sign-LSH (OR over tables, AND within a table's bits) is
+# the cosine analogue of q36's MinHash banding: a pair at cosine t collides
+# in one table with probability p^b, p = 1 - acos(t)/pi, so L =
+# ceil(ln(delta)/ln(1-p^b)) tables bound the per-pair miss probability by
+# delta. Candidates are generated by a postings self-join on (table,
+# bucket) — the same shuffle shape as the q36 band join, never all-pairs —
+# and only candidates are re-scored with the sequential JVM fold, so every
+# emitted cos_sim is bit-identical to the oracle's.
+#
+# Honest scale note: pruning power is (1 - collision rate of RANDOM pairs)
+# and falls off as the threshold drops. At a true near-dup threshold
+# (>= 0.9) the band join touches a tiny fraction of the pair space (see
+# test_q40_planted_high_threshold_prunes); at this table's deliberately low
+# 0.4 gate threshold (the synthetic corpus tops out at cosine ~0.51)
+# random 64-dim pairs collide often and the candidate set approaches
+# all-pairs — inherent to ANY sublinear cosine filter at theta ~ 66deg,
+# not a defect of the banding. Recall at the gate SFs is pinned at 1.0
+# against the GEMM twin (test_q40_lsh_equals_gemm_twin).
+# ---------------------------------------------------------------------------
+
+_LSH_BITS = 4
+_LSH_DELTA = 1e-3  # per-pair miss bound at cosine == threshold
+
+
+def _n_tables_for(threshold: float, n_bits: int = _LSH_BITS, delta: float = _LSH_DELTA) -> int:
+    """Smallest L with (1 - p^b)^L <= delta at cosine == threshold."""
+    p = 1.0 - math.acos(threshold) / math.pi
+    return max(1, math.ceil(math.log(delta) / math.log(1.0 - p**n_bits)))
+
+
+def _plane_tables(n_tables: int, n_bits: int, dim: int, seed: int = 42) -> list:
+    """n_tables x n_bits Gaussian hyperplanes from ONE seeded stream —
+    prefix-stable, so a larger L strictly grows the candidate set (the
+    recall pin on a 32-table prefix transfers to any L >= 32)."""
+    rng = random.Random(seed)
+    return [
+        [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_bits)]
+        for _ in range(n_tables)
+    ]
+
+
+def _bucket_signatures(e: F.Column, tables: list) -> F.Column:
+    """array<string> of per-table sign-bit bucket ids ("0110"-style), all
+    JVM higher-order functions over ONE nested plane literal — no Python
+    in the hot path, one expression node per table regardless of dim."""
+    return F.transform(
+        F.lit(tables),
+        lambda tbl: F.array_join(
+            F.transform(
+                tbl,
+                lambda plane: F.when(dot(e, plane) > 0, F.lit("1")).otherwise(F.lit("0")),
+            ),
+            "",
+        ),
+    )
+
+
+def _dup_groups(emb: DataFrame) -> DataFrame:
+    """(vec_id, gid): each vector tagged with the min vec_id among
+    byte-identical embeddings (grouping directly on the array column)."""
+    grp = emb.groupBy("e").agg(F.min("vec_id").alias("gid"))
+    return emb.join(grp, "e").select("vec_id", "gid")
+
+
+def _rep_band_pairs(
+    emb: DataFrame, threshold: float, n_bits: int = _LSH_BITS, delta: float = _LSH_DELTA, seed: int = 42
+) -> DataFrame:
+    """Rep-level candidate pairs (ga < gb) from the banded postings
+    self-join — one posting per DISTINCT embedding per table, so planted
+    exact copies cannot widen this join (pinned by
+    test_q40_exact_dup_collapse_guard, the q36 pattern)."""
+    n_tables = _n_tables_for(threshold, n_bits, delta)
+    tables = _plane_tables(n_tables, n_bits, _DIM, seed)
+    reps = emb.groupBy("e").agg(F.min("vec_id").alias("gid"))
+    postings = reps.select(
+        "gid",
+        F.posexplode(_bucket_signatures(assert_dim(F.col("e"), _DIM), tables)).alias(
+            "tbl", "bucket"
+        ),
+    )
+    pa = postings.select(F.col("gid").alias("ga"), "tbl", "bucket")
+    pb = postings.select(F.col("gid").alias("gb"), "tbl", "bucket")
+    return (
+        pa.join(pb, ["tbl", "bucket"])
+        .filter(F.col("ga") < F.col("gb"))
+        .select("ga", "gb")
+        .distinct()
+    )
+
+
+def lsh_candidate_pairs(
+    emb: DataFrame, threshold: float, n_bits: int = _LSH_BITS, delta: float = _LSH_DELTA, seed: int = 42
+) -> DataFrame:
+    """Candidate (vec_a, vec_b) pairs, vec_a < vec_b, for cosine >= threshold
+    under banded hyperplane LSH, with q36's exact-dup collapse guard.
+
+    ``emb`` must carry (vec_id, e) with e array<double> of width _DIM.
+    Guard: byte-identical embeddings collapse to their min-vec_id
+    representative BEFORE banding, so a corpus of N copies costs one
+    posting, not a C(N,2) hot bucket; dup-group pairs re-enter via an
+    output-bounded group self-join and rep-pair expansion."""
+    mem = _dup_groups(emb)
+
+    # within-dup-group pairs (cos == 1 after rescore, always >= threshold;
+    # output-bounded: a group of k members owes k*(k-1)/2 result rows anyway)
+    m_a = mem.select(F.col("vec_id").alias("vec_a"), F.col("gid").alias("g"))
+    m_b = mem.select(F.col("vec_id").alias("vec_b"), F.col("gid").alias("g"))
+    within = m_a.join(m_b, "g").filter(F.col("vec_a") < F.col("vec_b")).drop("g")
+
+    rep_pairs = _rep_band_pairs(emb, threshold, n_bits, delta, seed)
+    # expand rep pairs to member pairs (groups are disjoint, so each
+    # unordered member pair appears exactly once; least/greatest orients it)
+    ea = mem.select(F.col("gid").alias("ga"), F.col("vec_id").alias("va"))
+    eb = mem.select(F.col("gid").alias("gb"), F.col("vec_id").alias("vb"))
+    expanded = (
+        rep_pairs.join(ea, "ga")
+        .join(eb, "gb")
+        .select(
+            F.least("va", "vb").alias("vec_a"), F.greatest("va", "vb").alias("vec_b")
+        )
+    )
+    return within.unionByName(expanded)
+
+
+@register("q40_embedding_near_dup", oracle=_Q40_ORACLE)
+def q40_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH candidates -> exact sequential-fold rescore. One lazy
+    DataFrame, no driver-side embedding collect anywhere (contrast the
+    retired GEMM twin below): bucket signatures are a narrow JVM map,
+    candidates come from the q36-shaped postings band join, and the
+    rescore broadcasts only the CANDIDATE pairs against the embeddings —
+    the table itself is never broadcast, shuffled whole, or collected, so
+    the plan survives a 100x scale-up. Per-side norms are staged once
+    (q38's lesson: a norm inside the pair projection re-folds per pair)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e")
+    )
+    candidates = lsh_candidate_pairs(emb, _DUP_T)
+    ea = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), norm(F.col("e")).alias("na")
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), norm(F.col("e")).alias("nb")
+    )
+    # ONLY the bare id-pair candidate set is force-broadcast (16 B/row —
+    # output-shaped at a real near-dup threshold). Vectors are attached by
+    # plain joins so nothing vector-laden ever rides a broadcast: AQE picks
+    # the build side of the second join from runtime sizes (at gate SFs it
+    # broadcasts the small embeddings side; at 100x both stay shuffled).
+    with_a = ea.join(F.broadcast(candidates), "vec_a")
+    return (
+        with_a.join(eb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            (dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= _DUP_T)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retired oracle twin: the r2–r5 blocked-GEMM filter-verify path. Exact and
+# memory-bounded (driver holds one _GEMM_BLOCK_ROWS block at a time), but
+# n-squared total work with a driver-side block loop — kept UNREGISTERED as
+# the independent cross-check the LSH primary is pinned against
+# (test_q40_lsh_equals_gemm_twin), exactly like q35 anchors q36.
+# ---------------------------------------------------------------------------
+
 # Filter-verify margin: the numpy GEMM and the sequential fold agree to
 # ~1e-13 on 64-dim unit vectors; 1e-6 is a >million-x safety factor, so the
 # prune can never drop a pair the exact fold would keep.
@@ -220,9 +392,9 @@ _GEMM_MARGIN = 1e-6
 _GEMM_BLOCK_ROWS = 4096  # candidate-block height: ~2 MB at 64-dim float64
 
 
-@register("q40_embedding_near_dup", oracle=_Q40_ORACLE)
-def q40_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Filter-verify: a blocked matrix product (numpy GEMM over Arrow
+def embedding_near_dup_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETIRED TWIN (unregistered; see lsh_candidate_pairs for the primary).
+    Filter-verify: a blocked matrix product (numpy GEMM over Arrow
     batches, candidate blocks broadcast like dim tables) prunes the
     O(n²) pair space at BLAS speed with threshold T - margin; only the
     tiny surviving set is re-scored with the sequential JVM fold, so

@@ -215,18 +215,106 @@ def test_prefix_filter_prunes_candidates_losslessly(spark, sf_dir):
     assert pruned > 0
 
 
-def test_q40_blocked_equals_single_block(spark, sf_dir, monkeypatch):
-    """The blocked GEMM candidate loop (driver holds one block at a time)
-    must emit exactly the pairs of the single-broadcast run — same pairs,
-    same bit-exact cos_sim values."""
+def test_q40_lsh_equals_gemm_twin(spark, sf_dir):
+    """VERDICT r5 item 1: the LSH-candidate primary must emit exactly the
+    pairs of the retired exhaustive GEMM twin — same pairs, same bit-exact
+    cos_sim values (recall 1.0 at the banding parameters on this data,
+    independently of the shared DuckDB oracle)."""
     from big_data_computing_final_project_spark.plans import similarity as S
 
-    single = S.q40_embedding_near_dup(spark, sf_dir).collect()
-    # force multiple blocks: tiny block height -> nblocks > 1
+    lsh = S.q40_embedding_near_dup(spark, sf_dir).collect()
+    gemm = S.embedding_near_dup_gemm(spark, sf_dir).collect()
+    assert [tuple(r) for r in lsh] == [tuple(r) for r in gemm]
+    assert len(lsh) > 0  # the fixture corpus contains qualifying pairs
+
+
+def test_gemm_twin_blocked_equals_single_block(spark, sf_dir, monkeypatch):
+    """The GEMM twin's blocked candidate loop (driver holds one block at a
+    time) must emit exactly the pairs of the single-broadcast run."""
+    from big_data_computing_final_project_spark.plans import similarity as S
+
+    single = S.embedding_near_dup_gemm(spark, sf_dir).collect()
     monkeypatch.setattr(S, "_GEMM_BLOCK_ROWS", 64)
-    blocked = S.q40_embedding_near_dup(spark, sf_dir).collect()
+    blocked = S.embedding_near_dup_gemm(spark, sf_dir).collect()
     assert [tuple(r) for r in single] == [tuple(r) for r in blocked]
-    assert len(single) > 0  # the fixture corpus contains planted near-dups
+
+
+def _planted_corpus(spark, n_base=150, n_dups=15, dim=64, seed=7):
+    """n_base seeded random vectors + n_dups slightly-perturbed copies of
+    the first n_dups (pairwise cosine >= 0.99 with their source, verified
+    by construction margin), as an embeddings-shaped frame."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    base = rng.normal(size=(n_base, dim))
+    dup = base[:n_dups] + 0.02 * rng.normal(size=(n_dups, dim))
+    mat = np.vstack([base, dup])
+    rows = [(int(i), [float(x) for x in mat[i]]) for i in range(len(mat))]
+    return (
+        spark.createDataFrame(rows, "vec_id long, e array<double>"),
+        [(i, n_base + i) for i in range(n_dups)],
+    )
+
+
+def test_q40_planted_high_threshold_prunes(spark):
+    """At a true near-dup threshold (0.95) the band join must be genuinely
+    sub-quadratic — candidates a small fraction of all-pairs — while still
+    catching every planted near-dup pair (the regime the operator exists
+    for; the 0.4 gate threshold is the documented low-selectivity edge)."""
+    from big_data_computing_final_project_spark.plans.similarity import (
+        lsh_candidate_pairs,
+    )
+
+    emb, planted = _planted_corpus(spark)
+    n = emb.count()
+    # 8-bit bands: at t=0.95 the formula gives L=13 tables; random pairs
+    # collide at ~0.4%/table, so the band join touches a few percent of the
+    # pair space (b=4 is the low-threshold default where selectivity is
+    # impossible anyway; band width is the knob, same L-formula)
+    cands = {
+        (r.vec_a, r.vec_b)
+        for r in lsh_candidate_pairs(emb, 0.95, n_bits=8).collect()
+    }
+    for pair in planted:
+        assert pair in cands, f"planted near-dup {pair} missed by banding"
+    all_pairs = n * (n - 1) // 2
+    assert len(cands) < 0.1 * all_pairs, (len(cands), all_pairs)
+
+
+def test_q40_exact_dup_collapse_guard(spark):
+    """q36's degenerate-bucket guard, embedding edition: 199 byte-identical
+    copies of an existing vector must NOT widen the rep-level band join
+    (copies collapse to their representative before banding), while every
+    intra-copy pair still reaches the candidate set."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from big_data_computing_final_project_spark.plans.similarity import (
+        _rep_band_pairs,
+        lsh_candidate_pairs,
+    )
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(50, 64))
+    rows = [(int(i), [float(x) for x in base[i]]) for i in range(50)]
+    emb = spark.createDataFrame(rows, "vec_id long, e array<double>")
+    copies = spark.createDataFrame(
+        [(50 + k, rows[0][1]) for k in range(199)], "vec_id long, e array<double>"
+    )
+    planted = emb.unionByName(copies)
+
+    # 1. banding sees one representative per distinct content: rep-level
+    # candidate count is IDENTICAL to the unplanted corpus
+    assert _rep_band_pairs(planted, 0.95).count() == _rep_band_pairs(emb, 0.95).count()
+
+    # 2. the answer is still complete: all C(200,2) copy pairs (vec 0 plus
+    # its 199 clones) are candidates on the planted corpus
+    cands = {(r.vec_a, r.vec_b) for r in lsh_candidate_pairs(planted, 0.95).collect()}
+    group = [0] + list(range(50, 249))
+    for i, a in enumerate(group):
+        for b in group[i + 1 :]:
+            assert (min(a, b), max(a, b)) in cands
 
 
 def test_q36_planted_copies_bounded_and_exact(spark, sf_dir, tmp_path):
