@@ -131,7 +131,9 @@ def _exact_jaccard_pairs(
     return out.orderBy("doc_a", "doc_b") if sort else out
 
 
-def _verify_candidate_pairs(sh: DataFrame, candidates: DataFrame) -> DataFrame:
+def _verify_candidate_pairs(
+    sh: DataFrame, candidates: DataFrame, threshold: float = _JACCARD_T
+) -> DataFrame:
     """Exact-Jaccard verification restricted to candidate pairs: join each
     pair to its two shingle ARRAYS and intersect per pair. Cost is
     O(|candidates| · shingles-per-doc) — independent of the corpus-wide
@@ -147,7 +149,7 @@ def _verify_candidate_pairs(sh: DataFrame, candidates: DataFrame) -> DataFrame:
         candidates.join(sh_a, "doc_a")
         .join(sh_b, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jac"))
-        .filter(F.col("jac") >= _JACCARD_T)
+        .filter(F.col("jac") >= threshold)
         .orderBy("doc_a", "doc_b")
     )
 
@@ -199,10 +201,14 @@ def band_key_structs(sh: F.Column, bands: int = _BANDS, rows: int = _ROWS_PER_BA
     return out
 
 
-def _lsh_band_candidates(sh: DataFrame) -> DataFrame:
+def _lsh_band_candidates(
+    sh: DataFrame, bands: int = _BANDS, rows: int = _ROWS_PER_BAND
+) -> DataFrame:
     """(doc_a, doc_b) pairs sharing >=1 LSH band bucket — the banded
     candidate self-join over a shingled frame."""
-    sig = sh.select("doc_id", F.array(*band_key_structs(F.col("sh"))).alias("bk"))
+    sig = sh.select(
+        "doc_id", F.array(*band_key_structs(F.col("sh"), bands, rows)).alias("bk")
+    )
     # cache the exploded band keys: both legs of the candidate self-join
     # consume them, and recomputation would re-run the full MinHash pass
     ex = (
@@ -244,26 +250,52 @@ def _dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fp.select("doc_id", F.min("doc_id").over(w).alias("rep"))
 
 
-@register("q36_minhash_lsh_dedup", oracle=_Q35_ORACLE)
-def q36_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Degenerate-bucket guard: collapse EXACT duplicates before banding.
-    # Identical normalized text => identical shingle sets => identical
-    # signatures, so a planted hot bucket of n byte-identical docs would
-    # otherwise pair quadratically inside the band join AND pay n² exact
-    # verifies. Banding runs on one representative per distinct content;
-    # the lossless expansion afterwards re-emits (a) all intra-group pairs
-    # at jac = 1.0 exactly and (b) every verified rep-pair cross group
-    # members (Jaccard depends only on content, so J(x, y) = J(rep_x,
-    # rep_y) for duplicates). Candidate work is bounded by DISTINCT
-    # content counts; only the (irreducibly quadratic) answer rows are
-    # materialized. tests: planted-copies bound + oracle parity.
+def lsh_jaccard_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = _JACCARD_T,
+    bands: int = _BANDS,
+    rows: int = _ROWS_PER_BAND,
+    sort: bool = True,
+) -> DataFrame:
+    """(doc_a, doc_b, jac) near-dup pairs with jac >= ``threshold`` via
+    MinHash banding + exact verification — the sub-quadratic scale path,
+    reusable as the pair source for clustering (q68) and sweeping (q159).
+
+    Degenerate-bucket guard: collapse EXACT duplicates before banding.
+    Identical normalized text => identical shingle sets => identical
+    signatures, so a planted hot bucket of n byte-identical docs would
+    otherwise pair quadratically inside the band join AND pay n² exact
+    verifies. Banding runs on one representative per distinct content;
+    the lossless expansion afterwards re-emits (a) all intra-group pairs
+    at jac = 1.0 exactly and (b) every verified rep-pair cross group
+    members (Jaccard depends only on content, so J(x, y) = J(rep_x,
+    rep_y) for duplicates). Candidate work is bounded by DISTINCT
+    content counts; only the (irreducibly quadratic) answer rows are
+    materialized. tests: planted-copies bound + oracle parity.
+
+    Recall per pair is 1 - (1 - jac^rows)^bands. Defaults (16×4) give
+    ~1 - 2e-4 at jac = 0.8; the sweep path (32×2) gives 0.99989 at
+    jac = 0.5 and 1 - 6e-7 at jac = 0.6 — the documented recall floor
+    for threshold-0.5 consumers.
+    """
     groups = _dup_groups(spark, sf_dir).cache()
 
     # shingle only the representatives — the CPU-dense MinHash pass never
-    # sees duplicate content
+    # sees duplicate content. Null-shingle docs (null text) are singleton
+    # reps that would all collide in every band (xxhash64 of an all-null
+    # band is a constant) yet can never verify (null jac), so drop them
+    # before banding rather than pay their quadratic candidate join.
     rep_ids = groups.filter(F.col("doc_id") == F.col("rep")).select("doc_id")
-    sh = _shingled(spark, sf_dir).join(rep_ids, "doc_id").cache()
-    rep_pairs = _verify_candidate_pairs(sh, _lsh_band_candidates(sh))
+    sh = (
+        _shingled(spark, sf_dir)
+        .join(rep_ids, "doc_id")
+        .where(F.col("sh").isNotNull())
+        .cache()
+    )
+    rep_pairs = _verify_candidate_pairs(
+        sh, _lsh_band_candidates(sh, bands, rows), threshold
+    )
 
     # (a) intra-group pairs: every ordered pair of same-content docs
     m1 = groups.select(F.col("rep"), F.col("doc_id").alias("doc_a"))
@@ -285,7 +317,13 @@ def q36_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jac",
         )
     )
-    return intra.unionByName(inter).orderBy("doc_a", "doc_b")
+    out = intra.unionByName(inter)
+    return out.orderBy("doc_a", "doc_b") if sort else out
+
+
+@register("q36_minhash_lsh_dedup", oracle=_Q35_ORACLE)
+def q36_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_jaccard_pairs(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -474,15 +512,35 @@ ORDER BY doc_id
 
 
 @register("q68_dedup_clusters", oracle=_Q68_ORACLE)
-def q68_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q68_dedup_clusters(
+    spark: SparkSession, sf_dir: str, edge_source: str = "lsh"
+) -> DataFrame:
+    """Near-dup clusters = connected components over the pair graph.
+
+    ``edge_source`` picks the pair detector feeding the components:
+    - ``"lsh"`` (default, the scale path): q36's banded MinHash candidates
+      + exact verify — candidate work bounded by band buckets, never the
+      corpus-wide shingle collision structure. Recall vs the exact edge
+      set is 1 - 2e-4 per pair at jac = 0.8 (see lsh_jaccard_pairs), and
+      a missed edge only matters if it is the SOLE bridge between two
+      sub-clusters — pinned equal to the exact path at the gate SFs in
+      tests/test_dedup.py.
+    - ``"exact"`` (the oracle twin): the explode/shingle self-join of
+      _exact_jaccard_pairs — exact but quadratic in a corpus-wide hot
+      shingle's posting list; keep for verification only.
+    """
     from pyspark.sql import Window
 
     from ..operators.graph import connected_components
 
     docs = load_table(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
-    pairs = _exact_jaccard_pairs(_shingled(spark, sf_dir)).select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    )
+    if edge_source == "lsh":
+        pairs = lsh_jaccard_pairs(spark, sf_dir, sort=False)
+    elif edge_source == "exact":
+        pairs = _exact_jaccard_pairs(_shingled(spark, sf_dir), sort=False)
+    else:
+        raise ValueError(f"unknown edge_source {edge_source!r}")
+    pairs = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     labels = connected_components(docs, pairs)
     return (
         labels.select(F.col("id").alias("doc_id"), F.col("component").alias("cluster_id"))
@@ -1153,11 +1211,30 @@ ORDER BY threshold
 
 
 @register("q159_jaccard_threshold_sweep", oracle=_Q159_ORACLE)
-def q159_jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # localCheckpoint: same three-consumer reuse argument as q35
-    pairs = _exact_jaccard_pairs(
-        _shingled(spark, sf_dir).localCheckpoint(eager=True), threshold=0.50, sort=False
-    )
+def q159_jaccard_threshold_sweep(
+    spark: SparkSession, sf_dir: str, pair_source: str = "lsh"
+) -> DataFrame:
+    """Dedup-rate sweep: pair counts at each candidate Jaccard threshold.
+
+    The sweep's floor is 0.50, below q36's 16×4 banding curve, so the
+    ``"lsh"`` scale path re-bands at 32 bands × 2 rows (same 64 MinHash
+    values): per-pair recall 1 - (1 - j²)^32 = 0.99989 at j = 0.5 and
+    1 - 6e-7 at j = 0.6 — the documented recall floor of the sweep.
+    ``"exact"`` keeps the quadratic oracle twin (pinned equal at the gate
+    SFs in tests/test_dedup.py)."""
+    if pair_source == "lsh":
+        pairs = lsh_jaccard_pairs(
+            spark, sf_dir, threshold=0.50, bands=32, rows=2, sort=False
+        )
+    elif pair_source == "exact":
+        # localCheckpoint: same three-consumer reuse argument as q35
+        pairs = _exact_jaccard_pairs(
+            _shingled(spark, sf_dir).localCheckpoint(eager=True),
+            threshold=0.50,
+            sort=False,
+        )
+    else:
+        raise ValueError(f"unknown pair_source {pair_source!r}")
     ths = F.array(*[F.lit(t) for t in _SWEEP_THRESHOLDS])
     counted = (
         pairs.select(F.explode(ths).alias("threshold"), "jac")

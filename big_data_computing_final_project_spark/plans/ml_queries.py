@@ -260,6 +260,63 @@ def q48_grid_search_dt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "metric string, value double")
 
 
+@register("q192_random_search")
+def q192_random_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M9 — seeded randomized-search CV (`RandomizedSearchCV(n_iter, cv=3)`,
+    reference `Sol_2.ipynb:664-695` cell 2df63020): sample param maps with a
+    seeded RNG over the DT distributions, 3-fold CV each, report every
+    candidate's macro-F1 plus the winner. Rows-only (model fits are not
+    SQL-expressible); determinism pinned in tests/test_ml.py (same seed →
+    same candidate set AND same metric table)."""
+    from ..ml.models import decision_tree
+    from ..ml.selection import random_search
+
+    df = _embedding_features(spark, sf_dir).cache()
+    dt = decision_tree()
+    cv = random_search(
+        dt,
+        {
+            dt.maxDepth: [2, 4, 6, 8, 10],
+            dt.maxBins: [8, 16, 32, 64],
+            dt.minInstancesPerNode: [1, 5, 10],
+        },
+        n_iter=6,
+        num_folds=3,
+        seed=42,
+    )
+    model = cv.fit(df)
+    rows = []
+    for i, (pm, metric) in enumerate(zip(cv.getEstimatorParamMaps(), model.avgMetrics)):
+        desc = f"depth={pm[dt.maxDepth]},bins={pm[dt.maxBins]},min={pm[dt.minInstancesPerNode]}"
+        rows.append((i, desc, float(metric)))
+    df.unpersist()
+    best_i = max(range(len(rows)), key=lambda i: rows[i][2])
+    rows.append((len(rows), f"BEST:{rows[best_i][1]}", rows[best_i][2]))
+    return spark.createDataFrame(rows, "candidate int, params string, cv_macro_f1 double")
+
+
+@register("q193_grid_search_rf")
+def q193_grid_search_rf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 over the RandomForest — the reference grid-searched RF too
+    (`Sol_2.ipynb:578-600`): 3-fold CV over numTrees × maxDepth, ranking by
+    macro-F1 (the contract metric), every candidate's mean CV metric
+    reported plus the winner. Exercises grid_search()'s estimator-generic
+    path end-to-end (q48 covers only the DT). Rows-only."""
+    from ..ml.models import random_forest
+    from ..ml.selection import grid_search
+
+    df = _embedding_features(spark, sf_dir).cache()
+    rf = random_forest()
+    cv = grid_search(rf, {rf.numTrees: [10, 30], rf.maxDepth: [4, 8]}, num_folds=3)
+    model = cv.fit(df)
+    rows = []
+    for pm, metric in zip(cv.getEstimatorParamMaps(), model.avgMetrics):
+        rows.append((f"cv_f1[trees={pm[rf.numTrees]},depth={pm[rf.maxDepth]}]", float(metric)))
+    rows.append(("best_cv_f1", float(max(model.avgMetrics))))
+    df.unpersist()
+    return spark.createDataFrame(rows, "metric string, value double")
+
+
 @register("q49_house_pipeline")
 def q49_house_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EP1/EP2 analogue (SURVEY §3): derived features → StringIndexer →

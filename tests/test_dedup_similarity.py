@@ -781,3 +781,27 @@ def test_knn_small_store_mean_uses_retrieved_count(spark, tmp_path):
     assert len(out) == 1
     assert out[0].n_votes == 4
     assert abs(out[0].mean_sim - 1.0) < 1e-12
+
+
+def test_q68_lsh_edges_equal_exact_edges(spark, sf_dir):
+    """Verdict item: the scale path's clusters (LSH candidate edges) must
+    equal the exact-edge clusters — recall is 1 at the data's jac >= 0.8
+    pairs, and a missed edge could only diverge if it were the sole bridge
+    between two sub-clusters."""
+    from big_data_computing_final_project_spark.plans.dedup import q68_dedup_clusters
+
+    lsh = q68_dedup_clusters(spark, sf_dir, edge_source="lsh").collect()
+    exact = q68_dedup_clusters(spark, sf_dir, edge_source="exact").collect()
+    assert lsh == exact
+
+
+def test_q159_lsh_sweep_equals_exact_sweep(spark, sf_dir):
+    """The 32x2-banded sweep (recall floor 0.99989 at jac = 0.5) must
+    reproduce the exact sweep's pair counts at every threshold."""
+    from big_data_computing_final_project_spark.plans.dedup import (
+        q159_jaccard_threshold_sweep,
+    )
+
+    lsh = q159_jaccard_threshold_sweep(spark, sf_dir, pair_source="lsh").collect()
+    exact = q159_jaccard_threshold_sweep(spark, sf_dir, pair_source="exact").collect()
+    assert lsh == exact

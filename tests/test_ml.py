@@ -320,3 +320,32 @@ def test_tree_to_dot_structure_matches_model(spark, sf_dir):
     # sorted descending, bars proportional: first line has the longest bar
     assert lines[0].count("#") >= lines[1].count("#")
     assert lines[0].split()[0] in names
+
+
+def test_q192_random_search_deterministic_and_complete(spark, sf_dir):
+    """q192 (M9 registered): same seed -> identical candidate/params/metric
+    table; reports all 6 candidates plus the BEST row, and BEST carries the
+    max metric."""
+    from big_data_computing_final_project_spark.plans.ml_queries import q192_random_search
+
+    a = q192_random_search(spark, sf_dir).collect()
+    b = q192_random_search(spark, sf_dir).collect()
+    assert a == b
+    assert len(a) == 7
+    best = a[-1]
+    assert best.params.startswith("BEST:")
+    assert abs(best.cv_macro_f1 - max(r.cv_macro_f1 for r in a[:-1])) < 1e-12
+    assert best.params[5:] in {r.params for r in a[:-1]}
+
+
+def test_q193_grid_search_rf_reports_every_candidate(spark, sf_dir):
+    """q193 (M8 over RF): all 4 grid cells reported, winner = max."""
+    from big_data_computing_final_project_spark.plans.ml_queries import q193_grid_search_rf
+
+    rows = {r.metric: r.value for r in q193_grid_search_rf(spark, sf_dir).collect()}
+    cells = [k for k in rows if k.startswith("cv_f1[")]
+    assert len(cells) == 4
+    for t in (10, 30):
+        for d in (4, 8):
+            assert f"cv_f1[trees={t},depth={d}]" in rows
+    assert abs(rows["best_cv_f1"] - max(rows[c] for c in cells)) < 1e-12
