@@ -30,10 +30,97 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
 
 _BKT = "__rank_bucket"
+_SUB = "__rank_sub"
 _OFF = "__rank_offset"
 _N = "__rank_n"
+
+# Hot-bucket guard defaults: a bucket holding more than HOT_BUCKET_ROWS
+# rows gets subdivided into SUB_BUCKETS quantile slices (its within-bucket
+# row_number is otherwise one task — the exact cliff this operator exists
+# to remove, recreated by a degenerate bucket such as one epoch-day holding
+# half the table). 1M rows ≈ tens of MB per task of (key, order-col) pairs.
+_HOT_BUCKET_ROWS = 1_000_000
+_SUB_BUCKETS = 32
+_MAX_HOT_BUCKETS = 64
+
+
+def _hot_bucket_subs(
+    tagged: DataFrame,
+    grp: DataFrame,
+    order_cols: list[str],
+    hot_bucket_rows: int,
+    sub_buckets: int,
+) -> Column | None:
+    """Detect degenerate buckets and return the secondary-bucket expression
+    (or None when no bucket is hot — the common case, which must keep the
+    exact original plan).
+
+    For each hot bucket, the subdivider is the FIRST order column that is
+    numeric and non-constant within the bucket: columns before it are
+    constant there, so the within-bucket sort order is led by it, making a
+    value-quantized slice monotone in that order (rows tying on the chosen
+    column land in the same slice, preserving exactness). Slice edges are
+    per-bucket approximate quantiles, so slices are balanced by
+    construction. One level only: a bucket whose every order column is
+    constant or non-numeric stays whole (with unique-suffix order columns
+    this cannot happen unless the suffix itself is non-numeric).
+    """
+    hot = (
+        grp.filter(F.col("__gcnt") > hot_bucket_rows)
+        .orderBy(F.col("__gcnt").desc(), F.asc_nulls_first(_BKT))
+        .limit(_MAX_HOT_BUCKETS)
+        .select(_BKT)
+        .collect()
+    )
+    if not hot:
+        return None
+    numeric = [
+        c for c in order_cols if isinstance(tagged.schema[c].dataType, NumericType)
+    ]
+    if not numeric:
+        return None
+    hot_vals = [r[_BKT] for r in hot]
+    # one agg over the hot rows only: per-bucket min/max (usability) and
+    # quantile edges for every numeric order column candidate
+    cond = F.col(_BKT).isin([v for v in hot_vals if v is not None])
+    if any(v is None for v in hot_vals):
+        cond = cond | F.col(_BKT).isNull()
+    qs = [float(i) / sub_buckets for i in range(1, sub_buckets)]
+    aggs = []
+    for c in numeric:
+        aggs += [
+            F.min(c).alias(f"__mn_{c}"),
+            F.max(c).alias(f"__mx_{c}"),
+            F.percentile_approx(F.col(c).cast("double"), qs).alias(f"__ed_{c}"),
+        ]
+    stats = {r[_BKT]: r for r in tagged.filter(cond).groupBy(_BKT).agg(*aggs).collect()}
+
+    # per-bucket CASE: sub = count of edges <= value on the bucket's chosen
+    # column (monotone; equal values share a slice). Non-hot rows → slice 0.
+    expr: Column = F.lit(0)
+    for v, row in stats.items():
+        chosen = next(
+            (c for c in numeric if row[f"__mn_{c}"] is not None
+             and row[f"__mn_{c}"] != row[f"__mx_{c}"]),
+            None,
+        )
+        if chosen is None:
+            continue
+        edges = sorted(set(row[f"__ed_{chosen}"] or []))
+        if not edges:
+            continue
+        val = F.col(chosen).cast("double")
+        sub = F.size(
+            F.filter(
+                F.array(*[F.lit(e) for e in edges]), lambda e: e <= val
+            )
+        )
+        match = F.col(_BKT).isNull() if v is None else F.col(_BKT).eqNullSafe(F.lit(v))
+        expr = F.when(match, sub).otherwise(expr)
+    return expr
 
 
 def global_rank(
@@ -42,35 +129,55 @@ def global_rank(
     bucket: Column | None = None,
     rank_col: str = "rank",
     n_col: str | None = None,
+    hot_bucket_rows: int = _HOT_BUCKET_ROWS,
+    sub_buckets: int = _SUB_BUCKETS,
 ) -> DataFrame:
     """Exact global ROW_NUMBER() over ``order_cols`` (ties broken by the
     full column list — pass a unique suffix for determinism), computed
     distributively via ``bucket`` (default: the first order column). The
     bucket expression MUST be monotone non-decreasing in the sort order
     and should have a bounded value domain. Optionally also attaches the
-    total row count as ``n_col`` (needed by ntile)."""
+    total row count as ``n_col`` (needed by ntile).
+
+    Skew guard: buckets holding more than ``hot_bucket_rows`` rows are
+    subdivided into ``sub_buckets`` per-bucket quantile slices of the
+    first numeric order column that varies within the bucket (see
+    _hot_bucket_subs), bounding the largest within-bucket row_number task.
+    Detection costs one count-by-bucket job at plan-build time; when no
+    bucket is hot the emitted plan is byte-identical to the unguarded one.
+    """
     b = bucket if bucket is not None else F.col(order_cols[0])
     tagged = df.withColumn(_BKT, b)
     grp = tagged.groupBy(_BKT).agg(F.count(F.lit(1)).alias("__gcnt"))
+    sub_expr = _hot_bucket_subs(tagged, grp, order_cols, hot_bucket_rows, sub_buckets)
+    if sub_expr is not None:
+        tagged = tagged.withColumn(_SUB, sub_expr)
+        grp = tagged.groupBy(_BKT, _SUB).agg(F.count(F.lit(1)).alias("__gcnt"))
     # asc_nulls_first matches Window.orderBy's default NULL placement, so a
     # NULL bucket (from a NULL leading sort key) ranks first, not dropped
-    cum = Window.orderBy(F.asc_nulls_first(_BKT)).rowsBetween(
-        Window.unboundedPreceding, -1
+    order_keys = [F.asc_nulls_first(_BKT)] + ([F.col(_SUB)] if sub_expr is not None else [])
+    cum = Window.orderBy(*order_keys).rowsBetween(Window.unboundedPreceding, -1)
+    sel = [F.col(_BKT).alias("__obkt")] + (
+        [F.col(_SUB).alias("__osub")] if sub_expr is not None else []
     )
     offs = grp.select(
-        F.col(_BKT).alias("__obkt"),
+        *sel,
         F.coalesce(F.sum("__gcnt").over(cum), F.lit(0)).alias(_OFF),
         F.sum("__gcnt").over(Window.partitionBy()).alias(_N),
     )
-    rn = F.row_number().over(Window.partitionBy(_BKT).orderBy(*order_cols))
+    part = [_BKT] + ([_SUB] if sub_expr is not None else [])
+    rn = F.row_number().over(Window.partitionBy(*part).orderBy(*order_cols))
+    # eqNullSafe: a plain equi-join silently DELETES null-bucket rows
+    join_cond = F.col(_BKT).eqNullSafe(F.col("__obkt"))
+    if sub_expr is not None:
+        join_cond = join_cond & (F.col(_SUB) == F.col("__osub"))
     out = (
-        # eqNullSafe: a plain equi-join silently DELETES null-bucket rows
-        tagged.join(
-            F.broadcast(offs), F.col(_BKT).eqNullSafe(F.col("__obkt"))
-        )
+        tagged.join(F.broadcast(offs), join_cond)
         .withColumn(rank_col, (F.col(_OFF) + rn).cast("bigint"))
         .drop(_BKT, "__obkt", _OFF)
     )
+    if sub_expr is not None:
+        out = out.drop(_SUB, "__osub")
     if n_col is not None:
         out = out.withColumnRenamed(_N, n_col)
     else:
@@ -105,11 +212,14 @@ def distributed_ntile(
     tiles: int,
     bucket: Column | None = None,
     out_col: str = "ntile",
+    hot_bucket_rows: int = _HOT_BUCKET_ROWS,
+    sub_buckets: int = _SUB_BUCKETS,
 ) -> DataFrame:
     """NTILE(tiles) over a global ordering, without a single-partition
     window (see module docstring)."""
     ranked = global_rank(
-        df, order_cols, bucket=bucket, rank_col="__rank", n_col="__n"
+        df, order_cols, bucket=bucket, rank_col="__rank", n_col="__n",
+        hot_bucket_rows=hot_bucket_rows, sub_buckets=sub_buckets,
     )
     return ranked.withColumn(
         out_col, ntile_from_rank(F.col("__rank"), F.col("__n"), tiles)

@@ -82,3 +82,75 @@ def test_distributed_ntile_all_ties(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_hot_bucket_guard_exactness(spark):
+    """Planted one-hot-bucket skew (one v value holds ~60% of rows): the
+    guarded rank must still equal the single-window row_number exactly."""
+    vals = [7] * 600 + [(i * 13) % 40 for i in range(400)]
+    df = _df(spark, vals)
+    got = {
+        r.uid: r.rank
+        for r in global_rank(
+            df, ["v", "uid"], rank_col="rank", hot_bucket_rows=50, sub_buckets=8
+        ).collect()
+    }
+    want = {
+        r.uid: r.rn
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy("v", "uid"))
+        ).collect()
+    }
+    assert got == want
+
+
+def test_hot_bucket_guard_bounds_partition_share(spark):
+    """The hot bucket's within-bucket window must be split across quantile
+    slices: the largest (bucket, sub) slice carries a bounded share of the
+    hot bucket, not all of it."""
+    from big_data_computing_final_project_spark.operators.ranking import (
+        _hot_bucket_subs,
+        _BKT,
+    )
+
+    vals = [7] * 900 + [(i * 13) % 40 for i in range(100)]
+    df = _df(spark, vals)
+    tagged = df.withColumn(_BKT, F.col("v"))
+    grp = tagged.groupBy(_BKT).agg(F.count(F.lit(1)).alias("__gcnt"))
+    sub = _hot_bucket_subs(tagged, grp, ["v", "uid"], 50, 8)
+    assert sub is not None
+    sizes = (
+        tagged.withColumn("__s", sub)
+        .groupBy(_BKT, "__s")
+        .count()
+        .collect()
+    )
+    hot = [r for r in sizes if r[_BKT] == 7]
+    assert len(hot) >= 7  # the 900-row bucket split into ~8 slices
+    # balanced by quantile construction: no slice carries more than ~2/8
+    assert max(r["count"] for r in hot) <= 900 * 2 // 8
+
+
+def test_hot_bucket_guard_coarse_bucket_nulls(spark):
+    """Guard + coarse bucket + NULL order keys: nulls rank first and no
+    row is lost through the composite null-safe join."""
+    rows = [(None if i % 5 == 0 else (i * 7) % 50, i) for i in range(300)]
+    df = spark.createDataFrame(rows, "v long, uid long").repartition(7, "uid")
+    got = {
+        r.uid: r.rank
+        for r in global_rank(
+            df,
+            ["v", "uid"],
+            bucket=(F.col("v") / 10).cast("bigint"),
+            rank_col="rank",
+            hot_bucket_rows=20,
+            sub_buckets=4,
+        ).collect()
+    }
+    want = {
+        r.uid: r.rn
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy("v", "uid"))
+        ).collect()
+    }
+    assert len(got) == 300 and got == want
