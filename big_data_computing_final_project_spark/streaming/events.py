@@ -1111,6 +1111,161 @@ def drift_monitor_log_by_key(spark: SparkSession, store_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Incremental MinHash-LSH near-dup detection at ingest (VERDICT r5 item 7):
+# the streaming twin of batch q36 (plans/dedup.py lsh_jaccard_pairs). The
+# q87/q146 fingerprint stores catch EXACT duplicates at ingest; a 100-TB
+# pipeline also near-dups at ingest — each arriving crawl drop's docs must
+# be checked against every previously ingested doc without rescanning the
+# corpus. Band buckets make that an equi-join against stored band keys.
+# ---------------------------------------------------------------------------
+
+_LSH_STATE_SCHEMA = (
+    "doc_id bigint, sh array<string>, bands array<struct<band:int,key:bigint>>"
+)
+_LSH_PAIRS_SCHEMA = "doc_a bigint, doc_b bigint, jac double"
+
+
+def _lsh_dedup_ingest(batch: DataFrame, batch_id: int, store_dir: str) -> None:
+    """One micro-batch of the LSH near-dup store: shingle + band the batch,
+    find candidates within the batch AND against the stored band keys of
+    batches < this one, exact-Jaccard-verify candidates only, stage the
+    batch's new pairs and its state rows under batch_id=N (idempotent on
+    replay — both writes are per-batch overwrites, and the state lookup
+    filters batch_id < N so a replay never joins its own earlier write)."""
+    from ..functions import text as X
+    from ..plans.dedup import _JACCARD_T, band_key_structs
+
+    spark = batch.sparkSession
+    state_dir = os.path.join(store_dir, "state")
+    # null-shingle docs (null text) can never verify; drop like batch q36
+    cur = (
+        batch.select("doc_id", X.shingles(F.col("text"), 3).alias("sh"))
+        .where(F.col("sh").isNotNull())
+        .withColumn("bands", F.array(*band_key_structs(F.col("sh"))))
+        .localCheckpoint(eager=True)  # four consumers; shingling is the cost
+    )
+    _recover_compaction(state_dir)
+    if os.path.exists(state_dir):
+        state = (
+            spark.read.schema(_LSH_STATE_SCHEMA)
+            .option("basePath", state_dir)
+            .parquet(f"{state_dir}/batch_id=*")
+            .where(F.col("batch_id") < batch_id)
+            .drop("batch_id")
+        )
+    else:
+        state = spark.createDataFrame([], _LSH_STATE_SCHEMA)
+
+    def exploded(df: DataFrame, side: str) -> DataFrame:
+        return df.select(F.col("doc_id").alias(side), F.explode("bands").alias("b")).select(
+            side, F.col("b.band").alias(f"band_{side}"), F.col("b.key").alias(f"key_{side}")
+        )
+
+    exb = exploded(cur, "doc_a").localCheckpoint(eager=True)  # both joins consume it
+    # within-batch candidates (doc_a < doc_b orients each pair once)
+    exb2 = exb.select(
+        F.col("doc_a").alias("doc_b"),
+        F.col("band_doc_a").alias("band_doc_b"),
+        F.col("key_doc_a").alias("key_doc_b"),
+    )
+    intra = exb.join(
+        exb2,
+        (F.col("band_doc_a") == F.col("band_doc_b"))
+        & (F.col("key_doc_a") == F.col("key_doc_b"))
+        & (F.col("doc_a") < F.col("doc_b")),
+    ).select("doc_a", "doc_b")
+    # batch-vs-store candidates: exactly one side is new, so every stored
+    # pair is emitted exactly once — by the batch that completes it
+    exs = exploded(state, "doc_b")
+    cross = exb.join(
+        exs,
+        (F.col("band_doc_a") == F.col("band_doc_b"))
+        & (F.col("key_doc_a") == F.col("key_doc_b")),
+    ).select(
+        F.least("doc_a", "doc_b").alias("doc_a"),
+        F.greatest("doc_a", "doc_b").alias("doc_b"),
+    )
+    candidates = intra.unionByName(cross).distinct()
+    # exact verify on candidates only (the q36 contract): shingle lookup
+    # spans this batch plus the stored state
+    sh_all = cur.select("doc_id", "sh").unionByName(state.select("doc_id", "sh"))
+    sh_a = sh_all.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh_all.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - common
+    pairs = (
+        candidates.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .select("doc_a", "doc_b", (common.cast("double") / union).alias("jac"))
+        .filter(F.col("jac") >= _JACCARD_T)
+    )
+    pairs.write.mode("overwrite").parquet(
+        os.path.join(store_dir, "pairs", f"batch_id={batch_id}")
+    )
+    cur.select("doc_id", "sh", "bands").write.mode("overwrite").parquet(
+        os.path.join(state_dir, f"batch_id={batch_id}")
+    )
+
+
+def run_stream_lsh_dedup(
+    docs: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    timeout_sec: int = 120,
+) -> None:
+    """foreachBatch incremental MinHash-LSH near-dup store — near-dup
+    detection AT INGEST. ``docs`` is a streaming frame of (doc_id, text);
+    two staged-delta parquet tables:
+
+      state/batch_id=N/ (doc_id, sh, bands) — shingle sets + band keys of
+                        batch N's docs (the lookup side for later batches).
+      pairs/batch_id=N/ (doc_a, doc_b, jac) — near-dup pairs COMPLETED by
+                        batch N: both docs in N, or one in N and one in an
+                        earlier batch (oriented least/greatest, so each
+                        unordered pair is staged exactly once — by the
+                        batch that sees its second member).
+
+    ``near_dup_pairs_from_store`` folds the deltas into batch q36's exact
+    output, and the fold is arrival-order-independent (each pair is
+    emitted once with a content-determined jac), pinned for in-order AND
+    reversed drops in tests/test_streaming.py.
+
+    Scale shape: per batch, candidate generation is an equi-join on
+    (band, key) between the batch's exploded band keys and the store's —
+    never an all-pairs pass; verification touches candidates only. The
+    state read grows with store size until compaction
+    (compact_lsh_dedup_store) folds the deltas; at 100 TB the state lives
+    bucketed on (band, key) so the per-batch join co-locates without a
+    full-store shuffle. Unlike batch q36 there is no exact-dup collapse:
+    a batch is one crawl drop, and the irreducible output of a planted
+    everyone-identical corpus (quadratic pairs) dominates the candidate
+    work anyway."""
+
+    def ingest(batch: DataFrame, batch_id: int) -> None:
+        _lsh_dedup_ingest(batch, batch_id, store_dir)
+
+    _run_foreach_batch(
+        docs, ingest, checkpoint_dir, timeout_sec, "run_stream_lsh_dedup"
+    )
+
+
+def near_dup_pairs_from_store(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Batch q36's (doc_a, doc_b, jac) folded from the LSH ingest store —
+    reads only the pair deltas (linear in near-dups), never the corpus."""
+    pairs_dir = os.path.join(store_dir, "pairs")
+    _recover_compaction(pairs_dir)
+    if not os.path.exists(pairs_dir):
+        return spark.createDataFrame([], _LSH_PAIRS_SCHEMA)
+    return (
+        spark.read.schema(_LSH_PAIRS_SCHEMA)
+        .option("basePath", pairs_dir)
+        .parquet(f"{pairs_dir}/batch_id=*")
+        .select("doc_a", "doc_b", "jac")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Store compaction: the maintenance half of the staged-delta contract.
 # Every foreachBatch store above appends one batch_id=N delta per
 # micro-batch, so store reads (keeper lookups, PSI folds) grow linearly
@@ -1231,6 +1386,27 @@ def compact_dup_flow_store(spark: SparkSession, store_dir: str) -> None:
         lambda df: df.groupBy("fp", "keeper_source", "dup_source").agg(
             F.sum("n_docs").alias("n_docs")
         ),
+    )
+
+
+def compact_lsh_dedup_store(spark: SparkSession, store_dir: str) -> None:
+    """Compact the LSH near-dup store: state rows are one per ingested doc
+    (doc_id unique across deltas by the ingest contract) and each unordered
+    pair lives in exactly one delta, so both merges are plain rewrites.
+    Continued ingestion keeps working: new batches land above the
+    checkpoint's high-water mark and the state lookup's `batch_id < N`
+    filter always includes the compacted delta."""
+    _compact_partitioned(
+        spark,
+        os.path.join(store_dir, "state"),
+        _LSH_STATE_SCHEMA,
+        lambda df: df.select("doc_id", "sh", "bands"),
+    )
+    _compact_partitioned(
+        spark,
+        os.path.join(store_dir, "pairs"),
+        _LSH_PAIRS_SCHEMA,
+        lambda df: df.select("doc_a", "doc_b", "jac"),
     )
 
 

@@ -996,3 +996,103 @@ def test_new_store_compactions_preserve_folds_and_continued_ingest(
     run_stream_attribution(stream(), astore, ackpt)
     got = [tuple(r) for r in attribution_from_store(spark, astore).collect()]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Incremental MinHash-LSH near-dup store (VERDICT r5 item 7): planted
+# near-dup corpus — one exact-dup pair (case variant), two append-suffix
+# near-dups (word-3-shingle jac 0.9-0.95), one unrelated doc — so the
+# store must emit within-batch AND cross-batch pairs at verified jac.
+# ---------------------------------------------------------------------------
+
+_ND_BASE = (
+    "the quick brown fox jumps over the lazy dog while seven wizards "
+    "brew strong coffee near the old stone bridge"
+)
+_ND_DOCS = [
+    (1, _ND_BASE, "en", "srcA"),
+    (2, _ND_BASE.upper(), "en", "srcB"),          # exact dup of 1 (jac 1.0)
+    (3, _ND_BASE + " tonight", "en", "srcB"),     # jac 18/19 vs 1
+    (4, _ND_BASE + " tonight again", "en", "srcC"),  # jac 18/20 vs 1
+    (5, "completely unrelated tiny text", "de", "srcA"),
+]
+_ND_DROPS = [_ND_DOCS[0:2], _ND_DOCS[2:4], _ND_DOCS[4:5]]
+
+
+def test_stream_lsh_dedup_store_equals_batch_q36_any_arrival_order(spark, tmp_path):
+    """The LSH ingest store's folded pairs must equal batch q36 exactly —
+    for in-order AND reversed drops (each unordered pair is emitted once,
+    by the batch that sees its second member, with content-determined
+    jac)."""
+    from big_data_computing_final_project_spark.streaming.events import (
+        near_dup_pairs_from_store,
+        run_stream_lsh_dedup,
+    )
+
+    corpus = _write_corpus_nd(tmp_path / "nd_corpus")
+    want = [
+        tuple(r)
+        for r in all_queries()["q36_minhash_lsh_dedup"](spark, corpus).collect()
+    ]
+    assert len(want) == 6  # C(4,2) pairs among docs 1-4, none for doc 5
+
+    for case, order in (("fwd", _ND_DROPS), ("rev", list(reversed(_ND_DROPS)))):
+        src_dir = _write_doc_drops(tmp_path / f"nd_arrivals_{case}", order)
+        store = str(tmp_path / f"nd_store_{case}")
+        run_stream_lsh_dedup(
+            _docs_stream(spark, src_dir).select("doc_id", "text"),
+            store,
+            str(tmp_path / f"nd_ckpt_{case}"),
+        )
+        got = [tuple(r) for r in near_dup_pairs_from_store(spark, store).collect()]
+        assert got == want, case
+
+
+def test_stream_lsh_dedup_store_compaction_and_continued_ingest(spark, tmp_path):
+    """Mid-stream compaction of the LSH store must preserve the fold AND
+    keep later cross-batch candidate lookups working (the compacted state
+    delta stays visible to the batch_id < N filter)."""
+    from big_data_computing_final_project_spark.streaming.events import (
+        compact_lsh_dedup_store,
+        near_dup_pairs_from_store,
+        run_stream_lsh_dedup,
+    )
+
+    corpus = _write_corpus_nd(tmp_path / "nd_corpus2")
+    want = [
+        tuple(r)
+        for r in all_queries()["q36_minhash_lsh_dedup"](spark, corpus).collect()
+    ]
+
+    src_dir = tmp_path / "nd_arrivals_c"
+    store = str(tmp_path / "nd_store_c")
+    ckpt = str(tmp_path / "nd_ckpt_c")
+    # drops 0-1 arrive; drain; compact in the maintenance window
+    _write_doc_drops(src_dir, _ND_DROPS[0:2])
+
+    def _stream():
+        return _docs_stream(spark, str(src_dir)).select("doc_id", "text")
+
+    run_stream_lsh_dedup(_stream(), store, ckpt)
+    before = [tuple(r) for r in near_dup_pairs_from_store(spark, store).collect()]
+    compact_lsh_dedup_store(spark, store)
+    after = [tuple(r) for r in near_dup_pairs_from_store(spark, store).collect()]
+    assert after == before and len(before) > 0
+
+    # drop 2 arrives post-compaction on the SAME checkpoint
+    import time as _t
+
+    p = str(src_dir / "drop_late.parquet")
+    import pyarrow.parquet as _pq
+
+    _pq.write_table(_docs_tbl(_ND_DROPS[2]), p)
+    os.utime(p, (_t.time(), _t.time()))
+    run_stream_lsh_dedup(_stream(), store, ckpt)
+    final = [tuple(r) for r in near_dup_pairs_from_store(spark, store).collect()]
+    assert final == want
+
+
+def _write_corpus_nd(corpus_dir) -> str:
+    from _fixtures import write_planted_corpus
+
+    return write_planted_corpus(corpus_dir, _ND_DOCS)
