@@ -78,6 +78,37 @@ def tree_to_dot(
     return "\n".join(lines)
 
 
+def render_dot(
+    dot: str,
+    out_path: str,
+    fmt: str | None = None,
+) -> str:
+    """Render a DOT string to an image via the system ``dot`` binary — the
+    optional closing of the reference's PNG/PDF artifacts
+    (`house_predict_model.ipynb` cell a14b6c11: ``export_graphviz`` →
+    pydotplus PNG). Purely driver-side; raises FileNotFoundError with a
+    clear message when graphviz is not installed (callers treat the DOT
+    string as the portable artifact, exactly like the reference repos that
+    commit .dot files). ``fmt`` defaults to ``out_path``'s extension."""
+    import shutil
+    import subprocess
+
+    exe = shutil.which("dot")
+    if exe is None:
+        raise FileNotFoundError(
+            "graphviz 'dot' binary not found: install graphviz to render, "
+            "or use the DOT string directly (tree_to_dot output)"
+        )
+    fmt = fmt or out_path.rsplit(".", 1)[-1]
+    subprocess.run(
+        [exe, f"-T{fmt}", "-o", out_path],
+        input=dot.encode(),
+        check=True,
+        capture_output=True,
+    )
+    return out_path
+
+
 def importance_bars(
     model,
     feature_names: Sequence[str],

@@ -349,3 +349,28 @@ def test_q193_grid_search_rf_reports_every_candidate(spark, sf_dir):
         for d in (4, 8):
             assert f"cv_f1[trees={t},depth={d}]" in rows
     assert abs(rows["best_cv_f1"] - max(rows[c] for c in cells)) < 1e-12
+
+
+def test_render_dot_png_if_graphviz_present(spark, sf_dir, tmp_path):
+    """Optional PNG render of q44's tree (the reference's export_graphviz
+    artifact): skipped when the graphviz binary is absent; the no-binary
+    path must raise a clear FileNotFoundError either way."""
+    import shutil
+
+    import pytest as _pytest
+
+    from big_data_computing_final_project_spark.ml.viz import render_dot, tree_to_dot
+    from big_data_computing_final_project_spark.plans.ml_queries import (
+        _embedding_features,
+    )
+    from big_data_computing_final_project_spark.ml.models import decision_tree
+
+    model = decision_tree(max_depth=3).fit(_embedding_features(spark, sf_dir))
+    dot = tree_to_dot(model)
+    if shutil.which("dot") is None:
+        with _pytest.raises(FileNotFoundError, match="graphviz"):
+            render_dot(dot, str(tmp_path / "tree.png"))
+        _pytest.skip("graphviz binary not installed")
+    out = render_dot(dot, str(tmp_path / "tree.png"))
+    with open(out, "rb") as f:
+        assert f.read(8) == b"\x89PNG\r\n\x1a\n"
