@@ -1,0 +1,101 @@
+"""Distributed exact prefix aggregation (cumulative scan) — running
+SUM/MAX/MIN over a global ordering without the single-partition window.
+
+`Window.orderBy(x)` with no partition key serializes the whole table into
+one task — the same cliff operators/ranking.py removes for row_number.
+A prefix aggregate decomposes identically whenever a coarse BUCKET that is
+monotone in the scan order exists (epoch days, price bands, id ranges):
+
+    prefix(row) = combine(agg of all earlier buckets, within-bucket prefix)
+
+Bucket partials are one partial-aggregated groupBy; their exclusive
+running combine is a window over DISTINCT BUCKET VALUES ONLY (bounded by
+the bucket domain); the within-bucket prefix parallelizes across bucket
+partitions. Same numbers as the naive form, no single-partition stage.
+
+STRICT mode (frame ending at the previous ROW) additionally requires the
+scan keys to be unique — pre-aggregate to one row per key first (the
+skyline query's shape: one row per distinct price). With duplicate keys a
+row-strict frame is order-dependent and therefore not well-defined.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_BKT = "__pfx_bucket"
+_PART = "__pfx_partial"
+_EXCL = "__pfx_excl"
+
+_AGGS = {
+    "sum": (F.sum, lambda a, b: a + b),
+    "max": (F.max, F.greatest),
+    "min": (F.min, F.least),
+}
+
+
+def prefix_agg(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str,
+    agg: str = "sum",
+    bucket: Column | None = None,
+    strict: bool = False,
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """Running ``agg`` of ``value_col`` over the ``order_cols`` ordering —
+    globally, or per ``partition_cols`` group (the scan restarts per
+    group, but unlike ``Window.partitionBy(group)`` a huge group never
+    serializes into one task: within-group work is still split by
+    ``bucket``). ``bucket`` (default: first order column) must be
+    monotone non-decreasing in the scan order with a bounded value domain.
+
+    ``strict=True`` excludes the current row (frame ... AND 1 PRECEDING);
+    the first row's strict prefix is NULL (empty frame), matching the
+    window form. Strict mode requires unique order keys per group (see
+    module doc).
+    """
+    if agg not in _AGGS:
+        raise ValueError(f"agg must be one of {sorted(_AGGS)}, got {agg!r}")
+    agg_fn, combine = _AGGS[agg]
+    parts = list(partition_cols or [])
+    b = bucket if bucket is not None else F.col(order_cols[0])
+    tagged = df.withColumn(_BKT, b)
+    grp = tagged.groupBy(*parts, _BKT).agg(agg_fn(value_col).alias(_PART))
+    # the bucket-offset window runs over DISTINCT (group, bucket) rows
+    # only; with partitions it is additionally split per group
+    cum = (
+        Window.partitionBy(*parts).orderBy(F.asc_nulls_first(_BKT))
+        if parts
+        else Window.orderBy(F.asc_nulls_first(_BKT))
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    offs = grp.select(
+        *[F.col(p).alias(f"__op_{p}") for p in parts],
+        F.col(_BKT).alias("__obkt"),
+        agg_fn(_PART).over(cum).alias(_EXCL),
+    )
+    end = -1 if strict else 0
+    win = (
+        Window.partitionBy(*parts, _BKT)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, end)
+    )
+    within = agg_fn(value_col).over(win)
+    # combine(NULL, x) must yield x (first bucket / empty strict frame):
+    # greatest/least skip NULLs natively; sum needs explicit coalescing
+    if agg == "sum":
+        merged = F.when(
+            F.col(_EXCL).isNull(), within
+        ).otherwise(F.col(_EXCL) + F.coalesce(within, F.lit(0)))
+    else:
+        merged = combine(F.col(_EXCL), within)
+    cond = F.col(_BKT).eqNullSafe(F.col("__obkt"))
+    for p in parts:
+        cond = cond & F.col(p).eqNullSafe(F.col(f"__op_{p}"))
+    return (
+        tagged.join(F.broadcast(offs), cond)
+        .withColumn(out_col, merged)
+        .drop(_BKT, "__obkt", _EXCL, *[f"__op_{p}" for p in parts])
+    )

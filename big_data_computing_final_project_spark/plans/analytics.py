@@ -652,3 +652,200 @@ def q120_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         referential_orphans(li, orders, "l_orderkey", "o_orderkey"),
         referential_orphans(orders, customer, "o_custkey", "c_custkey"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q196 — skyline (pareto frontier): parts not dominated on (cheaper-or-equal
+# price, larger-or-equal size, one strict). The classic OLAP skyline
+# operator, computed WITHOUT the quadratic NOT-EXISTS self-join: collapse
+# to one row per distinct price (max size), then a STRICT running max over
+# the price order — a part is dominated iff a strictly cheaper price has
+# seen size >= its own, or its own price group holds a strictly larger
+# size. The running max uses operators/prefix.py (bucketed two-level scan),
+# so no single-partition window even over millions of distinct prices.
+# ---------------------------------------------------------------------------
+
+_Q196_ORACLE = """
+SELECT p_partkey, p_retailprice, p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+)
+ORDER BY p_partkey
+"""
+
+
+@register("q196_skyline_parts", oracle=_Q196_ORACLE)
+def q196_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix import prefix_agg
+
+    part = _t(spark, sf_dir, "part")
+    grp = part.groupBy("p_retailprice").agg(F.max("p_size").alias("__mx"))
+    sm = prefix_agg(
+        grp,
+        ["p_retailprice"],
+        "__mx",
+        "__m_strict",
+        agg="max",
+        bucket=F.floor(F.col("p_retailprice") / 100).cast("bigint"),
+        strict=True,
+    )
+    dominated = F.coalesce(
+        F.col("__m_strict") >= F.col("p_size"), F.lit(False)
+    ) | (F.col("__mx") > F.col("p_size"))
+    return (
+        part.join(sm, "p_retailprice")
+        .where(~dominated)
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q197 — grouped weighted median: per brand, the quantity-weighted median
+# unit price (smallest l_extendedprice whose cumulative quantity reaches
+# half the brand's total). Weights sum in exact decimal (order-independent
+# across executors); the cumulative weight is the partitioned bucketed
+# prefix scan — the scan restarts per brand but a huge brand still splits
+# across price-band buckets instead of serializing into one task.
+# ---------------------------------------------------------------------------
+
+_Q197_ORACLE = """
+WITH pa AS (
+  SELECT p_brand AS brand, l_extendedprice AS val,
+         SUM(CAST(l_quantity AS DECIMAL(38,4))) AS w
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  GROUP BY 1, 2
+),
+c AS (
+  SELECT brand, val, w,
+         SUM(w) OVER (PARTITION BY brand ORDER BY val
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+         SUM(w) OVER (PARTITION BY brand) AS tot
+  FROM pa
+)
+SELECT brand, MIN(val) AS weighted_median,
+       CAST(CAST(ANY_VALUE(tot) AS VARCHAR) AS DOUBLE) AS total_qty
+FROM c
+WHERE 2 * cumw >= tot
+GROUP BY brand
+ORDER BY brand
+"""
+
+
+@register("q197_weighted_median", oracle=_Q197_ORACLE)
+def q197_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix import prefix_agg
+    from ..operators.sizing import broadcast_if_small
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), F.col("p_brand").alias("brand")
+    )
+    pa = (
+        li.select("l_partkey", F.col("l_extendedprice").alias("val"), "l_quantity")
+        .join(broadcast_if_small(part), "l_partkey")
+        .groupBy("brand", "val")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,4)")).alias("w"))
+    )
+    cum = prefix_agg(
+        pa,
+        ["val"],
+        "w",
+        "cumw",
+        agg="sum",
+        partition_cols=["brand"],
+        bucket=F.floor(F.col("val") / 1000).cast("bigint"),
+    )
+    tot = pa.groupBy("brand").agg(F.sum("w").alias("tot"))
+    return (
+        cum.join(F.broadcast(tot), "brand")
+        .where(F.lit(2) * F.col("cumw") >= F.col("tot"))
+        .groupBy("brand")
+        .agg(
+            F.min("val").alias("weighted_median"),
+            F.first(F.col("tot").cast("string")).cast("double").alias("total_qty"),
+        )
+        .orderBy("brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q198 — reciprocal-rank fusion: combine two supplier rankings (revenue;
+# catalog breadth = distinct parts shipped) into one list, the standard
+# RRF score 1/(k + rank) with k = 60 (Cormack et al., SIGIR'09 — the same
+# fusion retrieval pipelines use to merge BM25 and embedding rankings).
+# Both ranks come from the distributed ranking operator (log2-banded for
+# the unbounded revenue domain), so no single-partition sort even over
+# millions of suppliers; ranks are exact-decimal-comparison deterministic.
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_Q198_ORACLE = f"""
+WITH s AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS rev,
+         COUNT(DISTINCT l_partkey) AS breadth
+  FROM lineitem
+  GROUP BY l_suppkey
+),
+r AS (
+  SELECT l_suppkey,
+         ROW_NUMBER() OVER (ORDER BY rev DESC, l_suppkey) AS rank_rev,
+         ROW_NUMBER() OVER (ORDER BY breadth DESC, l_suppkey) AS rank_breadth
+  FROM s
+)
+SELECT s_suppkey, s_name, rank_rev, rank_breadth,
+       CAST(1.0 AS DOUBLE) / ({_RRF_K} + rank_rev)
+         + CAST(1.0 AS DOUBLE) / ({_RRF_K} + rank_breadth) AS rrf_score
+FROM r JOIN supplier ON s_suppkey = l_suppkey
+ORDER BY rrf_score DESC, s_suppkey
+LIMIT 20
+"""
+
+
+@register("q198_rrf_fusion", oracle=_Q198_ORACLE)
+def q198_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import global_rank
+    from ..operators.sizing import broadcast_if_small
+
+    li = _t(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_suppkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(38,4)"
+            )
+        ).alias("rev"),
+        F.countDistinct("l_partkey").alias("breadth"),
+    )
+    # rank ascending on the NEGATED measure == DESC rank; rev > 0 always
+    # (discount < 1), so the log2 band is defined
+    s = s.withColumn("__nrev", -F.col("rev")).withColumn(
+        "__nbr", -F.col("breadth")
+    )
+    r1 = global_rank(
+        s,
+        ["__nrev", "l_suppkey"],
+        bucket=(-F.floor(F.log2(F.col("rev").cast("double")))).cast("bigint"),
+        rank_col="rank_rev",
+    )
+    r2 = global_rank(
+        r1, ["__nbr", "l_suppkey"], bucket=F.col("__nbr"), rank_col="rank_breadth"
+    )
+    supplier = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey"), F.col("s_name")
+    )
+    rrf = F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank_rev")) + F.lit(1.0) / (
+        F.lit(_RRF_K) + F.col("rank_breadth")
+    )
+    return (
+        r2.join(
+            broadcast_if_small(supplier),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "rank_rev", "rank_breadth", rrf.alias("rrf_score"))
+        .orderBy(F.col("rrf_score").desc(), "s_suppkey")
+        .limit(20)
+    )

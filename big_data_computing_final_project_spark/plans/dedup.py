@@ -1272,3 +1272,152 @@ def q146_dup_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("keeper_source", "dup_source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q194 — inverse-propensity dedup weights: dedup SHRINKS the corpus but a
+# training pipeline that keeps one representative per near-dup cluster must
+# not silently reweight the data distribution — the kept doc carries its
+# cluster's multiplicity as a sampling weight (the standard dedup-weighting
+# scheme, e.g. "soft dedup" in large-corpus training recipes). Composes the
+# q68 cluster labels (LSH candidate edges — the scale path) with one
+# aggregate; weight_share makes the weights a distribution over keepers.
+# ---------------------------------------------------------------------------
+
+_Q194_ORACLE = f"""
+WITH RECURSIVE docs AS (
+  SELECT doc_id, {_SQL_SHINGLES} AS sh
+  FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+), ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+co AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM co
+  JOIN (SELECT doc_id, len(sh) AS n FROM docs) la ON la.doc_id = doc_a
+  JOIN (SELECT doc_id, len(sh) AS n FROM docs) lb ON lb.doc_id = doc_b
+  WHERE CAST(common AS DOUBLE) / (la.n + lb.n - common) >= {_JACCARD_T}
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach AS (
+  SELECT doc_id, doc_id AS x FROM documents
+  UNION
+  SELECT r.doc_id, e.b AS x FROM reach r JOIN edges e ON e.a = r.x
+),
+labels AS (SELECT doc_id, MIN(x) AS cluster_id FROM reach GROUP BY doc_id)
+SELECT cluster_id AS keeper_doc_id, COUNT(*) AS weight,
+       CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM documents) AS weight_share
+FROM labels
+GROUP BY cluster_id
+ORDER BY keeper_doc_id
+"""
+
+
+@register("q194_dedup_weights", oracle=_Q194_ORACLE)
+def q194_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(keeper_doc_id, weight, weight_share): one row per near-dup cluster
+    keeper (min doc_id), weighted by cluster multiplicity so downstream
+    sampling preserves the pre-dedup distribution. Scale shape: the q68
+    component labels (LSH edges, bounded candidate work) + ONE hash
+    aggregate; the corpus size joins in as a broadcast 1-row aggregate."""
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    pairs = lsh_jaccard_pairs(spark, sf_dir, sort=False).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    labels = connected_components(docs, pairs)
+    n_total = docs.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        labels.groupBy(F.col("component").alias("keeper_doc_id"))
+        .agg(F.count(F.lit(1)).alias("weight"))
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "keeper_doc_id",
+            "weight",
+            (F.col("weight").cast("double") / F.col("__n")).alias("weight_share"),
+        )
+        .orderBy("keeper_doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q195 — n-gram novelty of held-out docs vs the training split: the
+# complement of q102's decontamination (q102 finds CONTAMINATED bench docs;
+# q195 scores how much genuinely NEW text each held-out doc contributes —
+# low-novelty docs are near-paraphrases of training data and inflate eval).
+# Shares q75/q102's md5 hash-split buckets (<80 train, >=90 held-out).
+# ---------------------------------------------------------------------------
+
+_Q195_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, {_SQL_BUCKET} AS b, {_SQL_SHINGLES} AS sh
+  FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+),
+train_sh AS (SELECT DISTINCT unnest(sh) AS s FROM d WHERE b < {_B_TRAIN}),
+test_ex AS (SELECT doc_id, unnest(sh) AS s FROM d WHERE b >= {_B_BENCH})
+SELECT t.doc_id,
+       COUNT(*) AS n_shingles,
+       COUNT(*) FILTER (WHERE tr.s IS NULL) AS n_novel,
+       CAST(COUNT(*) FILTER (WHERE tr.s IS NULL) AS DOUBLE) / COUNT(*)
+         AS novelty_ratio
+FROM test_ex t LEFT JOIN train_sh tr ON t.s = tr.s
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""
+
+
+@register("q195_ngram_novelty", oracle=_Q195_ORACLE)
+def q195_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per held-out doc: total shingles, shingles unseen in ANY training
+    doc, and the novelty ratio. Scale shape: one distinct over the train
+    shingles (partial-aggregated), one left join keyed on the shingle —
+    both shuffles on the natural key; at 100 TB the train shingle set
+    would live as a bloom filter (operators/bloom.py) with this exact
+    join as the certifying twin."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast("bigint")
+        % 100
+    )
+    base = docs.select("doc_id", X.tokens(F.col("text")).alias("toks"), bucket.alias("b"))
+    sh = base.select("doc_id", X.shingles_of_tokens(F.col("toks"), 3).alias("sh"), "b")
+    train_sh = (
+        sh.filter(F.col("b") < _B_TRAIN)
+        .select(F.explode_outer("sh").alias("s"))
+        .where(F.col("s").isNotNull())
+        .distinct()
+        .withColumn("__seen", F.lit(1))
+    )
+    test_ex = (
+        sh.filter(F.col("b") >= _B_BENCH)
+        .select("doc_id", F.explode_outer("sh").alias("s"))
+        # null-text docs: explode_outer emits one null-shingle row, but the
+        # oracle's unnest(NULL) emits none — drop to match (the doc has no
+        # shingles to score)
+        .where(F.col("s").isNotNull())
+    )
+    return (
+        test_ex.join(train_sh, "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count(F.when(F.col("__seen").isNull(), 1)).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            (F.col("n_novel").cast("double") / F.col("n_shingles")).alias(
+                "novelty_ratio"
+            ),
+        )
+        .orderBy("doc_id")
+    )
