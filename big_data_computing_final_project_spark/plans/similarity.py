@@ -1219,3 +1219,99 @@ def q186_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q199 — MMR diversified re-ranking (Carbonell & Goldstein, SIGIR'98): a
+# retrieval pipeline rarely serves raw cosine top-k — near-duplicate hits
+# crowd the list. Maximal Marginal Relevance re-scores iteratively:
+#     next = argmax over remaining d of
+#            LAMBDA*sim(q,d) - (1-LAMBDA)*max(sim(d,s) for selected s)
+# Per query: candidate pool = cosine top-_MMR_POOL (JVM-side, the q38
+# plan), then the K-step selection runs in ONE Arrow batch per query via
+# applyInPandas — the pool is small (50x64 floats), so the loop is local
+# numpy; parallelism is across queries, and no all-pairs work ever leaves
+# a pool. Rows-only (iterative argmax is not SQL-expressible); pinned by
+# determinism, lambda=1 == plain top-k, and a measured diversity gain.
+# ---------------------------------------------------------------------------
+
+_MMR_POOL = 50
+_MMR_K = 10
+_MMR_LAMBDA = 0.7
+
+
+def mmr_rerank(
+    scored_pool: DataFrame,
+    k: int = _MMR_K,
+    lam: float = _MMR_LAMBDA,
+) -> DataFrame:
+    """MMR-select ``k`` of each query's candidate pool. ``scored_pool``:
+    (q_id, cand_id, cos_sim, e array<double>) with unit-normalized or raw
+    embeddings (similarities among candidates are computed as cosine).
+    Ties (equal marginal score) break to the smaller cand_id, so the
+    selection is deterministic."""
+    import pandas as pd  # noqa: F401 (applyInPandas contract)
+
+    def select(pdf):
+        import numpy as np
+
+        pdf = pdf.sort_values("cand_id").reset_index(drop=True)
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["e"]])
+        nrm = np.linalg.norm(mat, axis=1)
+        nrm[nrm == 0.0] = 1.0
+        unit = mat / nrm[:, None]
+        pair = unit @ unit.T  # pool x pool candidate-candidate cosine
+        rel = pdf["cos_sim"].to_numpy()
+        n = len(pdf)
+        selected: list[int] = []
+        remaining = list(range(n))
+        out = []
+        for rank in range(1, min(k, n) + 1):
+            best_i, best_score = None, None
+            for i in remaining:
+                div = max((pair[i, j] for j in selected), default=0.0)
+                score = lam * rel[i] - (1.0 - lam) * div
+                # strict > : equal scores keep the earlier (smaller cand_id)
+                if best_score is None or score > best_score:
+                    best_i, best_score = i, score
+            selected.append(best_i)
+            remaining.remove(best_i)
+            out.append((pdf["q_id"].iat[0], pdf["cand_id"].iat[best_i], rank, best_score))
+        import pandas as _pd
+
+        return _pd.DataFrame(out, columns=["q_id", "cand_id", "mmr_rank", "mmr_score"])
+
+    return scored_pool.groupBy("q_id").applyInPandas(
+        select, "q_id bigint, cand_id bigint, mmr_rank int, mmr_score double"
+    )
+
+
+def _scored_pool(spark: SparkSession, sf_dir: str, pool: int = _MMR_POOL) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e")
+    )
+    emb = emb.select("vec_id", "e", norm(F.col("e")).alias("nc"))
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), F.col("nc").alias("nq")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(emb, F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("cand_id"),
+            (dot(F.col("qe"), F.col("e")) / (F.col("nq") * F.col("nc"))).alias("cos_sim"),
+            "e",
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= pool
+    ).drop("rk")
+
+
+@register("q199_mmr_rerank")
+def q199_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q_id, cand_id, mmr_rank, mmr_score) — the diversified top-10 of
+    each query's cosine top-50 pool."""
+    return mmr_rerank(_scored_pool(spark, sf_dir)).orderBy("q_id", "mmr_rank")

@@ -805,3 +805,86 @@ def test_q159_lsh_sweep_equals_exact_sweep(spark, sf_dir):
     lsh = q159_jaccard_threshold_sweep(spark, sf_dir, pair_source="lsh").collect()
     exact = q159_jaccard_threshold_sweep(spark, sf_dir, pair_source="exact").collect()
     assert lsh == exact
+
+
+def test_mmr_lambda1_equals_plain_topk(spark, sf_dir):
+    """With lambda = 1 the diversity term vanishes: MMR must reproduce the
+    cosine ranking of the pool exactly (rank k = k-th best cos_sim)."""
+    from big_data_computing_final_project_spark.plans.similarity import (
+        _scored_pool,
+        mmr_rerank,
+    )
+
+    pool = _scored_pool(spark, sf_dir).cache()
+    got = {
+        (r.q_id, r.mmr_rank): r.cand_id
+        for r in mmr_rerank(pool, k=5, lam=1.0).collect()
+    }
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
+    want = {
+        (r.q_id, r.rk): r.cand_id
+        for r in pool.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .collect()
+    }
+    pool.unpersist()
+    assert got == want
+
+
+def test_mmr_deterministic_and_first_pick_is_top1(spark, sf_dir):
+    from big_data_computing_final_project_spark.plans.similarity import (
+        q199_mmr_rerank,
+    )
+
+    a = q199_mmr_rerank(spark, sf_dir).collect()
+    b = q199_mmr_rerank(spark, sf_dir).collect()
+    assert a == b and len(a) > 0
+    # rank 1 maximizes lam*rel - (1-lam)*0 == rel: must equal cosine top-1
+    top1 = {
+        (r.q_id, r.cand_id) for r in _Q["q38_cosine_topk"](spark, sf_dir).collect()
+        if r.rk == 1
+    }
+    got1 = {(r.q_id, r.cand_id) for r in a if r.mmr_rank == 1}
+    assert got1 == top1
+
+
+def test_mmr_improves_diversity_on_planted_clusters(spark, tmp_path):
+    """Planted pool: 5 near-identical high-relevance vectors + 5 spread
+    orthogonal-ish ones. Plain top-3 takes three clones; MMR's top-3 mean
+    pairwise cosine must be strictly lower (more diverse)."""
+    import numpy as np
+
+    from big_data_computing_final_project_spark.plans.similarity import mmr_rerank
+
+    rng = np.random.RandomState(7)
+    base = rng.rand(8)
+    rows = []
+    vecs = {}
+    for i in range(5):  # clones of base, tiny noise, high cos_sim
+        v = base + 0.01 * rng.rand(8)
+        vecs[100 + i] = v
+        rows.append((0, 100 + i, 0.95 - 0.001 * i, [float(x) for x in v]))
+    for i in range(5):  # one-hot-ish spread, lower relevance
+        v = np.zeros(8)
+        v[i] = 1.0
+        v += 0.05 * rng.rand(8)
+        vecs[200 + i] = v
+        rows.append((0, 200 + i, 0.80 - 0.001 * i, [float(x) for x in v]))
+    pool = spark.createDataFrame(
+        rows, "q_id bigint, cand_id bigint, cos_sim double, e array<double>"
+    )
+
+    def mean_pair_cos(ids):
+        u = [vecs[i] / np.linalg.norm(vecs[i]) for i in ids]
+        sims = [float(u[i] @ u[j]) for i in range(len(u)) for j in range(i + 1, len(u))]
+        return sum(sims) / len(sims)
+
+    mmr_ids = [
+        r.cand_id for r in mmr_rerank(pool, k=3, lam=0.5).orderBy("mmr_rank").collect()
+    ]
+    plain_ids = [100, 101, 102]  # cosine top-3 = the three best clones
+    assert mean_pair_cos(mmr_ids) < mean_pair_cos(plain_ids)
+    assert mmr_ids[0] == 100  # highest relevance first
