@@ -101,6 +101,11 @@ HEADLINE = [
     "q174_pagerank",           # 5 Jacobi supersteps, int fixed-point (graph family)
     "q178_basket_rules",       # basket self-join -> pair counts -> lift top-k
     "q176_pit_training_set",   # point-in-time feature window (one user-hash pass)
+    "q40_embedding_near_dup",  # banded sign-LSH near-dup (round-6 rewrite; no driver path)
+    "q196_skyline_parts",      # pareto frontier via strict bucketed prefix max
+    "q197_weighted_median",    # grouped weighted median (partitioned prefix scan)
+    "q198_rrf_fusion",         # reciprocal-rank fusion on distributed ranks
+    "q199_mmr_rerank",         # MMR diversified re-rank (pool-local Arrow batches)
 ]
 # Deliberately not benched: q68 (iterative CC — timing at this SF is
 # convergence-loop job overhead, not throughput) and exact pairwise

@@ -1315,3 +1315,140 @@ def q199_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(q_id, cand_id, mmr_rank, mmr_score) — the diversified top-10 of
     each query's cosine top-50 pool."""
     return mmr_rerank(_scored_pool(spark, sf_dir)).orderBy("q_id", "mmr_rank")
+
+
+# ---------------------------------------------------------------------------
+# q200 — product-quantization ANN (Jégou et al., TPAMI'11 — the FAISS IVF-PQ
+# scoring half): split the embedding into M subspaces, k-means each
+# subspace to K centroids (the codebook), store each vector as M 4-bit
+# codes, and score queries by Asymmetric Distance Computation — one
+# 16-entry lookup table per (query, subspace), candidate score =
+# sum of M table lookups. Completes the quantized-serving family: q125/
+# q131/q133 compress to int8 PER COORDINATE (4x); PQ compresses to
+# M*log2(K) BITS PER VECTOR (64x here: 64 floats -> 8 nibbles), the regime
+# where a 100-TB embedding store becomes RAM-resident.
+#
+# Scale shape: codebooks are plan literals (M*K*sub_dim = 1024 doubles);
+# encode is a narrow JVM map (argmin over K per subspace); serving reads
+# ONLY (vec_id, codes, norm) — the float store is never touched at query
+# time. Scoring is a broadcast of 20 query LUTs against the code table,
+# per-query top-k via ranking window. Rows-only: quantization error makes
+# values non-SQL-derivable; recall vs exact q38 is pytest-pinned.
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8   # subspaces
+_PQ_K = 16  # centroids per subspace (4-bit codes)
+
+
+def _pq_codebooks(spark: SparkSession, emb: DataFrame, dim: int) -> list[list[list[float]]]:
+    """Fit one seeded KMeans per subspace; returns [m][k][sub_dim] floats."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    d = dim // _PQ_M
+    books = []
+    for m in range(_PQ_M):
+        sub = emb.select(
+            array_to_vector(F.slice(F.col("e"), m * d + 1, d)).alias("sub")
+        )
+        km = KMeans(featuresCol="sub", k=_PQ_K, seed=42 + m, predictionCol="c").fit(sub)
+        books.append([[float(x) for x in c] for c in km.clusterCenters()])
+    return books
+
+
+def _pq_encode(books: list[list[list[float]]]) -> F.Column:
+    """codes array<int>: per subspace, the index of the nearest codebook
+    centroid (first-min tie-break via array_position — deterministic)."""
+    d = len(books[0][0])
+    codes = []
+    for m, book in enumerate(books):
+        dists = F.array(
+            *[
+                sum(
+                    (F.col("e")[m * d + i] - F.lit(c[i]))
+                    * (F.col("e")[m * d + i] - F.lit(c[i]))
+                    for i in range(d)
+                )
+                for c in book
+            ]
+        )
+        codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+    return F.array(*codes)
+
+
+_PQ_SHORTLIST = 100  # ADC shortlist width fed to the exact rerank
+
+
+@register("q200_pq_ann_topk")
+def q200_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q_id, cand_id, cos_sim, rk): top-_K per query via ADC shortlist +
+    exact rerank (the FAISS IVFPQ+refine layout). The FULL corpus is
+    scanned only as 4-bit codes + a stored norm; float vectors are read
+    for the _PQ_SHORTLIST survivors per query only — at 100 TB that is
+    the difference between streaming 64 bytes/vector vs 8 bytes/vector
+    through the scorer, with float I/O proportional to queries, not
+    corpus. Emitted cos_sim is the exact fold, so the rerank output is
+    comparable row-for-row with q38."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e")
+    )
+    dim = len(emb.select("e").first()["e"])
+    if dim % _PQ_M != 0:
+        raise ValueError(f"embedding dim {dim} not divisible by {_PQ_M} subspaces")
+    d = dim // _PQ_M
+    books = _pq_codebooks(spark, emb, dim)
+    # the serving store: codes + exact norm only (no float vectors)
+    store = emb.select(
+        "vec_id", _pq_encode(books).alias("codes"), norm(F.col("e")).alias("nc")
+    )
+    # per-query LUTs: flat array of M*K dots, LUT[m*K + k] = <q_sub_m, c_mk>
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), norm(F.col("e")).alias("nq")
+    )
+    lut = F.array(
+        *[
+            sum(F.col("qe")[m * d + i] * F.lit(c[i]) for i in range(d))
+            for m, book in enumerate(books)
+            for c in book
+        ]
+    )
+    ql = q.select("q_id", "nq", lut.alias("lut"))
+    adc = sum(
+        F.element_at(F.col("lut"), F.col("codes")[m].cast("int") + m * _PQ_K + 1)
+        for m in range(_PQ_M)
+    )
+    scored = (
+        F.broadcast(ql.drop("nq"))
+        .join(store, F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("cand_id"),
+            (adc / F.col("nc")).alias("adc_score"),  # |q| constant per query
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adc_score").desc(), F.col("cand_id"))
+    shortlist = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _PQ_SHORTLIST)
+        .select("q_id", "cand_id")
+    )
+    # exact rerank: float vectors touched for shortlist rows only
+    cand = emb.select(F.col("vec_id").alias("cand_id"), F.col("e").alias("ce"))
+    exact = (
+        shortlist.join(F.broadcast(q), "q_id")
+        .join(cand, "cand_id")
+        .select(
+            "q_id",
+            "cand_id",
+            (dot(F.col("qe"), F.col("ce")) / (F.col("nq") * norm(F.col("ce")))).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
+    return (
+        exact.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= _K)
+        .select("q_id", "cand_id", "cos_sim", "rk")
+        .orderBy("q_id", "rk")
+    )

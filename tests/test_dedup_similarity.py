@@ -888,3 +888,19 @@ def test_mmr_improves_diversity_on_planted_clusters(spark, tmp_path):
     plain_ids = [100, 101, 102]  # cosine top-3 = the three best clones
     assert mean_pair_cos(mmr_ids) < mean_pair_cos(plain_ids)
     assert mmr_ids[0] == 100  # highest relevance first
+
+
+def test_pq_ann_recall_and_determinism(spark, sf_dir):
+    """PQ ADC shortlist + exact rerank: recall floor vs brute force (random
+    embeddings are PQ's worst case — the floor keeps the code path honest),
+    deterministic across runs, and emitted cos_sim equals q38's exact fold
+    for every overlapping (q_id, cand_id)."""
+    truth = {(r.q_id, r.cand_id): r.cos_sim for r in _Q["q38_cosine_topk"](spark, sf_dir).collect()}
+    a = _Q["q200_pq_ann_topk"](spark, sf_dir).collect()
+    b = _Q["q200_pq_ann_topk"](spark, sf_dir).collect()
+    assert a == b
+    approx = {(r.q_id, r.cand_id): r.cos_sim for r in a}
+    recall = len(truth.keys() & approx.keys()) / len(truth)
+    assert recall >= 0.6, f"PQ recall {recall:.2f} below floor"
+    for k in truth.keys() & approx.keys():
+        assert truth[k] == approx[k]  # exact rerank: bit-identical fold
