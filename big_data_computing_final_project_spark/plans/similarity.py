@@ -243,6 +243,70 @@ def _n_tables_for(threshold: float, n_bits: int = _LSH_BITS, delta: float = _LSH
     return max(1, math.ceil(math.log(delta) / math.log(1.0 - p**n_bits)))
 
 
+def _band_params(
+    threshold: float,
+    delta: float = _LSH_DELTA,
+    max_tables: int = 128,
+    max_rand_frac: float = 0.15,
+) -> tuple[int, int] | None:
+    """Closed-form (n_bits, n_tables) chooser — or None when banding
+    cannot prune at this threshold (the DENSE regime).
+
+    A random pair (cosine ~ 0) collides per table with probability 0.5^b,
+    so the expected candidate fraction is 1 - (1 - 0.5^b)^L. Pick the
+    narrowest band width whose L (from the recall bound) keeps that
+    fraction under ``max_rand_frac`` at sane table counts. When no width
+    qualifies — e.g. the 0.4 gate threshold, where p = 0.63 forces either
+    ~93% candidate fraction or hundreds of tables — LSH is strictly worse
+    than enumerating the pairs, and the caller should switch to the dense
+    block join (the OUTPUT is pair-dense at such thresholds anyway)."""
+    p = 1.0 - math.acos(threshold) / math.pi
+    for b in (4, 8, 12, 16):
+        n_tables = max(1, math.ceil(math.log(delta) / math.log(1.0 - p**b)))
+        rand_frac = 1.0 - (1.0 - 0.5**b) ** n_tables
+        if n_tables <= max_tables and rand_frac <= max_rand_frac:
+            return b, n_tables
+    return None
+
+
+_DENSE_BLOCKS = 8
+
+
+def _rep_dense_pairs(emb: DataFrame, n_blocks: int = _DENSE_BLOCKS) -> DataFrame:
+    """All rep-level pairs (ga < gb) as a DISTRIBUTED block-nested-loop:
+    reps hash into ``n_blocks`` blocks; the tiny block-pair table
+    broadcast-joins each side, so every unordered block pair is one
+    equi-join partition of work — no CartesianProduct node, no driver
+    loop, and the O(n^2) work (which equals the output size in the dense
+    regime) spreads across block pairs."""
+    spark = emb.sparkSession
+    reps = (
+        emb.groupBy("e")
+        .agg(F.min("vec_id").alias("gid"))
+        .select("gid", F.pmod(F.xxhash64("gid"), F.lit(n_blocks)).cast("int").alias("blk"))
+    )
+    # block-pair table as a pure Range plan (no ExistingRDD scan; tiny, so
+    # Catalyst size-gates it onto a broadcast without a forced hint)
+    bp = (
+        spark.range(n_blocks * n_blocks)
+        .select(
+            (F.col("id") / n_blocks).cast("int").alias("ba"),
+            F.pmod(F.col("id"), F.lit(n_blocks)).cast("int").alias("bb"),
+        )
+        .filter(F.col("ba") <= F.col("bb"))
+    )
+    a = reps.select(F.col("gid").alias("ga"), F.col("blk").alias("ba"))
+    b = reps.select(F.col("gid").alias("gb"), F.col("blk").alias("bb"))
+    return (
+        a.join(bp, "ba")
+        .join(b, "bb")
+        .filter((F.col("ba") < F.col("bb")) | (F.col("ga") < F.col("gb")))
+        .select(
+            F.least("ga", "gb").alias("ga"), F.greatest("ga", "gb").alias("gb")
+        )
+    )
+
+
 def _plane_tables(n_tables: int, n_bits: int, dim: int, seed: int = 42) -> list:
     """n_tables x n_bits Gaussian hyperplanes from ONE seeded stream —
     prefix-stable, so a larger L strictly grows the candidate set (the
@@ -304,10 +368,23 @@ def _rep_band_pairs(
 
 
 def lsh_candidate_pairs(
-    emb: DataFrame, threshold: float, n_bits: int = _LSH_BITS, delta: float = _LSH_DELTA, seed: int = 42
+    emb: DataFrame,
+    threshold: float,
+    n_bits: int | None = None,
+    delta: float = _LSH_DELTA,
+    seed: int = 42,
 ) -> DataFrame:
     """Candidate (vec_a, vec_b) pairs, vec_a < vec_b, for cosine >= threshold
     under banded hyperplane LSH, with q36's exact-dup collapse guard.
+
+    ``n_bits=None`` (default) picks the band width in closed form
+    (_band_params) — and when NO width can prune at this threshold (the
+    dense regime: candidate fraction near 1 or absurd table counts), the
+    rep-level generator degenerates deliberately to the distributed block
+    join (_rep_dense_pairs): at such thresholds the answer itself is
+    pair-dense, so enumeration IS the optimal plan, and banding overhead
+    (L postings + band self-join + distinct) would only be added on top.
+    Passing ``n_bits`` explicitly forces banding at that width.
 
     ``emb`` must carry (vec_id, e) with e array<double> of width _DIM.
     Guard: byte-identical embeddings collapse to their min-vec_id
@@ -322,7 +399,14 @@ def lsh_candidate_pairs(
     m_b = mem.select(F.col("vec_id").alias("vec_b"), F.col("gid").alias("g"))
     within = m_a.join(m_b, "g").filter(F.col("vec_a") < F.col("vec_b")).drop("g")
 
-    rep_pairs = _rep_band_pairs(emb, threshold, n_bits, delta, seed)
+    if n_bits is None:
+        params = _band_params(threshold, delta)
+        if params is None:
+            rep_pairs = _rep_dense_pairs(emb)
+        else:
+            rep_pairs = _rep_band_pairs(emb, threshold, params[0], delta, seed)
+    else:
+        rep_pairs = _rep_band_pairs(emb, threshold, n_bits, delta, seed)
     # expand rep pairs to member pairs (groups are disjoint, so each
     # unordered member pair appears exactly once; least/greatest orients it)
     ea = mem.select(F.col("gid").alias("ga"), F.col("vec_id").alias("va"))

@@ -904,3 +904,33 @@ def test_pq_ann_recall_and_determinism(spark, sf_dir):
     assert recall >= 0.6, f"PQ recall {recall:.2f} below floor"
     for k in truth.keys() & approx.keys():
         assert truth[k] == approx[k]  # exact rerank: bit-identical fold
+
+
+def test_q40_band_params_regimes():
+    """The closed-form chooser bands where banding prunes and goes dense
+    where it can't: 0.95/0.9/0.8 pick 8-bit bands at bounded table counts;
+    the 0.4 gate threshold (random-pair collision ~93% at any affordable
+    width) must return None (dense block-join regime)."""
+    from big_data_computing_final_project_spark.plans.similarity import _band_params
+
+    assert _band_params(0.95) == (8, 13)
+    b, L = _band_params(0.9)
+    assert b == 8 and L <= 32
+    assert _band_params(0.8)[0] == 8
+    assert _band_params(0.4) is None
+
+
+def test_q40_dense_pairs_complete(spark):
+    """The distributed block join must enumerate every unordered rep pair
+    exactly once (no misses at block boundaries, no double counting)."""
+    from big_data_computing_final_project_spark.plans.similarity import (
+        _rep_dense_pairs,
+    )
+
+    n = 37
+    emb = spark.range(n).selectExpr(
+        "id AS vec_id", "array(cast(id AS double), 1.0d) AS e"
+    )
+    got = [(r.ga, r.gb) for r in _rep_dense_pairs(emb, n_blocks=4).collect()]
+    assert len(got) == len(set(got)) == n * (n - 1) // 2
+    assert all(a < b for a, b in got)

@@ -67,6 +67,17 @@ QUERIES = [
     "q173_encoding_advisor",
     "q176_pit_training_set",
     "q183_cohort_ltv",
+    # round-6 additions: LSH-edge clustering (iterative joins over the 10x
+    # pair graph), banded sign-LSH embedding near-dup, the prefix-scan
+    # consumers (skyline's distinct-price scan; weighted median's grouped
+    # scan), rank fusion, and the Arrow MMR pool path
+    "q68_dedup_clusters",
+    "q40_embedding_near_dup",
+    "q194_dedup_weights",
+    "q196_skyline_parts",
+    "q197_weighted_median",
+    "q198_rrf_fusion",
+    "q199_mmr_rerank",
 ]
 
 
