@@ -423,40 +423,80 @@ def lsh_candidate_pairs(
 
 @register("q40_embedding_near_dup", oracle=_Q40_ORACLE)
 def q40_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded-LSH candidates -> exact sequential-fold rescore. One lazy
+    """Regime-chosen candidates (banded LSH / dense block join, see
+    _band_params) -> exact sequential-fold rescore AT THE REP LEVEL ->
+    verified pairs expanded to members (the q36 structure). One lazy
     DataFrame, no driver-side embedding collect anywhere (contrast the
-    retired GEMM twin below): bucket signatures are a narrow JVM map,
-    candidates come from the q36-shaped postings band join, and the
-    rescore broadcasts only the CANDIDATE pairs against the embeddings —
-    the table itself is never broadcast, shuffled whole, or collected, so
-    the plan survives a 100x scale-up. Per-side norms are staged once
-    (q38's lesson: a norm inside the pair projection re-folds per pair)."""
+    retired GEMM twin below).
+
+    Cosine depends only on content, so byte-identical embeddings rescore
+    ONCE per distinct pair and only VERIFIED pairs expand to members —
+    candidate and rescore work is bounded by distinct-content counts, and
+    only the (irreducibly quadratic) answer rows materialize. Nothing is
+    force-broadcast: in the dense regime the candidate set is ~all rep
+    pairs — corpus-scale, never broadcastable — and AQE size-gates the
+    small sides at gate SFs on its own. Per-side norms are staged once
+    (q38's lesson: a norm inside the pair projection re-folds per pair).
+
+    Intra-group pairs emit dot(e,e)/norm(e)^2 of their own (shared)
+    vector and cross-group members inherit their reps' cos — both
+    bit-identical to what the oracle computes on the same arrays."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("e")
     )
-    candidates = lsh_candidate_pairs(emb, _DUP_T)
-    ea = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), norm(F.col("e")).alias("na")
+    mem = _dup_groups(emb)
+    erep = (
+        emb.join(
+            mem.filter(F.col("vec_id") == F.col("gid")).select("gid"),
+            emb.vec_id == F.col("gid"),
+        )
+        .select("gid", "e", norm(F.col("e")).alias("n"))
     )
-    eb = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), norm(F.col("e")).alias("nb")
-    )
-    # ONLY the bare id-pair candidate set is force-broadcast (16 B/row —
-    # output-shaped at a real near-dup threshold). Vectors are attached by
-    # plain joins so nothing vector-laden ever rides a broadcast: AQE picks
-    # the build side of the second join from runtime sizes (at gate SFs it
-    # broadcasts the small embeddings side; at 100x both stay shuffled).
-    with_a = ea.join(F.broadcast(candidates), "vec_a")
-    return (
-        with_a.join(eb, "vec_b")
+    params = _band_params(_DUP_T)
+    if params is None:
+        rep_pairs = _rep_dense_pairs(emb)
+    else:
+        rep_pairs = _rep_band_pairs(emb, _DUP_T, params[0])
+    ra = erep.select(F.col("gid").alias("ga"), F.col("e").alias("ea"), F.col("n").alias("na"))
+    rb = erep.select(F.col("gid").alias("gb"), F.col("e").alias("eb"), F.col("n").alias("nb"))
+    verified = (
+        rep_pairs.join(ra, "ga")
+        .join(rb, "gb")
         .select(
-            "vec_a",
-            "vec_b",
+            "ga",
+            "gb",
             (dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= _DUP_T)
-        .orderBy("vec_a", "vec_b")
     )
+    # intra-group pairs: the self-cosine of the shared vector (== what the
+    # oracle computes for two byte-identical arrays; NOT the literal 1.0 —
+    # dot(e,e)/(sqrt(dot)*sqrt(dot)) can differ from 1.0 in the last ulp)
+    self_cos = erep.select(
+        F.col("gid").alias("g"),
+        (dot(F.col("e"), F.col("e")) / (F.col("n") * F.col("n"))).alias("cos_sim"),
+    )
+    m1 = mem.select(F.col("gid").alias("g"), F.col("vec_id").alias("vec_a"))
+    m2 = mem.select(F.col("gid").alias("g"), F.col("vec_id").alias("vec_b"))
+    intra = (
+        m1.join(m2, "g")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .join(self_cos, "g")
+        .select("vec_a", "vec_b", "cos_sim")
+    )
+    # verified rep pairs expanded across their (disjoint) groups
+    xa = mem.select(F.col("gid").alias("ga"), F.col("vec_id").alias("va"))
+    xb = mem.select(F.col("gid").alias("gb"), F.col("vec_id").alias("vb"))
+    expanded = (
+        verified.join(xa, "ga")
+        .join(xb, "gb")
+        .select(
+            F.least("va", "vb").alias("vec_a"),
+            F.greatest("va", "vb").alias("vec_b"),
+            "cos_sim",
+        )
+    )
+    return intra.unionByName(expanded).orderBy("vec_a", "vec_b")
 
 
 # ---------------------------------------------------------------------------

@@ -121,21 +121,17 @@ def _broadcast_subtrees(plan: str) -> list[str]:
 
 
 def test_q40_rescore_never_broadcasts_embeddings_table(spark, sf_dir):
-    """VERDICT r3 item 2 / r5 item 1: the exact-rescore join must broadcast
-    the tiny candidate set, never the embeddings table. Every
-    BroadcastExchange subtree in q40's plan must contain candidate-building
-    machinery (a join or aggregate from the band-join pipeline) — a
-    broadcast whose subtree is a bare embeddings FileScan+Project would OOM
-    executors at 100×."""
+    """VERDICT r3 item 2 / r5 item 1: nothing in q40 may be FORCE-broadcast.
+    In the dense regime (the 0.4 gate threshold) the candidate set is ~all
+    rep pairs — corpus-scale, a guaranteed driver OOM if hinted onto a
+    broadcast (caught by the 10x stress: 6 tasks x 170 MiB serialized
+    results) — and the embeddings table never fits either. Catalyst/AQE
+    may still size-gate small sides at gate SFs — adaptive and scale-safe
+    — but the builder must leave every join strategy to the planner."""
     df = all_queries()["q40_embedding_near_dup"](spark, sf_dir)
     logical = str(df._jdf.queryExecution().optimizedPlan())
-    # exactly one FORCED broadcast: the bare id-pair candidate set on the
-    # first rescore join (vec_a). Catalyst/AQE may still size-gate a
-    # broadcast of the small embeddings side at gate SFs — that's adaptive
-    # and scale-safe — but no builder code may ever force the table
     lines = [ln for ln in logical.splitlines() if "strategy=broadcast" in ln]
-    assert len(lines) == 1, f"expected exactly one forced broadcast:\n{lines}"
-    assert "vec_a" in lines[0], lines[0]
+    assert lines == [], f"q40 force-broadcasts:\n{lines}"
 
 
 def test_q40_primary_is_pure_plan_no_python(spark, sf_dir):
