@@ -139,3 +139,103 @@ def q126_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q202 — bigram collocation mining (Church & Hanks' association-ratio
+# family): rank adjacent word pairs by LIFT = p(w1 w2) / (p(w1)*p(w2)),
+# the log-free PMI monotone — multi-word expressions ("new york") score
+# high, chance co-occurrences near 1. The engine's hash discipline forbids
+# transcendental log in oracle-gated values (the q190 note), so the
+# emitted statistic is the exact-count ratio itself:
+#     lift = (c12 / Nb) / ((c1/Nu) * (c2/Nu)) = (c12 * Nu * Nu) / (Nb * c1 * c2)
+# computed as ONE double expression over exact int64 counts — identical
+# IEEE operations in both engines, so hash parity holds without rounding.
+#
+# Scale shape: two hash aggregates (unigrams, bigrams) + two equi-joins of
+# the bigram table against the unigram table on the word keys — the
+# unigram side is vocabulary-sized (broadcastable at any corpus scale);
+# totals ride in as 1-row broadcast aggregates; top-k compiles to
+# TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+
+_COLL_MIN_COUNT = 5
+_COLL_TOP = 50
+
+_Q202_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+), uni AS (
+  SELECT u.t AS w, COUNT(*) AS c
+  FROM (SELECT unnest(t) AS t FROM d) u
+  GROUP BY w
+), bi AS (
+  SELECT g.w1, g.w2, COUNT(*) AS c12 FROM (
+    SELECT list_transform(range(1, len(t)),
+                          i -> struct_pack(w1 := t[i], w2 := t[i+1])) AS gs
+    FROM d WHERE len(t) >= 2
+  ), LATERAL (SELECT unnest(gs, recursive := true)) g(w1, w2)
+  GROUP BY g.w1, g.w2
+), tot AS (
+  SELECT (SELECT SUM(c) FROM uni) AS nu, (SELECT SUM(c12) FROM bi) AS nb
+)
+SELECT w1, w2, c12,
+       (CAST(c12 AS DOUBLE) * nu * nu) / (CAST(nb AS DOUBLE) * u1.c * u2.c)
+         AS lift
+FROM bi, tot
+JOIN uni u1 ON u1.w = w1
+JOIN uni u2 ON u2.w = w2
+WHERE c12 >= {_COLL_MIN_COUNT}
+ORDER BY lift DESC, w1, w2
+LIMIT {_COLL_TOP}
+"""
+
+
+@register("q202_bigram_collocations", oracle=_Q202_ORACLE)
+def q202_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", X.tokens(F.col("text")).alias("t")).localCheckpoint(
+        eager=True  # feeds the unigram AND bigram aggregates
+    )
+    uni = (
+        toks.select(F.explode_outer("t").alias("w"))
+        .where(F.col("w").isNotNull())
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 1),
+        lambda i: F.struct(
+            F.element_at(F.col("t"), i).alias("w1"),
+            F.element_at(F.col("t"), i + 1).alias("w2"),
+        ),
+    )
+    bi = (
+        toks.where(F.size("t") >= 2)
+        .select(F.explode_outer(grams).alias("g"))
+        .where(F.col("g").isNotNull())
+        .select(F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .where(F.col("c12") >= _COLL_MIN_COUNT)
+    )
+    nu = uni.agg(F.sum("c").alias("nu"))
+    # nb must count ALL bigrams (the where above prunes the JOIN side only)
+    nb = (
+        toks.where(F.size("t") >= 2)
+        .agg(F.sum(F.size("t") - 1).alias("nb"))
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    lift = (F.col("c12").cast("double") * F.col("nu") * F.col("nu")) / (
+        F.col("nb").cast("double") * F.col("c1") * F.col("c2")
+    )
+    return (
+        bi.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .select("w1", "w2", "c12", lift.alias("lift"))
+        .orderBy(F.col("lift").desc(), "w1", "w2")
+        .limit(_COLL_TOP)
+    )

@@ -207,3 +207,77 @@ def q176_pit_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q201 — keyless interval overlap self-join: which of the 500 longest
+# order-fulfilment windows [o_orderdate, max l_shipdate] ran concurrently,
+# and for how many days. No equi-key exists between two arbitrary windows,
+# so a naive plan is a CartesianProduct; operators/intervals.py buckets
+# time (64-day cells — fulfilment windows max out near ~150 days, so each
+# explodes to <= 4 postings) and equi-joins on the cell, verifying the
+# exact overlap on candidates only. Overlap length and window bounds are
+# exact integer day arithmetic — no float anywhere.
+# ---------------------------------------------------------------------------
+
+_Q201_TOP = 500
+_Q201_BUCKET_DAYS = 64
+
+_SQL_ODAY = "date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))"
+_SQL_SDAY = "date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))"
+
+_Q201_ORACLE = f"""
+WITH win AS (
+  SELECT o_orderkey, {_SQL_ODAY} AS s, MAX({_SQL_SDAY}) AS e
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  GROUP BY o_orderkey, s
+), top AS (
+  SELECT o_orderkey, s, e FROM win
+  ORDER BY e - s DESC, o_orderkey
+  LIMIT {_Q201_TOP}
+)
+SELECT a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+       LEAST(a.e, b.e) - GREATEST(a.s, b.s) + 1 AS overlap_days
+FROM top a JOIN top b
+  ON a.o_orderkey < b.o_orderkey AND a.s <= b.e AND b.s <= a.e
+ORDER BY order_a, order_b
+"""
+
+
+@register("q201_interval_overlap_join", oracle=_Q201_ORACLE)
+def q201_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.intervals import interval_self_overlap_pairs
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.datediff(F.to_date("o_orderdate"), F.to_date(F.lit("1970-01-01"))).alias("s"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.datediff(F.to_date("l_shipdate"), F.to_date(F.lit("1970-01-01"))).alias("d"),
+    )
+    win = (
+        li.groupBy("o_orderkey")
+        .agg(F.max("d").alias("e"))
+        .join(o, "o_orderkey")
+        .select("o_orderkey", "s", "e")
+    )
+    top = win.orderBy((F.col("e") - F.col("s")).desc(), "o_orderkey").limit(_Q201_TOP)
+    # the top-500 frame feeds both explode legs and the payload re-join;
+    # without materialization the fact aggregate would run three times
+    top = top.localCheckpoint(eager=True)
+    pairs = interval_self_overlap_pairs(
+        top, _Q201_BUCKET_DAYS, id_col="o_orderkey", start_col="s", end_col="e"
+    )
+    wa = top.select(F.col("o_orderkey").alias("id_a"), F.col("s").alias("sa"), F.col("e").alias("ea"))
+    wb = top.select(F.col("o_orderkey").alias("id_b"), F.col("s").alias("sb"), F.col("e").alias("eb"))
+    return (
+        pairs.join(wa, "id_a")
+        .join(wb, "id_b")
+        .select(
+            F.col("id_a").alias("order_a"),
+            F.col("id_b").alias("order_b"),
+            (F.least("ea", "eb") - F.greatest("sa", "sb") + 1).alias("overlap_days"),
+        )
+        .orderBy("order_a", "order_b")
+    )
