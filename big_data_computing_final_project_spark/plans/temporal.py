@@ -210,27 +210,30 @@ def q176_pit_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q201 — keyless interval overlap self-join: which of the 500 longest
-# order-fulfilment windows [o_orderdate, max l_shipdate] ran concurrently,
-# and for how many days. No equi-key exists between two arbitrary windows,
-# so a naive plan is a CartesianProduct; operators/intervals.py buckets
-# time (64-day cells — fulfilment windows max out near ~150 days, so each
-# explodes to <= 4 postings) and equi-joins on the cell, verifying the
-# exact overlap on candidates only. Overlap length and window bounds are
-# exact integer day arithmetic — no float anywhere.
+# q201 — keyless interval overlap self-join: which of the 500 widest
+# order SLA windows [o_orderdate, o_orderdate + (o_orderkey % 45) days]
+# ran concurrently, and for how many days. (The window end is a
+# DETERMINISTIC SLA offset, not max(l_shipdate): the synthetic shipdates
+# are uncorrelated with order dates — median "span" 717 days, some
+# negative — which would make every window overlap every other and the
+# demo vacuous.) No equi-key exists between two arbitrary windows, so a
+# naive plan is a CartesianProduct; operators/intervals.py buckets time
+# (64-day cells; a <=45-day window explodes to <=2 postings) and
+# equi-joins on the cell, verifying the exact overlap on candidates only.
+# Overlap length and window bounds are exact integer day arithmetic.
 # ---------------------------------------------------------------------------
 
 _Q201_TOP = 500
 _Q201_BUCKET_DAYS = 64
+_Q201_SLA_MOD = 45
 
 _SQL_ODAY = "date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))"
-_SQL_SDAY = "date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))"
 
 _Q201_ORACLE = f"""
 WITH win AS (
-  SELECT o_orderkey, {_SQL_ODAY} AS s, MAX({_SQL_SDAY}) AS e
-  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
-  GROUP BY o_orderkey, s
+  SELECT o_orderkey, {_SQL_ODAY} AS s,
+         {_SQL_ODAY} + o_orderkey % {_Q201_SLA_MOD} AS e
+  FROM orders
 ), top AS (
   SELECT o_orderkey, s, e FROM win
   ORDER BY e - s DESC, o_orderkey
@@ -248,23 +251,15 @@ ORDER BY order_a, order_b
 def q201_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.intervals import interval_self_overlap_pairs
 
-    o = load_table(spark, sf_dir, "orders").select(
+    day = F.datediff(F.to_date("o_orderdate"), F.to_date(F.lit("1970-01-01")))
+    win = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
-        F.datediff(F.to_date("o_orderdate"), F.to_date(F.lit("1970-01-01"))).alias("s"),
-    )
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("o_orderkey"),
-        F.datediff(F.to_date("l_shipdate"), F.to_date(F.lit("1970-01-01"))).alias("d"),
-    )
-    win = (
-        li.groupBy("o_orderkey")
-        .agg(F.max("d").alias("e"))
-        .join(o, "o_orderkey")
-        .select("o_orderkey", "s", "e")
+        day.alias("s"),
+        (day + F.col("o_orderkey") % _Q201_SLA_MOD).alias("e"),
     )
     top = win.orderBy((F.col("e") - F.col("s")).desc(), "o_orderkey").limit(_Q201_TOP)
     # the top-500 frame feeds both explode legs and the payload re-join;
-    # without materialization the fact aggregate would run three times
+    # without materialization the scan + top-k would run three times
     top = top.localCheckpoint(eager=True)
     pairs = interval_self_overlap_pairs(
         top, _Q201_BUCKET_DAYS, id_col="o_orderkey", start_col="s", end_col="e"
