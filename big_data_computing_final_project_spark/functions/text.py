@@ -80,6 +80,23 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalize(text))
 
 
+def md5_60(col: Column) -> Column:
+    """First 60 bits of md5(col) as a non-negative bigint — the
+    engine-portable hash both Spark (conv(substring(md5,1,15),16,10)) and
+    the DuckDB oracles (('0x'||substring(md5,1,15))::BIGINT) derive
+    identically. THE single source for every hash-split bucket
+    (train/test splits, shard assignment, deterministic sampling): its
+    SQL twin is dedup._SQL_BUCKET, and a change here that misses one
+    inline copy silently breaks that query's split — which is why the
+    inline copies were consolidated (review finding)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def md5_bucket(col: Column, mod: int = 100) -> Column:
+    """md5_60(col as string) % mod — the q75/q102 hash-split bucket."""
+    return md5_60(col.cast("string")) % mod
+
+
 def stopword_hits(text: Column, words: list[str]) -> Column:
     """Number of tokens that are in `words` (language-ID signal)."""
     arr = F.array(*[F.lit(w) for w in words])

@@ -93,19 +93,31 @@ def render_dot(
     import shutil
     import subprocess
 
+    import os
+
     exe = shutil.which("dot")
     if exe is None:
         raise FileNotFoundError(
             "graphviz 'dot' binary not found: install graphviz to render, "
             "or use the DOT string directly (tree_to_dot output)"
         )
-    fmt = fmt or out_path.rsplit(".", 1)[-1]
-    subprocess.run(
+    if fmt is None:
+        base = os.path.basename(out_path)
+        if "." not in base:
+            raise ValueError(
+                f"cannot infer render format from {out_path!r}: pass fmt="
+            )
+        fmt = base.rsplit(".", 1)[-1]
+    proc = subprocess.run(
         [exe, f"-T{fmt}", "-o", out_path],
         input=dot.encode(),
-        check=True,
         capture_output=True,
     )
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"dot -T{fmt} failed ({proc.returncode}): "
+            f"{proc.stderr.decode(errors='replace').strip()}"
+        )
     return out_path
 
 

@@ -58,15 +58,19 @@ def _hot_bucket_subs(
     (or None when no bucket is hot — the common case, which must keep the
     exact original plan).
 
-    For each hot bucket, the subdivider is the FIRST order column that is
-    numeric and non-constant within the bucket: columns before it are
-    constant there, so the within-bucket sort order is led by it, making a
-    value-quantized slice monotone in that order (rows tying on the chosen
-    column land in the same slice, preserving exactness). Slice edges are
-    per-bucket approximate quantiles, so slices are balanced by
-    construction. One level only: a bucket whose every order column is
-    constant or non-numeric stays whole (with unique-suffix order columns
-    this cannot happen unless the suffix itself is non-numeric).
+    For each hot bucket, the subdivider is the FIRST order column that
+    VARIES within the bucket (any type): columns before it are constant
+    AND null-free there, so the within-bucket sort order is led by it,
+    making a value-quantized slice monotone in that order (rows tying on
+    the chosen column land in the same slice, preserving exactness; NULLs
+    in the chosen column itself fall into slice 0, matching
+    asc-nulls-first). A bucket whose first varying column is non-numeric
+    stays whole — quantizing a string would need collation-aware edges,
+    and subdividing on a LATER numeric column while an earlier column
+    still varies would reorder ranks (a column holding {NULL, x} counts
+    as varying: NULL-blind min==max must not read as constant). Slice
+    edges are per-bucket approximate quantiles, so slices are balanced by
+    construction.
     """
     hot = (
         grp.filter(F.col("__gcnt") > hot_bucket_rows)
@@ -77,38 +81,46 @@ def _hot_bucket_subs(
     )
     if not hot:
         return None
-    numeric = [
+    numeric = {
         c for c in order_cols if isinstance(tagged.schema[c].dataType, NumericType)
-    ]
-    if not numeric:
-        return None
+    }
     hot_vals = [r[_BKT] for r in hot]
-    # one agg over the hot rows only: per-bucket min/max (usability) and
-    # quantile edges for every numeric order column candidate
+    # one agg over the hot rows only: per-bucket variability of EVERY
+    # order column (min/max over non-nulls + null presence) and quantile
+    # edges for the numeric candidates
     cond = F.col(_BKT).isin([v for v in hot_vals if v is not None])
     if any(v is None for v in hot_vals):
         cond = cond | F.col(_BKT).isNull()
     qs = [float(i) / sub_buckets for i in range(1, sub_buckets)]
     aggs = []
-    for c in numeric:
+    for c in order_cols:
         aggs += [
             F.min(c).alias(f"__mn_{c}"),
             F.max(c).alias(f"__mx_{c}"),
-            F.percentile_approx(F.col(c).cast("double"), qs).alias(f"__ed_{c}"),
+            F.count(F.lit(1)).alias(f"__n_{c}"),
+            F.count(c).alias(f"__nn_{c}"),  # non-null count
         ]
+        if c in numeric:
+            aggs.append(
+                F.percentile_approx(F.col(c).cast("double"), qs).alias(f"__ed_{c}")
+            )
     stats = {r[_BKT]: r for r in tagged.filter(cond).groupBy(_BKT).agg(*aggs).collect()}
+
+    def _varies(row, c: str) -> bool:
+        has_null = row[f"__nn_{c}"] < row[f"__n_{c}"]
+        has_nonnull = row[f"__nn_{c}"] > 0
+        return (has_null and has_nonnull) or (
+            row[f"__mn_{c}"] is not None and row[f"__mn_{c}"] != row[f"__mx_{c}"]
+        )
 
     # per-bucket CASE: sub = count of edges <= value on the bucket's chosen
     # column (monotone; equal values share a slice). Non-hot rows → slice 0.
     expr: Column = F.lit(0)
+    subdivided = False
     for v, row in stats.items():
-        chosen = next(
-            (c for c in numeric if row[f"__mn_{c}"] is not None
-             and row[f"__mn_{c}"] != row[f"__mx_{c}"]),
-            None,
-        )
-        if chosen is None:
-            continue
+        chosen = next((c for c in order_cols if _varies(row, c)), None)
+        if chosen is None or chosen not in numeric:
+            continue  # all-constant bucket, or led by a non-numeric column
         edges = sorted(set(row[f"__ed_{chosen}"] or []))
         if not edges:
             continue
@@ -120,7 +132,10 @@ def _hot_bucket_subs(
         )
         match = F.col(_BKT).isNull() if v is None else F.col(_BKT).eqNullSafe(F.lit(v))
         expr = F.when(match, sub).otherwise(expr)
-    return expr
+        subdivided = True
+    # if every hot bucket was skipped, the guarded plan would add its
+    # composite key, wider window, and join conjunct for zero subdivision
+    return expr if subdivided else None
 
 
 def global_rank(

@@ -18,6 +18,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..catalog import epoch_us, load_table
+from ..functions import text as X
 from ..functions.stats import dec_sum, sql_dec_sum
 from .registry import register
 
@@ -450,10 +451,7 @@ ORDER BY c_mktsegment
 def q117_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = _t(spark, sf_dir, "customer")
     bucket = (
-        F.conv(F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 15), 16, 10).cast(
-            "bigint"
-        )
-        % 100
+        X.md5_bucket(F.col("c_custkey"))
     )
     rate = (
         F.when(F.col("c_mktsegment") == "AUTOMOBILE", F.lit(10))
@@ -821,9 +819,13 @@ def q198_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_partkey").alias("breadth"),
     )
     # rank ascending on the NEGATED measure == DESC rank; rev > 0 always
-    # (discount < 1), so the log2 band is defined
-    s = s.withColumn("__nrev", -F.col("rev")).withColumn(
-        "__nbr", -F.col("breadth")
+    # (discount < 1), so the log2 band is defined. Cached: each
+    # global_rank's hot-bucket detection job and the final action would
+    # otherwise re-run the lineitem aggregate (review finding — 3x scans)
+    s = (
+        s.withColumn("__nrev", -F.col("rev"))
+        .withColumn("__nbr", -F.col("breadth"))
+        .cache()
     )
     r1 = global_rank(
         s,

@@ -42,7 +42,7 @@ def _u60(col: Column) -> Column:
     """Engine-portable uniform in [0, 1): first 60 bits of md5(key) scaled
     by 2^-60. Both engines cast the same BIGINT to double (correctly
     rounded, identical) and divide by an exact power of two."""
-    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("bigint")
+    h = X.md5_60(col.cast("string"))
     return h.cast("double") / F.lit(_TWO_60)
 
 
@@ -401,10 +401,7 @@ ORDER BY t.source
 def q132_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
-            "bigint"
-        )
-        % 100
+        X.md5_bucket(F.col("doc_id"))
     )
     base = docs.select(
         "doc_id",

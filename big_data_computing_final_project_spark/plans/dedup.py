@@ -423,7 +423,7 @@ _SIMHASH_BAND_BITS = _SIMHASH_BITS // _SIMHASH_BANDS
 @register("q37_simhash_pairs", oracle=_Q37_ORACLE)
 def q37_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    md5_60 = lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")  # noqa: E731
+    md5_60 = X.md5_60
     tok = docs.select("doc_id", F.explode_outer(X.tokens(F.col("text"))).alias("t")).select(
         "doc_id", md5_60(F.col("t")).alias("h")
     )
@@ -601,7 +601,7 @@ def winnow_fingerprints(docs: DataFrame) -> DataFrame:
 
     Takes any frame with (doc_id, text); pure per-row array expressions.
     """
-    md5_60 = lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")  # noqa: E731
+    md5_60 = X.md5_60
     # stage the token array first: referencing the tokenizer EXPRESSION
     # inside the transform lambda would re-run the regex split once per
     # gram (HOF lambdas get no loop-invariant hoisting); as a staged
@@ -824,9 +824,7 @@ def q87_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
-        "bigint"
-    ) % 100
+    bucket = X.md5_bucket(F.col("doc_id"))
     d = docs.select(
         "doc_id", "source", X.fingerprint(F.col("text")).alias("fp"), bucket.alias("bucket")
     )
@@ -965,8 +963,7 @@ ORDER BY train_doc, bench_doc
 def q102_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast("bigint")
-        % 100
+        X.md5_bucket(F.col("doc_id"))
     )
     base = docs.select("doc_id", X.tokens(F.col("text")).alias("toks"), bucket.alias("b"))
     sh = base.select("doc_id", X.shingles_of_tokens(F.col("toks"), 3).alias("sh"), "b")
@@ -1384,8 +1381,7 @@ def q195_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     join as the certifying twin."""
     docs = load_table(spark, sf_dir, "documents")
     bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast("bigint")
-        % 100
+        X.md5_bucket(F.col("doc_id"))
     )
     base = docs.select("doc_id", X.tokens(F.col("text")).alias("toks"), bucket.alias("b"))
     sh = base.select("doc_id", X.shingles_of_tokens(F.col("toks"), 3).alias("sh"), "b")

@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions import text as X
 from .registry import register
 
 _N_BINS = 10
@@ -54,11 +55,7 @@ def _bucket(key: str) -> F.Column:
     """The repo's engine-portable hash bucket (q75/q87 idiom) for any key
     column — one definition for all three drift splits (o_orderkey,
     vec_id, doc_id)."""
-    return (
-        F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 15), 16, 10)
-        .cast("bigint")
-        % 100
-    )
+    return X.md5_bucket(F.col(key))
 
 
 _SQL_OBUCKET = _sql_bucket("o_orderkey")

@@ -132,7 +132,8 @@ def q170_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_orderkey") * 16 + F.col("l_linenumber")).alias("rid"),
     ).select(
         "zx", "zy", "rid", _interleave4(F.col("zx"), F.col("zy")).alias("zkey")
-    )
+    ).cache()  # two global_rank calls: their hot-bucket detection jobs and
+    # the final action would otherwise each re-scan the fact (review finding)
 
     def placed(order_col: str, name: str) -> DataFrame:
         # see the oracle note: zy joins the linear tiebreak because rid is

@@ -272,18 +272,21 @@ def _band_params(
 _DENSE_BLOCKS = 8
 
 
-def _rep_dense_pairs(emb: DataFrame, n_blocks: int = _DENSE_BLOCKS) -> DataFrame:
+def _rep_dense_pairs(
+    emb: DataFrame, n_blocks: int = _DENSE_BLOCKS, reps: DataFrame | None = None
+) -> DataFrame:
     """All rep-level pairs (ga < gb) as a DISTRIBUTED block-nested-loop:
     reps hash into ``n_blocks`` blocks; the tiny block-pair table
     broadcast-joins each side, so every unordered block pair is one
     equi-join partition of work — no CartesianProduct node, no driver
     loop, and the O(n^2) work (which equals the output size in the dense
-    regime) spreads across block pairs."""
+    regime) spreads across block pairs. Pass ``reps`` (gid, e) to reuse an
+    already-built (ideally cached) rep frame instead of re-aggregating."""
     spark = emb.sparkSession
-    reps = (
-        emb.groupBy("e")
-        .agg(F.min("vec_id").alias("gid"))
-        .select("gid", F.pmod(F.xxhash64("gid"), F.lit(n_blocks)).cast("int").alias("blk"))
+    if reps is None:
+        reps = emb.groupBy("e").agg(F.min("vec_id").alias("gid"))
+    reps = reps.select(
+        "gid", F.pmod(F.xxhash64("gid"), F.lit(n_blocks)).cast("int").alias("blk")
     )
     # block-pair table as a pure Range plan (no ExistingRDD scan; tiny, so
     # Catalyst size-gates it onto a broadcast without a forced hint)
@@ -342,15 +345,22 @@ def _dup_groups(emb: DataFrame) -> DataFrame:
 
 
 def _rep_band_pairs(
-    emb: DataFrame, threshold: float, n_bits: int = _LSH_BITS, delta: float = _LSH_DELTA, seed: int = 42
+    emb: DataFrame,
+    threshold: float,
+    n_bits: int = _LSH_BITS,
+    delta: float = _LSH_DELTA,
+    seed: int = 42,
+    reps: DataFrame | None = None,
 ) -> DataFrame:
     """Rep-level candidate pairs (ga < gb) from the banded postings
     self-join — one posting per DISTINCT embedding per table, so planted
     exact copies cannot widen this join (pinned by
-    test_q40_exact_dup_collapse_guard, the q36 pattern)."""
+    test_q40_exact_dup_collapse_guard, the q36 pattern). Pass ``reps``
+    (gid, e) to reuse an already-built rep frame."""
     n_tables = _n_tables_for(threshold, n_bits, delta)
     tables = _plane_tables(n_tables, n_bits, _DIM, seed)
-    reps = emb.groupBy("e").agg(F.min("vec_id").alias("gid"))
+    if reps is None:
+        reps = emb.groupBy("e").agg(F.min("vec_id").alias("gid"))
     postings = reps.select(
         "gid",
         F.posexplode(_bucket_signatures(assert_dim(F.col("e"), _DIM), tables)).alias(
@@ -365,6 +375,26 @@ def _rep_band_pairs(
         .select("ga", "gb")
         .distinct()
     )
+
+
+def _rep_pairs_for(
+    emb: DataFrame,
+    threshold: float,
+    n_bits: int | None = None,
+    delta: float = _LSH_DELTA,
+    seed: int = 42,
+    reps: DataFrame | None = None,
+) -> DataFrame:
+    """The ONE regime decision (review finding: q40 and lsh_candidate_pairs
+    had drifted copies): banded LSH at the closed-form width when it can
+    prune, the distributed dense block join when it can't, explicit
+    ``n_bits`` forcing banding at that width."""
+    if n_bits is not None:
+        return _rep_band_pairs(emb, threshold, n_bits, delta, seed, reps=reps)
+    params = _band_params(threshold, delta)
+    if params is None:
+        return _rep_dense_pairs(emb, reps=reps)
+    return _rep_band_pairs(emb, threshold, params[0], delta, seed, reps=reps)
 
 
 def lsh_candidate_pairs(
@@ -399,14 +429,7 @@ def lsh_candidate_pairs(
     m_b = mem.select(F.col("vec_id").alias("vec_b"), F.col("gid").alias("g"))
     within = m_a.join(m_b, "g").filter(F.col("vec_a") < F.col("vec_b")).drop("g")
 
-    if n_bits is None:
-        params = _band_params(threshold, delta)
-        if params is None:
-            rep_pairs = _rep_dense_pairs(emb)
-        else:
-            rep_pairs = _rep_band_pairs(emb, threshold, params[0], delta, seed)
-    else:
-        rep_pairs = _rep_band_pairs(emb, threshold, n_bits, delta, seed)
+    rep_pairs = _rep_pairs_for(emb, threshold, n_bits, delta, seed)
     # expand rep pairs to member pairs (groups are disjoint, so each
     # unordered member pair appears exactly once; least/greatest orients it)
     ea = mem.select(F.col("gid").alias("ga"), F.col("vec_id").alias("va"))
@@ -444,19 +467,14 @@ def q40_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("e")
     )
-    mem = _dup_groups(emb)
-    erep = (
-        emb.join(
-            mem.filter(F.col("vec_id") == F.col("gid")).select("gid"),
-            emb.vec_id == F.col("gid"),
-        )
-        .select("gid", "e", norm(F.col("e")).alias("n"))
-    )
-    params = _band_params(_DUP_T)
-    if params is None:
-        rep_pairs = _rep_dense_pairs(emb)
-    else:
-        rep_pairs = _rep_band_pairs(emb, _DUP_T, params[0])
+    # the array-keyed dup-collapse aggregate is the expensive shared input
+    # of ALL four consumers (membership, rep vectors, candidate generator's
+    # two legs) — build it ONCE and cache lazily (no plan-build job, so the
+    # pure-plan pin holds; review finding: it used to be derived 3x)
+    reps_full = emb.groupBy("e").agg(F.min("vec_id").alias("gid")).cache()
+    mem = emb.join(reps_full.select("gid", "e"), "e").select("vec_id", "gid")
+    erep = reps_full.select("gid", "e", norm(F.col("e")).alias("n"))
+    rep_pairs = _rep_pairs_for(emb, _DUP_T, reps=reps_full.select("gid", "e"))
     ra = erep.select(F.col("gid").alias("ga"), F.col("e").alias("ea"), F.col("n").alias("na"))
     rb = erep.select(F.col("gid").alias("gb"), F.col("e").alias("eb"), F.col("n").alias("nb"))
     verified = (
@@ -1525,10 +1543,16 @@ def q200_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = emb.select(
         "vec_id", _pq_encode(books).alias("codes"), norm(F.col("e")).alias("nc")
     )
-    # per-query LUTs: flat array of M*K dots, LUT[m*K + k] = <q_sub_m, c_mk>
+    # per-query LUTs: flat array of dots packed PER ACTUAL BOOK LENGTH —
+    # KMeans can return fewer than _PQ_K centers for a degenerate
+    # subspace, so the ADC index uses cumulative offsets, not a fixed
+    # m*_PQ_K stride (a short book would misalign every later subspace)
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), norm(F.col("e")).alias("nq")
     )
+    offsets = [0]
+    for book in books:
+        offsets.append(offsets[-1] + len(book))
     lut = F.array(
         *[
             sum(F.col("qe")[m * d + i] * F.lit(c[i]) for i in range(d))
@@ -1538,7 +1562,7 @@ def q200_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ql = q.select("q_id", "nq", lut.alias("lut"))
     adc = sum(
-        F.element_at(F.col("lut"), F.col("codes")[m].cast("int") + m * _PQ_K + 1)
+        F.element_at(F.col("lut"), F.col("codes")[m].cast("int") + offsets[m] + 1)
         for m in range(_PQ_M)
     )
     scored = (

@@ -535,9 +535,7 @@ def q75_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
-        "bigint"
-    ) % 100
+    bucket = X.md5_bucket(F.col("doc_id"))
     split = (
         F.when(bucket < _SPLIT_TRAIN, "train")
         .when(bucket < _SPLIT_VAL, "val")

@@ -154,3 +154,48 @@ def test_hot_bucket_guard_coarse_bucket_nulls(spark):
         ).collect()
     }
     assert len(got) == 300 and got == want
+
+
+def test_hot_bucket_guard_skips_string_led_bucket(spark):
+    """Review fix: a hot bucket whose FIRST varying order column is a
+    string must stay whole — subdividing on a later numeric column would
+    reorder ranks (name-major order vs uid slices)."""
+    rows = [("n%03d" % ((i * 17) % 50), i, 0) for i in range(400)]
+    df = spark.createDataFrame(rows, "name string, uid long, b int").repartition(7, "uid")
+    got = {
+        r.uid: r.rank
+        for r in global_rank(
+            df, ["name", "uid"], bucket=F.col("b"), rank_col="rank",
+            hot_bucket_rows=50, sub_buckets=8,
+        ).collect()
+    }
+    want = {
+        r.uid: r.rn
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy("name", "uid"))
+        ).collect()
+    }
+    assert got == want
+
+
+def test_hot_bucket_guard_null_mix_counts_as_varying(spark):
+    """Review fix: an earlier numeric column holding {NULL, x} within the
+    hot bucket VARIES (NULLs sort first) — NULL-blind min==max must not
+    make the guard slice on a later column and scramble ranks."""
+    rows = [(None if i % 2 == 0 else 5, i, 0) for i in range(300)]
+    df = spark.createDataFrame(rows, "v long, uid long, b int").repartition(7, "uid")
+    got = {
+        r.uid: r.rank
+        for r in global_rank(
+            df, ["v", "uid"], bucket=F.col("b"), rank_col="rank",
+            hot_bucket_rows=40, sub_buckets=4,
+        ).collect()
+    }
+    want = {
+        r.uid: r.rn
+        for r in df.withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy(F.asc_nulls_first("v"), "uid")),
+        ).collect()
+    }
+    assert got == want
