@@ -500,3 +500,60 @@ def q88_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     return tdigest_quantiles(li, "l_returnflag", "l_extendedprice", [0.5, 0.9, 0.99])
+
+
+# ---------------------------------------------------------------------------
+# q203 — exact quantiles WITHOUT the single aggregation buffer. q21's
+# exact mode uses Spark's `percentile(...)` aggregate, which materializes
+# every (value, count) in ONE final agg buffer — fine per group at gate
+# SFs, a driver-sized object on a 100-TB ungrouped fact. The distributed-
+# exact form: collapse to distinct values (one partial-aggregated
+# groupBy), bucketed prefix scan for cumulative counts (operators/
+# prefix.py — no single-partition window), then each requested quantile
+# is the smallest value whose cumulative count reaches ceil(q*n) (lower
+# discrete percentile). All comparisons are exact integers; q*n is the
+# same IEEE product in both engines.
+# ---------------------------------------------------------------------------
+
+_Q203_QS = [0.25, 0.5, 0.75, 0.95]
+
+_Q203_ORACLE = f"""
+WITH c AS (
+  SELECT l_extendedprice AS val, COUNT(*) AS n FROM lineitem GROUP BY val
+), w AS (
+  SELECT val,
+         SUM(n) OVER (ORDER BY val ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(n) OVER () AS tot
+  FROM c
+)
+SELECT qs.q, MIN(w.val) AS value
+FROM (VALUES {", ".join(f"(CAST({q!r} AS DOUBLE))" for q in _Q203_QS)}) qs(q)
+JOIN w ON w.cum >= CEIL(qs.q * w.tot)
+GROUP BY qs.q
+ORDER BY qs.q
+"""
+
+
+@register("q203_distributed_percentiles", oracle=_Q203_ORACLE)
+def q203_distributed_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix import prefix_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    c = li.groupBy(F.col("l_extendedprice").alias("val")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = prefix_agg(
+        c, ["val"], "n", "cum", agg="sum",
+        bucket=F.floor(F.col("val") / 1000).cast("bigint"),
+    )
+    tot = c.agg(F.sum("n").alias("tot"))
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(q) for q in _Q203_QS])).alias("q")
+    )
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(qs), F.col("cum") >= F.ceil(F.col("q") * F.col("tot")))
+        .groupBy("q")
+        .agg(F.min("val").alias("value"))
+        .orderBy("q")
+    )
