@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions.stats import dec_sum, sql_dec_sum
+from ..operators.sizing import broadcast_if_small
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -574,7 +575,7 @@ def q185_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (scd["valid_to"].isNull() | (d < scd["valid_to"]))
     )
     return (
-        orders.join(F.broadcast(scd), cond)
+        orders.join(broadcast_if_small(scd), cond)
         .groupBy(F.col("valid_from").alias("version_epoch"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),

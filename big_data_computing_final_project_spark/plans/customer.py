@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import epoch_us, load_table
 from ..functions.stats import sql_dec_sum
+from ..operators.sizing import broadcast_if_small
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -189,8 +190,8 @@ def q178_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     i1 = item.select(F.col("p").alias("p1"), F.col("n_p").alias("n_ante_fwd"))
     i2 = item.select(F.col("p").alias("p2"), F.col("n_p").alias("n_cons_fwd"))
     enriched = (
-        pair.join(F.broadcast(i1), "p1")
-        .join(F.broadcast(i2), "p2")
+        pair.join(broadcast_if_small(i1), "p1")
+        .join(broadcast_if_small(i2), "p2")
         .crossJoin(F.broadcast(baskets))
     )
     fwd = enriched.select(
@@ -392,7 +393,7 @@ def q180_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = load_table(spark, sf_dir, "supplier")
     nat = load_table(spark, sf_dir, "nation")
     rev = (
-        li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        li.join(broadcast_if_small(sup), li["l_suppkey"] == sup["s_suppkey"])
         .groupBy("s_nationkey", "l_suppkey")
         .agg(
             F.round(
@@ -641,7 +642,7 @@ def q187_hierarchical_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = load_table(spark, sf_dir, "nation")
     reg = load_table(spark, sf_dir, "region")
     joined = (
-        li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        li.join(broadcast_if_small(sup), li["l_suppkey"] == sup["s_suppkey"])
         .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
         .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
     )

@@ -407,3 +407,47 @@ def test_keyset_page_equals_offset_page(spark, sf_dir):
     )
     want = [(r.c_custkey, r.c_acctbal) for r in full[100:150]]
     assert got == want and len(got) == 50
+
+
+# size-guarded broadcasts on linearly-scaling frames (VERDICT r6 item 1)
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize(
+    "name",
+    [
+        "q178_basket_rules",
+        "q180_supplier_hhi",
+        "q185_scd2_pit_join",
+        "q187_hierarchical_shares",
+    ],
+)
+def test_scaling_broadcasts_are_size_guarded(name, spark, sf_dir):
+    """The per-part item counts (q178), supplier dim (q180/q187) and SCD2
+    customer dim (q185) all grow linearly with the corpus, so their
+    broadcasts go through operators/sizing.broadcast_if_small. Forcing the
+    session threshold to 0 must drop the hint — the planner takes a shuffle
+    join, the behavior those frames get at 100x — with identical results.
+    (Dims-proper like nation/region and 1-row aggregates stay forced.)"""
+    expected = [tuple(r) for r in _Q[name](spark, sf_dir).collect()]
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "0")
+        df = _Q[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        import re as _re
+
+        # the guarded key columns must now be joined via a shuffle join
+        keys = {
+            "q178_basket_rules": r"(SortMergeJoin|ShuffledHashJoin) \[p1#\d+L?\]",
+            "q180_supplier_hhi": r"(SortMergeJoin|ShuffledHashJoin) \[l_suppkey#\d+L?\]",
+            "q185_scd2_pit_join": r"(SortMergeJoin|ShuffledHashJoin) \[o_custkey#\d+L?\]",
+            "q187_hierarchical_shares": r"(SortMergeJoin|ShuffledHashJoin) \[l_suppkey#\d+L?\]",
+        }
+        assert _re.search(keys[name], plan), plan[:1200]
+        got = [tuple(r) for r in df.collect()]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert sorted(map(str, got)) == sorted(map(str, expected))
