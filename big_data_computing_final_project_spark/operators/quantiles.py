@@ -1,0 +1,111 @@
+"""Distributed exact quantiles — no single aggregation buffer.
+
+Spark's exact ``percentile(...)`` aggregate materializes every distinct
+(value, count) pair in ONE final aggregation buffer; on an ungrouped
+100-TB fact that buffer is driver-sized. The distributed-exact form used
+here never concentrates state:
+
+1. collapse to distinct values with counts (one partial-aggregated
+   groupBy — state bounded by distinct-value cardinality per partition),
+2. cumulative counts via the bucketed prefix scan (operators/prefix.py —
+   no single-partition window),
+3. each quantile is then a rank lookup against the cumulative counts.
+
+Two semantics, matching the two engines' exact aggregates:
+
+- ``mode="lower"``: smallest value whose cumulative count reaches
+  ceil(q*n) — the lower discrete percentile (q203's contract).
+- ``mode="linear"``: linear interpolation at position h = q*(n-1) over
+  the sorted multiset — bit-identical to Spark's ``percentile()`` and
+  DuckDB's ``quantile_cont()``: both compute the symmetric weighted form
+  ``v_lo*(1-d) + v_hi*d`` on doubles (d = h - floor(h) is exact, 1-d is
+  Sterbenz-exact), and IEEE ops in the same shape reproduce them exactly
+  (h = (n-1)*q is the same double product in both engines).
+
+Reference parity: pandas ``describe()`` / ``quantile()`` default
+interpolation is the same linear rule (reference `data_analysis.ipynb`
+describe cells; SURVEY §2 A7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .prefix import prefix_agg
+
+
+def exact_quantiles(
+    df: DataFrame,
+    col: str,
+    qs: list[float],
+    *,
+    mode: str = "linear",
+    bucket: Column | None = None,
+) -> DataFrame:
+    """Exact quantiles of ``df[col]`` (nulls skipped, like both engines'
+    aggregates) as a small frame ``(q double, value double)``, one row per
+    requested quantile, via the distributed plan above.
+
+    ``bucket`` must be monotone non-decreasing in ``val`` with a bounded
+    domain (it splits the prefix scan); default ``floor(val/1000)`` suits
+    price-scaled data — override for other ranges.
+    """
+    if mode not in ("linear", "lower"):
+        raise ValueError(f"mode must be 'linear' or 'lower', got {mode!r}")
+    vals = (
+        df.select(F.col(col).cast("double").alias("val"))
+        .filter(F.col("val").isNotNull())
+    )
+    c = vals.groupBy("val").agg(F.count(F.lit(1)).alias("n"))
+    b = bucket if bucket is not None else F.floor(F.col("val") / 1000).cast("bigint")
+    w = prefix_agg(c, ["val"], "n", "cum", agg="sum", bucket=b)
+    tot = c.agg(F.sum("n").alias("tot"))
+    spark = df.sparkSession
+    qf = spark.range(1).select(
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    )
+    ranked = qf.crossJoin(F.broadcast(tot))
+    if mode == "lower":
+        ranked = ranked.withColumn("lo_rank", F.ceil(F.col("q") * F.col("tot")))
+        return (
+            w.join(F.broadcast(ranked), F.col("cum") >= F.col("lo_rank"))
+            .groupBy("q")
+            .agg(F.min("val").alias("value"))
+            .orderBy("q")
+        )
+    # linear: position h = (n-1)*q over the sorted multiset; 0-based row k
+    # lives at cumulative rank k+1
+    ranked = (
+        ranked.withColumn("h", (F.col("tot") - F.lit(1)).cast("double") * F.col("q"))
+        .withColumn("lo_rank", F.floor(F.col("h")) + F.lit(1))
+        .withColumn("hi_rank", F.ceil(F.col("h")) + F.lit(1))
+    )
+    lo = (
+        w.join(F.broadcast(ranked), F.col("cum") >= F.col("lo_rank"))
+        .groupBy("q", "h")
+        .agg(F.min("val").alias("v_lo"))
+    )
+    hi = (
+        w.join(
+            F.broadcast(ranked.select("q", "hi_rank")),
+            F.col("cum") >= F.col("hi_rank"),
+        )
+        .groupBy("q")
+        .agg(F.min("val").alias("v_hi"))
+    )
+    # the symmetric weighted form — Spark's Percentile computes
+    # (higher-pos)*lowerKey + (pos-lower)*higherKey, DuckDB's interpolator
+    # lo*(1-d) + hi*d; both deltas are Sterbenz-exact, so this reproduces
+    # them bit-identically (lo + (hi-lo)*d would round differently)
+    d = F.col("h") - F.floor(F.col("h"))
+    return (
+        lo.join(hi, "q")
+        .select(
+            "q",
+            (
+                F.col("v_lo") * (F.lit(1.0) - d) + F.col("v_hi") * d
+            ).alias("value"),
+        )
+        .orderBy("q")
+    )

@@ -248,17 +248,31 @@ ORDER BY column_name
 
 @register("q21_quantiles", oracle=_Q21_ORACLE)
 def q21_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quartiles WITHOUT Spark's `percentile()` aggregate: that
+    aggregate buffers every (value, count) in one final agg buffer —
+    driver-sized state on an ungrouped 100-TB fact. The linear-interpolated
+    distributed path (operators/quantiles.exact_quantiles, mode="linear")
+    produces bit-identical values (same IEEE interpolation shape as both
+    Spark `percentile()` and DuckDB `quantile_cont`)."""
+    from ..operators.quantiles import exact_quantiles
+
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
 
     def quartiles(df: DataFrame, c: str) -> DataFrame:
-        p = F.expr(f"percentile({c}, array(0.25, 0.5, 0.75))")
-        return df.agg(p.alias("p")).select(
+        qv = exact_quantiles(df, c, [0.25, 0.5, 0.75])
+
+        def at(q: float):
+            return F.max(F.when(F.col("q") == F.lit(q), F.col("value")))
+
+        return qv.agg(
+            at(0.25).alias("p25"), at(0.5).alias("p50"), at(0.75).alias("p75")
+        ).select(
             F.lit(c).alias("column_name"),
-            F.col("p")[0].alias("p25"),
-            F.col("p")[1].alias("p50"),
-            F.col("p")[2].alias("p75"),
-            (F.col("p")[2] - F.col("p")[0]).alias("iqr"),
+            "p25",
+            "p50",
+            "p75",
+            (F.col("p75") - F.col("p25")).alias("iqr"),
         )
 
     return quartiles(li, "l_extendedprice").unionByName(quartiles(orders, "o_totalprice")).orderBy(
@@ -536,24 +550,7 @@ ORDER BY qs.q
 
 @register("q203_distributed_percentiles", oracle=_Q203_ORACLE)
 def q203_distributed_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.prefix import prefix_agg
+    from ..operators.quantiles import exact_quantiles
 
     li = _t(spark, sf_dir, "lineitem")
-    c = li.groupBy(F.col("l_extendedprice").alias("val")).agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    w = prefix_agg(
-        c, ["val"], "n", "cum", agg="sum",
-        bucket=F.floor(F.col("val") / 1000).cast("bigint"),
-    )
-    tot = c.agg(F.sum("n").alias("tot"))
-    qs = spark.range(1).select(
-        F.explode(F.array(*[F.lit(q) for q in _Q203_QS])).alias("q")
-    )
-    return (
-        w.crossJoin(F.broadcast(tot))
-        .join(F.broadcast(qs), F.col("cum") >= F.ceil(F.col("q") * F.col("tot")))
-        .groupBy("q")
-        .agg(F.min("val").alias("value"))
-        .orderBy("q")
-    )
+    return exact_quantiles(li, "l_extendedprice", _Q203_QS, mode="lower")

@@ -109,3 +109,57 @@ def test_prefix_min_null_bucket_rows_survive(spark):
         ).collect()
     }
     assert {r.uid: r.m for r in out} == want
+
+
+# operators/quantiles.exact_quantiles — the distributed exact-quantile
+# operator (VERDICT r6 item 2: q21's percentile() buffer replaced)
+
+
+def test_exact_quantiles_linear_matches_spark_percentile(spark, sf_dir):
+    from big_data_computing_final_project_spark.catalog import load_table
+    from big_data_computing_final_project_spark.operators.quantiles import (
+        exact_quantiles,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    got = {
+        r.q: r.value for r in exact_quantiles(li, "l_extendedprice", qs).collect()
+    }
+    arr = ", ".join(str(q) for q in qs)
+    want = li.agg(
+        F.expr(f"percentile(l_extendedprice, array({arr}))").alias("p")
+    ).collect()[0].p
+    assert len(got) == len(qs)
+    for q, w in zip(qs, want):
+        assert got[q] == w, (q, got[q], w)  # bit-exact, not approx
+
+
+def test_exact_quantiles_lower_is_smallest_reaching_rank(spark):
+    from big_data_computing_final_project_spark.operators.quantiles import (
+        exact_quantiles,
+    )
+
+    vals = [10.0, 20.0, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0, 80.0, 90.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double").repartition(5)
+    got = {
+        r.q: r.value
+        for r in exact_quantiles(
+            df, "x", [0.1, 0.25, 0.5, 1.0], mode="lower", bucket=F.col("val")
+        ).collect()
+    }
+    # ceil(q*10)-th smallest value: ranks 1, 3, 5, 10
+    assert got == {0.1: 10.0, 0.25: 20.0, 0.5: 40.0, 1.0: 90.0}
+
+
+def test_exact_quantiles_skips_nulls_and_plan_has_no_percentile(spark):
+    from big_data_computing_final_project_spark.operators.quantiles import (
+        exact_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0,), (None,), (2.0,), (3.0,), (None,)], "x double"
+    )
+    out = exact_quantiles(df, "x", [0.5], bucket=F.col("val"))
+    assert "percentile(" not in out._jdf.queryExecution().executedPlan().toString()
+    assert out.collect()[0].value == 2.0
