@@ -83,6 +83,19 @@ def prefix_agg(
         .rowsBetween(Window.unboundedPreceding, end)
     )
     within = agg_fn(value_col).over(win)
+    # strict mode's unique-key precondition is ENFORCED, not just
+    # documented: with duplicate keys a row-strict frame is order-dependent
+    # (silently nondeterministic), so the plan itself raises on the first
+    # adjacent duplicate. Piggybacks on the window's existing sort (a lag
+    # over the same spec — no extra shuffle, no eager job); duplicates
+    # share a bucket whenever the bucket is a function of the order keys
+    # (the documented usage).
+    is_dup = None
+    if strict:
+        key = F.struct(*[F.col(c) for c in order_cols])
+        is_dup = F.lag(key).over(
+            Window.partitionBy(*parts, _BKT).orderBy(*order_cols)
+        ).eqNullSafe(key)
     # combine(NULL, x) must yield x (first bucket / empty strict frame):
     # greatest/least skip NULLs natively; sum needs explicit coalescing
     if agg == "sum":
@@ -91,6 +104,17 @@ def prefix_agg(
         ).otherwise(F.col(_EXCL) + F.coalesce(within, F.lit(0)))
     else:
         merged = combine(F.col(_EXCL), within)
+    if is_dup is not None:
+        merged = F.when(
+            is_dup,
+            F.assert_true(
+                F.lit(False),
+                F.lit(
+                    "prefix_agg(strict=True) requires unique order keys per "
+                    f"group: duplicate {order_cols} found"
+                ),
+            ),
+        ).otherwise(merged)
     cond = F.col(_BKT).eqNullSafe(F.col("__obkt"))
     for p in parts:
         cond = cond & F.col(p).eqNullSafe(F.col(f"__op_{p}"))

@@ -457,18 +457,28 @@ ORDER BY source, bin_id
 
 @register("q82_pack_sequences", oracle=_Q82_ORACLE)
 def q82_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    """The running token sum uses the bucketed prefix scan, NOT
+    ``Window.partitionBy("source")``: documents.source has ~20 values, so
+    the window form serializes the whole corpus into 20 single-task scans
+    at 100 TB (VERDICT r6 item 3). ``prefix_agg`` splits each source's scan
+    by doc_id blocks — within-block cumsums parallelize across all cores,
+    and only the per-(source, block) partials (n_docs/4096 rows) see a
+    sequential combine."""
+    from ..operators.prefix import prefix_agg
 
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select(
         "source", "doc_id", X.token_count(F.col("text")).alias("n_tokens")
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    placed = d.withColumn("start_off", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    placed = prefix_agg(
+        d,
+        ["doc_id"],
+        "n_tokens",
+        "cum_tokens",
+        agg="sum",
+        bucket=F.floor(F.col("doc_id") / 4096).cast("bigint"),
+        partition_cols=["source"],
+    ).withColumn("start_off", F.col("cum_tokens") - F.col("n_tokens"))
     return (
         placed.groupBy(
             "source", F.floor(F.col("start_off") / _PACK_BUDGET).alias("bin_id")

@@ -163,3 +163,26 @@ def test_exact_quantiles_skips_nulls_and_plan_has_no_percentile(spark):
     out = exact_quantiles(df, "x", [0.5], bucket=F.col("val"))
     assert "percentile(" not in out._jdf.queryExecution().executedPlan().toString()
     assert out.collect()[0].value == 2.0
+
+
+def test_prefix_strict_duplicate_keys_raise(spark):
+    """ADVICE r6: strict mode's unique-order-key precondition is enforced
+    in-plan — duplicate keys raise instead of returning order-dependent
+    prefixes. Unique keys on the same shape still succeed."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    dup = spark.createDataFrame(
+        [(1, 5), (1, 7), (2, 9)], "k long, v long"
+    ).repartition(3)
+    bad = prefix_agg(dup, ["k"], "v", "p", strict=True, bucket=F.col("k"))
+    with pytest.raises(SparkRuntimeException, match="unique order keys"):
+        bad.collect()
+    ok = spark.createDataFrame([(1, 5), (2, 7), (3, 9)], "k long, v long")
+    got = {
+        r.k: r.p
+        for r in prefix_agg(
+            ok, ["k"], "v", "p", strict=True, bucket=F.col("k")
+        ).collect()
+    }
+    assert got == {1: None, 2: 5, 3: 12}
