@@ -483,16 +483,23 @@ def q40_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "ga",
             "gb",
-            (dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).alias("cos_sim"),
+            F.try_divide(
+                dot(F.col("ea"), F.col("eb")), F.col("na") * F.col("nb")
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= _DUP_T)
     )
     # intra-group pairs: the self-cosine of the shared vector (== what the
     # oracle computes for two byte-identical arrays; NOT the literal 1.0 —
     # dot(e,e)/(sqrt(dot)*sqrt(dot)) can differ from 1.0 in the last ulp)
+    # try_divide, not /: ANSI division raises on a zero-norm vector, and
+    # the oracle's 0/0 is NULL (filtered); NaN flows through >= like the
+    # oracle's (both engines order NaN above every number)
     self_cos = erep.select(
         F.col("gid").alias("g"),
-        (dot(F.col("e"), F.col("e")) / (F.col("n") * F.col("n"))).alias("cos_sim"),
+        F.try_divide(dot(F.col("e"), F.col("e")), F.col("n") * F.col("n")).alias(
+            "cos_sim"
+        ),
     )
     m1 = mem.select(F.col("gid").alias("g"), F.col("vec_id").alias("vec_a"))
     m2 = mem.select(F.col("gid").alias("g"), F.col("vec_id").alias("vec_b"))
@@ -501,6 +508,10 @@ def q40_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_a") < F.col("vec_b"))
         .join(self_cos, "g")
         .select("vec_a", "vec_b", "cos_sim")
+        # degenerate duplicates (zero-norm -> NULL self-cosine, NaN-bearing
+        # -> NaN) must not leak rows the threshold-filtered oracle never
+        # emits; for normal vectors self-cosine ~1.0 always passes
+        .filter(F.col("cos_sim") >= _DUP_T)
     )
     # verified rep pairs expanded across their (disjoint) groups
     xa = mem.select(F.col("gid").alias("ga"), F.col("vec_id").alias("va"))

@@ -934,3 +934,49 @@ def test_q40_dense_pairs_complete(spark):
     got = [(r.ga, r.gb) for r in _rep_dense_pairs(emb, n_blocks=4).collect()]
     assert len(got) == len(set(got)) == n * (n - 1) // 2
     assert all(a < b for a, b in got)
+
+
+def test_q40_degenerate_duplicates_match_oracle(spark, tmp_path):
+    """ADVICE r6: intra-group (exact-dup) pairs must pass through the same
+    cos_sim >= T filter as every other pair — byte-identical zero-norm
+    vectors (NULL/NaN self-cosine) must not emit rows the oracle-filtered
+    output never contains. Planted: a zero-vector dup pair, a NaN dup pair,
+    a genuine near-dup pair; full frame_digest parity with the q40 oracle."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_computing_final_project_spark.plans import all_oracles
+    from tools.check_oracle import frame_digest
+
+    vecs = [
+        (0, [0.0] * 8),                       # zero-norm dup group
+        (1, [0.0] * 8),
+        (2, [float("nan")] + [1.0] * 7),      # NaN dup group
+        (3, [float("nan")] + [1.0] * 7),
+        (4, [1.0] * 8),                       # genuine near-dup pair
+        (5, [1.0] * 7 + [0.9]),
+        (6, [-1.0] * 8),                      # far from everything
+    ]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([v[0] for v in vecs], pa.int64()),
+            "embedding": pa.array([v[1] for v in vecs], pa.list_(pa.float32())),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    sdf = _Q["q40_embedding_near_dup"](spark, str(tmp_path))
+    got = [tuple(r) for r in sdf.collect()]
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{tmp_path}/embeddings.parquet'"
+    )
+    res = con.sql(all_oracles()["q40_embedding_near_dup"])
+    drows = res.fetchall()
+    assert frame_digest(sdf.columns, got) == frame_digest(
+        [d[0] for d in res.description], drows
+    )
+    # the genuine pair is present; no NULL cos_sim leaks
+    ids = {(a, b) for a, b, _ in got}
+    assert (4, 5) in ids
+    assert all(c is not None for _, _, c in got)
