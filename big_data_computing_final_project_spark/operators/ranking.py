@@ -144,7 +144,7 @@ def global_rank(
     bucket: Column | None = None,
     rank_col: str = "rank",
     n_col: str | None = None,
-    hot_bucket_rows: int = _HOT_BUCKET_ROWS,
+    hot_bucket_rows: int | None = _HOT_BUCKET_ROWS,
     sub_buckets: int = _SUB_BUCKETS,
 ) -> DataFrame:
     """Exact global ROW_NUMBER() over ``order_cols`` (ties broken by the
@@ -158,13 +158,21 @@ def global_rank(
     subdivided into ``sub_buckets`` per-bucket quantile slices of the
     first numeric order column that varies within the bucket (see
     _hot_bucket_subs), bounding the largest within-bucket row_number task.
-    Detection costs one count-by-bucket job at plan-build time; when no
+    Detection costs 1-2 eager jobs over ``df`` at plan-build time; when no
     bucket is hot the emitted plan is byte-identical to the unguarded one.
+    CALLERS SHOULD CACHE ``df`` when it is an expensive pipeline (q170/
+    q198/q40 do), or pass ``hot_bucket_rows=None`` to skip detection
+    entirely for buckets known to be uniform (e.g. a hash-derived bucket)
+    — then no job runs before the action.
     """
     b = bucket if bucket is not None else F.col(order_cols[0])
     tagged = df.withColumn(_BKT, b)
     grp = tagged.groupBy(_BKT).agg(F.count(F.lit(1)).alias("__gcnt"))
-    sub_expr = _hot_bucket_subs(tagged, grp, order_cols, hot_bucket_rows, sub_buckets)
+    sub_expr = (
+        None
+        if hot_bucket_rows is None
+        else _hot_bucket_subs(tagged, grp, order_cols, hot_bucket_rows, sub_buckets)
+    )
     if sub_expr is not None:
         tagged = tagged.withColumn(_SUB, sub_expr)
         grp = tagged.groupBy(_BKT, _SUB).agg(F.count(F.lit(1)).alias("__gcnt"))

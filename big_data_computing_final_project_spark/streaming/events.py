@@ -1131,18 +1131,29 @@ def _lsh_dedup_ingest(batch: DataFrame, batch_id: int, store_dir: str) -> None:
     batches < this one, exact-Jaccard-verify candidates only, stage the
     batch's new pairs and its state rows under batch_id=N (idempotent on
     replay — both writes are per-batch overwrites, and the state lookup
-    filters batch_id < N so a replay never joins its own earlier write)."""
+    filters batch_id < N so a replay never joins its own earlier write).
+
+    Compaction safety (ADVICE r6): compact_lsh_dedup_store folds history
+    into the max batch_id and records that id in a `_compaction_floor`
+    marker. A batch at or below the floor (a replay of the folded id after
+    a crash between write and checkpoint commit, or a fresh-checkpoint
+    stream restarting at 0) is remapped ABOVE the floor, so it can never
+    overwrite the compacted delta and its state filter still sees the
+    compacted history; already-ingested doc_ids are then dropped by an
+    anti-join, making the folded-batch replay a no-op instead of a
+    double-ingest."""
     from ..functions import text as X
     from ..plans.dedup import _JACCARD_T, band_key_structs
 
     spark = batch.sparkSession
     state_dir = os.path.join(store_dir, "state")
+    floor = _read_compaction_floor(store_dir)
+    eff_id = batch_id if floor is None or batch_id > floor else floor + 1 + batch_id
     # null-shingle docs (null text) can never verify; drop like batch q36
     cur = (
         batch.select("doc_id", X.shingles(F.col("text"), 3).alias("sh"))
         .where(F.col("sh").isNotNull())
         .withColumn("bands", F.array(*band_key_structs(F.col("sh"))))
-        .localCheckpoint(eager=True)  # four consumers; shingling is the cost
     )
     _recover_compaction(state_dir)
     if os.path.exists(state_dir):
@@ -1150,11 +1161,15 @@ def _lsh_dedup_ingest(batch: DataFrame, batch_id: int, store_dir: str) -> None:
             spark.read.schema(_LSH_STATE_SCHEMA)
             .option("basePath", state_dir)
             .parquet(f"{state_dir}/batch_id=*")
-            .where(F.col("batch_id") < batch_id)
+            .where(F.col("batch_id") < eff_id)
             .drop("batch_id")
         )
+        # idempotence across compaction: a doc whose id is already in state
+        # (its batch was folded into the compacted delta) must not re-ingest
+        cur = cur.join(state.select("doc_id"), "doc_id", "left_anti")
     else:
         state = spark.createDataFrame([], _LSH_STATE_SCHEMA)
+    cur = cur.localCheckpoint(eager=True)  # four consumers; shingling is the cost
 
     def exploded(df: DataFrame, side: str) -> DataFrame:
         return df.select(F.col("doc_id").alias(side), F.explode("bands").alias("b")).select(
@@ -1180,7 +1195,8 @@ def _lsh_dedup_ingest(batch: DataFrame, batch_id: int, store_dir: str) -> None:
     cross = exb.join(
         exs,
         (F.col("band_doc_a") == F.col("band_doc_b"))
-        & (F.col("key_doc_a") == F.col("key_doc_b")),
+        & (F.col("key_doc_a") == F.col("key_doc_b"))
+        & (F.col("doc_a") != F.col("doc_b")),  # no self-pairs, ever
     ).select(
         F.least("doc_a", "doc_b").alias("doc_a"),
         F.greatest("doc_a", "doc_b").alias("doc_b"),
@@ -1200,10 +1216,10 @@ def _lsh_dedup_ingest(batch: DataFrame, batch_id: int, store_dir: str) -> None:
         .filter(F.col("jac") >= _JACCARD_T)
     )
     pairs.write.mode("overwrite").parquet(
-        os.path.join(store_dir, "pairs", f"batch_id={batch_id}")
+        os.path.join(store_dir, "pairs", f"batch_id={eff_id}")
     )
     cur.select("doc_id", "sh", "bands").write.mode("overwrite").parquet(
-        os.path.join(state_dir, f"batch_id={batch_id}")
+        os.path.join(state_dir, f"batch_id={eff_id}")
     )
 
 
@@ -1282,6 +1298,29 @@ def near_dup_pairs_from_store(spark: SparkSession, store_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_FLOOR_MARKER = "_compaction_floor"
+
+
+def _read_compaction_floor(store_dir: str) -> int | None:
+    """The highest batch_id folded by the last compaction (None before the
+    first compaction). Written by compact_lsh_dedup_store; ingests remap
+    batch ids at or below it (see _lsh_dedup_ingest)."""
+    path = os.path.join(store_dir, _FLOOR_MARKER)
+    try:
+        with open(path) as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return None
+
+
+def _write_compaction_floor(store_dir: str, floor: int) -> None:
+    path = os.path.join(store_dir, _FLOOR_MARKER)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(floor))
+    os.replace(tmp, path)
+
+
 def _recover_compaction(store_dir: str) -> None:
     """Heal a compaction interrupted between its two renames: if the live
     name is missing but the `.old` backup exists, restore the backup (and
@@ -1299,7 +1338,9 @@ def _recover_compaction(store_dir: str) -> None:
         shutil.rmtree(store_dir + ".compacting", ignore_errors=True)
 
 
-def _compact_partitioned(spark: SparkSession, store_dir: str, schema: str, merge) -> None:
+def _compact_partitioned(
+    spark: SparkSession, store_dir: str, schema: str, merge
+) -> int | None:
     """Read every batch_id delta with the declared schema, merge, swap the
     store for a single-delta copy living at the MAX existing batch_id —
     not 0, so a stream mistakenly restarted on a FRESH checkpoint (ids
@@ -1312,7 +1353,7 @@ def _compact_partitioned(spark: SparkSession, store_dir: str, schema: str, merge
 
     _recover_compaction(store_dir)
     if not os.path.exists(store_dir):
-        return
+        return None
     ids = [
         int(m.group(1))
         for d in os.listdir(store_dir)
@@ -1333,6 +1374,7 @@ def _compact_partitioned(spark: SparkSession, store_dir: str, schema: str, merge
     os.rename(store_dir, old)
     os.rename(tmp, store_dir)
     shutil.rmtree(old, ignore_errors=True)
+    return target
 
 
 def compact_counts_store(
@@ -1395,19 +1437,26 @@ def compact_lsh_dedup_store(spark: SparkSession, store_dir: str) -> None:
     pair lives in exactly one delta, so both merges are plain rewrites.
     Continued ingestion keeps working: new batches land above the
     checkpoint's high-water mark and the state lookup's `batch_id < N`
-    filter always includes the compacted delta."""
-    _compact_partitioned(
+    filter always includes the compacted delta. The folded high-water mark
+    is recorded in a `_compaction_floor` marker so a replay of a folded
+    batch id (crash between write and checkpoint commit, or a fresh
+    checkpoint) is remapped above the compacted delta instead of
+    overwriting it (ADVICE r6)."""
+    floor = _compact_partitioned(
         spark,
         os.path.join(store_dir, "state"),
         _LSH_STATE_SCHEMA,
         lambda df: df.select("doc_id", "sh", "bands"),
     )
-    _compact_partitioned(
+    pairs_floor = _compact_partitioned(
         spark,
         os.path.join(store_dir, "pairs"),
         _LSH_PAIRS_SCHEMA,
         lambda df: df.select("doc_a", "doc_b", "jac"),
     )
+    floors = [f for f in (floor, pairs_floor) if f is not None]
+    if floors:
+        _write_compaction_floor(store_dir, max(floors))
 
 
 def run_stream_ks_monitor(

@@ -199,3 +199,47 @@ def test_hot_bucket_guard_null_mix_counts_as_varying(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_global_rank_detection_opt_out_runs_no_job(spark):
+    """ADVICE r6: hot_bucket_rows=None must skip hot-bucket detection —
+    no eager job at plan-build time. Pinned by building over a frame that
+    RAISES when any task evaluates it: detection-on raises at build,
+    detection-off builds the plan silently (and the guard-free plan still
+    computes correct ranks on a benign frame)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from big_data_computing_final_project_spark.operators.ranking import global_rank
+
+    booby = spark.range(10).select(
+        F.when(F.col("id") < 100, F.assert_true(F.lit(False), F.lit("scanned")))
+        .otherwise(F.lit(1.0))
+        .alias("v"),
+        F.col("id"),
+    )
+    with pytest.raises(Exception, match="scanned"):
+        global_rank(booby, ["v", "id"], bucket=F.col("id") % 4).collect()
+    # plan-build with detection off: no job, no error
+    df = global_rank(booby, ["v", "id"], bucket=F.col("id") % 4, hot_bucket_rows=None)
+    assert "rank" in df.columns  # built lazily without scanning
+
+    benign = spark.range(100).select(
+        (F.col("id") * 37 % 100).alias("v"), "id"
+    ).repartition(7)
+    got = {
+        r.id: r.rank
+        for r in global_rank(
+            benign, ["v", "id"], bucket=(F.col("v") / 10).cast("int"),
+            hot_bucket_rows=None,
+        ).collect()
+    }
+    from pyspark.sql import Window
+
+    want = {
+        r.id: r.rank
+        for r in benign.withColumn(
+            "rank", F.row_number().over(Window.orderBy("v", "id"))
+        ).collect()
+    }
+    assert got == want

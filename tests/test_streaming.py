@@ -1096,3 +1096,57 @@ def _write_corpus_nd(corpus_dir) -> str:
     from _fixtures import write_planted_corpus
 
     return write_planted_corpus(corpus_dir, _ND_DOCS)
+
+
+def test_stream_lsh_dedup_fresh_checkpoint_replay_after_compaction(spark, tmp_path):
+    """ADVICE r6 replay safety: after compaction folds history into the max
+    batch_id, a stream restarted on a FRESH checkpoint re-delivers every
+    drop with ids starting at 0 — reaching (and previously overwriting) the
+    compacted id. The `_compaction_floor` marker remaps those ids above the
+    compacted delta and the doc-level anti-join makes the re-delivery a
+    no-op, so the fold stays exactly q36; a genuinely new doc afterwards
+    still pairs against the full compacted state."""
+    import shutil
+    import time as _t
+
+    import pyarrow.parquet as _pq
+
+    from big_data_computing_final_project_spark.streaming.events import (
+        compact_lsh_dedup_store,
+        near_dup_pairs_from_store,
+        run_stream_lsh_dedup,
+    )
+
+    corpus = _write_corpus_nd(tmp_path / "nd_corpus3")
+    want = [
+        tuple(r)
+        for r in all_queries()["q36_minhash_lsh_dedup"](spark, corpus).collect()
+    ]
+
+    src_dir = tmp_path / "nd_arrivals_r"
+    store = str(tmp_path / "nd_store_r")
+    ckpt = str(tmp_path / "nd_ckpt_r")
+    _write_doc_drops(src_dir, _ND_DROPS[0:2])  # docs 1-4: all 6 pairs
+
+    def _stream():
+        return _docs_stream(spark, str(src_dir)).select("doc_id", "text")
+
+    run_stream_lsh_dedup(_stream(), store, ckpt)
+    compact_lsh_dedup_store(spark, store)
+    folded = [tuple(r) for r in near_dup_pairs_from_store(spark, store).collect()]
+    assert folded == want
+
+    # fresh checkpoint: ids restart at 0 and every already-folded doc is
+    # re-delivered, including a batch id EQUAL to the compacted delta's
+    shutil.rmtree(ckpt)
+    run_stream_lsh_dedup(_stream(), store, str(tmp_path / "nd_ckpt_r2"))
+    replayed = [tuple(r) for r in near_dup_pairs_from_store(spark, store).collect()]
+    assert replayed == want  # no overwrite, no duplicate or self pairs
+
+    # a genuinely new doc still joins against the compacted + replay state
+    p = str(src_dir / "drop_new.parquet")
+    _pq.write_table(_docs_tbl(_ND_DROPS[2]), p)
+    os.utime(p, (_t.time(), _t.time()))
+    run_stream_lsh_dedup(_stream(), store, str(tmp_path / "nd_ckpt_r2"))
+    final = [tuple(r) for r in near_dup_pairs_from_store(spark, store).collect()]
+    assert final == want  # doc 5 is unrelated: fold unchanged, ingest clean
