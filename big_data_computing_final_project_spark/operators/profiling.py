@@ -56,6 +56,50 @@ def null_counts(df: DataFrame) -> DataFrame:
     )
 
 
+def describe_strings(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """A2's object-column half — pandas ``describe(include='all')``'s
+    count/unique/top/freq for string columns (reference
+    `data_analysis.ipynb:241`: the 24-col describe output), long format:
+    (column_name, n, n_unique, top, top_freq).
+
+    Deterministic top-tie rule: highest count, then SMALLEST value
+    (pandas' own tie order is hash-arbitrary, so a rule must be chosen;
+    smallest-value is the one every SQL engine can reproduce with
+    `ORDER BY cnt DESC, val LIMIT 1`).
+
+    Scale shape: per column, ONE partial-aggregated groupBy to (value,
+    count) — state bounded by distinct values, map-side combined — then a
+    1-row aggregate picks count/unique/top/freq from the counted frame.
+    ``min_by`` over a (-count, value) struct encodes the tie rule without
+    a sort. k columns = k aggregation passes (inherent: each groups by a
+    different key); no collect, no window, no all-row buffers.
+    """
+    cols = columns or string_columns(df)
+    outs = []
+    for c in cols:
+        vc = (
+            df.filter(F.col(c).isNotNull())
+            .groupBy(F.col(c).alias("val"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        outs.append(
+            vc.agg(
+                F.sum("n").cast("bigint").alias("n_rows"),
+                F.count(F.lit(1)).cast("bigint").alias("n_unique"),
+                F.min_by(
+                    "val", F.struct((-F.col("n")).alias("o1"), F.col("val").alias("o2"))
+                ).alias("top"),
+                F.max("n").cast("bigint").alias("top_freq"),
+            ).select(
+                F.lit(c).alias("column_name"), "n_rows", "n_unique", "top", "top_freq"
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("column_name")
+
+
 def describe(df: DataFrame, columns: list[str] | None = None, exact: bool = False) -> DataFrame:
     """A2/A4/A6/A7 — pandas-describe superset in long format: count, mean,
     stddev (sample), min, max, quartiles, distinct count per numeric column.

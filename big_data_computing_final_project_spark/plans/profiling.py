@@ -554,3 +554,107 @@ def q203_distributed_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     return exact_quantiles(li, "l_extendedprice", _Q203_QS, mode="lower")
+
+
+# ---------------------------------------------------------------------------
+# q204 — describe(include='all'): pandas' mixed-type describe (reference
+# `data_analysis.ipynb:241` — the 24-column describe with count/unique/
+# top/freq rows for object columns; SURVEY A2's countDistinct + max_by).
+# String columns get count/unique/top/freq via operators/profiling.
+# describe_strings (one value-counts groupBy + a 1-row min_by pick per
+# column — no sort, no collect); numeric columns get count/unique/mean/
+# variance/stddev/min/max from one decimal power-sum pass (q19's exact
+# shape). Superset of pandas: numeric columns also get n_unique (pandas
+# leaves it NaN; countDistinct is free in the same pass).
+# Deterministic top-tie rule: highest count, then smallest value.
+# ---------------------------------------------------------------------------
+
+_Q204_STR_COLS = ["o_orderpriority", "o_orderstatus"]
+_Q204_NUM_COLS = ["o_custkey", "o_totalprice"]
+
+
+def _q204_oracle() -> str:
+    parts = []
+    for c in _Q204_STR_COLS:
+        parts.append(
+            f"""
+SELECT '{c}' AS column_name,
+       COUNT({c}) AS n,
+       COUNT(DISTINCT {c}) AS n_unique,
+       (SELECT {c} FROM orders WHERE {c} IS NOT NULL
+          GROUP BY {c} ORDER BY COUNT(*) DESC, {c} LIMIT 1) AS top,
+       (SELECT COUNT(*) FROM orders WHERE {c} IS NOT NULL
+          GROUP BY {c} ORDER BY COUNT(*) DESC, {c} LIMIT 1) AS top_freq,
+       CAST(NULL AS DOUBLE) AS mean,
+       CAST(NULL AS DOUBLE) AS variance,
+       CAST(NULL AS DOUBLE) AS min_val,
+       CAST(NULL AS DOUBLE) AS max_val
+FROM orders"""
+        )
+    for c in _Q204_NUM_COLS:
+        parts.append(
+            f"""
+SELECT '{c}' AS column_name,
+       COUNT({c}) AS n,
+       COUNT(DISTINCT {c}) AS n_unique,
+       CAST(NULL AS VARCHAR) AS top,
+       CAST(NULL AS BIGINT) AS top_freq,
+       {sql_dec_sum(c)} / COUNT({c}) AS mean,
+       ({sql_dec_sum(f'{c} * {c}', 8)} - {sql_dec_sum(c)} * {sql_dec_sum(c)} / COUNT({c}))
+         / (COUNT({c}) - 1) AS variance,
+       CAST(MIN({c}) AS DOUBLE) AS min_val,
+       CAST(MAX({c}) AS DOUBLE) AS max_val
+FROM orders"""
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY column_name"
+
+
+@register("q204_describe_all", oracle=_q204_oracle())
+def q204_describe_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profiling import describe_strings
+
+    orders = _t(spark, sf_dir, "orders")
+    null_d = F.lit(None).cast("double")
+    strings = describe_strings(orders, _Q204_STR_COLS).select(
+        "column_name",
+        F.col("n_rows").alias("n"),
+        "n_unique",
+        "top",
+        "top_freq",
+        null_d.alias("mean"),
+        null_d.alias("variance"),
+        null_d.alias("min_val"),
+        null_d.alias("max_val"),
+    )
+    aggs = []
+    for c in _Q204_NUM_COLS:
+        col = F.col(c)
+        aggs += [
+            F.count(col).alias(f"{c}__n"),
+            F.countDistinct(col).alias(f"{c}__u"),
+            dec_sum(col).alias(f"{c}__s1"),
+            dec_sum(col * col, 8, wide=True).alias(f"{c}__s2"),
+            F.min(col).cast("double").alias(f"{c}__min"),
+            F.max(col).cast("double").alias(f"{c}__max"),
+        ]
+    one = orders.agg(*aggs)
+    stack_args = []
+    for c in _Q204_NUM_COLS:
+        n, s1, s2 = F.col(f"{c}__n"), F.col(f"{c}__s1"), F.col(f"{c}__s2")
+        stack_args.append(
+            F.struct(
+                F.lit(c).alias("column_name"),
+                n.alias("n"),
+                F.col(f"{c}__u").cast("bigint").alias("n_unique"),
+                F.lit(None).cast("string").alias("top"),
+                F.lit(None).cast("bigint").alias("top_freq"),
+                (s1 / n).alias("mean"),
+                ((s2 - s1 * s1 / n) / (n - F.lit(1))).alias("variance"),
+                F.col(f"{c}__min").alias("min_val"),
+                F.col(f"{c}__max").alias("max_val"),
+            )
+        )
+    numerics = (
+        one.select(F.explode(F.array(*stack_args)).alias("s")).select("s.*")
+    )
+    return strings.unionByName(numerics).orderBy("column_name")

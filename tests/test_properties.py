@@ -497,3 +497,19 @@ def test_json_extraction_cross_engine_edges(spark):
             "SELECT json_extract_string(try_cast(? AS JSON), '$.k')", [c]
         ).fetchone()[0]
         assert got[c] == want, (c, got[c], want)
+
+
+def test_describe_strings_tie_rule_and_nulls(spark):
+    """describe_strings (SURVEY A2 string half): count excludes nulls,
+    unique is exact, and the documented top-tie rule — highest count, then
+    SMALLEST value — picks 'a' when 'a' and 'b' tie at 3."""
+    from big_data_computing_final_project_spark.operators.profiling import (
+        describe_strings,
+    )
+
+    rows = [("a",), ("a",), ("a",), ("b",), ("b",), ("b",), ("c",), (None,)]
+    df = spark.createDataFrame(rows, "s string").repartition(3)
+    r = describe_strings(df, ["s"]).collect()[0]
+    assert (r.column_name, r.n_rows, r.n_unique, r.top, r.top_freq) == (
+        "s", 7, 3, "a", 3,
+    )
