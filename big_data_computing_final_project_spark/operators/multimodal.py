@@ -8,9 +8,11 @@ Partitioning guidance: media tables should be written with
 `spark.sql.files.maxPartitionBytes` sized so one batch of payloads fits
 executor memory (payloads dominate row width).
 
-The actual codec is STUBBED: this container ships no image/audio libs, so
-`decode_media` parses the deterministic synthetic header produced by
-`attach_synthetic_media` and raises `NotImplementedError` for real formats.
+Header decode is REAL for PNG (IHDR) and JPEG (SOFn) — pure-struct parses
+of the public specs, no codec library — plus the deterministic synthetic
+codec produced by `attach_synthetic_media` (the oracle-paired path, since
+DuckDB can recompute it). Pixel decode / resampling would need a real
+codec library (absent in this container) and raises `NotImplementedError`.
 The Spark-side plumbing — schema, batching, UDF signature — is real and
 oracle-tested end-to-end (plans/multimodal.py q51).
 """
@@ -56,25 +58,79 @@ def attach_synthetic_media(docs: DataFrame) -> DataFrame:
     )
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_dims(content: bytes) -> tuple[int, int]:
+    """PNG IHDR dimensions — pure-struct parse, no codec library. The
+    first chunk after the 8-byte signature MUST be IHDR (PNG spec §11.2.2);
+    width/height are big-endian u32 at its data offsets 0/4."""
+    if len(content) < 24 or content[12:16] != b"IHDR":
+        raise NotImplementedError("malformed PNG: missing IHDR")
+    w = int.from_bytes(content[16:20], "big")
+    h = int.from_bytes(content[20:24], "big")
+    if not (0 < w <= 2**31 - 1 and 0 < h <= 2**31 - 1):
+        raise NotImplementedError("malformed PNG: zero or out-of-range dims")
+    return w, h
+
+
+def _jpeg_dims(content: bytes) -> tuple[int, int]:
+    """JPEG SOFn dimensions — walk the marker segments from SOI until a
+    start-of-frame marker (SOF0-15 except DHT/JPG/DAC), then read the
+    big-endian height/width at frame-header offsets 3/5 (ITU T.81 §B.2.2)."""
+    i, n = 2, len(content)
+    while i + 9 <= n:
+        if content[i] != 0xFF:
+            raise NotImplementedError("malformed JPEG: lost marker sync")
+        marker = content[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if 0xD0 <= marker <= 0xD9:  # RSTn/SOI/EOI: no length field
+            i += 2
+            continue
+        seg_len = int.from_bytes(content[i + 2 : i + 4], "big")
+        if seg_len < 2:
+            raise NotImplementedError("malformed JPEG: bad segment length")
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            h = int.from_bytes(content[i + 5 : i + 7], "big")
+            w = int.from_bytes(content[i + 7 : i + 9], "big")
+            if w == 0 or h == 0:
+                raise NotImplementedError("malformed JPEG: zero dims in SOF")
+            return w, h
+        i += 2 + seg_len
+    raise NotImplementedError("malformed JPEG: no SOF marker before EOF")
+
+
 def decode_media(media: DataFrame) -> DataFrame:
     """mapInPandas decode: binary -> (dims, payload size, content hash).
 
-    Real codecs (PIL/librosa/ffmpeg) would slot into `_decode_one`; only the
-    synthetic codec is implemented here (see module docstring).
-    """
+    Three real header codecs, all pure-struct public-spec parsing (no
+    external libraries): PNG (IHDR), JPEG (SOFn scan), and the synthetic
+    test codec. Pixel decode / resampling would need a codec library and
+    stays stubbed; dimension+size metadata is what the curation pipeline
+    actually filters on. For real formats the whole file is the payload
+    (n_payload_bytes = len(content)); the synthetic codec excludes its
+    8-byte header."""
 
     def _decode_one(content: bytes) -> tuple[int, int, int, str]:
+        md5 = hashlib.md5(content).hexdigest()
+        if content[: len(_PNG_SIG)] == _PNG_SIG:
+            w, h = _png_dims(content)
+            return w, h, len(content), md5
+        if content[:3] == b"\xff\xd8\xff":
+            w, h = _jpeg_dims(content)
+            return w, h, len(content), md5
         if len(content) < _HEADER_LEN:
             raise NotImplementedError(
-                "real media decode is stubbed: only the synthetic/v1 header codec "
-                "is available in this environment"
+                "unsupported media format: not PNG/JPEG/synthetic-v1"
             )
         try:
             width = int(content[:4].decode("ascii"))
             height = int(content[4:8].decode("ascii"))
         except (UnicodeDecodeError, ValueError) as e:
             raise NotImplementedError(f"unsupported media format: {e}") from e
-        return width, height, len(content) - _HEADER_LEN, hashlib.md5(content).hexdigest()
+        return width, height, len(content) - _HEADER_LEN, md5
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -330,3 +330,64 @@ def test_partitioned_write_prunes_partitions_on_read(spark, sf_dir, tmp_path):
     # the pruned read returns exactly the filtered rows
     assert one_type.count() == ev.filter(F.col("event_type") == "click").count()
     assert one_type.count() > 0
+
+
+def test_decode_media_real_png_and_jpeg_headers(spark):
+    """VERDICT r6 item 5: real-format multimodal decode. A COMPLETE valid
+    PNG (signature/IHDR/IDAT/IEND with correct CRCs) and a structurally
+    faithful JPEG (SOI, APP0-JFIF, DQT, SOF0) must decode to their true
+    dimensions through the same mapInPandas stage as the synthetic codec;
+    garbage still raises NotImplementedError."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from big_data_computing_final_project_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    def png(w, h):
+        def chunk(tag, data):
+            return (
+                struct.pack(">I", len(data))
+                + tag
+                + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+        raw = b"".join(b"\x00" + b"\x10\x20\x30" * w for _ in range(h))
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    def jpeg(w, h):
+        app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00" + struct.pack(">HH", 72, 72) + b"\x00\x00"
+        dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(64)
+        sof0 = (
+            b"\xff\xc0"
+            + struct.pack(">H", 11)
+            + b"\x08"
+            + struct.pack(">HH", h, w)
+            + b"\x01\x01\x11\x00"
+        )
+        return b"\xff\xd8" + app0 + dqt + sof0 + b"\xff\xd9"
+
+    rows = [(1, png(5, 3)), (2, jpeg(640, 480)), (3, png(1, 1))]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {r.doc_id: r for r in decode_media(df).collect()}
+    assert (got[1].width, got[1].height) == (5, 3)
+    assert (got[2].width, got[2].height) == (640, 480)
+    assert (got[3].width, got[3].height) == (1, 1)
+    assert got[1].n_payload_bytes == len(rows[0][1])
+    import hashlib as _h
+
+    assert got[2].content_md5 == _h.md5(rows[1][1]).hexdigest()
+
+    bad = spark.createDataFrame([(9, b"\x00\x01garbage!")], "doc_id long, content binary")
+    with pytest.raises(Exception, match="NotImplementedError|unsupported media"):
+        decode_media(bad).collect()
