@@ -21,6 +21,7 @@ from .registry import register
 
 _K = 5
 _N_QUERIES = 20  # vec_id < 20 are the query vectors
+_TOPK_SALT = 64  # q38 two-phase top-k fan-out (local top-k per salt slice)
 
 
 def as_double(arr: F.Column) -> F.Column:
@@ -89,9 +90,25 @@ def q38_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dot(F.col("qe"), F.col("e")) / (F.col("nq") * F.col("nc"))).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
+    # two-phase top-k (VERDICT r6 item 6): a per-(query, salt) partial
+    # top-k first, so the per-query window never sees the full corpus —
+    # the q_id-partitioned shuffle carries <= _TOPK_SALT*k rows per query
+    # instead of n_corpus, and the first-phase sort parallelizes across
+    # n_queries*_TOPK_SALT partitions. The global top-k is a subset of the
+    # union of salt-local top-ks under the same ordering, so results are
+    # identical to the single-window form.
+    order = [F.col("cos_sim").desc(), F.col("cand_id")]
+    lw = Window.partitionBy("q_id", F.pmod(F.col("cand_id"), _TOPK_SALT)).orderBy(
+        *order
+    )
+    pruned = (
+        scored.withColumn("lrk", F.row_number().over(lw))
+        .filter(F.col("lrk") <= _K)
+        .drop("lrk")
+    )
+    w = Window.partitionBy("q_id").orderBy(*order)
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        pruned.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _K)
         .select("q_id", "cand_id", "cos_sim", "rk")
         .orderBy("q_id", "rk")
