@@ -684,8 +684,12 @@ _IVF_NLIST = 16
 _IVF_NPROBE = 4
 
 
-@register("q64_ann_ivf_topk")
-def q64_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivf_scored(
+    spark: SparkSession, sf_dir: str, nprobe: int = _IVF_NPROBE
+) -> DataFrame:
+    """The IVF probe-and-score frame shared by q64 and the IVF-pooled MMR
+    (q205): (q_id, cand_id, cos_sim, e) for every candidate inside each
+    query's nprobe nearest cells."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -725,18 +729,24 @@ def q64_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     wq = Window.partitionBy("q_id").orderBy(F.col("c_sim").desc(), F.col("cell"))
     probes = (
         qc.withColumn("rk", F.row_number().over(wq))
-        .filter(F.col("rk") <= _IVF_NPROBE)
+        .filter(F.col("rk") <= nprobe)
         .select("q_id", "qe", "nq", "cell")
     )
-    scored = (
+    return (
         probes.join(assigned, "cell")
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",
             F.col("vec_id").alias("cand_id"),
             (dot(F.col("qe"), F.col("e")) / (F.col("nq") * F.col("nc"))).alias("cos_sim"),
+            "e",
         )
     )
+
+
+@register("q64_ann_ivf_topk")
+def q64_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _ivf_scored(spark, sf_dir)
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
@@ -1407,6 +1417,7 @@ def q186_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MMR_POOL = 50
 _MMR_K = 10
+_MMR_IVF_NPROBE = 8  # q205 pool probes (rerank pools want recall > serving nprobe)
 _MMR_LAMBDA = 0.7
 
 
@@ -1485,6 +1496,27 @@ def q199_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(q_id, cand_id, mmr_rank, mmr_score) — the diversified top-10 of
     each query's cosine top-50 pool."""
     return mmr_rerank(_scored_pool(spark, sf_dir)).orderBy("q_id", "mmr_rank")
+
+
+@register("q205_mmr_ivf_rerank")
+def q205_mmr_ivf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR over an ANN pool (VERDICT r6 item 7): the candidate pool comes
+    from the IVF probe path (q64's coarse-quantizer cells) instead of the
+    brute-force score of the whole corpus — the composition a 100-TB
+    retrieval stack actually runs (ANN recall -> diversity rerank). Pool
+    construction scans only nprobe/nlist of the corpus; the per-pool MMR
+    is unchanged. Rows-only (KMeans fit isn't SQL-expressible);
+    tests pin per-query pool recall vs the brute pool. A rerank pool
+    wants higher recall than a top-5 lookup, so this probes 8/16 cells
+    (double q64's serving nprobe — the standard IVF knob)."""
+    scored = _ivf_scored(spark, sf_dir, nprobe=_MMR_IVF_NPROBE)
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
+    pool = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _MMR_POOL)
+        .drop("rk")
+    )
+    return mmr_rerank(pool).orderBy("q_id", "mmr_rank")
 
 
 # ---------------------------------------------------------------------------

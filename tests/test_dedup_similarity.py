@@ -980,3 +980,48 @@ def test_q40_degenerate_duplicates_match_oracle(spark, tmp_path):
     ids = {(a, b) for a, b, _ in got}
     assert (4, 5) in ids
     assert all(c is not None for _, _, c in got)
+
+
+def test_q205_ivf_pool_recall_and_mmr_contract(spark, sf_dir):
+    """q205 (MMR over the IVF pool): per-query pool recall vs the brute
+    top-50 pool stays above the pinned floor (min 0.5, mean 0.65 at
+    nprobe=8/16 on the synthetic near-random embeddings), and the rerank
+    output keeps the MMR contract — k rows per query, rank 1 is the pool's
+    highest-relevance candidate, no duplicate selections."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from big_data_computing_final_project_spark.plans.similarity import (
+        _MMR_IVF_NPROBE,
+        _MMR_K,
+        _MMR_POOL,
+        _ivf_scored,
+        _scored_pool,
+    )
+
+    brute = {}
+    for r in _scored_pool(spark, sf_dir).select("q_id", "cand_id").collect():
+        brute.setdefault(r.q_id, set()).add(r.cand_id)
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
+    ivf_pool = (
+        _ivf_scored(spark, sf_dir, nprobe=_MMR_IVF_NPROBE)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _MMR_POOL)
+    )
+    pools = {}
+    for r in ivf_pool.select("q_id", "cand_id").collect():
+        pools.setdefault(r.q_id, set()).add(r.cand_id)
+    recalls = [len(brute[q] & pools.get(q, set())) / len(brute[q]) for q in brute]
+    assert min(recalls) >= 0.5, min(recalls)
+    assert sum(recalls) / len(recalls) >= 0.65
+
+    out = _Q["q205_mmr_ivf_rerank"](spark, sf_dir).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.q_id, []).append(r)
+    for q, rows in per_q.items():
+        assert len(rows) == _MMR_K
+        assert len({r.cand_id for r in rows}) == _MMR_K  # no dup selections
+        assert [r.mmr_rank for r in sorted(rows, key=lambda r: r.mmr_rank)] == list(
+            range(1, _MMR_K + 1)
+        )
