@@ -351,26 +351,53 @@ def test_q193_grid_search_rf_reports_every_candidate(spark, sf_dir):
     assert abs(rows["best_cv_f1"] - max(rows[c] for c in cells)) < 1e-12
 
 
-def test_render_dot_png_if_graphviz_present(spark, sf_dir, tmp_path):
-    """Optional PNG render of q44's tree (the reference's export_graphviz
-    artifact): skipped when the graphviz binary is absent; the no-binary
-    path must raise a clear FileNotFoundError either way."""
-    import shutil
+def test_render_dot_hermetic(spark, sf_dir, tmp_path, monkeypatch):
+    """PNG render of q44's tree (the reference's export_graphviz artifact),
+    HERMETIC: a stub `dot` executable planted on PATH exercises the whole
+    render path — format inference, stdin handoff, exit-code check, output
+    file — deterministically on any box (real graphviz, when present, is
+    a bonus covered by the same code path). The no-binary branch must
+    raise a clear FileNotFoundError."""
+    import os
+    import stat
 
     import pytest as _pytest
 
+    from big_data_computing_final_project_spark.ml.models import decision_tree
     from big_data_computing_final_project_spark.ml.viz import render_dot, tree_to_dot
     from big_data_computing_final_project_spark.plans.ml_queries import (
         _embedding_features,
     )
-    from big_data_computing_final_project_spark.ml.models import decision_tree
 
     model = decision_tree(max_depth=3).fit(_embedding_features(spark, sf_dir))
     dot = tree_to_dot(model)
-    if shutil.which("dot") is None:
-        with _pytest.raises(FileNotFoundError, match="graphviz"):
-            render_dot(dot, str(tmp_path / "tree.png"))
-        _pytest.skip("graphviz binary not installed")
+    real_path = os.environ.get("PATH", "")
+
+    # no binary on PATH -> clear error
+    monkeypatch.setenv("PATH", str(tmp_path / "emptybin"))
+    with _pytest.raises(FileNotFoundError, match="graphviz"):
+        render_dot(dot, str(tmp_path / "tree.png"))
+
+    # stub dot: validates -T, reads the DOT from stdin, writes PNG magic +
+    # the digraph text (so the test can assert the handoff was complete)
+    bindir = tmp_path / "bin"
+    bindir.mkdir()
+    stub = bindir / "dot"
+    stub.write_text(
+        "#!/bin/sh\n"
+        'case "$1" in -Tpng) ;; *) echo "bad fmt $1" >&2; exit 9;; esac\n'
+        '[ "$2" = "-o" ] || exit 9\n'
+        "printf '\\211PNG\\r\\n\\032\\n' > \"$3\"\n"
+        'cat >> "$3"\n'
+    )
+    stub.chmod(stub.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setenv("PATH", f"{bindir}{os.pathsep}{real_path}")
     out = render_dot(dot, str(tmp_path / "tree.png"))
     with open(out, "rb") as f:
-        assert f.read(8) == b"\x89PNG\r\n\x1a\n"
+        blob = f.read()
+    assert blob[:8] == b"\x89PNG\r\n\x1a\n"
+    assert b"digraph" in blob  # the full DOT reached the renderer's stdin
+
+    # nonzero exit surfaces as RuntimeError with stderr attached
+    with _pytest.raises(RuntimeError, match="bad fmt"):
+        render_dot(dot, str(tmp_path / "tree.svg"))
