@@ -92,42 +92,43 @@ def _replicate(df, remap: dict[str, object], n: int = COPIES):
     return out
 
 
-def ensure_data(spark) -> None:
-    if os.path.exists(os.path.join(DST, "embeddings.parquet")):
+def ensure_data(spark, dst: str = DST, copies: int = COPIES) -> None:
+    if os.path.exists(os.path.join(dst, "embeddings.parquet")):
         return
-    os.makedirs(DST, exist_ok=True)
+    os.makedirs(dst, exist_ok=True)
     for t in DIMS:
         spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite").parquet(
-            f"{DST}/{t}.parquet"
+            f"{dst}/{t}.parquet"
         )
     orders = spark.read.parquet(f"{SRC}/orders.parquet")
     _replicate(
-        orders, {"o_orderkey": lambda i: F.col("o_orderkey") * COPIES + i}
-    ).write.mode("overwrite").parquet(f"{DST}/orders.parquet")
+        orders, {"o_orderkey": lambda i: F.col("o_orderkey") * copies + i}, copies
+    ).write.mode("overwrite").parquet(f"{dst}/orders.parquet")
     li = spark.read.parquet(f"{SRC}/lineitem.parquet")
     _replicate(
-        li, {"l_orderkey": lambda i: F.col("l_orderkey") * COPIES + i}
-    ).write.mode("overwrite").parquet(f"{DST}/lineitem.parquet")
+        li, {"l_orderkey": lambda i: F.col("l_orderkey") * copies + i}, copies
+    ).write.mode("overwrite").parquet(f"{dst}/lineitem.parquet")
     ev = spark.read.parquet(f"{SRC}/events.parquet")
     _replicate(
-        ev, {"event_id": lambda i: F.col("event_id") * COPIES + i}
-    ).write.mode("overwrite").parquet(f"{DST}/events.parquet")
+        ev, {"event_id": lambda i: F.col("event_id") * copies + i}, copies
+    ).write.mode("overwrite").parquet(f"{dst}/events.parquet")
     docs = spark.read.parquet(f"{SRC}/documents.parquet")
     _replicate(
         docs,
         {
-            "doc_id": lambda i: F.col("doc_id") * COPIES + i,
+            "doc_id": lambda i: F.col("doc_id") * copies + i,
             "text": lambda i: (
                 F.col("text") if i == 0 else F.concat(F.col("text"), F.lit(f" c{i}"))
             ),
         },
+        copies,
     ).withColumn("n_chars", F.length("text").cast("bigint")).write.mode(
         "overwrite"
-    ).parquet(f"{DST}/documents.parquet")
+    ).parquet(f"{dst}/documents.parquet")
     emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
     _replicate(
-        emb, {"vec_id": lambda i: F.col("vec_id") * COPIES + i}
-    ).write.mode("overwrite").parquet(f"{DST}/embeddings.parquet")
+        emb, {"vec_id": lambda i: F.col("vec_id") * copies + i}, copies
+    ).write.mode("overwrite").parquet(f"{dst}/embeddings.parquet")
 
 
 def main() -> None:

@@ -16,7 +16,16 @@ seconds) to the output path, and exits non-zero if any step fails — so
 NOTES.md can cite a single artifact instead of five terminal scrollbacks.
 
 Usage: python tools/verify_round.py [out_json] [--skip pytest,sf01,...]
+                                     [--touched BASE_REF]
   step keys: pytest sf001 sf01 tz lowpart
+
+--touched BASE_REF (registry runtime budget, VERDICT r6 item 10): the tz
+and lowpart sweeps exist to catch dialect/reduction-order sensitivity in
+QUERIES THAT CHANGED; with --touched they run only the queries whose
+defining plans/*.py file differs from BASE_REF (the primary sf0.01+sf0.1
+gates still cover the full registry). If any SHARED engine file changed
+(operators/ functions/ sources/ catalog/session), the subset is unsafe
+and the sweeps fall back to the full registry automatically.
 """
 
 from __future__ import annotations
@@ -97,9 +106,40 @@ STEPS = {
 }
 
 
+def _touched_queries(base_ref: str) -> list[str] | None:
+    """Queries whose defining plans/*.py changed vs base_ref, or None when
+    a shared engine file changed (subset unsafe -> full sweep)."""
+    diff = subprocess.run(
+        ["git", "diff", "--name-only", base_ref, "HEAD", "--",
+         "big_data_computing_final_project_spark"],
+        cwd=ROOT, capture_output=True, text=True,
+    )
+    changed = [ln.strip() for ln in diff.stdout.splitlines() if ln.strip()]
+    plans_prefix = "big_data_computing_final_project_spark/plans/"
+    shared = [c for c in changed if not c.startswith(plans_prefix)]
+    if shared:
+        print(f"--touched: shared engine files changed {shared[:5]} -> full sweep")
+        return None
+    changed_files = {os.path.basename(c) for c in changed}
+    if not changed_files:
+        return []
+    import inspect
+
+    sys.path.insert(0, ROOT)
+    from big_data_computing_final_project_spark.plans import all_queries
+
+    out = []
+    for name, fn in all_queries().items():
+        src = inspect.getsourcefile(inspect.unwrap(fn)) or ""
+        if os.path.basename(src) in changed_files:
+            out.append(name)
+    return sorted(out)
+
+
 def main() -> None:
     out_path = None
     skip: set[str] = set()
+    touched_base: str | None = None
     args = sys.argv[1:]
     i = 0
     while i < len(args):
@@ -110,6 +150,12 @@ def main() -> None:
             elif i + 1 < len(args):
                 i += 1
                 skip = set(args[i].split(","))
+        elif a.startswith("--touched"):
+            if "=" in a:
+                touched_base = a.split("=", 1)[1]
+            elif i + 1 < len(args):
+                i += 1
+                touched_base = args[i]
         else:
             out_path = a
         i += 1
@@ -120,11 +166,23 @@ def main() -> None:
         ["git", "rev-parse", "--short", "HEAD"], cwd=ROOT, capture_output=True, text=True
     ).stdout.strip()
     record: dict = {"git_head": head, "steps": {}}
+    subset: list[str] | None = None
+    if touched_base is not None:
+        subset = _touched_queries(touched_base)
+        record["touched_base"] = touched_base
+        record["touched_queries"] = subset
+        if subset is not None:
+            print(f"--touched {touched_base}: {len(subset)} queries for tz/lowpart")
     ok = True
     for name, (cmd, env, summarize, passed) in STEPS.items():
         if name in skip:
             record["steps"][name] = {"skipped": True}
             continue
+        if name in ("tz", "lowpart") and subset is not None:
+            if not subset:
+                record["steps"][name] = {"skipped": True, "reason": "no touched queries"}
+                continue
+            cmd = cmd + subset
         t0 = time.time()
         rc, output = _run(cmd, env)
         s = summarize(output)
