@@ -42,10 +42,15 @@ def exact_quantiles(
     *,
     mode: str = "linear",
     bucket: Column | None = None,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Exact quantiles of ``df[col]`` (nulls skipped, like both engines'
-    aggregates) as a small frame ``(q double, value double)``, one row per
-    requested quantile, via the distributed plan above.
+    aggregates) as a small frame ``(*group_cols, q double, value double)``,
+    one row per (group,) requested quantile, via the distributed plan above.
+    With ``group_cols`` the prefix scan partitions per group but within-
+    group work still splits by bucket — a huge group never serializes into
+    one task (unlike ``percentile(...) GROUP BY`` whose per-group buffer
+    holds every distinct value).
 
     ``bucket`` must be monotone non-decreasing in ``val`` with a bounded
     domain (it splits the prefix scan); default ``floor(val/1000)`` suits
@@ -53,27 +58,35 @@ def exact_quantiles(
     """
     if mode not in ("linear", "lower"):
         raise ValueError(f"mode must be 'linear' or 'lower', got {mode!r}")
+    groups = list(group_cols or [])
     vals = (
-        df.select(F.col(col).cast("double").alias("val"))
+        df.select(*groups, F.col(col).cast("double").alias("val"))
         .filter(F.col("val").isNotNull())
     )
-    c = vals.groupBy("val").agg(F.count(F.lit(1)).alias("n"))
+    c = vals.groupBy(*groups, "val").agg(F.count(F.lit(1)).alias("n"))
     b = bucket if bucket is not None else F.floor(F.col("val") / 1000).cast("bigint")
-    w = prefix_agg(c, ["val"], "n", "cum", agg="sum", bucket=b)
-    tot = c.agg(F.sum("n").alias("tot"))
+    w = prefix_agg(
+        c, ["val"], "n", "cum", agg="sum", bucket=b, partition_cols=groups or None
+    )
     spark = df.sparkSession
     qf = spark.range(1).select(
         F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
     )
-    ranked = qf.crossJoin(F.broadcast(tot))
+    if groups:
+        tot = c.groupBy(*groups).agg(F.sum("n").alias("tot"))
+        ranked = tot.crossJoin(F.broadcast(qf))
+        gjoin = groups
+    else:
+        tot = c.agg(F.sum("n").alias("tot"))
+        ranked = qf.crossJoin(F.broadcast(tot))
+        gjoin = []
     if mode == "lower":
         ranked = ranked.withColumn("lo_rank", F.ceil(F.col("q") * F.col("tot")))
         return (
-            w.join(F.broadcast(ranked), F.col("cum") >= F.col("lo_rank"))
-            .groupBy("q")
-            .agg(F.min("val").alias("value"))
-            .orderBy("q")
-        )
+            w.join(F.broadcast(ranked), gjoin) if gjoin else w.crossJoin(F.broadcast(ranked))
+        ).filter(F.col("cum") >= F.col("lo_rank")).groupBy(*groups, "q").agg(
+            F.min("val").alias("value")
+        ).orderBy(*groups, "q")
     # linear: position h = (n-1)*q over the sorted multiset; 0-based row k
     # lives at cumulative rank k+1
     ranked = (
@@ -81,17 +94,23 @@ def exact_quantiles(
         .withColumn("lo_rank", F.floor(F.col("h")) + F.lit(1))
         .withColumn("hi_rank", F.ceil(F.col("h")) + F.lit(1))
     )
+
+    def _rank_join(rk_frame, rank_col):
+        j = (
+            w.join(F.broadcast(rk_frame), gjoin)
+            if gjoin
+            else w.crossJoin(F.broadcast(rk_frame))
+        )
+        return j.filter(F.col("cum") >= F.col(rank_col))
+
     lo = (
-        w.join(F.broadcast(ranked), F.col("cum") >= F.col("lo_rank"))
-        .groupBy("q", "h")
+        _rank_join(ranked, "lo_rank")
+        .groupBy(*groups, "q", "h")
         .agg(F.min("val").alias("v_lo"))
     )
     hi = (
-        w.join(
-            F.broadcast(ranked.select("q", "hi_rank")),
-            F.col("cum") >= F.col("hi_rank"),
-        )
-        .groupBy("q")
+        _rank_join(ranked.select(*groups, "q", "hi_rank"), "hi_rank")
+        .groupBy(*groups, "q")
         .agg(F.min("val").alias("v_hi"))
     )
     # the symmetric weighted form — Spark's Percentile computes
@@ -100,12 +119,13 @@ def exact_quantiles(
     # them bit-identically (lo + (hi-lo)*d would round differently)
     d = F.col("h") - F.floor(F.col("h"))
     return (
-        lo.join(hi, "q")
+        lo.join(hi, [*groups, "q"])
         .select(
+            *groups,
             "q",
             (
                 F.col("v_lo") * (F.lit(1.0) - d) + F.col("v_hi") * d
             ).alias("value"),
         )
-        .orderBy("q")
+        .orderBy(*groups, "q")
     )

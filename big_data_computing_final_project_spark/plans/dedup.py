@@ -1417,3 +1417,67 @@ def q195_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q208 — near-dup SOURCE MATRIX: which corpus slices copy from which. The
+# verified near-dup pairs (q36's banded-LSH path — candidate work bounded
+# by distinct content, never all-pairs) joined back to each side's source
+# and folded to an undirected (source, source) matrix with pair counts and
+# the jac range. The cross-source rows are the interesting ones for a
+# curation pipeline: mirrored feeds, syndication, template spam — q146
+# gives this view for EXACT dups, this extends it to near-dups. All
+# aggregates are order-free (count/min/max over bit-identical jac values),
+# so the LSH path is fully oracle-checkable against the exact self-join.
+# ---------------------------------------------------------------------------
+
+_Q208_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, {_SQL_SHINGLES} AS sh
+  FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+), ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b
+), scored AS (
+  SELECT doc_a, doc_b,
+         CAST(common AS DOUBLE) / (la.n + lb.n - common) AS jac
+  FROM pairs
+  JOIN (SELECT doc_id, len(sh) AS n FROM docs) la ON la.doc_id = doc_a
+  JOIN (SELECT doc_id, len(sh) AS n FROM docs) lb ON lb.doc_id = doc_b
+  WHERE CAST(common AS DOUBLE) / (la.n + lb.n - common) >= {_JACCARD_T}
+)
+SELECT least(da.source, db.source) AS src_a,
+       greatest(da.source, db.source) AS src_b,
+       COUNT(*) AS n_pairs,
+       MIN(jac) AS min_jac,
+       MAX(jac) AS max_jac
+FROM scored
+JOIN documents da ON da.doc_id = doc_a
+JOIN documents db ON db.doc_id = doc_b
+GROUP BY src_a, src_b
+ORDER BY src_a, src_b
+"""
+
+
+@register("q208_near_dup_source_matrix", oracle=_Q208_ORACLE)
+def q208_near_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = lsh_jaccard_pairs(spark, sf_dir, sort=False)
+    docs = load_table(spark, sf_dir, "documents")
+    sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    sb = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .groupBy(
+            F.least("sa", "sb").alias("src_a"),
+            F.greatest("sa", "sb").alias("src_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("jac").alias("min_jac"),
+            F.max("jac").alias("max_jac"),
+        )
+        .orderBy("src_a", "src_b")
+    )

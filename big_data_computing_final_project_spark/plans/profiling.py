@@ -658,3 +658,45 @@ def q204_describe_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         one.select(F.explode(F.array(*stack_args)).alias("s")).select("s.*")
     )
     return strings.unionByName(numerics).orderBy("column_name")
+
+
+# ---------------------------------------------------------------------------
+# q209 — grouped distributed percentiles: per-return-flag exact quartiles
+# of l_extendedprice WITHOUT `percentile(...) GROUP BY` (whose per-group
+# buffer holds every distinct value — a skewed group recreates q21's
+# driver-sized-buffer cliff inside one executor). exact_quantiles with
+# group_cols partitions the prefix scan per group while within-group work
+# still splits by price band; linear interpolation is bit-identical to
+# DuckDB's quantile_cont (see operators/quantiles.py).
+# ---------------------------------------------------------------------------
+
+_Q209_QS = [0.25, 0.5, 0.75]
+
+_Q209_ORACLE = f"""
+SELECT l_returnflag,
+       {", ".join(f"quantile_cont(l_extendedprice, {q}) AS p{int(q * 100)}" for q in _Q209_QS)}
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("q209_grouped_percentiles", oracle=_Q209_ORACLE)
+def q209_grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quantiles import exact_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    qv = exact_quantiles(
+        li, "l_extendedprice", _Q209_QS, group_cols=["l_returnflag"]
+    )
+
+    def at(q: float):
+        return F.max(F.when(F.col("q") == F.lit(q), F.col("value"))).alias(
+            f"p{int(q * 100)}"
+        )
+
+    return (
+        qv.groupBy("l_returnflag")
+        .agg(*[at(q) for q in _Q209_QS])
+        .orderBy("l_returnflag")
+    )

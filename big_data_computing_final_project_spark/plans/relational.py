@@ -527,3 +527,77 @@ def q86_window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     ).orderBy("c_nationkey", F.col("c_acctbal").desc(), "c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# q206 — referential-integrity audit: per FK edge of the star schema, the
+# child row count, orphan count (anti-join against the parent key), and
+# distinct orphan keys — the data-quality gate a warehouse load runs
+# before anything downstream trusts the join graph. Scale shape: each
+# edge is one LEFT ANTI hash join on the key (parent side estimate-
+# guarded broadcastable dims; facts shuffle) + one aggregate; no window, no
+# collect. Null FKs count as orphans only in the null_fk column — SQL
+# anti-join semantics (NULL never matches) are surfaced explicitly so the
+# audit distinguishes "missing parent" from "missing key".
+# ---------------------------------------------------------------------------
+
+_Q206_EDGES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def _q206_oracle() -> str:
+    parts = []
+    for child, fk, parent, pk in _Q206_EDGES:
+        parts.append(
+            f"""
+SELECT '{child}.{fk}' AS edge,
+       (SELECT COUNT(*) FROM {child}) AS n_child_rows,
+       (SELECT COUNT(*) FROM {child} WHERE {fk} IS NULL) AS n_null_fk,
+       (SELECT COUNT(*) FROM {child} c WHERE c.{fk} IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM {parent} p WHERE p.{pk} = c.{fk}))
+         AS n_orphans,
+       (SELECT COUNT(DISTINCT c.{fk}) FROM {child} c WHERE c.{fk} IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM {parent} p WHERE p.{pk} = c.{fk}))
+         AS n_orphan_keys"""
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY edge"
+
+
+@register("q206_referential_integrity", oracle=_q206_oracle())
+def q206_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frames = []
+    for child, fk, parent, pk in _Q206_EDGES:
+        c = _t(spark, sf_dir, child)
+        p = _t(spark, sf_dir, parent).select(F.col(pk).alias("__pk"))
+        totals = c.agg(
+            F.count(F.lit(1)).alias("n_child_rows"),
+            F.count(F.when(F.col(fk).isNull(), 1)).alias("n_null_fk"),
+        )
+        orphans = (
+            c.filter(F.col(fk).isNotNull())
+            .join(broadcast_if_small(p), F.col(fk) == F.col("__pk"), "left_anti")
+            .agg(
+                F.count(F.lit(1)).alias("n_orphans"),
+                F.countDistinct(fk).alias("n_orphan_keys"),
+            )
+        )
+        frames.append(
+            totals.crossJoin(F.broadcast(orphans)).select(
+                F.lit(f"{child}.{fk}").alias("edge"),
+                "n_child_rows",
+                "n_null_fk",
+                "n_orphans",
+                F.col("n_orphan_keys").cast("bigint").alias("n_orphan_keys"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("edge")

@@ -970,3 +970,131 @@ def q149_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_BM25_TOPK)
         .select("doc_id", "total_tf", "n_terms_hit", "doc_len")
     )
+
+
+# ---------------------------------------------------------------------------
+# q207 — token frequency spectrum: how many distinct tokens fall in each
+# frequency OCTAVE (floor(log2(freq)) band), plus each band's share of
+# total token mass. The Zipf-curve diagnostic a corpus audit reads before
+# choosing vocabulary / min-frequency cutoffs — a healthy natural corpus
+# fills every octave; synthetic or deduplicated text shows holes. Octave
+# = the exponent of the frequency's highest set bit, an INTEGER — so the
+# whole query stays inside the exact-hash discipline (no ln(), which the
+# oracle contract forbids as libm-divergent). Scale shape: one explode ->
+# one (token) hash agg -> one (octave) hash agg; the spectrum has at most
+# 64 rows.
+# ---------------------------------------------------------------------------
+
+_Q207_ORACLE = f"""
+WITH tf AS (
+  SELECT t AS token, COUNT(*) AS freq
+  FROM (SELECT unnest({_SQL_TOKS}) AS t FROM documents WHERE text IS NOT NULL)
+  WHERE t <> ''
+  GROUP BY t
+), tot AS (SELECT SUM(freq) AS total_tokens FROM tf)
+SELECT CAST(floor(log2(freq)) AS BIGINT) AS freq_octave,
+       COUNT(*) AS n_distinct_tokens,
+       CAST(SUM(freq) AS BIGINT) AS n_token_occurrences,
+       CAST(SUM(freq) AS DOUBLE) / (SELECT total_tokens FROM tot) AS mass_share
+FROM tf
+GROUP BY freq_octave
+ORDER BY freq_octave
+"""
+
+
+@register("q207_token_freq_spectrum", oracle=_Q207_ORACLE)
+def q207_token_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.filter(F.col("text").isNotNull())
+        .select(F.explode(X.tokens(F.col("text"))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # floor(log2(freq)) == bit_length(freq) - 1: the Spark side avoids
+    # floating log entirely (binary-string length); the oracle's
+    # floor(log2()) is safe because the distance from log2(non-power-of-2)
+    # to the next integer (~1/(freq*ln2)) dwarfs a correctly-rounded
+    # libm's sub-ulp error at these magnitudes
+    tf = tf.withColumn(
+        "freq_octave",
+        (
+            F.length(F.conv(F.col("freq").cast("string"), 10, 2)) - F.lit(1)
+        ).cast("bigint"),
+    )
+    tot = tf.agg(F.sum("freq").alias("total_tokens"))
+    return (
+        tf.groupBy("freq_octave")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            F.sum("freq").cast("bigint").alias("n_token_occurrences"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "freq_octave",
+            "n_distinct_tokens",
+            "n_token_occurrences",
+            (
+                F.col("n_token_occurrences").cast("double") / F.col("total_tokens")
+            ).alias("mass_share"),
+        )
+        .orderBy("freq_octave")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q210 — tokenizer fertility audit per source: characters-per-token and
+# pieces-per-word ratios, the quick health check an LLM data pipeline runs
+# when choosing/validating a tokenizer against each corpus slice (fertility
+# creep on a source usually means encoding damage or the wrong language).
+# Whitespace words vs the BPE-ish piece count (functions/text.bpeish_
+# pieces twin) — both already oracle-twinned primitives; ratios are single
+# double divisions of exact BIGINTs.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q210_tokenizer_fertility",
+    oracle=f"""
+WITH d AS (
+  SELECT source,
+         length({_SQL_NORM}) AS n_chars,
+         len({_SQL_TOKS}) AS n_words
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(n_words) AS BIGINT) AS total_words,
+       CAST(SUM(n_chars) AS DOUBLE) / SUM(n_words) AS chars_per_word
+FROM d
+GROUP BY source
+ORDER BY source
+""",
+)
+def q210_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.filter(F.col("text").isNotNull()).select(
+        "source",
+        F.length(X.normalize(F.col("text"))).cast("bigint").alias("n_chars"),
+        F.size(X.tokens(F.col("text"))).cast("bigint").alias("n_words"),
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum("n_words").cast("bigint").alias("total_words"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_chars",
+            "total_words",
+            (
+                F.col("total_chars").cast("double") / F.col("total_words")
+            ).alias("chars_per_word"),
+        )
+        .orderBy("source")
+    )
