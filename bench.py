@@ -106,6 +106,11 @@ HEADLINE = [
     "q197_weighted_median",    # grouped weighted median (partitioned prefix scan)
     "q198_rrf_fusion",         # reciprocal-rank fusion on distributed ranks
     "q199_mmr_rerank",         # MMR diversified re-rank (pool-local Arrow batches)
+    "q203_distributed_percentiles",  # exact quantiles w/o the percentile() buffer (round-7)
+    "q204_describe_all",       # mixed-type describe: string top/freq via min_by (round-7)
+    "q206_referential_integrity",  # FK orphan audit: 7 anti-join edges (round-7)
+    "q208_near_dup_source_matrix", # LSH pairs -> undirected source matrix (round-7)
+    "q209_grouped_percentiles",    # per-group distributed exact quartiles (round-7)
 ]
 # Deliberately not benched: q68 (iterative CC — timing at this SF is
 # convergence-loop job overhead, not throughput) and exact pairwise
