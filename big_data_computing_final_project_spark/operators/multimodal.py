@@ -8,13 +8,15 @@ Partitioning guidance: media tables should be written with
 `spark.sql.files.maxPartitionBytes` sized so one batch of payloads fits
 executor memory (payloads dominate row width).
 
-Header decode is REAL for PNG (IHDR) and JPEG (SOFn) — pure-struct parses
-of the public specs, no codec library — plus the deterministic synthetic
-codec produced by `attach_synthetic_media` (the oracle-paired path, since
-DuckDB can recompute it). Pixel decode / resampling would need a real
-codec library (absent in this container) and raises `NotImplementedError`.
-The Spark-side plumbing — schema, batching, UDF signature — is real and
-oracle-tested end-to-end (plans/multimodal.py q51).
+Header decode is REAL for PNG (IHDR), JPEG (SOFn), GIF (logical screen)
+and RIFF/WAVE audio (fmt/data chunks -> channels/rate/bits/duration) —
+pure-struct parses of the public specs, no codec library — plus the
+deterministic synthetic codec produced by `attach_synthetic_media` (the
+oracle-paired path, since DuckDB can recompute it). Pixel/sample decode
+and resampling would need a real codec library (absent in this
+container) and raise `NotImplementedError`. The Spark-side plumbing —
+schema, batching, UDF signature — is real and oracle-tested end-to-end
+(plans/multimodal.py q51).
 """
 
 from __future__ import annotations
@@ -102,12 +104,49 @@ def _jpeg_dims(content: bytes) -> tuple[int, int]:
     raise NotImplementedError("malformed JPEG: no SOF marker before EOF")
 
 
+def _gif_dims(content: bytes) -> tuple[int, int]:
+    """GIF logical-screen dimensions — little-endian u16 pair right after
+    the 6-byte GIF87a/GIF89a signature (GIF spec §18)."""
+    if len(content) < 10:
+        raise NotImplementedError("malformed GIF: truncated header")
+    w = int.from_bytes(content[6:8], "little")
+    h = int.from_bytes(content[8:10], "little")
+    if w == 0 or h == 0:
+        raise NotImplementedError("malformed GIF: zero dims")
+    return w, h
+
+
+def wav_meta(content: bytes) -> tuple[int, int, int, float]:
+    """(channels, sample_rate, bits_per_sample, duration_sec) from a
+    RIFF/WAVE file — walk the chunk list to `fmt ` for the format fields
+    and `data` for the payload size (RIFF spec; all little-endian).
+    Pure-struct: no audio library, no sample decode."""
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE file")
+    i, n = 12, len(content)
+    channels = rate = bits = data_len = None
+    while i + 8 <= n:
+        tag = content[i : i + 4]
+        size = int.from_bytes(content[i + 4 : i + 8], "little")
+        if tag == b"fmt " and i + 24 <= n:
+            channels = int.from_bytes(content[i + 10 : i + 12], "little")
+            rate = int.from_bytes(content[i + 12 : i + 16], "little")
+            bits = int.from_bytes(content[i + 22 : i + 24], "little")
+        elif tag == b"data":
+            data_len = size
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if not (channels and rate and bits) or data_len is None:
+        raise NotImplementedError("malformed WAVE: missing fmt/data chunk")
+    return channels, rate, bits, data_len / (rate * channels * (bits // 8))
+
+
 def decode_media(media: DataFrame) -> DataFrame:
     """mapInPandas decode: binary -> (dims, payload size, content hash).
 
-    Three real header codecs, all pure-struct public-spec parsing (no
-    external libraries): PNG (IHDR), JPEG (SOFn scan), and the synthetic
-    test codec. Pixel decode / resampling would need a codec library and
+    Four real image header codecs, all pure-struct public-spec parsing (no
+    external libraries): PNG (IHDR), JPEG (SOFn scan), GIF (logical
+    screen), and the synthetic test codec; audio gets its own typed path
+    (:func:`decode_audio` over RIFF/WAVE). Pixel decode / resampling would need a codec library and
     stays stubbed; dimension+size metadata is what the curation pipeline
     actually filters on. For real formats the whole file is the payload
     (n_payload_bytes = len(content)); the synthetic codec excludes its
@@ -120,6 +159,9 @@ def decode_media(media: DataFrame) -> DataFrame:
             return w, h, len(content), md5
         if content[:3] == b"\xff\xd8\xff":
             w, h = _jpeg_dims(content)
+            return w, h, len(content), md5
+        if content[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = _gif_dims(content)
             return w, h, len(content), md5
         if len(content) < _HEADER_LEN:
             raise NotImplementedError(
@@ -146,6 +188,47 @@ def decode_media(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(_batches, DECODED_SCHEMA)
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("bits_per_sample", T.IntegerType()),
+        T.StructField("duration_sec", T.DoubleType()),
+        T.StructField("content_md5", T.StringType()),
+    ]
+)
+
+
+def decode_audio(media: DataFrame) -> DataFrame:
+    """mapInPandas audio-metadata decode over RIFF/WAVE payloads: the
+    audio twin of :func:`decode_media` (same batch shape, its own typed
+    schema). Sample decode / feature extraction (mel, MFCC) would slot in
+    behind the same signature with an audio library present."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                ch, rate, bits, dur = wav_meta(content)
+                rows.append(
+                    (doc_id, ch, rate, bits, dur, hashlib.md5(content).hexdigest())
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_channels",
+                    "sample_rate",
+                    "bits_per_sample",
+                    "duration_sec",
+                    "content_md5",
+                ],
+            )
+
+    return media.mapInPandas(_batches, AUDIO_SCHEMA)
 
 
 RESIZED_SCHEMA = T.StructType(

@@ -391,3 +391,42 @@ def test_decode_media_real_png_and_jpeg_headers(spark):
     bad = spark.createDataFrame([(9, b"\x00\x01garbage!")], "doc_id long, content binary")
     with pytest.raises(Exception, match="NotImplementedError|unsupported media"):
         decode_media(bad).collect()
+
+
+def test_decode_media_gif_and_decode_audio_wav(spark):
+    """GIF logical-screen dims through decode_media, and a GENUINE stdlib-
+    `wave`-written WAV through decode_audio (channels/rate/bits/duration
+    all recovered from the RIFF chunks, no audio library)."""
+    import io
+    import struct
+    import wave
+
+    import pytest
+
+    from big_data_computing_final_project_spark.operators.multimodal import (
+        decode_audio,
+        decode_media,
+    )
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\xf7\x00\x00" + b"\x3b"
+    out = decode_media(
+        spark.createDataFrame([(1, gif)], "doc_id long, content binary")
+    ).collect()[0]
+    assert (out.width, out.height, out.n_payload_bytes) == (320, 200, len(gif))
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)       # 16-bit
+        w.setframerate(16000)
+        w.writeframes(b"\x00\x01" * 2 * 8000)  # 0.5 s of stereo frames
+    wav = buf.getvalue()
+    a = decode_audio(
+        spark.createDataFrame([(7, wav)], "doc_id long, content binary")
+    ).collect()[0]
+    assert (a.n_channels, a.sample_rate, a.bits_per_sample) == (2, 16000, 16)
+    assert abs(a.duration_sec - 0.5) < 1e-9
+
+    bad = spark.createDataFrame([(9, b"RIFFxxxxAVI LIST")], "doc_id long, content binary")
+    with pytest.raises(Exception, match="NotImplementedError|RIFF/WAVE"):
+        decode_audio(bad).collect()
