@@ -366,6 +366,86 @@ def run_stream_dq_audit(
     )
 
 
+def run_stream_integrity_audit(
+    facts: DataFrame,
+    fk_col: str,
+    dim: DataFrame,
+    pk_col: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    timeout_sec: int = 120,
+) -> None:
+    """foreachBatch referential-integrity monitor — q206's FK audit AT
+    INGEST: every micro-batch of ``facts`` is anti-joined against the
+    (static/broadcastable) ``dim`` key; per-batch row/null-FK totals and
+    per-key orphan counts are staged under batch_id=N (overwrite =
+    idempotent on replay). Counts are additive across batches and orphan
+    keys fold by distinct at read, so the store report equals the batch
+    audit of everything ingested — no raw-row retention, state linear in
+    ORPHANS (rare by construction), not rows.
+
+    At 100 TB the dim side is the same estimate-guarded broadcast the
+    batch audit uses; a dim too big to broadcast shuffles per batch on
+    the key — still bounded by batch size, never history.
+    """
+    from ..operators.sizing import broadcast_if_small
+
+    def audit(batch: DataFrame, batch_id: int) -> None:
+        counts = batch.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(F.col(fk_col).isNull(), 1)).alias("n_null_fk"),
+        )
+        counts.write.mode("overwrite").parquet(
+            os.path.join(store_dir, "counts", f"batch_id={batch_id}")
+        )
+        orphans = (
+            batch.filter(F.col(fk_col).isNotNull())
+            .join(
+                broadcast_if_small(dim.select(F.col(pk_col).alias("__pk"))),
+                F.col(fk_col) == F.col("__pk"),
+                "left_anti",
+            )
+            .groupBy(F.col(fk_col).alias("fk"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        orphans.write.mode("overwrite").parquet(
+            os.path.join(store_dir, "orphans", f"batch_id={batch_id}")
+        )
+
+    _run_foreach_batch(
+        facts, audit, checkpoint_dir, timeout_sec, "run_stream_integrity_audit"
+    )
+
+
+def integrity_report_from_store(spark: SparkSession, store_dir: str) -> DataFrame:
+    """One-row fold of the integrity store: total rows, null FKs, orphan
+    rows, distinct orphan keys — reads only the staged partials (counts
+    are 1 row/batch; orphans are linear in actual violations)."""
+    counts = (
+        spark.read.option("basePath", f"{store_dir}/counts")
+        .parquet(f"{store_dir}/counts/batch_id=*")
+        .agg(
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+            F.sum("n_null_fk").cast("bigint").alias("n_null_fk"),
+        )
+    )
+    odir = os.path.join(store_dir, "orphans")
+    if os.path.exists(odir):
+        orph = (
+            spark.read.option("basePath", odir)
+            .parquet(f"{odir}/batch_id=*")
+            .agg(
+                F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_orphans"),
+                F.countDistinct("fk").cast("bigint").alias("n_orphan_keys"),
+            )
+        )
+    else:
+        orph = counts.sparkSession.createDataFrame(
+            [(0, 0)], "n_orphans bigint, n_orphan_keys bigint"
+        )
+    return counts.crossJoin(F.broadcast(orph))
+
+
 def dq_store_report(spark: SparkSession, store_dir: str) -> DataFrame:
     """Fold the per-batch audit store into one report (sum of additive
     violation counts per constraint)."""

@@ -1150,3 +1150,59 @@ def test_stream_lsh_dedup_fresh_checkpoint_replay_after_compaction(spark, tmp_pa
     run_stream_lsh_dedup(_stream(), store, str(tmp_path / "nd_ckpt_r2"))
     final = [tuple(r) for r in near_dup_pairs_from_store(spark, store).collect()]
     assert final == want  # doc 5 is unrelated: fold unchanged, ingest clean
+
+
+def test_stream_integrity_audit_equals_batch(spark, tmp_path):
+    """Referential-integrity-at-ingest (q206's streaming twin): planted
+    orders arrive in two drops with 3 orphan custkeys (one repeated across
+    drops, one null FK); the folded store must equal the batch audit of
+    the full data — for forward AND reversed arrival (counts additive,
+    orphan keys distinct-folded)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_computing_final_project_spark.streaming.events import (
+        integrity_report_from_store,
+        run_stream_integrity_audit,
+    )
+
+    dim = spark.createDataFrame([(1,), (2,), (3,)], "c_custkey long")
+    drops = [
+        [(10, 1), (11, 2), (12, 99), (13, None)],   # orphan 99, null FK
+        [(14, 99), (15, 98), (16, 3)],              # orphan 99 again + 98
+    ]
+
+    def run(case, order):
+        src = tmp_path / f"ia_{case}"
+        src.mkdir()
+        import os as _os
+        import time as _t
+
+        base = _t.time() - 3600
+        for i, sub in enumerate(order):
+            tbl = pa.table(
+                {
+                    "o_orderkey": pa.array([r[0] for r in sub], pa.int64()),
+                    "o_custkey": pa.array([r[1] for r in sub], pa.int64()),
+                }
+            )
+            p = str(src / f"drop_{i}.parquet")
+            pq.write_table(tbl, p)
+            _os.utime(p, (base + 10 * i, base + 10 * i))
+        stream = (
+            spark.readStream.schema("o_orderkey long, o_custkey long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        store = str(tmp_path / f"ia_store_{case}")
+        run_stream_integrity_audit(
+            stream, "o_custkey", dim, "c_custkey",
+            store, str(tmp_path / f"ia_ckpt_{case}"),
+        )
+        return integrity_report_from_store(spark, store).collect()[0]
+
+    for case, order in (("fwd", drops), ("rev", list(reversed(drops)))):
+        r = run(case, order)
+        assert (r.n_rows, r.n_null_fk, r.n_orphans, r.n_orphan_keys) == (
+            7, 1, 3, 2,
+        ), (case, r)
