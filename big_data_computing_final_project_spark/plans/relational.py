@@ -601,3 +601,131 @@ def q206_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f)
     return out.orderBy("edge")
+
+
+# ---------------------------------------------------------------------------
+# q211 — multiset set operations (INTERSECT ALL / EXCEPT ALL): the part
+# keys ordered by two order-priority segments AS MULTISETS — duplicates
+# preserved, so "parts both segments keep re-ordering" and "surplus
+# urgent-only order lines" are COUNTED, not just flagged (the q09/q10
+# distinct-set twins lose multiplicity). Spark's intersectAll/exceptAll
+# lower to a count-rebalancing hash aggregate + generate — no join
+# explosion, partial-aggregated, scale-safe.
+# ---------------------------------------------------------------------------
+
+_Q211_ORACLE = """
+WITH u AS (
+  SELECT l_partkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderpriority = '1-URGENT'
+), lo AS (
+  SELECT l_partkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderpriority = '5-LOW'
+)
+SELECT 'intersect_all' AS op, COUNT(*) AS n_rows, COUNT(DISTINCT l_partkey) AS n_keys
+FROM (SELECT l_partkey FROM u INTERSECT ALL SELECT l_partkey FROM lo)
+UNION ALL
+SELECT 'except_all' AS op, COUNT(*) AS n_rows, COUNT(DISTINCT l_partkey) AS n_keys
+FROM (SELECT l_partkey FROM u EXCEPT ALL SELECT l_partkey FROM lo)
+ORDER BY op
+"""
+
+
+@register("q211_multiset_set_ops", oracle=_Q211_ORACLE)
+def q211_multiset_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+
+    def seg(p: str) -> DataFrame:
+        keys = orders.filter(F.col("o_orderpriority") == p).select("o_orderkey")
+        return li.join(
+            broadcast_if_small(keys), li.l_orderkey == F.col("o_orderkey")
+        ).select("l_partkey")
+
+    u, lo = seg("1-URGENT"), seg("5-LOW")
+
+    def agg(df: DataFrame, op: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("l_partkey").cast("bigint").alias("n_keys"),
+        ).select(F.lit(op).alias("op"), "n_rows", "n_keys")
+
+    return (
+        agg(u.intersectAll(lo), "intersect_all")
+        .unionByName(agg(u.exceptAll(lo), "except_all"))
+        .orderBy("op")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q212 — LATERAL correlated subquery: each nation's top-3 customers by
+# balance via `, LATERAL (... ORDER BY ... LIMIT 3)` — the SQL-surface
+# twin of q07's window top-k (Spark 4 plans the lateral as a correlated
+# rank, DuckDB executes it directly; results identical). Exists to pin
+# the LATERAL planner path; the window form stays the at-scale
+# recommendation.
+# ---------------------------------------------------------------------------
+
+_Q212_SQL = """
+SELECT n.n_name, t.c_custkey, t.c_acctbal
+FROM nation n, LATERAL (
+  SELECT c_custkey, c_acctbal FROM {cust}
+  WHERE c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey
+  LIMIT 3
+) t
+ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey
+"""
+
+
+@register("q212_lateral_topk", oracle=_Q212_SQL.format(cust="customer"))
+def q212_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("__q212_nation")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("__q212_customer")
+    return spark.sql(
+        _Q212_SQL.format(cust="__q212_customer").replace("nation n", "__q212_nation n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q213 — recursive CTE (Spark 4 WITH RECURSIVE): root-and-depth walk of
+# the supplier -> nation -> region containment hierarchy expressed as a
+# generic (node, parent) edge list — the adjacency-list pattern that at
+# depth-N (org charts, BOM trees, category taxonomies) has no window/join
+# unrolling. Both engines run the SAME recursion; rolled up to
+# (depth, n_nodes) so the output is SF-stable in width.
+# ---------------------------------------------------------------------------
+
+_Q213_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT 's' || CAST(s_suppkey AS STRING) AS node,
+         'n' || CAST(s_nationkey AS STRING) AS parent FROM {sup}
+  UNION ALL
+  SELECT 'n' || CAST(n_nationkey AS STRING) AS node,
+         'r' || CAST(n_regionkey AS STRING) AS parent FROM {nat}
+  UNION ALL
+  SELECT 'r' || CAST(r_regionkey AS STRING) AS node,
+         CAST(NULL AS STRING) AS parent FROM {reg}
+),
+walk AS (
+  SELECT node, node AS root, 0 AS depth FROM edges WHERE parent IS NULL
+  UNION ALL
+  SELECT e.node, w.root, w.depth + 1
+  FROM edges e JOIN walk w ON e.parent = w.node
+)
+SELECT depth, COUNT(*) AS n_nodes, COUNT(DISTINCT root) AS n_roots
+FROM walk GROUP BY depth ORDER BY depth
+"""
+
+
+@register(
+    "q213_recursive_hierarchy",
+    oracle=_Q213_SQL.format(sup="supplier", nat="nation", reg="region").replace(
+        "AS STRING", "AS VARCHAR"
+    ),
+)
+def q213_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("supplier", "nation", "region"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"__q213_{t}")
+    return spark.sql(
+        _Q213_SQL.format(sup="__q213_supplier", nat="__q213_nation", reg="__q213_region")
+    )
