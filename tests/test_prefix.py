@@ -186,3 +186,29 @@ def test_prefix_strict_duplicate_keys_raise(spark):
         ).collect()
     }
     assert got == {1: None, 2: 5, 3: 12}
+
+
+def test_exact_quantiles_grouped_matches_spark_percentile(spark, sf_dir):
+    from big_data_computing_final_project_spark.catalog import load_table
+    from big_data_computing_final_project_spark.operators.quantiles import (
+        exact_quantiles,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    qs = [0.1, 0.5, 0.9]
+    got = {
+        (r.l_returnflag, r.q): r.value
+        for r in exact_quantiles(
+            li, "l_extendedprice", qs, group_cols=["l_returnflag"]
+        ).collect()
+    }
+    arr = ", ".join(str(q) for q in qs)
+    want = {}
+    for row in (
+        li.groupBy("l_returnflag")
+        .agg(F.expr(f"percentile(l_extendedprice, array({arr}))").alias("p"))
+        .collect()
+    ):
+        for q, v in zip(qs, row.p):
+            want[(row.l_returnflag, q)] = v
+    assert got == want  # bit-exact per group
