@@ -73,6 +73,13 @@ QUERIES = [
     # scan), rank fusion, and the Arrow MMR pool path
     "q68_dedup_clusters",
     "q40_embedding_near_dup",
+    # round-7 additions: FK audit (7 anti-joins over the 10x facts), the
+    # LSH source matrix (rides the pair graph), grouped distributed
+    # percentiles (per-group prefix scans), token spectrum (vocab agg)
+    "q206_referential_integrity",
+    "q208_near_dup_source_matrix",
+    "q209_grouped_percentiles",
+    "q207_token_freq_spectrum",
     "q194_dedup_weights",
     "q196_skyline_parts",
     "q197_weighted_median",
