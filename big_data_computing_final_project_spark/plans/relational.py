@@ -729,3 +729,61 @@ def q213_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _Q213_SQL.format(sup="__q213_supplier", nat="__q213_nation", reg="__q213_region")
     )
+
+
+# ---------------------------------------------------------------------------
+# q214 — value window functions with IGNORE NULLS (first_value /
+# last_value / nth_value over a running frame): per customer's order
+# history, the first / latest / second significant order value, where
+# "insignificant" orders (< 50k) are NULLed so the IGNORE NULLS semantics
+# actually bite. Rounds out the §2.7 window surface (rank family: q15/
+# q86; offset family: q14; aggregate frames: q13/q55; this is the value
+# family). One partitioned window pass, no global sort.
+# ---------------------------------------------------------------------------
+
+_Q214_ORACLE = """
+WITH o AS (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         CASE WHEN o_totalprice >= 50000 THEN o_totalprice END AS sig
+  FROM orders
+), w AS (
+  SELECT o_custkey, o_orderkey,
+         ROW_NUMBER() OVER win AS rn,
+         COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders,
+         first_value(sig IGNORE NULLS) OVER win AS first_sig,
+         last_value(sig IGNORE NULLS) OVER win AS latest_sig,
+         nth_value(sig, 2 IGNORE NULLS) OVER win AS second_sig
+  FROM o
+  WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT o_custkey, first_sig, latest_sig, second_sig
+FROM w WHERE rn = n_orders
+ORDER BY o_custkey
+"""
+
+
+@register("q214_value_window_functions", oracle=_Q214_ORACLE)
+def q214_value_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    sig = F.when(F.col("o_totalprice") >= 50000, F.col("o_totalprice"))
+    win = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w = orders.select(
+        "o_custkey",
+        F.row_number().over(
+            Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        ).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("o_custkey")).alias("n_orders"),
+        F.first(sig, ignorenulls=True).over(win).alias("first_sig"),
+        F.last(sig, ignorenulls=True).over(win).alias("latest_sig"),
+        F.nth_value(sig, 2, ignoreNulls=True).over(win).alias("second_sig"),
+    )
+    return (
+        w.filter(F.col("rn") == F.col("n_orders"))
+        .select("o_custkey", "first_sig", "latest_sig", "second_sig")
+        .orderBy("o_custkey")
+    )
