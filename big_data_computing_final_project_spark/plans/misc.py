@@ -174,3 +174,85 @@ def q63_sort_by_abs_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corr_matrix(li, ["l_quantity", "l_discount", "l_tax"], wide=False).orderBy(
         F.abs(F.col("r")).desc(), "col_x", "col_y"
     )
+
+
+# ---------------------------------------------------------------------------
+# q215 — order reconciliation metrics (MAE / RMSE / R2): o_totalprice
+# against the recomputed line-charge sum — simultaneously the classic DQ
+# reconciliation check and the regression-metric primitives (M11's
+# regression half). Every sum runs in EXACT decimal: the residual is a
+# scale-8 decimal difference, its square an exact decimal(37,16) product
+# (per-row casts are lossless, so both engines see identical values under
+# any reduction order); only the final mean/sqrt/ratio are double ops,
+# which are bit-identical IEEE on identical inputs. The synthetic
+# o_totalprice is deliberately uncorrelated with the line sum, so the
+# metrics are non-degenerate at every SF.
+# ---------------------------------------------------------------------------
+
+_Q215_ORACLE = """
+WITH s AS (
+  SELECT l_orderkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                  AS DECIMAL(38,8))) AS yhat
+  FROM lineitem GROUP BY l_orderkey
+), j AS (
+  SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS y, yhat,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) - yhat AS DECIMAL(18,8)) AS r
+  FROM orders JOIN s ON o_orderkey = l_orderkey
+)
+-- decimal -> VARCHAR -> DOUBLE on every >2^53 sum: DuckDB's direct
+-- decimal-to-double cast double-rounds through the unscaled int128 (1 ulp
+-- off the correctly-rounded value), exactly like Spark's
+-- BigDecimal.doubleValue; the decimal string parses correctly-rounded in
+-- both engines, so both sides convert identically (see the Spark twin)
+SELECT COUNT(*) AS n,
+       CAST(CAST(SUM(ABS(r)) AS VARCHAR) AS DOUBLE) / COUNT(*) AS mae,
+       -- the widening cast forces DuckDB's int128 multiply path (the
+       -- int64 storage product overflows); value and scale unchanged
+       SQRT(CAST(CAST(SUM(CAST(r AS DECIMAL(19,8)) * r) AS VARCHAR) AS DOUBLE) / COUNT(*)) AS rmse,
+       1 - CAST(CAST(SUM(CAST(r AS DECIMAL(19,8)) * r) AS VARCHAR) AS DOUBLE)
+         / (CAST(CAST(SUM(y * y) AS VARCHAR) AS DOUBLE)
+            - CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) * CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) / COUNT(*)) AS r2
+FROM j
+"""
+
+
+@register("q215_reconciliation_metrics", oracle=_Q215_ORACLE)
+def q215_reconciliation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    charge = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    ).cast("decimal(38,8)")
+    s = li.groupBy("l_orderkey").agg(F.sum(charge).alias("yhat"))
+    y = F.col("o_totalprice").cast("decimal(18,2)")
+    j = orders.join(s, orders.o_orderkey == s.l_orderkey).select(
+        y.alias("y"), (y - F.col("yhat")).cast("decimal(18,8)").alias("r")
+    )
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.abs(F.col("r"))).alias("sr"),
+        F.sum(F.col("r") * F.col("r")).alias("srr"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n")
+
+    # decimal -> string -> double: Spark's direct decimal-to-double cast
+    # (BigDecimal.doubleValue) double-rounds (unscaled/10^scale — two
+    # roundings) and can be 1 ulp off the correctly-rounded value DuckDB
+    # produces for >2^53 sums; the decimal STRING parses correctly-rounded
+    # in both engines
+    def d(c: F.Column) -> F.Column:
+        return c.cast("string").cast("double")
+
+    srr = d(F.col("srr"))
+    return agg.select(
+        "n",
+        (d(F.col("sr")) / n).alias("mae"),
+        F.sqrt(srr / n).alias("rmse"),
+        (
+            F.lit(1)
+            - srr / (d(F.col("syy")) - d(F.col("sy")) * d(F.col("sy")) / n)
+        ).alias("r2"),
+    )
