@@ -256,3 +256,64 @@ def q215_reconciliation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             - srr / (d(F.col("syy")) - d(F.col("sy")) * d(F.col("sy")) / n)
         ).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q216 — approximate query processing (AQP) audit: revenue estimated from
+# a deterministic 2% hash sample vs the exact total, with the realized
+# relative error. The pattern a 100-TB dashboard runs (scan 1/50th of the
+# fact, scale by the sampling rate) made fully oracle-checkable because
+# the sample is the md5 bucket split (functions/text.md5_bucket — the
+# engine-portable hash), not Bernoulli randomness. Exact decimal sums on
+# both branches; the estimate/error division happens on correctly-rounded
+# doubles. Also the honest-AQP demo: the committed artifact includes the
+# realized error, not just the estimate.
+# ---------------------------------------------------------------------------
+
+_Q216_SAMPLE_MOD = 50  # keep bucket 0 of 50 => 2% sample
+
+_Q216_ORACLE = f"""
+WITH s AS (
+  SELECT SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS rev_s,
+         COUNT(*) AS n_s
+  FROM lineitem
+  WHERE ('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT
+        % {_Q216_SAMPLE_MOD} = 0
+), e AS (
+  SELECT SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS rev,
+         COUNT(*) AS n
+  FROM lineitem
+)
+SELECT n, n_s,
+       CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS exact_revenue,
+       CAST(CAST(rev_s AS VARCHAR) AS DOUBLE) * {_Q216_SAMPLE_MOD} AS est_revenue,
+       ABS(CAST(CAST(rev_s AS VARCHAR) AS DOUBLE) * {_Q216_SAMPLE_MOD}
+           - CAST(CAST(rev AS VARCHAR) AS DOUBLE))
+         / CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS rel_error
+FROM s, e
+"""
+
+
+@register("q216_aqp_sample_estimate", oracle=_Q216_ORACLE)
+def q216_aqp_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import md5_bucket
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
+
+    def d(c: F.Column) -> F.Column:  # correctly-rounded decimal->double
+        return c.cast("string").cast("double")
+
+    sample = li.filter(md5_bucket(F.col("l_orderkey"), _Q216_SAMPLE_MOD) == 0).agg(
+        F.sum(rev).alias("rev_s"), F.count(F.lit(1)).alias("n_s")
+    )
+    exact = li.agg(F.sum(rev).alias("rev"), F.count(F.lit(1)).alias("n"))
+    est = d(F.col("rev_s")) * _Q216_SAMPLE_MOD
+    ex = d(F.col("rev"))
+    return sample.crossJoin(F.broadcast(exact)).select(
+        "n",
+        "n_s",
+        ex.alias("exact_revenue"),
+        est.alias("est_revenue"),
+        (F.abs(est - ex) / ex).alias("rel_error"),
+    )
