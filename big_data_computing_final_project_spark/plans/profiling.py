@@ -631,13 +631,22 @@ def q204_describe_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         col = F.col(c)
         aggs += [
             F.count(col).alias(f"{c}__n"),
-            F.countDistinct(col).alias(f"{c}__u"),
             dec_sum(col).alias(f"{c}__s1"),
             dec_sum(col * col, 8, wide=True).alias(f"{c}__s2"),
             F.min(col).cast("double").alias(f"{c}__min"),
             F.max(col).cast("double").alias(f"{c}__max"),
         ]
     one = orders.agg(*aggs)
+    # one 1-row agg PER distinct count: two COUNT(DISTINCT x) in a single
+    # aggregate trigger the Expand rewrite, whose column ordering is
+    # session-nondeterministic (the q60/q173 snapshot instability) AND
+    # drags every other buffer through an input x n_cols expansion
+    for c in _Q204_NUM_COLS:
+        one = one.crossJoin(
+            F.broadcast(
+                orders.agg(F.countDistinct(F.col(c)).alias(f"{c}__u"))
+            )
+        )
     stack_args = []
     for c in _Q204_NUM_COLS:
         n, s1, s2 = F.col(f"{c}__n"), F.col(f"{c}__s1"), F.col(f"{c}__s2")
