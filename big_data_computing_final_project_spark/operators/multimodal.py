@@ -190,6 +190,90 @@ def decode_media(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_batches, DECODED_SCHEMA)
 
 
+def mp4_meta(content: bytes) -> tuple[int, float, int]:
+    """(timescale, duration_sec, n_tracks) from an ISO-BMFF (MP4/MOV)
+    container — walk the top-level box list to `moov`, then its children:
+    `mvhd` carries timescale+duration (version 0: u32 pair at offset 12;
+    version 1: u64 duration after a u32 timescale at offset 20), `trak`
+    boxes count tracks (ISO/IEC 14496-12 §8.2). Pure-struct: no codec,
+    no sample parse — exactly the metadata a curation filter needs
+    (clip length, track presence)."""
+    n = len(content)
+    if n < 12 or content[4:8] != b"ftyp":
+        raise NotImplementedError("not an ISO-BMFF container (no ftyp)")
+
+    def walk(lo: int, hi: int):
+        i = lo
+        while i + 8 <= hi:
+            size = int.from_bytes(content[i : i + 4], "big")
+            tag = content[i + 4 : i + 8]
+            body = i + 8
+            if size == 1:  # 64-bit largesize
+                size = int.from_bytes(content[i + 8 : i + 16], "big")
+                body = i + 16
+            elif size == 0:  # box extends to end of enclosing scope
+                size = hi - i
+            if size < 8 or i + size > hi:
+                raise NotImplementedError("malformed ISO-BMFF: bad box size")
+            yield tag, body, i + size
+            i += size
+
+    timescale = duration = None
+    n_tracks = 0
+    for tag, body, end in walk(0, n):
+        if tag != b"moov":
+            continue
+        for t2, b2, _ in walk(body, end):
+            if t2 == b"mvhd":
+                version = content[b2]
+                if version == 1:
+                    timescale = int.from_bytes(content[b2 + 20 : b2 + 24], "big")
+                    duration = int.from_bytes(content[b2 + 24 : b2 + 32], "big")
+                else:
+                    timescale = int.from_bytes(content[b2 + 12 : b2 + 16], "big")
+                    duration = int.from_bytes(content[b2 + 16 : b2 + 20], "big")
+            elif t2 == b"trak":
+                n_tracks += 1
+    if not timescale:
+        raise NotImplementedError("malformed ISO-BMFF: no moov/mvhd")
+    return timescale, duration / timescale, n_tracks
+
+
+VIDEO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("timescale", T.IntegerType()),
+        T.StructField("duration_sec", T.DoubleType()),
+        T.StructField("n_tracks", T.IntegerType()),
+        T.StructField("content_md5", T.StringType()),
+    ]
+)
+
+
+def decode_video(media: DataFrame) -> DataFrame:
+    """mapInPandas video-container metadata decode over ISO-BMFF payloads
+    — completes the image (decode_media) / audio (decode_audio) / video
+    triple. Frame extraction / sampling composes downstream exactly like
+    q52's frame-sample stage."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                ts, dur, trk = mp4_meta(content)
+                rows.append(
+                    (doc_id, ts, dur, trk, hashlib.md5(content).hexdigest())
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "timescale", "duration_sec", "n_tracks", "content_md5",
+                ],
+            )
+
+    return media.mapInPandas(_batches, VIDEO_SCHEMA)
+
+
 AUDIO_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

@@ -430,3 +430,43 @@ def test_decode_media_gif_and_decode_audio_wav(spark):
     bad = spark.createDataFrame([(9, b"RIFFxxxxAVI LIST")], "doc_id long, content binary")
     with pytest.raises(Exception, match="NotImplementedError|RIFF/WAVE"):
         decode_audio(bad).collect()
+
+
+def test_decode_video_mp4_box_walk(spark):
+    """ISO-BMFF metadata through decode_video: a structurally faithful MP4
+    (ftyp + moov{mvhd v0, 2x trak} + mdat) yields timescale/duration/track
+    count; a version-1 mvhd (64-bit duration) parses too; non-MP4 raises."""
+    import struct
+
+    import pytest
+
+    from big_data_computing_final_project_spark.operators.multimodal import (
+        decode_video,
+    )
+
+    def box(tag, payload):
+        return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+    def mp4_v0(timescale, duration):
+        mvhd = box(b"mvhd", b"\x00\x00\x00\x00" + b"\x00" * 8
+                   + struct.pack(">II", timescale, duration) + b"\x00" * 80)
+        trak = box(b"trak", b"\x00" * 16)
+        moov = box(b"moov", mvhd + trak + trak)
+        return box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov + box(b"mdat", b"\x00" * 32)
+
+    def mp4_v1(timescale, duration):
+        mvhd = box(b"mvhd", b"\x01\x00\x00\x00" + b"\x00" * 16
+                   + struct.pack(">IQ", timescale, duration) + b"\x00" * 80)
+        moov = box(b"moov", mvhd + box(b"trak", b"\x00" * 8))
+        return box(b"ftyp", b"isom\x00\x00\x02\x00isom") + moov
+
+    rows = [(1, mp4_v0(1000, 2500)), (2, mp4_v1(90000, 90000 * 7))]
+    got = {r.doc_id: r for r in decode_video(
+        spark.createDataFrame(rows, "doc_id long, content binary")
+    ).collect()}
+    assert (got[1].timescale, got[1].duration_sec, got[1].n_tracks) == (1000, 2.5, 2)
+    assert (got[2].timescale, got[2].duration_sec, got[2].n_tracks) == (90000, 7.0, 1)
+
+    bad = spark.createDataFrame([(9, b"\x00\x00\x00\x08free")], "doc_id long, content binary")
+    with pytest.raises(Exception, match="NotImplementedError|ISO-BMFF"):
+        decode_video(bad).collect()
