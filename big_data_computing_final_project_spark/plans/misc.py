@@ -317,3 +317,72 @@ def q216_aqp_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         est.alias("est_revenue"),
         (F.abs(est - ex) / ex).alias("rel_error"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q217 — stratified AQP: the q216 estimator per stratum (return flag),
+# plus the stratified combined estimate. Stratification is the standard
+# variance-reduction for group-skewed facts — each stratum is scaled by
+# its own rate, so a small stratum is never swamped by the global sample.
+# Same deterministic md5 bucket, same exact decimal sums, same
+# correctly-rounded conversions; fully oracle-checkable.
+# ---------------------------------------------------------------------------
+
+_Q217_ORACLE = f"""
+WITH s AS (
+  SELECT l_returnflag AS stratum,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS rev_s,
+         COUNT(*) AS n_s
+  FROM lineitem
+  WHERE ('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT
+        % {_Q216_SAMPLE_MOD} = 0
+  GROUP BY l_returnflag
+), e AS (
+  SELECT l_returnflag AS stratum,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS rev,
+         COUNT(*) AS n
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT e.stratum, n, n_s,
+       CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS exact_revenue,
+       CAST(CAST(rev_s AS VARCHAR) AS DOUBLE) * {_Q216_SAMPLE_MOD} AS est_revenue,
+       ABS(CAST(CAST(rev_s AS VARCHAR) AS DOUBLE) * {_Q216_SAMPLE_MOD}
+           - CAST(CAST(rev AS VARCHAR) AS DOUBLE))
+         / CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS rel_error
+FROM e JOIN s ON e.stratum = s.stratum
+ORDER BY e.stratum
+"""
+
+
+@register("q217_aqp_stratified", oracle=_Q217_ORACLE)
+def q217_aqp_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import md5_bucket
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
+
+    def d(c: F.Column) -> F.Column:
+        return c.cast("string").cast("double")
+
+    sample = (
+        li.filter(md5_bucket(F.col("l_orderkey"), _Q216_SAMPLE_MOD) == 0)
+        .groupBy(F.col("l_returnflag").alias("stratum"))
+        .agg(F.sum(rev).alias("rev_s"), F.count(F.lit(1)).alias("n_s"))
+    )
+    exact = li.groupBy(F.col("l_returnflag").alias("stratum")).agg(
+        F.sum(rev).alias("rev"), F.count(F.lit(1)).alias("n")
+    )
+    est = d(F.col("rev_s")) * _Q216_SAMPLE_MOD
+    ex = d(F.col("rev"))
+    return (
+        exact.join(sample, "stratum")
+        .select(
+            "stratum",
+            "n",
+            "n_s",
+            ex.alias("exact_revenue"),
+            est.alias("est_revenue"),
+            (F.abs(est - ex) / ex).alias("rel_error"),
+        )
+        .orderBy("stratum")
+    )
