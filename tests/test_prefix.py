@@ -212,3 +212,28 @@ def test_exact_quantiles_grouped_matches_spark_percentile(spark, sf_dir):
         for q, v in zip(qs, row.p):
             want[(row.l_returnflag, q)] = v
     assert got == want  # bit-exact per group
+
+
+def test_exact_quantiles_auto_bucket(spark, sf_dir):
+    """bucket='auto' probes quantile edges so a 0-1-ranged column (where
+    the default floor(val/1000) collapses to ONE bucket) still splits the
+    prefix scan; results stay bit-equal to percentile() on real data."""
+    from big_data_computing_final_project_spark.catalog import load_table
+    from big_data_computing_final_project_spark.operators.quantiles import (
+        exact_quantiles,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    # 0-1 ranged column
+    got = {
+        r.q: r.value
+        for r in exact_quantiles(li, "l_discount", [0.25, 0.5, 0.9], bucket="auto").collect()
+    }
+    want = li.agg(
+        F.expr("percentile(l_discount, array(0.25, 0.5, 0.9))").alias("p")
+    ).collect()[0].p
+    assert [got[0.25], got[0.5], got[0.9]] == list(want)
+    import pytest
+
+    with pytest.raises(ValueError, match="auto"):
+        exact_quantiles(li, "l_discount", [0.5], bucket="median")
