@@ -52,6 +52,10 @@ QUERIES = [
     "q174_pagerank",
     "q175_triangle_census",
     "q68_dedup_clusters",
+    # round-7 families whose work could grow with pairs or groups
+    "q206_referential_integrity",
+    "q208_near_dup_source_matrix",
+    "q209_grouped_percentiles",
 ]
 
 
