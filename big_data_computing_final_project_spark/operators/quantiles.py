@@ -43,6 +43,7 @@ def exact_quantiles(
     mode: str = "linear",
     bucket: Column | str | None = None,
     group_cols: list[str] | None = None,
+    weight: Column | None = None,
 ) -> DataFrame:
     """Exact quantiles of ``df[col]`` (nulls skipped, like both engines'
     aggregates) as a small frame ``(*group_cols, q double, value double)``,
@@ -62,12 +63,22 @@ def exact_quantiles(
     """
     if mode not in ("linear", "lower"):
         raise ValueError(f"mode must be 'linear' or 'lower', got {mode!r}")
+    if weight is not None and mode != "lower":
+        # weighted linear interpolation has no single standard definition;
+        # the unambiguous weighted percentile is the lower-discrete one
+        raise ValueError("weight requires mode='lower'")
     groups = list(group_cols or [])
+    wsel = [] if weight is None else [weight.cast("bigint").alias("__w")]
     vals = (
-        df.select(*groups, F.col(col).cast("double").alias("val"))
+        df.select(*groups, F.col(col).cast("double").alias("val"), *wsel)
         .filter(F.col("val").isNotNull())
     )
-    c = vals.groupBy(*groups, "val").agg(F.count(F.lit(1)).alias("n"))
+    # weights accumulate in exact BIGINT (integer-valued weights — counts,
+    # quantities, token counts; the caller casts); unweighted = weight 1
+    n_agg = (
+        F.count(F.lit(1)) if weight is None else F.sum("__w")
+    ).alias("n")
+    c = vals.groupBy(*groups, "val").agg(n_agg)
     if isinstance(bucket, str):
         if bucket != "auto":
             raise ValueError(f"bucket must be a Column, None, or 'auto', got {bucket!r}")

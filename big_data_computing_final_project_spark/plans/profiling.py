@@ -709,3 +709,50 @@ def q209_grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(*[at(q) for q in _Q209_QS])
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# q218 — weighted percentiles: quantity-weighted price quartiles per
+# return flag. "Half the UNITS shipped cost at most X" is a different
+# statement than "half the line items..." — the weighted quantile is the
+# inventory / price-mix primitive. Same distributed machinery as q203/q209
+# (exact_quantiles, mode="lower", weight=l_quantity): weights accumulate
+# in exact BIGINT through the bucketed prefix scan; the answer is the
+# smallest value whose cumulative weight reaches ceil(q * total_weight).
+# ---------------------------------------------------------------------------
+
+_Q218_QS = [0.25, 0.5, 0.75]
+
+_Q218_ORACLE = f"""
+WITH c AS (
+  SELECT l_returnflag AS flag, l_extendedprice AS val,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS n
+  FROM lineitem GROUP BY flag, val
+), w AS (
+  SELECT flag, val,
+         SUM(n) OVER (PARTITION BY flag ORDER BY val
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(n) OVER (PARTITION BY flag) AS tot
+  FROM c
+)
+SELECT flag AS l_returnflag, qs.q, MIN(w.val) AS value
+FROM (VALUES {", ".join(f"(CAST({q!r} AS DOUBLE))" for q in _Q218_QS)}) qs(q)
+JOIN w ON w.cum >= CEIL(qs.q * w.tot)
+GROUP BY flag, qs.q
+ORDER BY l_returnflag, q
+"""
+
+
+@register("q218_weighted_percentiles", oracle=_Q218_ORACLE)
+def q218_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quantiles import exact_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    return exact_quantiles(
+        li,
+        "l_extendedprice",
+        _Q218_QS,
+        mode="lower",
+        group_cols=["l_returnflag"],
+        weight=F.col("l_quantity"),
+    )

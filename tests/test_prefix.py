@@ -237,3 +237,35 @@ def test_exact_quantiles_auto_bucket(spark, sf_dir):
 
     with pytest.raises(ValueError, match="auto"):
         exact_quantiles(li, "l_discount", [0.5], bucket="median")
+
+
+def test_exact_quantiles_weighted_equals_expansion(spark):
+    """Weighted lower-percentile == unweighted lower-percentile of the
+    weight-EXPANDED multiset (the definition), pinned on a small frame;
+    weight with mode='linear' raises."""
+    import pytest
+    from big_data_computing_final_project_spark.operators.quantiles import (
+        exact_quantiles,
+    )
+
+    rows = [(10.0, 1), (20.0, 3), (30.0, 6)]
+    df = spark.createDataFrame(rows, "x double, w int")
+    got = {
+        r.q: r.value
+        for r in exact_quantiles(
+            df, "x", [0.1, 0.4, 0.5, 1.0], mode="lower",
+            weight=F.col("w"), bucket=F.col("val"),
+        ).collect()
+    }
+    expanded = spark.createDataFrame(
+        [(x,) for x, w in rows for _ in range(w)], "x double"
+    )
+    want = {
+        r.q: r.value
+        for r in exact_quantiles(
+            expanded, "x", [0.1, 0.4, 0.5, 1.0], mode="lower", bucket=F.col("val")
+        ).collect()
+    }
+    assert got == want == {0.1: 10.0, 0.4: 20.0, 0.5: 30.0, 1.0: 30.0}
+    with pytest.raises(ValueError, match="lower"):
+        exact_quantiles(df, "x", [0.5], weight=F.col("w"))
