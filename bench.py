@@ -1,7 +1,10 @@
 """Per-round benchmark: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints the
+result as JSON: a full record line (plan shas, calibration, raw +
+normalized timings) followed by a compact summary line {"metric": ...,
+"value": total_sec, "unit": "sec", "queries": {name: sec}, "sf": ...} —
+the LAST line alone satisfies the bench contract and fits whole inside
+the driver's 2000-char record window (VERDICT r7 item 3).
 
 Each query is executed with a count-style terminal action (collect on the
 already-aggregated result) so timings measure engine work, not driver
@@ -111,6 +114,8 @@ HEADLINE = [
     "q206_referential_integrity",  # FK orphan audit: 7 anti-join edges (round-7)
     "q208_near_dup_source_matrix", # LSH pairs -> undirected source matrix (round-7)
     "q209_grouped_percentiles",    # per-group distributed exact quartiles (round-7)
+    "q219_weighted_interp_percentiles",  # weighted quantile_cont, expanded-multiset (round-8)
+    "q220_decode_health",          # per-source media decode error rates (round-8)
 ]
 # Deliberately not benched: q68 (iterative CC — timing at this SF is
 # convergence-loop job overhead, not throughput) and exact pairwise
@@ -203,27 +208,57 @@ def main() -> None:
     timings["mlfit_decision_tree"] = _bench_dt_fit(spark, sf_dir, t0)
 
     total = round(sum(timings.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    calibration = {
+        "probe_sec": calibration_sec,
+        "ref_probe_sec": REF_PROBE_SEC,
+        "machine_factor": machine_factor,
+    }
+    # Full record first — plan_sha EARLY and timings LAST, because the
+    # driver's bench record keeps only the last ~2000 chars of stdout
+    # (VERDICT r7 item 3: r7's record captured only plan shas, zero
+    # timings). A regex-recovering reader now finds numeric timings in the
+    # tail of this line; a last-line JSON reader gets the compact summary
+    # printed below, which alone satisfies the bench contract.
     print(
         json.dumps(
             {
                 "metric": "headline_queries_wall_clock",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "calibration": {
-                    "probe_sec": calibration_sec,
-                    "ref_probe_sec": REF_PROBE_SEC,
-                    "machine_factor": machine_factor,
-                },
+                "sf": sf_val,
+                "plan_sha": plan_shas,
+                "calibration": calibration,
                 "value_normalized": round(total / machine_factor, 3),
                 "queries_normalized": {
                     n: round(t / machine_factor, 3) for n, t in timings.items()
                 },
-                "plan_sha": plan_shas,
+                "queries": timings,
             }
         )
     )
+    # compact summary LAST — must fit the driver's 2000-char window WHOLE,
+    # so if the registry outgrows it, keep the slowest queries (the ones a
+    # bench reader actually looks at) and say how many were dropped
+    compact_q = {n: round(t, 2) for n, t in timings.items()}
+    while True:
+        compact = {
+            "metric": "headline_queries_wall_clock",
+            "value": total,
+            "unit": "sec",
+            "sf": sf_val,
+            "value_normalized": round(total / machine_factor, 3),
+            "machine_factor": machine_factor,
+            "queries": compact_q,
+        }
+        if len(compact_q) < len(timings):
+            compact["queries_omitted"] = len(timings) - len(compact_q)
+        line = json.dumps(compact)
+        if len(line) <= 1900 or len(compact_q) <= 10:
+            break
+        keep = sorted(compact_q, key=compact_q.get, reverse=True)[: len(compact_q) - 5]
+        compact_q = {n: compact_q[n] for n in keep}
+    print(line)
 
 
 if __name__ == "__main__":

@@ -16,7 +16,11 @@ partitions. Same numbers as the naive form, no single-partition stage.
 STRICT mode (frame ending at the previous ROW) additionally requires the
 scan keys to be unique — pre-aggregate to one row per key first (the
 skyline query's shape: one row per distinct price). With duplicate keys a
-row-strict frame is order-dependent and therefore not well-defined.
+row-strict frame is order-dependent and therefore not well-defined; the
+precondition is enforced by a two-part guard (adjacent-duplicate lag
+within buckets + min/max boundary check across buckets) that is complete
+whenever the bucket is monotone in the scan order — the operator's core
+precondition.
 """
 
 from __future__ import annotations
@@ -63,18 +67,44 @@ def prefix_agg(
     parts = list(partition_cols or [])
     b = bucket if bucket is not None else F.col(order_cols[0])
     tagged = df.withColumn(_BKT, b)
-    grp = tagged.groupBy(*parts, _BKT).agg(agg_fn(value_col).alias(_PART))
+    key = F.struct(*[F.col(c) for c in order_cols])
+    # strict mode additionally tracks each bucket's min/max order key so
+    # the duplicate guard below can see ACROSS buckets (piggybacks on the
+    # existing partial-aggregated groupBy — no extra shuffle)
+    extra = [F.min(key).alias("__kmin"), F.max(key).alias("__kmax")] if strict else []
+    grp = tagged.groupBy(*parts, _BKT).agg(agg_fn(value_col).alias(_PART), *extra)
     # the bucket-offset window runs over DISTINCT (group, bucket) rows
     # only; with partitions it is additionally split per group
-    cum = (
+    cum_base = (
         Window.partitionBy(*parts).orderBy(F.asc_nulls_first(_BKT))
         if parts
         else Window.orderBy(F.asc_nulls_first(_BKT))
-    ).rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = cum_base.rowsBetween(Window.unboundedPreceding, -1)
+    excl = agg_fn(_PART).over(cum)
+    if strict:
+        # cross-bucket half of the unique-key guard: with a bucket that is
+        # monotone in the scan order (the operator's core precondition), a
+        # key duplicated across buckets necessarily makes some bucket's max
+        # key equal the next bucket's min key — catchable here over the
+        # distinct-bucket frame, completing the within-bucket lag check so
+        # callers whose bucket is NOT a pure function of the order keys
+        # can't pass the ENFORCED check silently (ADVICE r7).
+        boundary_dup = F.lag(F.col("__kmax")).over(cum_base).eqNullSafe(F.col("__kmin"))
+        excl = F.when(
+            boundary_dup,
+            F.assert_true(
+                F.lit(False),
+                F.lit(
+                    "prefix_agg(strict=True) requires unique order keys per "
+                    f"group: duplicate {order_cols} found straddling buckets"
+                ),
+            ),
+        ).otherwise(excl)
     offs = grp.select(
         *[F.col(p).alias(f"__op_{p}") for p in parts],
         F.col(_BKT).alias("__obkt"),
-        agg_fn(_PART).over(cum).alias(_EXCL),
+        excl.alias(_EXCL),
     )
     end = -1 if strict else 0
     win = (
@@ -87,12 +117,12 @@ def prefix_agg(
     # documented: with duplicate keys a row-strict frame is order-dependent
     # (silently nondeterministic), so the plan itself raises on the first
     # adjacent duplicate. Piggybacks on the window's existing sort (a lag
-    # over the same spec — no extra shuffle, no eager job); duplicates
-    # share a bucket whenever the bucket is a function of the order keys
-    # (the documented usage).
+    # over the same spec — no extra shuffle, no eager job); this catches
+    # duplicates WITHIN a bucket, and the boundary check in the offset
+    # window above catches duplicates straddling buckets — together the
+    # guard is complete under the monotone-bucket precondition.
     is_dup = None
     if strict:
-        key = F.struct(*[F.col(c) for c in order_cols])
         is_dup = F.lag(key).over(
             Window.partitionBy(*parts, _BKT).orderBy(*order_cols)
         ).eqNullSafe(key)

@@ -22,6 +22,15 @@ Two semantics, matching the two engines' exact aggregates:
   Sterbenz-exact), and IEEE ops in the same shape reproduce them exactly
   (h = (n-1)*q is the same double product in both engines).
 
+With an integer ``weight``, both modes operate on the EXPANDED multiset
+(each value repeated weight times, never materialized): cumulative
+ranks accumulate weights instead of counts, so ``mode="linear"`` is the
+quantile_cont of the expanded list (h = (W-1)*q over total weight W) and
+``mode="lower"`` is the smallest value whose cumulative weight reaches
+ceil(q*W). Zero-weight values never surface (their cumulative weight
+ties their predecessor's, and the rank lookup's MIN prefers the
+predecessor).
+
 Reference parity: pandas ``describe()`` / ``quantile()`` default
 interpolation is the same linear rule (reference `data_analysis.ipynb`
 describe cells; SURVEY §2 A7).
@@ -63,10 +72,10 @@ def exact_quantiles(
     """
     if mode not in ("linear", "lower"):
         raise ValueError(f"mode must be 'linear' or 'lower', got {mode!r}")
-    if weight is not None and mode != "lower":
-        # weighted linear interpolation has no single standard definition;
-        # the unambiguous weighted percentile is the lower-discrete one
-        raise ValueError("weight requires mode='lower'")
+    # duplicate / float-colliding entries in qs would multiply rows through
+    # the lo/hi equi-join below (ADVICE r7) — the distinct sorted set is
+    # the only sensible contract
+    qs = sorted({float(q) for q in qs})
     groups = list(group_cols or [])
     wsel = [] if weight is None else [weight.cast("bigint").alias("__w")]
     vals = (

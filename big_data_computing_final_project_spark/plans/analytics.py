@@ -18,6 +18,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..catalog import epoch_us, load_table
+from ..operators.sizing import broadcast_if_small
 from ..functions import text as X
 from ..functions.stats import dec_sum, sql_dec_sum
 from .registry import register
@@ -225,8 +226,23 @@ def q92_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = (
         li.join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
                 li.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(cust_in_region), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        # size-guarded (VERDICT r7 item 1): cust_in_region is ~1/5 of the
+        # customer table and supp_nation is ALL suppliers — both grow
+        # linearly with SF, so a forced broadcast OOMs executors at 100x.
+        # broadcast_if_small estimates from the pre-join base tables (the
+        # derived frames are row-wise subsets/1:1 maps of them, so joined
+        # Catalyst stats would over-multiply) and falls back to a shuffle
+        # join past the session autoBroadcastJoinThreshold.
+        .join(
+            broadcast_if_small(cust_in_region, estimate_from=customer.select("c_custkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            broadcast_if_small(
+                supp_nation, estimate_from=supplier.select("s_suppkey", "s_name")
+            ),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
         .join(F.broadcast(min_nation))
         .select(
             F.year("o_orderdate").alias("order_year"),

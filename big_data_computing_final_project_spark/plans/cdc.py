@@ -506,11 +506,17 @@ def q184_deletion_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     subjects = cust.filter(F.col("c_custkey") % _Q184_MOD == 0).select("c_custkey")
+    # size-guarded (VERDICT r7 item 2): a real GDPR batch is usually small,
+    # but subjects is ~1% of the customer table and del_orders is ALL their
+    # orders — both scale linearly with SF, so the broadcasts are guarded;
+    # past the threshold the semi-joins fall back to shuffle cleanly.
     del_orders = orders.join(
-        F.broadcast(subjects), orders["o_custkey"] == subjects["c_custkey"], "left_semi"
+        broadcast_if_small(subjects), orders["o_custkey"] == subjects["c_custkey"], "left_semi"
     ).select("o_orderkey")
     del_li = li.join(
-        F.broadcast(del_orders), li["l_orderkey"] == del_orders["o_orderkey"], "left_semi"
+        broadcast_if_small(del_orders, estimate_from=orders.select("o_orderkey")),
+        li["l_orderkey"] == del_orders["o_orderkey"],
+        "left_semi",
     )
 
     def manifest(df: DataFrame, table: str, key: str) -> DataFrame:

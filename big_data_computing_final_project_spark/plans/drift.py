@@ -27,11 +27,11 @@ Determinism rules (the repo-wide cross-engine contract):
 
 Scale shapes: PSI and chi2 are one narrow map + one tiny groupBy each —
 shuffle carries O(bins) / O(categories) rows. KS cumulates per-VALUE
-counts with an unpartitioned ordered window: fine while the value domain
-is bounded (2-decimal money at any corpus size — the q21 histogram
-argument), and the documented scale path for unbounded domains is the
-t-digest store (q88): D evaluated on sketch quantiles instead of exact
-ECDFs.
+counts on the bucketed prefix scan (operators/prefix.py, bucket =
+floor(v/1000) — the q203 discipline on the same price domain), so no
+stage serializes the distinct-value frame into one task; the documented
+scale path for unbounded domains is the t-digest store (q88): D
+evaluated on sketch quantiles instead of exact ECDFs.
 """
 
 from __future__ import annotations
@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions import text as X
+from ..operators.prefix import prefix_agg
 from .registry import register
 
 _N_BINS = 10
@@ -183,10 +184,14 @@ def q151_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # q152 — exact two-sample KS. Cumulative counts per distinct value, max
-# absolute ECDF gap. The unpartitioned ordered window is deliberate and
-# bounded by the value DOMAIN (see module docstring); every arithmetic
-# step is exact (bigint cumsums, correctly-rounded divisions), so the
-# statistic needs no rounding to hash-match.
+# absolute ECDF gap. The cumulative scan rides the bucketed prefix
+# operator (operators/prefix.py, VERDICT r7 item 2) — the distinct-value
+# frame grows with the value domain, and the former Window.orderBy("v")
+# serialized it into one task; bucket = floor(v/1000), the q203
+# discipline on the same o_totalprice domain. Every arithmetic step is
+# exact (bigint cumsums, correctly-rounded divisions) and the scan
+# produces the SAME cumulative counts as the naive window, so the
+# statistic hash-matches the oracle unchanged.
 # ---------------------------------------------------------------------------
 
 _Q152_ORACLE = f"""
@@ -221,23 +226,22 @@ def q152_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("is_ref"), 1)).alias("nr"),
         F.count(F.when(~F.col("is_ref"), 1)).alias("nc"),
     )
-    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wall = Window.partitionBy()
-    c = per.select(
-        F.sum("nr").over(wv).alias("cr"),
-        F.sum("nc").over(wv).alias("cc"),
-        F.sum("nr").over(wall).alias("tr"),
-        F.sum("nc").over(wall).alias("tc"),
-    )
-    return c.agg(
-        F.max("tr").cast("bigint").alias("n_ref"),
-        F.max("tc").cast("bigint").alias("n_cur"),
-        F.max(
-            F.abs(
-                F.col("cr").cast("double") / F.col("tr")
-                - F.col("cc").cast("double") / F.col("tc")
-            )
-        ).alias("ks_stat"),
+    bkt = F.floor(F.col("v") / 1000).cast("bigint")
+    c = prefix_agg(per, ["v"], "nr", "cr", agg="sum", bucket=bkt)
+    c = prefix_agg(c, ["v"], "nc", "cc", agg="sum", bucket=bkt)
+    tot = per.agg(F.sum("nr").alias("tr"), F.sum("nc").alias("tc"))
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("tr").cast("bigint").alias("n_ref"),
+            F.max("tc").cast("bigint").alias("n_cur"),
+            F.max(
+                F.abs(
+                    F.col("cr").cast("double") / F.col("tr")
+                    - F.col("cc").cast("double") / F.col("tc")
+                )
+            ).alias("ks_stat"),
+        )
     )
 
 

@@ -68,3 +68,65 @@ ORDER BY doc_id, frame_idx
 def q52_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", fan_out_ok=False)  # see q51
     return frame_sample(attach_synthetic_media(docs)).orderBy("doc_id", "frame_idx")
+
+# ---------------------------------------------------------------------------
+# q220 — decode-health audit (VERDICT r7 item 5): per-source media decode
+# error rates over a planted real-format mix. attach_media_mix builds one
+# REAL png/jpeg/gif/wav/mp4 blob per doc (format = doc_id % 5) with every
+# 7th doc malformed in a format-specific way; decode_health runs the real
+# header decoders and folds each NotImplementedError into a status row.
+# The oracle restates the planting rule directly — if a decoder's guard,
+# the sniffer, or the Arrow plumbing drifts, a status string (and its
+# count) moves and the hash breaks. share_of_fmt is one exact
+# bigint/bigint division per aggregated row (q103 rule: no cross-row
+# irrational sums).
+# ---------------------------------------------------------------------------
+
+_Q220_ORACLE = """
+WITH m AS (
+  SELECT source,
+         CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+              WHEN 2 THEN 'gif' WHEN 3 THEN 'wav' ELSE 'mp4' END AS fmt,
+         CASE WHEN doc_id % 7 <> 0 THEN 'ok'
+              WHEN doc_id % 5 = 0 THEN 'malformed PNG: zero or out-of-range dims'
+              WHEN doc_id % 5 = 1 THEN 'malformed JPEG: no SOF marker before EOF'
+              WHEN doc_id % 5 = 2 THEN 'malformed GIF: zero dims'
+              WHEN doc_id % 5 = 3 THEN 'unsupported WAVE: 4-bit samples'
+              ELSE 'malformed ISO-BMFF: no moov/mvhd' END AS status
+  FROM documents
+), c AS (
+  SELECT source, fmt, status, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM m GROUP BY source, fmt, status
+)
+SELECT source, fmt, status, n_docs,
+       CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (PARTITION BY source, fmt)
+         AS share_of_fmt
+FROM c
+ORDER BY source, fmt, status
+"""
+
+
+@register("q220_decode_health", oracle=_Q220_ORACLE)
+def q220_decode_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.multimodal import attach_media_mix, decode_health
+
+    docs = load_table(spark, sf_dir, "documents", fan_out_ok=False)  # see q51
+    health = decode_health(attach_media_mix(docs))
+    counts = health.groupBy("source", "fmt", "status").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    # the share window runs over the aggregated (source, fmt, status)
+    # frame — bounded by sources x 5 formats x status classes, never
+    # corpus-sized
+    w = Window.partitionBy("source", "fmt")
+    return counts.select(
+        "source",
+        "fmt",
+        "status",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.sum("n_docs").over(w)).alias(
+            "share_of_fmt"
+        ),
+    ).orderBy("source", "fmt", "status")

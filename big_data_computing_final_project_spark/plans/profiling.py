@@ -756,3 +756,48 @@ def q218_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_cols=["l_returnflag"],
         weight=F.col("l_quantity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q219 — weighted INTERPOLATED percentiles (VERDICT r7 item 6): q218's
+# family completed with mode="linear". The weighted linear quantile is
+# defined on the EXPANDED multiset — each price repeated l_quantity times
+# — which is the one unambiguous extension of quantile_cont to integer
+# weights, and the one the oracle can state directly: DuckDB expands via
+# range(w) and runs its stock quantile_cont. Spark never materializes the
+# expansion: cumulative ranks accumulate exact BIGINT weights through the
+# bucketed prefix scan, h = (W-1)*q is the same IEEE product on both
+# sides, and v_lo*(1-d) + v_hi*d is the same symmetric interpolation
+# shape quantile_cont uses — so the hash matches bit-exactly.
+# ---------------------------------------------------------------------------
+
+_Q219_QS = [0.25, 0.5, 0.75]
+
+_Q219_ORACLE = f"""
+WITH e AS (
+  SELECT l_returnflag AS flag, l_extendedprice AS val,
+         UNNEST(range(CAST(l_quantity AS BIGINT))) AS rep
+  FROM lineitem
+), a AS (
+  SELECT flag, quantile_cont(val, {_Q219_QS!r}) AS vs
+  FROM e GROUP BY flag
+)
+SELECT flag AS l_returnflag, qs.q, vs[qs.i] AS value
+FROM a, (VALUES {", ".join(f"({i + 1}, CAST({q!r} AS DOUBLE))" for i, q in enumerate(_Q219_QS))}) qs(i, q)
+ORDER BY l_returnflag, q
+"""
+
+
+@register("q219_weighted_interp_percentiles", oracle=_Q219_ORACLE)
+def q219_weighted_interp_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quantiles import exact_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    return exact_quantiles(
+        li,
+        "l_extendedprice",
+        _Q219_QS,
+        mode="linear",
+        group_cols=["l_returnflag"],
+        weight=F.col("l_quantity"),
+    )

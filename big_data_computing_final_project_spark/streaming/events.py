@@ -1213,22 +1213,28 @@ def _lsh_dedup_ingest(batch: DataFrame, batch_id: int, store_dir: str) -> None:
     replay — both writes are per-batch overwrites, and the state lookup
     filters batch_id < N so a replay never joins its own earlier write).
 
-    Compaction safety (ADVICE r6): compact_lsh_dedup_store folds history
-    into the max batch_id and records that id in a `_compaction_floor`
-    marker. A batch at or below the floor (a replay of the folded id after
-    a crash between write and checkpoint commit, or a fresh-checkpoint
-    stream restarting at 0) is remapped ABOVE the floor, so it can never
-    overwrite the compacted delta and its state filter still sees the
-    compacted history; already-ingested doc_ids are then dropped by an
-    anti-join, making the folded-batch replay a no-op instead of a
-    double-ingest."""
+    Compaction safety (ADVICE r6, collision-proofed ADVICE r7): once a
+    compaction has folded history into the max batch_id and recorded it in
+    the `_compaction_floor` marker, EVERY subsequent batch id is remapped
+    to floor+1+batch_id — uniformly, not only ids at or below the floor.
+    Uniform remap makes effective ids injective and strictly monotone in
+    the raw id (the earlier below-floor-only remap let a replayed/fresh
+    batch b collide with a genuine continuing batch floor+1+b, and
+    mode('overwrite') would silently destroy one delta). So: a replay of a
+    folded id (crash between write and checkpoint commit, or a
+    fresh-checkpoint restart at 0) lands above the compacted delta, its
+    state filter still sees the compacted history, and already-ingested
+    doc_ids are dropped by the anti-join — a no-op instead of a
+    double-ingest. Across compactions the floor only grows and the
+    maintenance-window contract folds every existing delta first, so no
+    live partition ever sits above a newer floor's remap range."""
     from ..functions import text as X
     from ..plans.dedup import _JACCARD_T, band_key_structs
 
     spark = batch.sparkSession
     state_dir = os.path.join(store_dir, "state")
     floor = _read_compaction_floor(store_dir)
-    eff_id = batch_id if floor is None or batch_id > floor else floor + 1 + batch_id
+    eff_id = batch_id if floor is None else floor + 1 + batch_id
     # null-shingle docs (null text) can never verify; drop like batch q36
     cur = (
         batch.select("doc_id", X.shingles(F.col("text"), 3).alias("sh"))
@@ -1383,8 +1389,8 @@ _FLOOR_MARKER = "_compaction_floor"
 
 def _read_compaction_floor(store_dir: str) -> int | None:
     """The highest batch_id folded by the last compaction (None before the
-    first compaction). Written by compact_lsh_dedup_store; ingests remap
-    batch ids at or below it (see _lsh_dedup_ingest)."""
+    first compaction). Written by compact_lsh_dedup_store; once present,
+    ingests remap EVERY batch id above it (see _lsh_dedup_ingest)."""
     path = os.path.join(store_dir, _FLOOR_MARKER)
     try:
         with open(path) as f:
@@ -1518,10 +1524,11 @@ def compact_lsh_dedup_store(spark: SparkSession, store_dir: str) -> None:
     Continued ingestion keeps working: new batches land above the
     checkpoint's high-water mark and the state lookup's `batch_id < N`
     filter always includes the compacted delta. The folded high-water mark
-    is recorded in a `_compaction_floor` marker so a replay of a folded
-    batch id (crash between write and checkpoint commit, or a fresh
-    checkpoint) is remapped above the compacted delta instead of
-    overwriting it (ADVICE r6)."""
+    is recorded in a `_compaction_floor` marker; every later ingest remaps
+    its batch id to floor+1+id (uniformly — injective and monotone, see
+    _lsh_dedup_ingest), so neither a replay of a folded id nor a
+    fresh-checkpoint restart can overwrite the compacted delta or another
+    batch's delta (ADVICE r6/r7)."""
     floor = _compact_partitioned(
         spark,
         os.path.join(store_dir, "state"),

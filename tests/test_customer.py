@@ -422,15 +422,21 @@ import pytest as _pytest
         "q180_supplier_hhi",
         "q185_scd2_pit_join",
         "q187_hierarchical_shares",
+        "q92_market_share",
+        "q184_deletion_manifest",
+        "q132_corpus_funnel",
     ],
 )
 def test_scaling_broadcasts_are_size_guarded(name, spark, sf_dir):
-    """The per-part item counts (q178), supplier dim (q180/q187) and SCD2
-    customer dim (q185) all grow linearly with the corpus, so their
-    broadcasts go through operators/sizing.broadcast_if_small. Forcing the
-    session threshold to 0 must drop the hint — the planner takes a shuffle
-    join, the behavior those frames get at 100x — with identical results.
-    (Dims-proper like nation/region and 1-row aggregates stay forced.)"""
+    """The per-part item counts (q178), supplier dim (q180/q187), SCD2
+    customer dim (q185), q92's region-customer/supplier-nation frames,
+    q184's deletion-subject frames (all VERDICT r6/r7) grow linearly with
+    the corpus, so their broadcasts go through
+    operators/sizing.broadcast_if_small; q132's contaminated-doc set is
+    data-dependent and rides an UNHINTED join (AQE decides at runtime).
+    Forcing the session threshold to 0 must yield a shuffle join — the
+    behavior those frames get at 100x — with identical results. (Dims-
+    proper like nation/region and 1-row aggregates stay forced.)"""
     expected = [tuple(r) for r in _Q[name](spark, sf_dir).collect()]
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
@@ -445,6 +451,9 @@ def test_scaling_broadcasts_are_size_guarded(name, spark, sf_dir):
             "q180_supplier_hhi": r"(SortMergeJoin|ShuffledHashJoin) \[l_suppkey#\d+L?\]",
             "q185_scd2_pit_join": r"(SortMergeJoin|ShuffledHashJoin) \[o_custkey#\d+L?\]",
             "q187_hierarchical_shares": r"(SortMergeJoin|ShuffledHashJoin) \[l_suppkey#\d+L?\]",
+            "q92_market_share": r"(SortMergeJoin|ShuffledHashJoin) \[o_custkey#\d+L?\]",
+            "q184_deletion_manifest": r"(SortMergeJoin|ShuffledHashJoin) \[o_custkey#\d+L?\]",
+            "q132_corpus_funnel": r"(SortMergeJoin|ShuffledHashJoin) \[doc_id#\d+L?\]",
         }
         assert _re.search(keys[name], plan), plan[:1200]
         got = [tuple(r) for r in df.collect()]

@@ -890,6 +890,66 @@ def test_mmr_improves_diversity_on_planted_clusters(spark, tmp_path):
     assert mmr_ids[0] == 100  # highest relevance first
 
 
+@pytest.mark.parametrize("pool", [25, 100])
+def test_mmr_contract_holds_across_pool_sizes(spark, sf_dir, pool):
+    """VERDICT r7 item 8: the rerank contract must not silently depend on
+    _MMR_POOL=50. At half and double the production pool, on real
+    embeddings: (1) each query's first pick is still the plain top-1
+    (rank-1 maximizes lam*rel - 0 exactly), (2) the MMR selection is at
+    least as diverse as plain top-k (mean pairwise cosine), and (3) mean
+    relevance gives up at most 10% vs plain top-k (measured ~3% at every
+    pool) — so future pool tuning can't quietly regress diversity or
+    relevance."""
+    import collections
+
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from big_data_computing_final_project_spark.plans.similarity import (
+        _MMR_K,
+        _scored_pool,
+        mmr_rerank,
+    )
+
+    sp = _scored_pool(spark, sf_dir, pool=pool).cache()
+    try:
+        sel = (
+            mmr_rerank(sp)
+            .join(sp.select("q_id", "cand_id", "cos_sim", "e"), ["q_id", "cand_id"])
+            .collect()
+        )
+        w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
+        plain = sp.withColumn("rk", F.row_number().over(w)).filter(
+            F.col("rk") <= _MMR_K
+        ).collect()
+    finally:
+        sp.unpersist()
+    by_q = collections.defaultdict(list)
+    for r in sel:
+        by_q[r.q_id].append(r)
+    by_qp = collections.defaultdict(list)
+    for r in plain:
+        by_qp[r.q_id].append(r)
+    assert set(by_q) == set(by_qp) and len(by_q) > 0
+
+    def mean_pair_cos(rs):
+        u = [np.asarray(r.e) / np.linalg.norm(r.e) for r in rs]
+        s = [float(u[i] @ u[j]) for i in range(len(u)) for j in range(i + 1, len(u))]
+        return sum(s) / len(s)
+
+    for q in by_q:
+        first = min(by_q[q], key=lambda r: r.mmr_rank)
+        top1 = min(by_qp[q], key=lambda r: r.rk)
+        assert first.cand_id == top1.cand_id, (pool, q)
+    div_mmr = float(np.mean([mean_pair_cos(by_q[q]) for q in by_q]))
+    div_plain = float(np.mean([mean_pair_cos(by_qp[q]) for q in by_qp]))
+    assert div_mmr <= div_plain, (pool, div_mmr, div_plain)
+    rel_mmr = float(np.mean([np.mean([r.cos_sim for r in by_q[q]]) for q in by_q]))
+    rel_plain = float(np.mean([np.mean([r.cos_sim for r in by_qp[q]]) for q in by_qp]))
+    assert rel_mmr >= 0.9 * rel_plain, (pool, rel_mmr, rel_plain)
+
+
 def test_pq_ann_recall_and_determinism(spark, sf_dir):
     """PQ ADC shortlist + exact rerank: recall floor vs brute force (random
     embeddings are PQ's worst case — the floor keeps the code path honest),

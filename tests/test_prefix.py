@@ -240,32 +240,88 @@ def test_exact_quantiles_auto_bucket(spark, sf_dir):
 
 
 def test_exact_quantiles_weighted_equals_expansion(spark):
-    """Weighted lower-percentile == unweighted lower-percentile of the
-    weight-EXPANDED multiset (the definition), pinned on a small frame;
-    weight with mode='linear' raises."""
-    import pytest
+    """Weighted percentile == unweighted percentile of the weight-EXPANDED
+    multiset (the definition), pinned for BOTH modes on a small frame; the
+    linear mode is additionally pinned bit-exact against Spark's stock
+    percentile() on the expanded frame (VERDICT r7 item 6). Zero-weight
+    values must never surface."""
     from big_data_computing_final_project_spark.operators.quantiles import (
         exact_quantiles,
     )
 
-    rows = [(10.0, 1), (20.0, 3), (30.0, 6)]
+    rows = [(5.0, 0), (10.0, 1), (20.0, 3), (30.0, 6)]
+    qs = [0.1, 0.4, 0.5, 1.0]
     df = spark.createDataFrame(rows, "x double, w int")
-    got = {
-        r.q: r.value
-        for r in exact_quantiles(
-            df, "x", [0.1, 0.4, 0.5, 1.0], mode="lower",
-            weight=F.col("w"), bucket=F.col("val"),
-        ).collect()
-    }
     expanded = spark.createDataFrame(
         [(x,) for x, w in rows for _ in range(w)], "x double"
     )
-    want = {
+    for mode in ("lower", "linear"):
+        got = {
+            r.q: r.value
+            for r in exact_quantiles(
+                df, "x", qs, mode=mode, weight=F.col("w"), bucket=F.col("val")
+            ).collect()
+        }
+        want = {
+            r.q: r.value
+            for r in exact_quantiles(
+                expanded, "x", qs, mode=mode, bucket=F.col("val")
+            ).collect()
+        }
+        assert got == want, mode
+        assert 5.0 not in got.values()  # zero-weight value never selected
+    arr = ", ".join(str(q) for q in qs)
+    ref = expanded.agg(F.expr(f"percentile(x, array({arr}))").alias("p")).collect()[0].p
+    lin = {
         r.q: r.value
         for r in exact_quantiles(
-            expanded, "x", [0.1, 0.4, 0.5, 1.0], mode="lower", bucket=F.col("val")
+            df, "x", qs, mode="linear", weight=F.col("w"), bucket=F.col("val")
         ).collect()
     }
-    assert got == want == {0.1: 10.0, 0.4: 20.0, 0.5: 30.0, 1.0: 30.0}
-    with pytest.raises(ValueError, match="lower"):
-        exact_quantiles(df, "x", [0.5], weight=F.col("w"))
+    assert [lin[q] for q in qs] == list(ref)  # bit-exact vs stock percentile
+
+
+def test_exact_quantiles_dedupes_duplicate_qs(spark):
+    """ADVICE r7: duplicate (or float-colliding) entries in qs must not
+    multiply output rows through the lo/hi rank equi-join — one row per
+    DISTINCT quantile."""
+    from big_data_computing_final_project_spark.operators.quantiles import (
+        exact_quantiles,
+    )
+
+    df = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], "x double")
+    out = exact_quantiles(df, "x", [0.5, 0.5, 0.25, 0.25], bucket=F.col("val")).collect()
+    assert [(r.q, r.value) for r in out] == [(0.25, 1.5), (0.5, 2.0)]
+    low = exact_quantiles(
+        df, "x", [1, 1.0, 0.5], mode="lower", bucket=F.col("val")
+    ).collect()
+    assert [(r.q, r.value) for r in low] == [(0.5, 2.0), (1.0, 3.0)]
+
+
+def test_prefix_strict_cross_bucket_duplicates_raise(spark):
+    """ADVICE r7: the strict-mode unique-key guard must also catch
+    duplicates that straddle bucket partitions (a bucket that is not a
+    pure function of the order keys) — previously only same-bucket
+    duplicates raised, so a passing plan wasn't a uniqueness proof."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    # same key k=1 lands in buckets 0 and 1: adjacent-in-bucket lag never
+    # sees the pair, the bucket-boundary min/max check must
+    dup = spark.createDataFrame(
+        [(1, 5, 0), (1, 7, 1), (2, 9, 1)], "k long, v long, b long"
+    ).repartition(3)
+    bad = prefix_agg(dup, ["k"], "v", "p", strict=True, bucket=F.col("b"))
+    with pytest.raises(SparkRuntimeException, match="straddling buckets"):
+        bad.collect()
+    # unique keys with a coarse (non-injective but monotone) bucket pass
+    ok = spark.createDataFrame(
+        [(1, 5, 0), (2, 7, 0), (3, 9, 1)], "k long, v long, b long"
+    )
+    got = {
+        r.k: r.p
+        for r in prefix_agg(
+            ok, ["k"], "v", "p", strict=True, bucket=F.col("b")
+        ).collect()
+    }
+    assert got == {1: None, 2: 5, 3: 12}

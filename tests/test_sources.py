@@ -432,6 +432,92 @@ def test_decode_media_gif_and_decode_audio_wav(spark):
         decode_audio(bad).collect()
 
 
+def test_decode_health_classifies_planted_mix(spark):
+    """q220's operator surface: every (doc_id % 5, doc_id % 7) cell of the
+    planted real-format mix classifies to the expected (fmt, status) —
+    one good and one bad doc per format — and an unrecognized magic folds
+    to ('unknown', ...) instead of failing the job."""
+    from big_data_computing_final_project_spark.operators.multimodal import (
+        _mix_blob,
+        attach_media_mix,
+        decode_health,
+    )
+
+    # doc_ids picked so each format gets one good (id % 7 != 0) and one
+    # planted-bad (id % 7 == 0) instance: id % 5 selects the format
+    ids = {
+        "png": (5, 35), "jpeg": (6, 21), "gif": (2, 7),
+        "wav": (3, 28), "mp4": (4, 14),
+    }
+    rows = [(i, "src") for fmt_ids in ids.values() for i in fmt_ids]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    got = {
+        r.doc_id: (r.fmt, r.status)
+        for r in decode_health(attach_media_mix(docs)).collect()
+    }
+    want_bad = {
+        "png": "malformed PNG: zero or out-of-range dims",
+        "jpeg": "malformed JPEG: no SOF marker before EOF",
+        "gif": "malformed GIF: zero dims",
+        "wav": "unsupported WAVE: 4-bit samples",
+        "mp4": "malformed ISO-BMFF: no moov/mvhd",
+    }
+    for fmt, (good_id, bad_id) in ids.items():
+        assert got[good_id] == (fmt, "ok"), (fmt, got[good_id])
+        assert got[bad_id] == (fmt, want_bad[fmt]), (fmt, got[bad_id])
+    # unknown magic never raises — it reports
+    from big_data_computing_final_project_spark.operators.multimodal import _health_one
+
+    assert _health_one(b"\x00\x01garbage-blob")[0] == "unknown"
+    # and the planted blobs are genuinely parseable by the strict decoders
+    from big_data_computing_final_project_spark.operators.multimodal import (
+        _png_dims,
+        wav_meta,
+    )
+
+    assert _png_dims(_mix_blob(5)) == (5 % 640 + 1, 5 % 480 + 1)
+    assert wav_meta(_mix_blob(3))[:3] == (1, 8000, 16)
+
+
+def test_wav_meta_adpcm_and_truncated_fmt_raise_not_implemented(spark):
+    """ADVICE r7 guards: a valid-but-compressed 4-bit ADPCM WAVE must raise
+    NotImplementedError (not ZeroDivisionError from bits//8 == 0), and an
+    fmt chunk whose declared size is < 16 must be rejected instead of
+    reading the following chunk's bytes as format fields."""
+    import struct
+
+    import pytest
+
+    from big_data_computing_final_project_spark.operators.multimodal import wav_meta
+
+    def riff(*chunks: bytes) -> bytes:
+        body = b"WAVE" + b"".join(chunks)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return tag + struct.pack("<I", len(payload)) + payload + (
+            b"\x00" if len(payload) & 1 else b""
+        )
+
+    # IMA ADPCM: format tag 0x0011, 4 bits per sample — structurally valid
+    fmt_adpcm = struct.pack("<HHIIHH", 0x0011, 1, 8000, 4055, 256, 4)
+    adpcm = riff(chunk(b"fmt ", fmt_adpcm), chunk(b"data", b"\x00" * 64))
+    with pytest.raises(NotImplementedError, match="4-bit"):
+        wav_meta(adpcm)
+
+    # fmt chunk declares 8 bytes: the rate/bits fields would be read from
+    # whatever follows — must be rejected as truncated
+    short = riff(chunk(b"fmt ", struct.pack("<HHI", 1, 2, 16000)),
+                 chunk(b"data", b"\x00" * 64))
+    with pytest.raises(NotImplementedError, match="truncated fmt"):
+        wav_meta(short)
+
+    # the guards must not break a genuine PCM file
+    fmt_pcm = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    ok = riff(chunk(b"fmt ", fmt_pcm), chunk(b"data", b"\x00" * 16000))
+    assert wav_meta(ok) == (1, 8000, 16, 1.0)
+
+
 def test_decode_video_mp4_box_walk(spark):
     """ISO-BMFF metadata through decode_video: a structurally faithful MP4
     (ftyp + moov{mvhd v0, 2x trak} + mdat) yields timescale/duration/track

@@ -1152,6 +1152,74 @@ def test_stream_lsh_dedup_fresh_checkpoint_replay_after_compaction(spark, tmp_pa
     assert final == want  # doc 5 is unrelated: fold unchanged, ingest clean
 
 
+def test_stream_lsh_dedup_remap_never_collides_with_continued_ingest(
+    spark, tmp_path
+):
+    """ADVICE r7 collision safety: effective batch ids must be injective.
+    Scenario: drop A ingests (raw 0), compaction folds it (floor 0), drop B
+    with GENUINELY NEW pairing docs continues on the same checkpoint (raw 1
+    -> eff floor+1+1 = 2), then a fresh-checkpoint stream re-delivers both
+    drops (raw 0 -> eff 1, raw 1 -> eff 2, same content). Under the old
+    below-floor-only remap, the fresh raw 0 remapped to eff 1 while the
+    continuing raw 1 KEPT id 1 — the emptied replay overwrote drop B's
+    delta and silently lost its pairs. Uniform remap keeps every eff id
+    unique per raw id, so the fold must still equal batch q36 over all four
+    docs, and a brand-new doc afterwards still ingests cleanly above the
+    high-water mark."""
+    import shutil
+    import time as _t
+
+    import pyarrow.parquet as _pq
+
+    from big_data_computing_final_project_spark.streaming.events import (
+        compact_lsh_dedup_store,
+        near_dup_pairs_from_store,
+        run_stream_lsh_dedup,
+    )
+
+    corpus = _write_corpus_nd(tmp_path / "nd_corpus4")
+    want = [
+        tuple(r)
+        for r in all_queries()["q36_minhash_lsh_dedup"](spark, corpus).collect()
+    ]
+    assert len(want) == 6
+
+    src_dir = tmp_path / "nd_arrivals_x"
+    store = str(tmp_path / "nd_store_x")
+    ckpt = str(tmp_path / "nd_ckpt_x")
+    _write_doc_drops(src_dir, _ND_DROPS[0:1])  # docs 1-2: pair (1,2) only
+
+    def _stream():
+        return _docs_stream(spark, str(src_dir)).select("doc_id", "text")
+
+    run_stream_lsh_dedup(_stream(), store, ckpt)
+    compact_lsh_dedup_store(spark, store)  # floor = 0
+
+    # drop B (docs 3-4, 5 new pairs) continues on the SAME checkpoint
+    p = str(src_dir / "drop_b.parquet")
+    _pq.write_table(_docs_tbl(_ND_DROPS[1]), p)
+    os.utime(p, (_t.time(), _t.time()))
+    run_stream_lsh_dedup(_stream(), store, ckpt)
+    assert [
+        tuple(r) for r in near_dup_pairs_from_store(spark, store).collect()
+    ] == want
+
+    # fresh checkpoint re-delivers BOTH drops with raw ids restarting at 0;
+    # no remapped id may land on drop B's delta
+    shutil.rmtree(ckpt)
+    run_stream_lsh_dedup(_stream(), store, str(tmp_path / "nd_ckpt_x2"))
+    replayed = [tuple(r) for r in near_dup_pairs_from_store(spark, store).collect()]
+    assert replayed == want  # old remap lost drop B's 5 pairs here
+
+    # a genuinely new doc on the fresh checkpoint still ingests cleanly
+    p2 = str(src_dir / "drop_new.parquet")
+    _pq.write_table(_docs_tbl(_ND_DROPS[2]), p2)
+    os.utime(p2, (_t.time() + 1, _t.time() + 1))
+    run_stream_lsh_dedup(_stream(), store, str(tmp_path / "nd_ckpt_x2"))
+    final = [tuple(r) for r in near_dup_pairs_from_store(spark, store).collect()]
+    assert final == want  # doc 5 unrelated: fold unchanged
+
+
 def test_stream_integrity_audit_equals_batch(spark, tmp_path):
     """Referential-integrity-at-ingest (q206's streaming twin): planted
     orders arrive in two drops with 3 orphan custkeys (one repeated across

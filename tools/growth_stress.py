@@ -1,6 +1,7 @@
-"""Two-point scaling record for the heaviest query families (VERDICT r6
-item 9): run each at a 10x and a 30x replica of sf0.1 and record the
-wall-clock growth factor together with the OUTPUT growth factor.
+"""Multi-tier scaling record for the heaviest query families (VERDICT r6
+item 9, third tier r7 item 4): run each at a 10x and a 30x replica of
+sf0.1 — plus a 100x tier for the DEEP set — and record the wall-clock
+growth factor together with the OUTPUT growth factor per segment.
 
 Raw time ratios alone mislead here: the replica construction turns every
 document into a near-dup group of size = copies, so the ANSWER of the
@@ -39,11 +40,11 @@ from big_data_computing_final_project_spark.session import get_spark  # noqa: E4
 from sf1x_stress import DST as DST10  # noqa: E402
 from sf1x_stress import ensure_data  # noqa: E402
 
-DST30 = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "spark-warehouse",
-    "sf3x",
+_WAREHOUSE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "spark-warehouse"
 )
+DST30 = os.path.join(_WAREHOUSE, "sf3x")
+DST100 = os.path.join(_WAREHOUSE, "sf10x")
 
 # the five heaviest by the r6 10x stress, per the verdict's list
 QUERIES = [
@@ -58,6 +59,14 @@ QUERIES = [
     "q209_grouped_percentiles",
 ]
 
+# third-tier queries (VERDICT r7 item 4): the two cleanest linear stories
+# also run at a 100x replica (~sf10: 60M lineitem rows, 500k docs), so the
+# growth slope rests on three points instead of an extrapolated two. The
+# full QUERIES list stays two-tier — the 100x replica alone costs minutes
+# to build and the deep tier exists to certify slopes, not to re-time
+# every family.
+DEEP = ["q36_minhash_lsh_dedup", "q174_pagerank"]
+
 
 def _run(queries, name: str, sf_dir: str) -> tuple[float, int]:
     t0 = time.time()
@@ -66,34 +75,54 @@ def _run(queries, name: str, sf_dir: str) -> tuple[float, int]:
     return round(time.time() - t0, 3), n
 
 
+def _segment(t_lo: float, t_hi: float, r_lo: int, r_hi: int, in_factor: float) -> dict:
+    tf = t_hi / t_lo
+    of = r_hi / max(1, r_lo)
+    return {
+        "time_factor": round(tf, 3),
+        "out_factor": round(of, 3),
+        "slope_input": round(math.log(tf) / math.log(in_factor), 3),
+        "slope_work": round(math.log(tf) / math.log(max(in_factor, of)), 3),
+    }
+
+
 if __name__ == "__main__":
     spark = get_spark("growth-stress")
     spark.sparkContext.setLogLevel("ERROR")
     ensure_data(spark, DST10, 10)
     ensure_data(spark, DST30, 30)
+    deep = [n for n in DEEP] if "--no-deep" not in sys.argv else []
+    if deep:
+        ensure_data(spark, DST100, 100)
     queries = all_queries()
     spark.range(1000).count()  # warmup
     out: dict[str, dict] = {}
     for name in QUERIES:
         t10, r10 = _run(queries, name, DST10)
         t30, r30 = _run(queries, name, DST30)
-        tf = t30 / t10
-        of = r30 / max(1, r10)
         out[name] = {
             "t10": t10,
             "t30": t30,
             "rows10": r10,
             "rows30": r30,
-            "time_factor": round(tf, 3),
-            "out_factor": round(of, 3),
-            "slope_input": round(math.log(tf) / math.log(3.0), 3),
-            "slope_work": round(math.log(tf) / math.log(max(3.0, of)), 3),
+            **_segment(t10, t30, r10, r30, 3.0),
         }
+        if name in deep:
+            t100, r100 = _run(queries, name, DST100)
+            out[name]["t100"] = t100
+            out[name]["rows100"] = r100
+            out[name]["seg_30_100"] = _segment(t30, t100, r30, r100, 100.0 / 30.0)
         print(name, json.dumps(out[name]))
     line = json.dumps(
-        {"metric": "growth_stress_10x_vs_30x", "tiers": [10, 30], "queries": out}
+        {
+            "metric": "growth_stress_multi_tier",
+            "tiers": [10, 30] + ([100] if deep else []),
+            "deep_queries": deep,
+            "queries": out,
+        }
     )
-    if len(sys.argv) > 1:
-        with open(sys.argv[1], "w") as f:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if args:
+        with open(args[0], "w") as f:
             f.write(line + "\n")
     print(line)

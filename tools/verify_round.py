@@ -23,9 +23,13 @@ Usage: python tools/verify_round.py [out_json] [--skip pytest,sf01,...]
 and lowpart sweeps exist to catch dialect/reduction-order sensitivity in
 QUERIES THAT CHANGED; with --touched they run only the queries whose
 defining plans/*.py file differs from BASE_REF (the primary sf0.01+sf0.1
-gates still cover the full registry). If any SHARED engine file changed
-(operators/ functions/ sources/ catalog/session), the subset is unsafe
-and the sweeps fall back to the full registry automatically.
+gates still cover the full registry). The pytest step narrows the same
+way (VERDICT r7 item 7): only suites mentioning a touched query, test
+files that themselves changed, and the cross-cutting contract/snapshot
+pins run mid-round; the full battery still closes the round. If any
+SHARED engine file changed (operators/ functions/ sources/
+catalog/session), the subset is unsafe and every step falls back to the
+full run automatically.
 """
 
 from __future__ import annotations
@@ -136,6 +140,41 @@ def _touched_queries(base_ref: str) -> list[str] | None:
     return sorted(out)
 
 
+def _touched_tests(base_ref: str, subset: list[str]) -> list[str]:
+    """Pytest files to run for a plans-only diff (VERDICT r7 item 7): the
+    suites that mention a touched query by name, any test files that
+    themselves changed vs base_ref, and the always-on cross-cutting pins
+    (driver contract, oracle parity, plan snapshots — the snapshot suite
+    re-pins every touched query's physical plan). Only used when
+    _touched_queries returned a subset; a shared-engine diff already fell
+    back to the full battery."""
+    import glob
+
+    diff = subprocess.run(
+        ["git", "diff", "--name-only", base_ref, "HEAD", "--", "tests"],
+        cwd=ROOT, capture_output=True, text=True,
+    )
+    hits = {
+        ln.strip()
+        for ln in diff.stdout.splitlines()
+        if ln.strip().startswith("tests/test_") and
+        os.path.exists(os.path.join(ROOT, ln.strip()))
+    }
+    for tf in glob.glob(os.path.join(ROOT, "tests", "test_*.py")):
+        with open(tf) as f:
+            text = f.read()
+        if any(q in text for q in subset):
+            hits.add(os.path.relpath(tf, ROOT))
+    for always in (
+        "tests/test_entry.py",
+        "tests/test_oracle_parity.py",
+        "tests/test_plan_snapshots.py",
+    ):
+        if os.path.exists(os.path.join(ROOT, always)):
+            hits.add(always)
+    return sorted(hits)
+
+
 def main() -> None:
     out_path = None
     skip: set[str] = set()
@@ -173,6 +212,7 @@ def main() -> None:
         record["touched_queries"] = subset
         if subset is not None:
             print(f"--touched {touched_base}: {len(subset)} queries for tz/lowpart")
+            record["touched_tests"] = _touched_tests(touched_base, subset)
     ok = True
     for name, (cmd, env, summarize, passed) in STEPS.items():
         if name in skip:
@@ -183,6 +223,12 @@ def main() -> None:
                 record["steps"][name] = {"skipped": True, "reason": "no touched queries"}
                 continue
             cmd = cmd + subset
+        if name == "pytest" and subset is not None:
+            tests = record.get("touched_tests") or []
+            if not tests:
+                record["steps"][name] = {"skipped": True, "reason": "no touched tests"}
+                continue
+            cmd = [c for c in cmd if c != "tests/"] + tests
         t0 = time.time()
         rc, output = _run(cmd, env)
         s = summarize(output)
