@@ -1098,3 +1098,100 @@ def q210_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q221 — vocabulary coverage curve: for candidate vocabulary sizes V, the
+# share of total token mass covered by the top-V tokens (frequency desc,
+# token asc tiebreak) — the sizing primitive behind "how big does the
+# tokenizer vocab need to be for 99% coverage of this corpus". Ranks and
+# cumulative mass ride the bucketed prefix scan (operators/prefix.py,
+# bucket = NEGATED frequency octave, monotone in the freq-desc scan and
+# bounded by 64 bands — q207's spectrum argument), so no stage serializes
+# the vocabulary into one task. All counts are exact BIGINTs; each
+# coverage share is one bigint/bigint division per output row.
+# ---------------------------------------------------------------------------
+
+_Q221_VOCAB_SIZES = [100, 500, 1000, 5000]
+
+_Q221_ORACLE = f"""
+WITH tf AS (
+  SELECT t AS token, COUNT(*) AS freq
+  FROM (SELECT unnest({_SQL_TOKS}) AS t FROM documents WHERE text IS NOT NULL)
+  WHERE t <> ''
+  GROUP BY t
+), r AS (
+  SELECT token, freq,
+         ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS rk,
+         SUM(freq) OVER (ORDER BY freq DESC, token
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM tf
+), tot AS (SELECT SUM(freq) AS total_occ, COUNT(*) AS n_vocab FROM tf)
+SELECT v.vocab_size,
+       CAST(LEAST(v.vocab_size, (SELECT n_vocab FROM tot)) AS BIGINT)
+         AS n_vocab_tokens,
+       CAST(MAX(r.cum) AS BIGINT) AS covered_occurrences,
+       CAST(MAX(r.cum) AS DOUBLE) / (SELECT total_occ FROM tot)
+         AS coverage_share
+FROM (VALUES {", ".join(f"({v})" for v in _Q221_VOCAB_SIZES)}) v(vocab_size)
+JOIN r ON r.rk <= v.vocab_size
+GROUP BY v.vocab_size
+ORDER BY v.vocab_size
+"""
+
+
+@register("q221_vocab_coverage", oracle=_Q221_ORACLE)
+def q221_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix import prefix_agg
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.filter(F.col("text").isNotNull())
+        .select(F.explode(X.tokens(F.col("text"))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # freq-desc scan order as an ascending key; the bucket is the negated
+    # octave (bit_length - 1), monotone non-decreasing along the scan
+    tf = tf.select(
+        "token",
+        "freq",
+        (-F.col("freq")).alias("neg_freq"),
+        F.lit(1).alias("one"),
+        (
+            F.lit(1) - F.length(F.conv(F.col("freq").cast("string"), 10, 2))
+        ).cast("bigint").alias("neg_octave"),
+    )
+    ranked = prefix_agg(
+        tf, ["neg_freq", "token"], "one", "rk", bucket=F.col("neg_octave")
+    )
+    ranked = prefix_agg(
+        ranked, ["neg_freq", "token"], "freq", "cum", bucket=F.col("neg_octave")
+    )
+    tot = tf.agg(
+        F.sum("freq").alias("total_occ"), F.count(F.lit(1)).alias("n_vocab")
+    )
+    sizes = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(v) for v in _Q221_VOCAB_SIZES])
+        ).alias("vocab_size")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(sizes))
+        .filter(F.col("rk") <= F.col("vocab_size"))
+        .groupBy("vocab_size")
+        .agg(F.max("cum").cast("bigint").alias("covered_occurrences"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("vocab_size").cast("int").alias("vocab_size"),
+            F.least(F.col("vocab_size").cast("bigint"), F.col("n_vocab"))
+            .cast("bigint")
+            .alias("n_vocab_tokens"),
+            "covered_occurrences",
+            (
+                F.col("covered_occurrences").cast("double") / F.col("total_occ")
+            ).alias("coverage_share"),
+        )
+        .orderBy("vocab_size")
+    )

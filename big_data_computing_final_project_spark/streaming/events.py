@@ -2164,3 +2164,96 @@ def compact_attribution_store(spark: SparkSession, store_dir: str) -> None:
         "user_id bigint, click_key decimal(38,0)",
         lambda df: df.groupBy("user_id").agg(F.max("click_key").alias("click_key")),
     )
+
+
+# ---------------------------------------------------------------------------
+# Decode-health-at-ingest: the streaming twin of batch q220
+# (plans/multimodal_queries.py). A multimodal pipeline wants decode error
+# rates PER ARRIVING DROP, not just in a batch audit — a crawl source
+# whose malformed-blob rate spikes mid-ingest should alert before the
+# corpus lands. Same staged-delta contract as the volume store: additive
+# (source, fmt, status) counts per batch_id, plain-sum fold, replay
+# idempotent via per-batch overwrite.
+# ---------------------------------------------------------------------------
+
+_HEALTH_COUNT_SCHEMA = "source string, fmt string, status string, n_docs bigint"
+
+
+def _decode_health_ingest(batch: DataFrame, batch_id: int, store_dir: str) -> None:
+    """One micro-batch of the decode-health store: classify every blob
+    through the real header decoders (operators/multimodal.decode_health —
+    per-blob rejection becomes a row, never a failed batch) and stage the
+    additive (source, fmt, status) counts under batch_id=N."""
+    from ..operators.multimodal import decode_health
+
+    (
+        decode_health(batch.select("doc_id", "source", "content"))
+        .groupBy("source", "fmt", "status")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(store_dir, f"batch_id={batch_id}"))
+    )
+
+
+def run_stream_decode_health(
+    media: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    timeout_sec: int = 120,
+) -> None:
+    """foreachBatch decode-health partials over a streaming frame of
+    (doc_id, source, content). Scale: per batch one Arrow decode pass +
+    one tiny groupBy; store growth is O(batches x sources x 6 formats x
+    status classes) rows of additive counts."""
+
+    def partials(batch: DataFrame, batch_id: int) -> None:
+        _decode_health_ingest(batch, batch_id, store_dir)
+
+    _run_foreach_batch(
+        media, partials, checkpoint_dir, timeout_sec, "run_stream_decode_health"
+    )
+
+
+def decode_health_report_from_store(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Fold the staged deltas into q220's report shape: (source, fmt,
+    status, n_docs, share_of_fmt). Counts are additive across batches, so
+    the fold is a plain sum; the share window runs over the aggregated
+    frame only. Arrival-order-independent (counts commute) — pinned for
+    forward AND reversed drops in tests/test_streaming.py."""
+    from pyspark.sql import Window
+
+    _recover_compaction(store_dir)
+    if os.path.exists(store_dir):
+        deltas = (
+            spark.read.schema(_HEALTH_COUNT_SCHEMA)
+            .option("basePath", store_dir)
+            .parquet(f"{store_dir}/batch_id=*")
+        )
+    else:
+        deltas = spark.createDataFrame([], _HEALTH_COUNT_SCHEMA)
+    counts = deltas.groupBy("source", "fmt", "status").agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs")
+    )
+    w = Window.partitionBy("source", "fmt")
+    return counts.select(
+        "source",
+        "fmt",
+        "status",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.sum("n_docs").over(w)).alias(
+            "share_of_fmt"
+        ),
+    ).orderBy("source", "fmt", "status")
+
+
+def compact_decode_health_store(spark: SparkSession, store_dir: str) -> None:
+    """Compact the decode-health store: counts merge by summation;
+    decode_health_report_from_store reads identically before and after."""
+    _compact_partitioned(
+        spark,
+        store_dir,
+        _HEALTH_COUNT_SCHEMA,
+        lambda df: df.groupBy("source", "fmt", "status").agg(
+            F.sum("n_docs").alias("n_docs")
+        ),
+    )

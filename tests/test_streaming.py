@@ -1220,6 +1220,85 @@ def test_stream_lsh_dedup_remap_never_collides_with_continued_ingest(
     assert final == want  # doc 5 unrelated: fold unchanged
 
 
+def test_stream_decode_health_equals_batch_q220_and_compaction(spark, tmp_path):
+    """Decode-health-at-ingest (q220's streaming twin): planted real-format
+    blobs arrive in two drops; the folded store must equal the q220-shaped
+    batch report over the full set — for forward AND reversed arrival
+    (counts additive) — and mid-stream compaction must preserve the fold."""
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from big_data_computing_final_project_spark.operators.multimodal import (
+        _mix_blob,
+        attach_media_mix,
+        decode_health,
+    )
+    from big_data_computing_final_project_spark.streaming.events import (
+        compact_decode_health_store,
+        decode_health_report_from_store,
+        run_stream_decode_health,
+    )
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    # 40 docs across 2 sources: every format gets good and bad instances
+    all_rows = [(i, "srcA" if i % 2 == 0 else "srcB") for i in range(40)]
+    docs = spark.createDataFrame(all_rows, "doc_id long, source string")
+    counts = decode_health(attach_media_mix(docs)).groupBy(
+        "source", "fmt", "status"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    w = Window.partitionBy("source", "fmt")
+    want = [
+        tuple(r)
+        for r in counts.select(
+            "source", "fmt", "status", "n_docs",
+            (F.col("n_docs").cast("double") / F.sum("n_docs").over(w)).alias(
+                "share_of_fmt"
+            ),
+        ).orderBy("source", "fmt", "status").collect()
+    ]
+    assert len(want) >= 10
+
+    def blob_tbl(sub):
+        return pa.table(
+            {
+                "doc_id": pa.array([i for i, _ in sub], pa.int64()),
+                "source": pa.array([s for _, s in sub], pa.string()),
+                "content": pa.array([_mix_blob(i) for i, _ in sub], pa.binary()),
+            }
+        )
+
+    drops = [all_rows[:20], all_rows[20:]]
+    for case, order in (("fwd", drops), ("rev", list(reversed(drops)))):
+        src_dir = tmp_path / f"dh_arrivals_{case}"
+        src_dir.mkdir()
+        import time as _t
+
+        base = _t.time() - 3600
+        for i, sub in enumerate(order):
+            p = str(src_dir / f"drop_{i}.parquet")
+            _pq.write_table(blob_tbl(sub), p)
+            os.utime(p, (base + 10 * i, base + 10 * i))
+        store = str(tmp_path / f"dh_store_{case}")
+        stream = spark.readStream.schema(
+            "doc_id long, source string, content binary"
+        ).option("maxFilesPerTrigger", "1").parquet(str(src_dir))
+        run_stream_decode_health(stream, store, str(tmp_path / f"dh_ckpt_{case}"))
+        got = [
+            tuple(r)
+            for r in decode_health_report_from_store(spark, store).collect()
+        ]
+        assert got == want, case
+
+    # compaction folds the deltas without changing the report
+    store = str(tmp_path / "dh_store_fwd")
+    compact_decode_health_store(spark, store)
+    after = [
+        tuple(r) for r in decode_health_report_from_store(spark, store).collect()
+    ]
+    assert after == want
+
+
 def test_stream_integrity_audit_equals_batch(spark, tmp_path):
     """Referential-integrity-at-ingest (q206's streaming twin): planted
     orders arrive in two drops with 3 orphan custkeys (one repeated across
