@@ -389,15 +389,20 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8)
 
 _MIX_FMTS = ("png", "jpeg", "gif", "wav", "mp4")
 _MIX_BAD_MOD = 7  # doc_id % 7 == 0 -> planted-malformed blob
+_MIX_GARBAGE_MOD = 11  # doc_id % 11 == 0 -> magic-less garbage (truncated crawl)
 
 
 def _mix_blob(doc_id: int) -> bytes:
     """Deterministic real-format blob for ``doc_id``: format cycles through
     png/jpeg/gif/wav/mp4 (doc_id % 5); every 7th doc is malformed in a
-    format-specific way that exercises a distinct decoder guard."""
+    format-specific way that exercises a distinct decoder guard; every
+    11th doc (taking precedence) is magic-less garbage — the truncated /
+    interrupted-download blob a real crawl sees most often."""
     import struct
     import zlib
 
+    if doc_id % _MIX_GARBAGE_MOD == 0:
+        return b"\x00\x01" + struct.pack(">Q", doc_id) + b"garbage"
     fmt = _MIX_FMTS[doc_id % 5]
     bad = doc_id % _MIX_BAD_MOD == 0
     if fmt == "png":

@@ -73,8 +73,10 @@ def q52_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q220 — decode-health audit (VERDICT r7 item 5): per-source media decode
 # error rates over a planted real-format mix. attach_media_mix builds one
 # REAL png/jpeg/gif/wav/mp4 blob per doc (format = doc_id % 5) with every
-# 7th doc malformed in a format-specific way; decode_health runs the real
-# header decoders and folds each NotImplementedError into a status row.
+# 7th doc malformed in a format-specific way and every 11th (precedence)
+# magic-less garbage — the truncated-download blob a crawl sees most
+# often, classified 'unknown'; decode_health runs the real header
+# decoders and folds each NotImplementedError into a status row.
 # The oracle restates the planting rule directly — if a decoder's guard,
 # the sniffer, or the Arrow plumbing drifts, a status string (and its
 # count) moves and the hash breaks. share_of_fmt is one exact
@@ -85,9 +87,13 @@ def q52_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q220_ORACLE = """
 WITH m AS (
   SELECT source,
-         CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
-              WHEN 2 THEN 'gif' WHEN 3 THEN 'wav' ELSE 'mp4' END AS fmt,
-         CASE WHEN doc_id % 7 <> 0 THEN 'ok'
+         CASE WHEN doc_id % 11 = 0 THEN 'unknown'
+              WHEN doc_id % 5 = 0 THEN 'png' WHEN doc_id % 5 = 1 THEN 'jpeg'
+              WHEN doc_id % 5 = 2 THEN 'gif' WHEN doc_id % 5 = 3 THEN 'wav'
+              ELSE 'mp4' END AS fmt,
+         CASE WHEN doc_id % 11 = 0
+                THEN 'unsupported media format: unrecognized magic'
+              WHEN doc_id % 7 <> 0 THEN 'ok'
               WHEN doc_id % 5 = 0 THEN 'malformed PNG: zero or out-of-range dims'
               WHEN doc_id % 5 = 1 THEN 'malformed JPEG: no SOF marker before EOF'
               WHEN doc_id % 5 = 2 THEN 'malformed GIF: zero dims'

@@ -465,10 +465,18 @@ def test_decode_health_classifies_planted_mix(spark):
     for fmt, (good_id, bad_id) in ids.items():
         assert got[good_id] == (fmt, "ok"), (fmt, got[good_id])
         assert got[bad_id] == (fmt, want_bad[fmt]), (fmt, got[bad_id])
-    # unknown magic never raises — it reports
+    # unknown magic never raises — it reports; and the planted garbage
+    # blobs (doc_id % 11 == 0, precedence over format/bad rules) classify
+    # as unknown end-to-end
     from big_data_computing_final_project_spark.operators.multimodal import _health_one
 
     assert _health_one(b"\x00\x01garbage-blob")[0] == "unknown"
+    garbage = spark.createDataFrame([(0, "src"), (22, "src")], "doc_id long, source string")
+    gout = {r.doc_id: (r.fmt, r.status) for r in decode_health(attach_media_mix(garbage)).collect()}
+    assert gout == {
+        0: ("unknown", "unsupported media format: unrecognized magic"),
+        22: ("unknown", "unsupported media format: unrecognized magic"),
+    }
     # and the planted blobs are genuinely parseable by the strict decoders
     from big_data_computing_final_project_spark.operators.multimodal import (
         _png_dims,

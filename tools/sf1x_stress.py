@@ -85,6 +85,12 @@ QUERIES = [
     "q197_weighted_median",
     "q198_rrf_fusion",
     "q199_mmr_rerank",
+    # round-8 additions: weighted interpolated percentiles (two rank joins
+    # over the 10x prefix frame), decode-health (Arrow classify over 10x
+    # planted blobs), vocab coverage (prefix scan over the 10x vocabulary)
+    "q219_weighted_interp_percentiles",
+    "q220_decode_health",
+    "q221_vocab_coverage",
 ]
 
 
