@@ -190,7 +190,6 @@ def main() -> None:
     plan_shas: dict[str, str] = {}
     for name in names:
         best = float("inf")
-        df = None
         for _ in range(2):
             t0 = time.time()
             df = queries[name](spark, sf_dir)
@@ -198,7 +197,14 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
-        plan_shas[name] = plan_fingerprint(df)
+        # fingerprint a FRESH (unexecuted) build: the PRE-adaptive plan is
+        # a deterministic function of code + static stats, which is the
+        # "did the builder's plan move" signal the sha exists for. The
+        # previously-fingerprinted post-execution plan bakes in AQE's
+        # runtime choices (coalesce counts, join re-planning), which vary
+        # with load/session history — q174's sha moved round-to-round with
+        # NO code change purely from that weather.
+        plan_shas[name] = plan_fingerprint(queries[name](spark, sf_dir))
 
     # Workload-parity anchor vs BASELINE.md: the reference's only measured
     # number is a 479.19 s from-scratch decision-tree fit on 111,944 rows x

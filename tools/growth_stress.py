@@ -67,6 +67,47 @@ QUERIES = [
 # every family.
 DEEP = ["q36_minhash_lsh_dedup", "q174_pagerank"]
 
+# --bounded mode (round-8 backlog item 1): the standard replica turns
+# every doc into a near-dup group of size = tier, so the dedup families'
+# OUTPUT grows quadratically in the tier and only slope_work is honest.
+# The bounded replica holds group size at 10 and grows the number of
+# GROUPS instead: tier/10 epochs, each epoch a fully-decorrelated copy of
+# the corpus (an epoch token interleaved after EVERY word, so every
+# 3-shingle contains it and cross-epoch Jaccard collapses to ~0), each
+# epoch then near-dup-replicated 10x exactly like the standard replica.
+# Output pairs = epochs x docs x C(10,2) -> LINEAR in the tier, making
+# slope_input the honest statistic for the same code paths.
+BOUNDED_QUERIES = ["q36_minhash_lsh_dedup", "q122_prefix_jaccard"]
+BOUNDED_GROUP = 10
+
+
+def ensure_bounded_docs(spark, dst: str, tier: int) -> None:
+    import pyspark.sql.functions as F
+
+    if os.path.exists(os.path.join(dst, "documents.parquet")):
+        return
+    os.makedirs(dst, exist_ok=True)
+    src = "/root/testdata/sf0.1"
+    docs = spark.read.parquet(f"{src}/documents.parquet")
+    epochs = max(1, tier // BOUNDED_GROUP)
+    out = None
+    for e in range(epochs):
+        base = docs.withColumn(
+            "text", F.regexp_replace("text", r"(\S+)", f"$1 e{e}")
+        )
+        for i in range(BOUNDED_GROUP):
+            c = base.withColumn(
+                "doc_id",
+                F.col("doc_id") * (epochs * BOUNDED_GROUP)
+                + F.lit(e * BOUNDED_GROUP + i),
+            )
+            if i > 0:
+                c = c.withColumn("text", F.concat(F.col("text"), F.lit(f" c{i}")))
+            out = c if out is None else out.unionByName(c)
+    out.withColumn("n_chars", F.length("text").cast("bigint")).write.mode(
+        "overwrite"
+    ).parquet(f"{dst}/documents.parquet")
+
 
 def _run(queries, name: str, sf_dir: str) -> tuple[float, int]:
     t0 = time.time()
@@ -86,9 +127,54 @@ def _segment(t_lo: float, t_hi: float, r_lo: int, r_hi: int, in_factor: float) -
     }
 
 
+def _main_bounded() -> None:
+    """--bounded: the linear-output replica (see BOUNDED_QUERIES note).
+    Tiers 10/30/100 of documents only (the dedup families read nothing
+    else); expected slope_input ~1 because output now grows WITH input."""
+    out: dict[str, dict] = {}
+    tiers = [10, 30, 100]
+    dirs = {}
+    for t in tiers:
+        d = os.path.join(_WAREHOUSE, f"bounded{t}x")
+        ensure_bounded_docs(spark, d, t)
+        dirs[t] = d
+    queries = all_queries()
+    spark.range(1000).count()  # warmup
+    for name in BOUNDED_QUERIES:
+        res: dict = {}
+        for t in tiers:
+            tsec, rows = _run(queries, name, dirs[t])
+            res[f"t{t}"] = tsec
+            res[f"rows{t}"] = rows
+        res["seg_10_30"] = _segment(
+            res["t10"], res["t30"], res["rows10"], res["rows30"], 3.0
+        )
+        res["seg_30_100"] = _segment(
+            res["t30"], res["t100"], res["rows30"], res["rows100"], 100.0 / 30.0
+        )
+        out[name] = res
+        print(name, json.dumps(res))
+    line = json.dumps(
+        {
+            "metric": "growth_stress_bounded_groups",
+            "tiers": tiers,
+            "group_size": BOUNDED_GROUP,
+            "queries": out,
+        }
+    )
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if args:
+        with open(args[0], "w") as f:
+            f.write(line + "\n")
+    print(line)
+
+
 if __name__ == "__main__":
     spark = get_spark("growth-stress")
     spark.sparkContext.setLogLevel("ERROR")
+    if "--bounded" in sys.argv:
+        _main_bounded()
+        sys.exit(0)
     ensure_data(spark, DST10, 10)
     ensure_data(spark, DST30, 30)
     deep = [n for n in DEEP] if "--no-deep" not in sys.argv else []
