@@ -72,11 +72,13 @@ DEEP = ["q36_minhash_lsh_dedup", "q174_pagerank"]
 # OUTPUT grows quadratically in the tier and only slope_work is honest.
 # The bounded replica holds group size at 10 and grows the number of
 # GROUPS instead: tier/10 epochs, each epoch a fully-decorrelated copy of
-# the corpus (an epoch token interleaved after EVERY word, so every
-# 3-shingle contains it and cross-epoch Jaccard collapses to ~0), each
-# epoch then near-dup-replicated 10x exactly like the standard replica.
-# Output pairs = epochs x docs x C(10,2) -> LINEAR in the tier, making
-# slope_input the honest statistic for the same code paths.
+# the corpus (the epoch id SUFFIXED onto every word, so epochs share zero
+# tokens AND zero shingles — an interleaved-token variant left tokens
+# ~50% shared across epochs and blew q122's candidate set up
+# quadratically), each epoch then near-dup-replicated 10x exactly like
+# the standard replica. Output pairs = epochs x docs x C(10,2) -> LINEAR
+# in the tier, making slope_input the honest statistic for the same code
+# paths.
 BOUNDED_QUERIES = ["q36_minhash_lsh_dedup", "q122_prefix_jaccard"]
 BOUNDED_GROUP = 10
 
@@ -93,7 +95,7 @@ def ensure_bounded_docs(spark, dst: str, tier: int) -> None:
     out = None
     for e in range(epochs):
         base = docs.withColumn(
-            "text", F.regexp_replace("text", r"(\S+)", f"$1 e{e}")
+            "text", F.regexp_replace("text", r"(\S+)", f"$1-e{e}")
         )
         for i in range(BOUNDED_GROUP):
             c = base.withColumn(
@@ -109,11 +111,14 @@ def ensure_bounded_docs(spark, dst: str, tier: int) -> None:
     ).parquet(f"{dst}/documents.parquet")
 
 
-def _run(queries, name: str, sf_dir: str) -> tuple[float, int]:
-    t0 = time.time()
-    df = queries[name](spark, sf_dir)
-    n = df.count()
-    return round(time.time() - t0, 3), n
+def _run(queries, name: str, sf_dir: str, runs: int = 1) -> tuple[float, int]:
+    best, n = float("inf"), 0
+    for _ in range(runs):
+        t0 = time.time()
+        df = queries[name](spark, sf_dir)
+        n = df.count()
+        best = min(best, time.time() - t0)
+    return round(best, 3), n
 
 
 def _segment(t_lo: float, t_hi: float, r_lo: int, r_hi: int, in_factor: float) -> dict:
@@ -140,10 +145,19 @@ def _main_bounded() -> None:
         dirs[t] = d
     queries = all_queries()
     spark.range(1000).count()  # warmup
+    base_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     for name in BOUNDED_QUERIES:
         res: dict = {}
         for t in tiers:
-            tsec, rows = _run(queries, name, dirs[t])
+            # a real cluster's reducer count scales with the data; with the
+            # session's fixed 32, the 100x tier measures spill-regime
+            # behavior of 10x-volume partitions, not the engine's scaling.
+            # 32 execution slots chewing 32*t/10 partitions is exactly how
+            # a 32-slot cluster runs that reducer count. Best-of-2 timing:
+            # single-shot tiers were +-40% on the same data.
+            spark.conf.set("spark.sql.shuffle.partitions", base_parts * t // 10)
+            tsec, rows = _run(queries, name, dirs[t], runs=2)
+            spark.conf.set("spark.sql.shuffle.partitions", base_parts)
             res[f"t{t}"] = tsec
             res[f"rows{t}"] = rows
         res["seg_10_30"] = _segment(
