@@ -1014,17 +1014,19 @@ def _prefix_candidates(sh: DataFrame) -> DataFrame:
     filter (rarest-first canonical order) plus the length-ratio filter —
     the SINGLE definition consumed by both q122 and the pruning-ratio
     test counter, so the certificate can't drift from the query."""
-    sizes = sh.select("doc_id", F.size("sh").alias("n"))
-    ex = sh.select("doc_id", F.explode_outer("sh").alias("s"))
+    # the doc's shingle count RIDES each posting through the explode —
+    # (round 8) the former separate `sizes` join broadcast below ~10 MB
+    # and flipped to a full sort-merge join of the posting table right at
+    # the 100x bounded tier (sizes ~ 500k rows), a measured plan-regime
+    # cliff; carrying n inline removes the join at every tier
+    ex = sh.select(
+        "doc_id", F.size("sh").alias("n"), F.explode_outer("sh").alias("s")
+    )
     df_tab = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     # global canonical order = (corpus df ascending, shingle) — rarest
     # first; materialized per doc via a ranking window, no global rank ids
     w = Window.partitionBy("doc_id").orderBy("df", "s")
-    pos = (
-        ex.join(df_tab, "s")
-        .withColumn("rn", F.row_number().over(w))
-        .join(broadcast_if_small(sizes), "doc_id")
-    )
+    pos = ex.join(df_tab, "s").withColumn("rn", F.row_number().over(w))
     prefix = pos.filter(
         F.col("rn") <= F.col("n") - F.ceil(F.lit(_JACCARD_T) * F.col("n")) + F.lit(1)
     )
@@ -1050,9 +1052,22 @@ def q122_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # like q35: the shingled frame feeds five consumers (sizes, df table,
     # prefix positions, both verification sides) — checkpoint it so the
     # regex-normalize + shingle transform runs once (3.2s vs 4.3s steady
-    # state at sf0.1, 3x better cold)
-    sh = _shingled(spark, sf_dir).localCheckpoint(eager=True)
-    return _verify_candidate_pairs(sh, _prefix_candidates(sh))
+    # state at sf0.1, 3x better cold).
+    #
+    # Shingles ride as xxhash64 BIGINTs end-to-end (round-8 bounded-tier
+    # finding: the verify stage ships both shingle sets per candidate
+    # pair, ~80 GB at the 100x tier with ~35-byte strings — 8-byte hashes
+    # cut every posting/verify shuffle ~4x). Correctness: the prefix
+    # filter only needs A consistent global canonical order — (df asc,
+    # hash asc) qualifies exactly like (df asc, string asc) — and exact
+    # Jaccard over hashed shingle SETS equals the string form absent a
+    # 64-bit collision inside one doc's ~400 shingles (P ~ 1e-14 per
+    # corpus; q35 keeps the pure-string path as the exact anchor).
+    sh = _shingled(spark, sf_dir)
+    shh = sh.select(
+        "doc_id", F.transform("sh", lambda s: F.xxhash64(s)).alias("sh")
+    ).localCheckpoint(eager=True)
+    return _verify_candidate_pairs(shh, _prefix_candidates(shh))
 
 
 def prefix_candidate_count(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
