@@ -247,6 +247,15 @@ def main() -> None:
     # compact summary LAST — must fit the driver's 2000-char window WHOLE,
     # so if the registry outgrows it, keep the slowest queries (the ones a
     # bench reader actually looks at) and say how many were dropped
+    # plans_sha: one sha256 over the sorted per-query plan shas — pins the
+    # WHOLE plan set in the driver-kept tail even though the per-query
+    # dict scrolls out of the 2000-char window (VERDICT r8 note 1); the
+    # per-query shas stay verifiable via plans_snapshot/ + snapshot tests.
+    import hashlib
+
+    plans_sha = hashlib.sha256(
+        "\n".join(f"{n}:{s}" for n, s in sorted(plan_shas.items())).encode()
+    ).hexdigest()[:16]
     compact_q = {n: round(t, 2) for n, t in timings.items()}
     while True:
         compact = {
@@ -256,6 +265,7 @@ def main() -> None:
             "sf": sf_val,
             "value_normalized": round(total / machine_factor, 3),
             "machine_factor": machine_factor,
+            "plans_sha": plans_sha,
             "queries": compact_q,
         }
         if len(compact_q) < len(timings):

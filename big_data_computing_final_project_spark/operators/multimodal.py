@@ -397,10 +397,18 @@ def _mix_blob(doc_id: int) -> bytes:
     png/jpeg/gif/wav/mp4 (doc_id % 5); every 7th doc is malformed in a
     format-specific way that exercises a distinct decoder guard; every
     11th doc (taking precedence) is magic-less garbage — the truncated /
-    interrupted-download blob a real crawl sees most often."""
+    interrupted-download blob a real crawl sees most often.
+
+    ``doc_id`` must be non-negative: the planting rule is restated in
+    q220's oracle SQL, and Python's ``%`` and SQL's ``%`` disagree on
+    negatives (-3 % 5 = 2 vs -3), while ``struct.pack('>Q', doc_id)``
+    would raise outright — guard the load-bearing assumption explicitly
+    (ADVICE r8)."""
     import struct
     import zlib
 
+    if doc_id < 0:
+        raise ValueError(f"_mix_blob requires doc_id >= 0, got {doc_id}")
     if doc_id % _MIX_GARBAGE_MOD == 0:
         return b"\x00\x01" + struct.pack(">Q", doc_id) + b"garbage"
     fmt = _MIX_FMTS[doc_id % 5]

@@ -1009,6 +1009,17 @@ def q102_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _hashed_shingles(sh: DataFrame) -> DataFrame:
+    """q122's shipped representation: shingles as xxhash64 BIGINTs (see
+    q122_prefix_jaccard for the correctness argument). The SINGLE hashing
+    select shared by the query and prefix_candidate_count, so the pruning
+    certificate measures the candidate set q122 actually generates —
+    same frame, same canonical (df, hash) order (ADVICE r8)."""
+    return sh.select(
+        "doc_id", F.transform("sh", lambda s: F.xxhash64(s)).alias("sh")
+    )
+
+
 def _prefix_candidates(sh: DataFrame) -> DataFrame:
     """PPJoin-style candidate pairs from a shingled frame: the prefix
     filter (rarest-first canonical order) plus the length-ratio filter —
@@ -1064,16 +1075,15 @@ def q122_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 64-bit collision inside one doc's ~400 shingles (P ~ 1e-14 per
     # corpus; q35 keeps the pure-string path as the exact anchor).
     sh = _shingled(spark, sf_dir)
-    shh = sh.select(
-        "doc_id", F.transform("sh", lambda s: F.xxhash64(s)).alias("sh")
-    ).localCheckpoint(eager=True)
+    shh = _hashed_shingles(sh).localCheckpoint(eager=True)
     return _verify_candidate_pairs(shh, _prefix_candidates(shh))
 
 
 def prefix_candidate_count(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
     """(prefix-join candidates, full-postings-join candidates) — the
-    pruning ratio the prefix filter buys; pytest asserts it shrinks."""
-    sh = _shingled(spark, sf_dir)
+    pruning ratio the prefix filter buys; pytest asserts it shrinks.
+    Runs over the same hashed-shingle frame q122 ships (ADVICE r8)."""
+    sh = _hashed_shingles(_shingled(spark, sf_dir))
     ex = sh.select("doc_id", F.explode_outer("sh").alias("s"))
     full = (
         ex.alias("x")

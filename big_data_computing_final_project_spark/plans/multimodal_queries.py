@@ -81,7 +81,10 @@ def q52_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the sniffer, or the Arrow plumbing drifts, a status string (and its
 # count) moves and the hash breaks. share_of_fmt is one exact
 # bigint/bigint division per aggregated row (q103 rule: no cross-row
-# irrational sums).
+# irrational sums). doc_id >= 0 is load-bearing on BOTH sides: Python %
+# and SQL % disagree on negatives, so _mix_blob guards it with an
+# explicit ValueError (ADVICE r8); the testdata contract keeps doc_id
+# non-negative.
 # ---------------------------------------------------------------------------
 
 _Q220_ORACLE = """

@@ -485,9 +485,12 @@ def _dup_flow_ingest(batch: DataFrame, batch_id: int, store_dir: str) -> None:
     """One micro-batch of the dup-flow store (see run_stream_dup_flow):
     rank the batch within fp, look up the keeper store for batches < this
     one, stage this batch's new keepers and duplicate-flow edges under
-    their batch_id directories (idempotent on replay)."""
+    their batch_id directories (idempotent on replay; ids remap above the
+    compaction floor — see _effective_batch_id — so a replay of a folded
+    raw id can never overwrite the compacted keeper/edge history)."""
     spark = batch.sparkSession
     keepers_dir = os.path.join(store_dir, "keepers")
+    eff_id = _effective_batch_id(store_dir, batch_id)
     w = Window.partitionBy("fp").orderBy("doc_id")
     ranked = batch.select("doc_id", "source", "fp").withColumn(
         "rn", F.row_number().over(w)
@@ -496,7 +499,7 @@ def _dup_flow_ingest(batch: DataFrame, batch_id: int, store_dir: str) -> None:
         prior = (
             spark.read.option("basePath", keepers_dir)
             .parquet(f"{keepers_dir}/batch_id=*")
-            .where(F.col("batch_id") < batch_id)
+            .where(F.col("batch_id") < eff_id)
             .select("fp", F.col("keeper_source").alias("store_keeper"))
         )
     else:
@@ -511,7 +514,7 @@ def _dup_flow_ingest(batch: DataFrame, batch_id: int, store_dir: str) -> None:
             F.col("store_keeper").isNull() & (F.col("rn") == 1)
         ).select("fp", F.col("source").alias("keeper_source"))
         new_keepers.write.mode("overwrite").parquet(
-            os.path.join(keepers_dir, f"batch_id={batch_id}")
+            os.path.join(keepers_dir, f"batch_id={eff_id}")
         )
         # within-batch keeper source per fp (the rn==1 row's source)
         batch_first = hit.where(F.col("rn") == 1).select(
@@ -530,7 +533,7 @@ def _dup_flow_ingest(batch: DataFrame, batch_id: int, store_dir: str) -> None:
             F.count(F.lit(1)).alias("n_docs")
         )
         edges.write.mode("overwrite").parquet(
-            os.path.join(store_dir, "edges", f"batch_id={batch_id}")
+            os.path.join(store_dir, "edges", f"batch_id={eff_id}")
         )
     finally:
         hit.unpersist()
@@ -619,6 +622,8 @@ def _counts_read_schema(key_cols: list[str]) -> str:
 def _stage_bin_counts(
     binned: DataFrame, batch_id: int, store_dir: str, key_cols: list[str]
 ) -> None:
+    # batch_id arrives pre-remapped above the store's compaction floor
+    # (see _effective_batch_id) by every caller.
     (
         binned.groupBy(*key_cols, "bin")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -709,8 +714,12 @@ def _monitor_ingest(
 ) -> None:
     """One monitor micro-batch: stage this batch's bin counts, evaluate
     the cumulative store, stage one log row per key (or one total row
-    when unkeyed). Both writes land under batch_id=N — replay idempotent."""
+    when unkeyed). Both writes land under batch_id=N — replay idempotent.
+    N is the raw id remapped above the counts store's compaction floor
+    (the log dir follows the same effective id so a fresh-checkpoint
+    restart can't overwrite a genuine old log row either)."""
     spark = batch.sparkSession
+    batch_id = _effective_batch_id(counts_dir, batch_id, flat=True)
     _stage_bin_counts(binner(batch), batch_id, counts_dir, key_cols)
     rows = _psi_fold(spark, counts_dir, ref_counts, key_cols, 1e-9).collect()
     if key_cols:
@@ -781,7 +790,7 @@ def run_stream_psi_counts(
             batch.select(
                 bin_expr(F.col("v"), F.lit(lo), F.lit(width), n_bins).alias("bin")
             ),
-            batch_id,
+            _effective_batch_id(store_dir, batch_id, flat=True),
             store_dir,
             [],
         )
@@ -879,7 +888,7 @@ def _monitor_log(spark: SparkSession, log_dir: str, schema: str) -> DataFrame:
         .option("basePath", log_dir)
         .parquet(f"{log_dir}/batch_id=*")
         .select("batch_id", *cols)
-        .orderBy("batch_id", *[c for c in cols if c in ("key",)])
+        .orderBy("batch_id", *[c for c in cols if c in ("key", "source")])
     )
 
 
@@ -939,7 +948,9 @@ def drift_monitor_log(spark: SparkSession, store_dir: str) -> DataFrame:
 
 def _volume_ingest(batch: DataFrame, batch_id: int, store_dir: str) -> None:
     """One micro-batch of the volume store (see run_stream_volume_counts):
-    stage per-(source, lang) additive partials under batch_id=N."""
+    stage per-(source, lang) additive partials under batch_id=N (remapped
+    above the compaction floor — see _effective_batch_id)."""
+    eff_id = _effective_batch_id(store_dir, batch_id, flat=True)
     (
         batch.groupBy("source", "lang")
         .agg(
@@ -948,7 +959,7 @@ def _volume_ingest(batch: DataFrame, batch_id: int, store_dir: str) -> None:
             F.sum("n_chars").cast("bigint").alias("n_chars"),
         )
         .write.mode("overwrite")
-        .parquet(os.path.join(store_dir, f"batch_id={batch_id}"))
+        .parquet(os.path.join(store_dir, f"batch_id={eff_id}"))
     )
 
 
@@ -1121,7 +1132,12 @@ def run_stream_psi_counts_by_key(
     binner = _keyed_binner(ref_edges, n_bins)
 
     def bin_counts(batch: DataFrame, batch_id: int) -> None:
-        _stage_bin_counts(binner(batch), batch_id, store_dir, ["key"])
+        _stage_bin_counts(
+            binner(batch),
+            _effective_batch_id(store_dir, batch_id, flat=True),
+            store_dir,
+            ["key"],
+        )
 
     _run_foreach_batch(
         values, bin_counts, checkpoint_dir, timeout_sec, "run_stream_psi_counts_by_key"
@@ -1233,8 +1249,7 @@ def _lsh_dedup_ingest(batch: DataFrame, batch_id: int, store_dir: str) -> None:
 
     spark = batch.sparkSession
     state_dir = os.path.join(store_dir, "state")
-    floor = _read_compaction_floor(store_dir)
-    eff_id = batch_id if floor is None else floor + 1 + batch_id
+    eff_id = _effective_batch_id(store_dir, batch_id)
     # null-shingle docs (null text) can never verify; drop like batch q36
     cur = (
         batch.select("doc_id", X.shingles(F.col("text"), 3).alias("sh"))
@@ -1387,24 +1402,51 @@ def near_dup_pairs_from_store(spark: SparkSession, store_dir: str) -> DataFrame:
 _FLOOR_MARKER = "_compaction_floor"
 
 
-def _read_compaction_floor(store_dir: str) -> int | None:
+def _floor_marker_path(store_dir: str, flat: bool) -> str:
+    """Where a store's compaction-floor marker lives. Two-level stores
+    (lsh/dup-flow/attribution/basket/revenue-monitor) keep it INSIDE the
+    stable parent dir, beside the swapped subdirs. FLAT stores
+    (counts/volume/cdc/decode-health) ARE the swapped ``batch_id=*``
+    directory, so the marker must live OUTSIDE the rename-rename swap —
+    a sibling file — or compaction itself would discard it."""
+    if flat:
+        return store_dir.rstrip(os.sep) + "." + _FLOOR_MARKER
+    return os.path.join(store_dir, _FLOOR_MARKER)
+
+
+def _read_compaction_floor(store_dir: str, flat: bool = False) -> int | None:
     """The highest batch_id folded by the last compaction (None before the
-    first compaction). Written by compact_lsh_dedup_store; once present,
-    ingests remap EVERY batch id above it (see _lsh_dedup_ingest)."""
-    path = os.path.join(store_dir, _FLOOR_MARKER)
+    first compaction). Written by every compact_*_store; once present,
+    ingests remap EVERY batch id above it (see _effective_batch_id)."""
     try:
-        with open(path) as f:
+        with open(_floor_marker_path(store_dir, flat)) as f:
             return int(f.read().strip())
     except (OSError, ValueError):
         return None
 
 
-def _write_compaction_floor(store_dir: str, floor: int) -> None:
-    path = os.path.join(store_dir, _FLOOR_MARKER)
+def _write_compaction_floor(store_dir: str, floor: int, flat: bool = False) -> None:
+    path = _floor_marker_path(store_dir, flat)
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
         f.write(str(floor))
     os.replace(tmp, path)
+
+
+def _effective_batch_id(store_dir: str, batch_id: int, flat: bool = False) -> int:
+    """Remap a raw micro-batch id above the store's compaction floor
+    (ADVICE r6/r7, generalized to every compactable store in ADVICE r8):
+    compaction folds history into the MAX existing batch_id, so a replay
+    of that raw id — crash between the delta write and the checkpoint
+    commit with a compaction run before the stream resumes, or a
+    fresh-checkpoint restart whose ids begin again at 0 — would otherwise
+    mode('overwrite') the single folded delta and silently destroy all
+    prior history. Once a floor exists, EVERY raw id maps to
+    floor+1+raw_id: injective and strictly monotone, so replayed and
+    continuing batches can never collide with each other or with the
+    compacted delta. Before the first compaction this is the identity."""
+    floor = _read_compaction_floor(store_dir, flat=flat)
+    return batch_id if floor is None else floor + 1 + batch_id
 
 
 def _recover_compaction(store_dir: str) -> None:
@@ -1470,18 +1512,20 @@ def compact_counts_store(
     merge by summation; psi(_by_key)_from_store reads identically before
     and after (pytest-pinned)."""
     keys = list(key_cols or [])
-    _compact_partitioned(
+    floor = _compact_partitioned(
         spark,
         store_dir,
         _counts_read_schema(keys),
         lambda df: df.groupBy(*keys, "bin").agg(F.sum("n").alias("n")),
     )
+    if floor is not None:
+        _write_compaction_floor(store_dir, floor, flat=True)
 
 
 def compact_volume_store(spark: SparkSession, store_dir: str) -> None:
     """Compact the report-card volume store: all five measures are
     additive per (source, lang) cell."""
-    _compact_partitioned(
+    floor = _compact_partitioned(
         spark,
         store_dir,
         "source string, lang string, n_docs bigint, n_tokens bigint, n_chars bigint",
@@ -1491,6 +1535,8 @@ def compact_volume_store(spark: SparkSession, store_dir: str) -> None:
             F.sum("n_chars").alias("n_chars"),
         ),
     )
+    if floor is not None:
+        _write_compaction_floor(store_dir, floor, flat=True)
 
 
 def compact_dup_flow_store(spark: SparkSession, store_dir: str) -> None:
@@ -1498,16 +1544,16 @@ def compact_dup_flow_store(spark: SparkSession, store_dir: str) -> None:
     fingerprint (the union IS the merged state — fp is unique across
     deltas by construction, so this is a plain rewrite), edges sum their
     n_docs per (fp, keeper_source, dup_source). Continued ingestion after
-    compaction keeps working: new batches get ids above the checkpoint's
-    high-water mark, and the keeper lookup's `batch_id < N` filter always
-    includes the compacted batch_id=0 delta."""
-    _compact_partitioned(
+    compaction keeps working: the floor marker remaps every later ingest
+    id above the compacted delta (see _effective_batch_id), and the keeper
+    lookup's `batch_id < N` filter always includes it."""
+    k_floor = _compact_partitioned(
         spark,
         os.path.join(store_dir, "keepers"),
         "fp string, keeper_source string",
         lambda df: df.select("fp", "keeper_source"),
     )
-    _compact_partitioned(
+    e_floor = _compact_partitioned(
         spark,
         os.path.join(store_dir, "edges"),
         "fp string, keeper_source string, dup_source string, n_docs bigint",
@@ -1515,6 +1561,9 @@ def compact_dup_flow_store(spark: SparkSession, store_dir: str) -> None:
             F.sum("n_docs").alias("n_docs")
         ),
     )
+    floors = [f for f in (k_floor, e_floor) if f is not None]
+    if floors:
+        _write_compaction_floor(store_dir, max(floors))
 
 
 def compact_lsh_dedup_store(spark: SparkSession, store_dir: str) -> None:
@@ -1644,7 +1693,10 @@ def run_stream_cdc_ops(
 
     def ingest(batch: DataFrame, batch_id: int) -> None:
         latest_cdc_ops(batch).write.mode("overwrite").parquet(
-            os.path.join(store_dir, f"batch_id={batch_id}")
+            os.path.join(
+                store_dir,
+                f"batch_id={_effective_batch_id(store_dir, batch_id, flat=True)}",
+            )
         )
 
     _run_foreach_batch(ops, ingest, checkpoint_dir, timeout_sec, "run_stream_cdc_ops")
@@ -1686,7 +1738,9 @@ def compact_cdc_store(spark: SparkSession, store_dir: str) -> None:
     (new ids land above the checkpoint's high-water mark)."""
     from ..plans.cdc import CDC_OPS_SCHEMA, latest_cdc_ops
 
-    _compact_partitioned(spark, store_dir, CDC_OPS_SCHEMA, latest_cdc_ops)
+    floor = _compact_partitioned(spark, store_dir, CDC_OPS_SCHEMA, latest_cdc_ops)
+    if floor is not None:
+        _write_compaction_floor(store_dir, floor, flat=True)
 
 
 # ---------------------------------------------------------------------------
@@ -1723,6 +1777,9 @@ def _attribution_ingest(batch: DataFrame, batch_id: int, store_dir: str) -> None
 
     spark = batch.sparkSession
     clicks_dir = os.path.join(store_dir, "clicks")
+    # remap above the compaction floor (see _effective_batch_id): a replay
+    # of a folded raw id must never overwrite the compacted clicks/revenue
+    eff_id = _effective_batch_id(store_dir, batch_id)
     ts_us = epoch_us(F.col("ts"))
     ck = F.when(
         F.col("event_type") == "click",
@@ -1749,7 +1806,7 @@ def _attribution_ingest(batch: DataFrame, batch_id: int, store_dir: str) -> None
         wb.where(F.col("click_key").isNotNull()).groupBy("user_id").agg(
             F.max("click_key").alias("click_key")
         ).write.mode("overwrite").parquet(
-            os.path.join(clicks_dir, f"batch_id={batch_id}")
+            os.path.join(clicks_dir, f"batch_id={eff_id}")
         )
 
         purch = wb.where(F.col("event_type") == "purchase").select(
@@ -1764,7 +1821,7 @@ def _attribution_ingest(batch: DataFrame, batch_id: int, store_dir: str) -> None
                 )
                 .option("basePath", clicks_dir)
                 .parquet(f"{clicks_dir}/batch_id=*")
-                .where(F.col("batch_id") < batch_id)
+                .where(F.col("batch_id") < eff_id)
                 .select("user_id", F.col("click_key").alias("store_key"))
             )
             from ..plans.customer import ATTR_KEY_UNITS_PER_US
@@ -1796,7 +1853,7 @@ def _attribution_ingest(batch: DataFrame, batch_id: int, store_dir: str) -> None
             )
         )
         out.write.mode("overwrite").parquet(
-            os.path.join(store_dir, "revenue", f"batch_id={batch_id}")
+            os.path.join(store_dir, "revenue", f"batch_id={eff_id}")
         )
     finally:
         wb.unpersist()
@@ -1921,6 +1978,7 @@ def run_stream_revenue_monitor(
     def ingest(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         partials_dir = os.path.join(store_dir, "partials")
+        batch_id = _effective_batch_id(store_dir, batch_id)
         _daily_units(batch).write.mode("overwrite").parquet(
             os.path.join(partials_dir, f"batch_id={batch_id}")
         )
@@ -2011,6 +2069,7 @@ def run_stream_basket_counts(
     is a streaming frame with (l_orderkey, l_partkey)."""
 
     def ingest(batch: DataFrame, batch_id: int) -> None:
+        batch_id = _effective_batch_id(store_dir, batch_id)
         li = batch.select("l_orderkey", "l_partkey")
         a = li.select("l_orderkey", F.col("l_partkey").alias("p1"))
         b = li.select("l_orderkey", F.col("l_partkey").alias("p2"))
@@ -2111,36 +2170,45 @@ def basket_rules_from_store(
 
 def compact_basket_store(spark: SparkSession, store_dir: str) -> None:
     """Compact the basket-count store: every partial is additive."""
-    _compact_partitioned(
-        spark,
-        os.path.join(store_dir, "pairs"),
-        "p1 bigint, p2 bigint, n_both bigint",
-        lambda df: df.groupBy("p1", "p2").agg(F.sum("n_both").alias("n_both")),
-    )
-    _compact_partitioned(
-        spark,
-        os.path.join(store_dir, "items"),
-        "p bigint, n_p bigint",
-        lambda df: df.groupBy("p").agg(F.sum("n_p").alias("n_p")),
-    )
-    _compact_partitioned(
-        spark,
-        os.path.join(store_dir, "baskets"),
-        "n_orders bigint",
-        lambda df: df.agg(F.sum("n_orders").alias("n_orders")),
-    )
+    floors = [
+        _compact_partitioned(
+            spark,
+            os.path.join(store_dir, "pairs"),
+            "p1 bigint, p2 bigint, n_both bigint",
+            lambda df: df.groupBy("p1", "p2").agg(F.sum("n_both").alias("n_both")),
+        ),
+        _compact_partitioned(
+            spark,
+            os.path.join(store_dir, "items"),
+            "p bigint, n_p bigint",
+            lambda df: df.groupBy("p").agg(F.sum("n_p").alias("n_p")),
+        ),
+        _compact_partitioned(
+            spark,
+            os.path.join(store_dir, "baskets"),
+            "n_orders bigint",
+            lambda df: df.agg(F.sum("n_orders").alias("n_orders")),
+        ),
+    ]
+    floors = [f for f in floors if f is not None]
+    if floors:
+        _write_compaction_floor(store_dir, max(floors))
 
 
 def compact_revenue_monitor_store(spark: SparkSession, store_dir: str) -> None:
     """Compact the revenue-monitor store's day partials (additive). The
     monitor/ directory is an immutable evaluation LOG, not mergeable state
-    — it stays as written."""
-    _compact_partitioned(
+    — it stays as written (the shared floor remap keeps later log ids
+    clear of existing rows too, since the ingest stamps both dirs with
+    the same effective id)."""
+    floor = _compact_partitioned(
         spark,
         os.path.join(store_dir, "partials"),
         "day_idx int, u_partial bigint",
         lambda df: df.groupBy("day_idx").agg(F.sum("u_partial").alias("u_partial")),
     )
+    if floor is not None:
+        _write_compaction_floor(store_dir, floor)
 
 
 def compact_attribution_store(spark: SparkSession, store_dir: str) -> None:
@@ -2149,7 +2217,7 @@ def compact_attribution_store(spark: SparkSession, store_dir: str) -> None:
     store's time-ordered contract: keys grow with ts, so a user's newest
     click is the only one any FUTURE purchase's [lo, hi) range can pick —
     if the newest is older than lo, every discarded older click was too."""
-    _compact_partitioned(
+    r_floor = _compact_partitioned(
         spark,
         os.path.join(store_dir, "revenue"),
         "campaign bigint, n_purchases bigint, rev_units bigint",
@@ -2158,12 +2226,15 @@ def compact_attribution_store(spark: SparkSession, store_dir: str) -> None:
             F.sum("rev_units").alias("rev_units"),
         ),
     )
-    _compact_partitioned(
+    c_floor = _compact_partitioned(
         spark,
         os.path.join(store_dir, "clicks"),
         "user_id bigint, click_key decimal(38,0)",
         lambda df: df.groupBy("user_id").agg(F.max("click_key").alias("click_key")),
     )
+    floors = [f for f in (r_floor, c_floor) if f is not None]
+    if floors:
+        _write_compaction_floor(store_dir, max(floors))
 
 
 # ---------------------------------------------------------------------------
@@ -2183,15 +2254,18 @@ def _decode_health_ingest(batch: DataFrame, batch_id: int, store_dir: str) -> No
     """One micro-batch of the decode-health store: classify every blob
     through the real header decoders (operators/multimodal.decode_health —
     per-blob rejection becomes a row, never a failed batch) and stage the
-    additive (source, fmt, status) counts under batch_id=N."""
+    additive (source, fmt, status) counts under batch_id=N (remapped above
+    the compaction floor — see _effective_batch_id: a replay of a folded
+    raw id must never overwrite the compacted history)."""
     from ..operators.multimodal import decode_health
 
+    eff_id = _effective_batch_id(store_dir, batch_id, flat=True)
     (
         decode_health(batch.select("doc_id", "source", "content"))
         .groupBy("source", "fmt", "status")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
         .write.mode("overwrite")
-        .parquet(os.path.join(store_dir, f"batch_id={batch_id}"))
+        .parquet(os.path.join(store_dir, f"batch_id={eff_id}"))
     )
 
 
@@ -2248,12 +2322,90 @@ def decode_health_report_from_store(spark: SparkSession, store_dir: str) -> Data
 
 def compact_decode_health_store(spark: SparkSession, store_dir: str) -> None:
     """Compact the decode-health store: counts merge by summation;
-    decode_health_report_from_store reads identically before and after."""
-    _compact_partitioned(
+    decode_health_report_from_store reads identically before and after.
+    Records the folded high-water mark in the store's floor marker so
+    later ingests remap above the compacted delta (ADVICE r8)."""
+    floor = _compact_partitioned(
         spark,
         store_dir,
         _HEALTH_COUNT_SCHEMA,
         lambda df: df.groupBy("source", "fmt", "status").agg(
             F.sum("n_docs").alias("n_docs")
         ),
+    )
+    if floor is not None:
+        _write_compaction_floor(store_dir, floor, flat=True)
+
+
+def run_stream_decode_health_monitor(
+    media: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    alert_share: float = 0.2,
+    timeout_sec: int = 120,
+) -> None:
+    """Operational decode-health ALERT monitor (VERDICT r8 item 3) — the
+    drift-monitor twin of run_stream_decode_health: per micro-batch,
+    ingest the batch's (source, fmt, status) counts into
+    ``store_dir/counts`` (the same staged-delta contract as the plain
+    store; ``decode_health_report_from_store`` reads the counts dir
+    directly) AND append one evaluation-log row PER SOURCE computed from
+    the CUMULATIVE store: total docs seen, malformed docs (any status
+    other than 'ok' — planted-format rejections and magic-less garbage
+    alike), the malformed share, and whether it crossed ``alert_share``.
+    A crawl source whose blob corruption spikes mid-ingest alerts on the
+    very drop that crossed the line, before the corpus lands.
+
+    Scale shape: per batch one Arrow decode pass over the batch plus a
+    fold of O(batches x sources x formats x statuses) additive count rows
+    — never the blobs again; the log row set is O(sources). Both writes
+    stage under the same effective batch id (compaction-floor remapped,
+    see _effective_batch_id) — replay idempotent."""
+    counts_dir = os.path.join(store_dir, "counts")
+    log_dir = os.path.join(store_dir, "log")
+
+    def monitor(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        eff_id = _effective_batch_id(counts_dir, batch_id, flat=True)
+        _decode_health_ingest(batch, batch_id, counts_dir)
+        bad = F.sum(F.when(F.col("status") != "ok", F.col("n_docs")).otherwise(F.lit(0)))
+        per_source = (
+            spark.read.schema(_HEALTH_COUNT_SCHEMA)
+            .option("basePath", counts_dir)
+            .parquet(f"{counts_dir}/batch_id=*")
+            .groupBy("source")
+            .agg(
+                F.sum("n_docs").cast("bigint").alias("n_docs"),
+                bad.cast("bigint").alias("n_malformed"),
+            )
+            .select(
+                "source",
+                "n_docs",
+                "n_malformed",
+                (F.col("n_malformed").cast("double") / F.col("n_docs")).alias(
+                    "malformed_share"
+                ),
+                (
+                    F.col("n_malformed").cast("double")
+                    >= F.lit(alert_share) * F.col("n_docs")
+                ).alias("alert"),
+            )
+        )
+        per_source.write.mode("overwrite").parquet(
+            os.path.join(log_dir, f"batch_id={eff_id}")
+        )
+
+    _run_foreach_batch(
+        media, monitor, checkpoint_dir, timeout_sec, "run_stream_decode_health_monitor"
+    )
+
+
+def decode_health_monitor_log(spark: SparkSession, store_dir: str) -> DataFrame:
+    """The decode-health monitor's append-only evaluation log, ordered by
+    (batch, source)."""
+    return _monitor_log(
+        spark,
+        os.path.join(store_dir, "log"),
+        "source string, n_docs bigint, n_malformed bigint, "
+        "malformed_share double, alert boolean",
     )

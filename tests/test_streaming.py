@@ -507,9 +507,13 @@ def test_store_compaction_preserves_folds_and_continued_ingest(spark, tmp_path):
         for r in all_queries()["q146_dup_flow_matrix"](spark, str(partial_dir)).collect()
     ]
     assert after == want_partial
-    # exactly one delta dir per store half remains — at the MAX batch id
-    # (a fresh-checkpoint restart overwrites low ids, not the history)
-    assert sorted(os.listdir(os.path.join(store, "keepers"))) == ["batch_id=1"]
+    # exactly one delta dir per store half remains — at the MAX batch id,
+    # and the floor marker now remaps every later ingest id above it
+    # (ADVICE r8: a replay of a folded raw id can't overwrite the history)
+    assert sorted(
+        d for d in os.listdir(os.path.join(store, "keepers"))
+        if d.startswith("batch_id=")
+    ) == ["batch_id=1"]
 
     # continue ingesting the third drop on the SAME checkpoint
     import time as _time
@@ -1353,3 +1357,203 @@ def test_stream_integrity_audit_equals_batch(spark, tmp_path):
         assert (r.n_rows, r.n_null_fk, r.n_orphans, r.n_orphan_keys) == (
             7, 1, 3, 2,
         ), (case, r)
+
+
+def test_flat_store_compaction_floor_survives_folded_id_replay(spark, tmp_path):
+    """ADVICE r8: every compactable FLAT store (decode-health, volume, CDC —
+    the store_dir IS the swapped batch_id=* directory) must survive a
+    replay of an already-folded raw batch id. Scenario: two batches ingest,
+    compaction folds them into the MAX batch_id partition, then batch 1 is
+    re-delivered with its RAW id (crash between the delta write and the
+    checkpoint commit, compaction run on restart before the stream
+    resumes). Before the floor remap the replay mode('overwrite')-destroyed
+    the folded partition — the fold collapsed to just the replayed batch's
+    rows. With the remap the replay lands ABOVE the floor: history is
+    preserved (additive stores at worst double-count the one replayed
+    batch; the CDC latest-wins fold is exactly unchanged)."""
+    from big_data_computing_final_project_spark.streaming.events import (
+        _decode_health_ingest,
+        _volume_ingest,
+        compact_cdc_store,
+        compact_decode_health_store,
+        compact_volume_store,
+        decode_health_report_from_store,
+    )
+    from big_data_computing_final_project_spark.operators.multimodal import _mix_blob
+
+    # --- decode-health: 20 docs in 2 batches over the planted mix
+    rows = [(i, "srcA" if i % 2 == 0 else "srcB") for i in range(20)]
+
+    def media_df(sub):
+        return spark.createDataFrame(
+            [(i, s, _mix_blob(i)) for i, s in sub],
+            "doc_id long, source string, content binary",
+        )
+
+    dh_store = str(tmp_path / "dh_flat")
+    _decode_health_ingest(media_df(rows[:10]), 0, dh_store)
+    _decode_health_ingest(media_df(rows[10:]), 1, dh_store)
+    full = {
+        (r.source, r.fmt, r.status): r.n_docs
+        for r in decode_health_report_from_store(spark, dh_store).collect()
+    }
+    from big_data_computing_final_project_spark.operators.multimodal import (
+        decode_health,
+    )
+    from pyspark.sql import functions as F
+
+    b2_only = {
+        (r.source, r.fmt, r.status): r.n_docs
+        for r in decode_health(media_df(rows[10:]))
+        .groupBy("source", "fmt", "status")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .collect()
+    }
+    compact_decode_health_store(spark, dh_store)
+    # replay batch 1 with its RAW id — the folded partition's id range
+    _decode_health_ingest(media_df(rows[10:]), 1, dh_store)
+    after = {
+        (r.source, r.fmt, r.status): r.n_docs
+        for r in decode_health_report_from_store(spark, dh_store).collect()
+    }
+    # destruction symptom would be after == b2_only; the remap keeps all
+    # history and double-counts exactly the replayed batch
+    assert after == {
+        k: full[k] + b2_only.get(k, 0) for k in full
+    }, "decode-health history lost on folded-id replay"
+
+    # --- volume store: same scenario, additive (source, lang) partials
+    def vol_df(lo, hi):
+        return spark.createDataFrame(
+            [(f"s{i % 2}", "en", 10 + i, 100 + i) for i in range(lo, hi)],
+            "source string, lang string, n_toks long, n_chars long",
+        )
+
+    v_store = str(tmp_path / "vol_flat")
+
+    def v_fold():
+        return {
+            (r.source, r.lang): r.n_docs
+            for r in spark.read.schema(
+                "source string, lang string, n_docs bigint, "
+                "n_tokens bigint, n_chars bigint"
+            )
+            .option("basePath", v_store)
+            .parquet(f"{v_store}/batch_id=*")
+            .groupBy("source", "lang")
+            .agg(F.sum("n_docs").cast("bigint").alias("n_docs"))
+            .collect()
+        }
+
+    _volume_ingest(vol_df(0, 6), 0, v_store)
+    _volume_ingest(vol_df(6, 10), 1, v_store)
+    v_full = v_fold()
+    compact_volume_store(spark, v_store)
+    _volume_ingest(vol_df(6, 10), 1, v_store)  # folded-id replay
+    v_after = v_fold()
+    assert all(v_after[k] >= v_full[k] > 0 for k in v_full), (
+        "volume history lost on folded-id replay"
+    )
+
+    # --- CDC store: latest-wins fold is exactly idempotent under replay
+    from big_data_computing_final_project_spark.plans.cdc import latest_cdc_ops
+    from big_data_computing_final_project_spark.streaming.events import (
+        _cdc_store_latest,
+    )
+    import os as _os
+
+    def ops_df(rows_):
+        return spark.createDataFrame(
+            rows_, "k bigint, seq int, op string, st string, pr double"
+        )
+
+    c_store = str(tmp_path / "cdc_flat")
+    b0 = ops_df([(1, 1, "I", "O", 10.0), (2, 2, "I", "F", 20.0)])
+    b1 = ops_df([(1, 3, "U", "F", 11.0), (3, 4, "I", "O", 30.0)])
+    for i, b in enumerate((b0, b1)):
+        latest_cdc_ops(b).write.mode("overwrite").parquet(
+            _os.path.join(c_store, f"batch_id={i}")
+        )
+    want_cdc = sorted(tuple(r) for r in _cdc_store_latest(spark, c_store).collect())
+    compact_cdc_store(spark, c_store)
+    # replay batch 1 with its raw id through the remapping ingest path
+    from big_data_computing_final_project_spark.streaming.events import (
+        _effective_batch_id,
+    )
+
+    eff = _effective_batch_id(c_store, 1, flat=True)
+    assert eff > 1, "floor marker missing after compact_cdc_store"
+    latest_cdc_ops(b1).write.mode("overwrite").parquet(
+        _os.path.join(c_store, f"batch_id={eff}")
+    )
+    got_cdc = sorted(tuple(r) for r in _cdc_store_latest(spark, c_store).collect())
+    assert got_cdc == want_cdc, "CDC latest-wins fold changed under replay"
+
+
+def test_stream_decode_health_monitor_alerts_on_spike_quiet_when_clean(
+    spark, tmp_path
+):
+    """Decode-health ALERT monitor (VERDICT r8 item 3): drop 0 is clean
+    (no planted-malformed ids) -> every per-source log row is quiet;
+    drop 1 plants a malformed spike in srcB only -> srcB's cumulative
+    malformed share crosses the threshold and alerts on exactly that
+    batch, while srcA stays quiet throughout."""
+    import time as _t
+
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from big_data_computing_final_project_spark.operators.multimodal import _mix_blob
+    from big_data_computing_final_project_spark.streaming.events import (
+        decode_health_monitor_log,
+        run_stream_decode_health_monitor,
+    )
+
+    # ids avoiding %7==0 and %11==0 are always 'ok'; multiples of 7 (not
+    # 11) decode as planted-malformed
+    drop0 = [(1, "srcA"), (2, "srcA"), (3, "srcA"), (4, "srcA"), (5, "srcA"),
+             (6, "srcB"), (8, "srcB"), (9, "srcB"), (10, "srcB"), (12, "srcB")]
+    drop1 = [(13, "srcA"), (15, "srcA"), (16, "srcA"), (17, "srcA"),
+             (7, "srcB"), (14, "srcB"), (21, "srcB"),
+             (28, "srcB"), (35, "srcB"), (49, "srcB")]
+
+    def blob_tbl(sub):
+        return pa.table(
+            {
+                "doc_id": pa.array([i for i, _ in sub], pa.int64()),
+                "source": pa.array([s for _, s in sub], pa.string()),
+                "content": pa.array([_mix_blob(i) for i, _ in sub], pa.binary()),
+            }
+        )
+
+    src_dir = tmp_path / "dhm_arrivals"
+    src_dir.mkdir()
+    base = _t.time() - 3600
+    for i, sub in enumerate((drop0, drop1)):
+        p = str(src_dir / f"drop_{i}.parquet")
+        _pq.write_table(blob_tbl(sub), p)
+        os.utime(p, (base + 10 * i, base + 10 * i))
+    store = str(tmp_path / "dhm_store")
+    stream = (
+        spark.readStream.schema("doc_id long, source string, content binary")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src_dir))
+    )
+    run_stream_decode_health_monitor(
+        stream, store, str(tmp_path / "dhm_ckpt"), alert_share=0.2
+    )
+    log = [
+        (r.batch_id, r.source, r.n_docs, r.n_malformed, r.alert)
+        for r in decode_health_monitor_log(spark, store).collect()
+    ]
+    assert log == [
+        (0, "srcA", 5, 0, False),
+        (0, "srcB", 5, 0, False),
+        (1, "srcA", 9, 0, False),   # cumulative, still clean
+        (1, "srcB", 11, 6, True),   # 6/11 >= 0.2 -> fires on this drop
+    ], log
+    shares = {
+        (r.batch_id, r.source): r.malformed_share
+        for r in decode_health_monitor_log(spark, store).collect()
+    }
+    assert shares[(1, "srcB")] == 6.0 / 11.0

@@ -195,6 +195,11 @@ def main() -> None:
             elif i + 1 < len(args):
                 i += 1
                 touched_base = args[i]
+        elif a.startswith("--"):
+            # never bind an unrecognized flag (e.g. --help) as the output
+            # path — that once committed a stray file literally named
+            # '--help' at the repo root (ADVICE r8)
+            sys.exit(f"unknown option {a!r}; see the module docstring for usage")
         else:
             out_path = a
         i += 1
