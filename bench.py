@@ -117,6 +117,7 @@ HEADLINE = [
     "q219_weighted_interp_percentiles",  # weighted quantile_cont, expanded-multiset (round-8)
     "q220_decode_health",          # per-source media decode error rates (round-8)
     "q221_vocab_coverage",         # top-V token mass coverage on the prefix scan (round-8)
+    "q222_ivf_cell_balance",       # IVF quantizer cell-balance audit (round-9)
 ]
 # Deliberately not benched: q68 (iterative CC — timing at this SF is
 # convergence-loop job overhead, not throughput) and exact pairwise

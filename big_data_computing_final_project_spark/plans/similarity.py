@@ -684,12 +684,11 @@ _IVF_NLIST = 16
 _IVF_NPROBE = 4
 
 
-def _ivf_scored(
-    spark: SparkSession, sf_dir: str, nprobe: int = _IVF_NPROBE
-) -> DataFrame:
-    """The IVF probe-and-score frame shared by q64 and the IVF-pooled MMR
-    (q205): (q_id, cand_id, cos_sim, e) for every candidate inside each
-    query's nprobe nearest cells."""
+def _ivf_fit(spark: SparkSession, sf_dir: str):
+    """KMeans coarse-quantizer fit + per-vector cell assignment — shared
+    by the IVF probe path (_ivf_scored / q64 / q205) and the cell-balance
+    audit (q222), so the audit measures the EXACT index state the probes
+    run against."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -706,6 +705,16 @@ def _ivf_scored(
         .select("vec_id", "e", norm(F.col("e")).alias("nc"), "cell")
         .cache()
     )
+    return km, assigned
+
+
+def _ivf_scored(
+    spark: SparkSession, sf_dir: str, nprobe: int = _IVF_NPROBE
+) -> DataFrame:
+    """The IVF probe-and-score frame shared by q64 and the IVF-pooled MMR
+    (q205): (q_id, cand_id, cos_sim, e) for every candidate inside each
+    query's nprobe nearest cells."""
+    km, assigned = _ivf_fit(spark, sf_dir)
 
     centroids = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())],
@@ -754,6 +763,68 @@ def q64_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "cand_id", "cos_sim", "rk")
         .orderBy("q_id", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# q222 — IVF cell-balance audit (VERDICT r8 item 2): the vector-index
+# health twin of q172's partition-skew audit. A skewed coarse quantizer
+# silently destroys an IVF index twice over — hot cells make every probe
+# that touches them scan far more than nprobe/nlist of the corpus, and
+# empty cells waste list slots so real vectors crowd into fewer lists,
+# cutting recall at fixed nprobe — and nothing else in the index path
+# reports it. One row per cell (including empty ones, via an nlist spine):
+# count, share, plus the index-level imbalance factor (max cell over the
+# uniform-ideal n/nlist), empty-cell rate, and a salt-style
+# recommendation. Rows-only (the KMeans fit isn't SQL-expressible, same
+# contract as q64); pytest pins the audit math on planted assignments and
+# the registered query against the live quantizer state.
+#
+# Scale: one hash aggregate keyed on cell (map-side combinable) over the
+# assignment frame, then window math over exactly nlist rows — index
+# configuration, never corpus-proportional (bounded keyless window, the
+# q191 class). At 100 TB the assignment frame is the index build's own
+# output; the audit adds one cheap aggregate to the build job.
+# ---------------------------------------------------------------------------
+
+
+def ivf_cell_balance(assigned: DataFrame, nlist: int) -> DataFrame:
+    """Cell-balance audit of an IVF quantizer assignment: ``assigned``
+    needs a ``cell`` int column in [0, nlist); cells with no vectors
+    still get a row (that's the point — empty-cell rate is the recall
+    health signal). imbalance_factor = max_cell / (n_vectors / nlist);
+    recommendation flips to 'rebalance' when the hottest cell exceeds 4x
+    the uniform ideal or more than a quarter of cells are empty (the
+    q172 salt threshold, restated for lists)."""
+    spark = assigned.sparkSession
+    counts = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vecs"))
+    spine = spark.range(nlist).select(F.col("id").cast("int").alias("cell"))
+    full = spine.join(counts, "cell", "left").na.fill(0, ["n_vecs"])
+    whole = Window.partitionBy()
+    tot = F.sum("n_vecs").over(whole)
+    imb = (F.max("n_vecs").over(whole) * F.lit(nlist)).cast("double") / tot
+    n_empty = F.sum((F.col("n_vecs") == 0).cast("bigint")).over(whole)
+    empty_rate = n_empty.cast("double") / F.lit(nlist)
+    return (
+        full.select(
+            "cell",
+            F.col("n_vecs").cast("bigint").alias("n_vecs"),
+            (F.col("n_vecs").cast("double") / tot).alias("share"),
+            imb.alias("imbalance_factor"),
+            empty_rate.alias("empty_cell_rate"),
+            F.when(
+                (imb > 4.0) | (n_empty * 4 > F.lit(nlist)), F.lit("rebalance")
+            )
+            .otherwise(F.lit("ok"))
+            .alias("recommendation"),
+        )
+        .orderBy("cell")
+    )
+
+
+@register("q222_ivf_cell_balance")
+def q222_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, assigned = _ivf_fit(spark, sf_dir)
+    return ivf_cell_balance(assigned, _IVF_NLIST)
 
 
 # ---------------------------------------------------------------------------

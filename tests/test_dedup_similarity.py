@@ -1085,3 +1085,56 @@ def test_q205_ivf_pool_recall_and_mmr_contract(spark, sf_dir):
         assert [r.mmr_rank for r in sorted(rows, key=lambda r: r.mmr_rank)] == list(
             range(1, _MMR_K + 1)
         )
+
+
+def test_ivf_cell_balance_planted_assignments(spark):
+    """q222's audit math on planted cell assignments: exact counts,
+    shares, imbalance factor, empty-cell rate, and both recommendation
+    branches (hot-cell trigger and empty-rate trigger)."""
+    from big_data_computing_final_project_spark.plans.similarity import (
+        ivf_cell_balance,
+    )
+
+    # balanced-ish: cells 0/1/2 hold 8/2/6, cell 3 empty (nlist=4)
+    a = spark.createDataFrame(
+        [(i, c) for i, c in enumerate([0] * 8 + [1] * 2 + [2] * 6)],
+        "vec_id long, cell int",
+    )
+    rows = {r.cell: r for r in ivf_cell_balance(a, 4).collect()}
+    assert [rows[c].n_vecs for c in range(4)] == [8, 2, 6, 0]
+    assert rows[0].share == 8 / 16.0
+    assert rows[0].imbalance_factor == 8 * 4 / 16.0  # max / (n/nlist) = 2.0
+    assert rows[0].empty_cell_rate == 0.25
+    # 2.0 <= 4 and exactly a quarter empty (not more) -> ok
+    assert {r.recommendation for r in rows.values()} == {"ok"}
+
+    # hot cell: 9 of 10 vectors in one of 8 cells -> imbalance 7.2 > 4
+    b = spark.createDataFrame(
+        [(i, c) for i, c in enumerate([0] * 9 + [1])], "vec_id long, cell int"
+    )
+    rb = ivf_cell_balance(b, 8).collect()
+    assert rb[0].imbalance_factor == 9 * 8 / 10.0
+    assert rb[0].empty_cell_rate == 6 / 8.0
+    assert {r.recommendation for r in rb} == {"rebalance"}
+
+
+def test_ivf_cell_balance_audits_live_quantizer(spark, sf_dir):
+    """The registered q222 runs over the SAME KMeans state q64 probes:
+    one row per nlist cell, counts partition the embeddings table, shares
+    sum to 1, and the summary columns are internally consistent."""
+    import pyarrow.parquet as pq
+
+    out = _Q["q222_ivf_cell_balance"](spark, sf_dir).collect()
+    n_emb = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    assert len(out) == 16  # _IVF_NLIST
+    assert [r.cell for r in out] == list(range(16))
+    assert sum(r.n_vecs for r in out) == n_emb
+    assert abs(sum(r.share for r in out) - 1.0) < 1e-9
+    mx = max(r.n_vecs for r in out)
+    n_empty = sum(1 for r in out if r.n_vecs == 0)
+    want_imb = mx * 16 / n_emb
+    for r in out:
+        assert abs(r.imbalance_factor - want_imb) < 1e-9
+        assert abs(r.empty_cell_rate - n_empty / 16.0) < 1e-9
+        want_rec = "rebalance" if (want_imb > 4.0 or n_empty * 4 > 16) else "ok"
+        assert r.recommendation == want_rec
