@@ -118,6 +118,7 @@ HEADLINE = [
     "q220_decode_health",          # per-source media decode error rates (round-8)
     "q221_vocab_coverage",         # top-V token mass coverage on the prefix scan (round-8)
     "q222_ivf_cell_balance",       # IVF quantizer cell-balance audit (round-9)
+    "q223_fertility_quality_matrix",  # fertility x quality drill-down (round-9)
 ]
 # Deliberately not benched: q68 (iterative CC — timing at this SF is
 # convergence-loop job overhead, not throughput) and exact pairwise

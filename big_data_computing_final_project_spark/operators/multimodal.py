@@ -403,9 +403,14 @@ def _mix_blob(doc_id: int) -> bytes:
     q220's oracle SQL, and Python's ``%`` and SQL's ``%`` disagree on
     negatives (-3 % 5 = 2 vs -3), while ``struct.pack('>Q', doc_id)``
     would raise outright — guard the load-bearing assumption explicitly
-    (ADVICE r8)."""
+    (ADVICE r8).
+
+    Byte layouts come from :mod:`mediakit` — the single builder module
+    shared with the decoder test fixtures (VERDICT r8 item 7), pinned
+    byte-identical to the pre-consolidation blobs in test_sources.py."""
     import struct
-    import zlib
+
+    from . import mediakit as mk
 
     if doc_id < 0:
         raise ValueError(f"_mix_blob requires doc_id >= 0, got {doc_id}")
@@ -414,52 +419,27 @@ def _mix_blob(doc_id: int) -> bytes:
     fmt = _MIX_FMTS[doc_id % 5]
     bad = doc_id % _MIX_BAD_MOD == 0
     if fmt == "png":
-        w = 0 if bad else doc_id % 640 + 1
-        ihdr = struct.pack(">IIBBBBB", w, doc_id % 480 + 1, 8, 2, 0, 0, 0)
-        def pchunk(tag: bytes, data: bytes) -> bytes:
-            return (
-                struct.pack(">I", len(data)) + tag + data
-                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
-            )
-        return _PNG_SIG + pchunk(b"IHDR", ihdr) + pchunk(b"IEND", b"")
+        # bad: zero width (the _png_dims out-of-range guard)
+        return mk.build_png(0 if bad else doc_id % 640 + 1, doc_id % 480 + 1)
     if fmt == "jpeg":
-        app0 = (
-            b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00"
-            + struct.pack(">HH", 72, 72) + b"\x00\x00"
-        )
-        if bad:  # APP0 but no SOF frame header before EOI
-            return b"\xff\xd8" + app0 + b"\xff\xd9"
-        sof0 = (
-            b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
-            + struct.pack(">HH", doc_id % 480 + 1, doc_id % 640 + 1)
-            + b"\x01\x01\x11\x00"
-        )
-        return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+        # bad: APP0 but no SOF frame header before EOI
+        return mk.build_jpeg(doc_id % 640 + 1, doc_id % 480 + 1, sof=not bad)
     if fmt == "gif":
         w, h = (0, 0) if bad else (doc_id % 320 + 1, doc_id % 200 + 1)
-        return b"GIF89a" + struct.pack("<HH", w, h) + b"\x3b"
+        return mk.build_gif(w, h)
     if fmt == "wav":
-        # bad: IMA ADPCM, 4-bit samples (valid file, unsupported encoding)
-        f = (
-            struct.pack("<HHIIHH", 0x0011, 1, 8000, 4055, 256, 4)
-            if bad
-            else struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
-        )
-        def wchunk(tag: bytes, payload: bytes) -> bytes:
-            return tag + struct.pack("<I", len(payload)) + payload
-        body = b"WAVE" + wchunk(b"fmt ", f) + wchunk(b"data", b"\x00" * 64)
-        return b"RIFF" + struct.pack("<I", len(body)) + body
-    # mp4
-    def box(tag: bytes, payload: bytes) -> bytes:
-        return struct.pack(">I", 8 + len(payload)) + tag + payload
-    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isom")
-    if bad:  # container with no moov/mvhd
-        return ftyp + box(b"free", b"\x00" * 8)
-    mvhd = box(
-        b"mvhd",
-        b"\x00" * 12 + struct.pack(">II", 1000, doc_id % 9000 + 1000) + b"\x00" * 80,
-    )
-    return ftyp + box(b"moov", mvhd + box(b"trak", b"\x00" * 16)) + box(b"mdat", b"\x00" * 16)
+        if bad:  # IMA ADPCM, 4-bit samples (valid file, unsupported encoding)
+            return mk.riff_wave(
+                mk.wav_chunk(
+                    b"fmt ", mk.wav_fmt_payload(0x0011, 1, 8000, 4055, 256, 4)
+                ),
+                mk.wav_chunk(b"data", b"\x00" * 64),
+            )
+        return mk.build_wav(channels=1, rate=8000, bits=16, n_data_bytes=64)
+    # mp4; bad: container with no moov/mvhd (and no mdat)
+    if bad:
+        return mk.build_mp4(with_moov=False, with_mdat=False)
+    return mk.build_mp4(1000, doc_id % 9000 + 1000, n_traks=1)
 
 
 def attach_media_mix(docs: DataFrame) -> DataFrame:

@@ -154,6 +154,85 @@ def _verify_candidate_pairs(
     )
 
 
+_SKETCH_K = 64
+
+
+def _sketch_screened_verify(
+    sh: DataFrame, candidates: DataFrame, threshold: float = _JACCARD_T
+) -> DataFrame:
+    """Two-level exact verification (VERDICT r8 item 5): a DETERMINISTIC,
+    LOSSLESS bottom-k sketch screen discards clearly-below-threshold
+    candidate pairs before the full-array join, then the standard exact
+    verify rescores survivors. Output is IDENTICAL to
+    _verify_candidate_pairs(sh, candidates) — pytest pins equality.
+
+    STATUS (round-9): MEASURED NEGATIVE RESULT — kept unregistered, as the
+    documented twin (the blocked-GEMM precedent). On the bounded tiers the
+    screen made q122 ~40-60% SLOWER at every tier (t100 ~123 s-equivalent
+    -> 176 s, same-session q36 as the box-speed control): the extra
+    screen pass re-shuffles every candidate with two 64-BIGINT sketches
+    and evaluates ~200 interpreted higher-order-lambda elements per pair,
+    which costs more than the full-array verify bytes it saves. The
+    zero-byte PPJoin positional filter inside _prefix_candidates is the
+    shipped pruning instead; SCALING.md has the numbers.
+
+    The screen's upper bound: with S_X = the k smallest hash values of
+    doc X and v = min(max S_A, max S_B), every element of X that is <= v
+    is IN S_X (bottom-k captures its whole prefix of the hash order), so
+
+        |A ∩ B|  <=  |S_A^v ∩ S_B^v| + min(|A| - |S_A^v|, |B| - |S_B^v|)
+
+    where S^v = {s in S : s <= v} (the <= v part of the intersection is
+    known EXACTLY; above v, the intersection can't exceed the smaller
+    remainder). J = I/(|A|+|B|-I) is increasing in I, so
+    J <= I_ub/(na+nb-I_ub): keep the pair iff I_ub*(num+den) >= num*(na+nb)
+    (threshold as the exact fraction num/den — integer math, no FP ties).
+
+    Why it pays: a typical negative candidate (J ~ 0) with n ~ 400
+    shingles screens at J_ub ~ (n-k)/(n+k) ~ 0.72 < 0.8 and never ships
+    its full array; the screen join moves 2*(k+2) BIGINTs per pair
+    (~1 KB) instead of the two full shingle arrays (~6.6 KB) — and at the
+    bounded 100x tier ~94% of candidates are negatives (43.4M candidates
+    -> 2.49M pairs), so the dominant verify shuffle shrinks ~4x. Docs
+    with n > ~9k shingles weaken the bound toward 1 (they pass to full
+    verify) — bounded-tier docs sit far below that."""
+    from fractions import Fraction
+
+    fr = Fraction(threshold).limit_denominator(10**6)
+    num, den = fr.numerator, fr.denominator
+    base = sh.select(
+        "doc_id",
+        F.size("sh").alias("n"),
+        F.slice(F.array_sort("sh"), 1, _SKETCH_K).alias("sk"),
+    )
+    a = base.select(
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), F.col("sk").alias("sk_a")
+    )
+    b = base.select(
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), F.col("sk").alias("sk_b")
+    )
+    j = candidates.join(a, "doc_a").join(b, "doc_b")
+    v = F.least(F.element_at("sk_a", -1), F.element_at("sk_b", -1))
+    fa = F.filter("sk_a", lambda x: x <= v)
+    fb = F.filter("sk_b", lambda x: x <= v)
+    j = j.select(
+        "doc_a",
+        "doc_b",
+        "na",
+        "nb",
+        F.size(F.array_intersect(fa, fb)).alias("o"),
+        F.size(fa).alias("ka"),
+        F.size(fb).alias("kb"),
+    )
+    i_ub = F.col("o") + F.least(
+        F.col("na") - F.col("ka"), F.col("nb") - F.col("kb")
+    )
+    survivors = j.filter(
+        i_ub * F.lit(num + den) >= F.lit(num) * (F.col("na") + F.col("nb"))
+    ).select("doc_a", "doc_b")
+    return _verify_candidate_pairs(sh, survivors, threshold)
+
+
 @register("q35_ngram_jaccard_dedup", oracle=_Q35_ORACLE)
 def q35_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the shingled frame feeds three consumers (sizes + both sides of the
@@ -1041,17 +1120,47 @@ def _prefix_candidates(sh: DataFrame) -> DataFrame:
     prefix = pos.filter(
         F.col("rn") <= F.col("n") - F.ceil(F.lit(_JACCARD_T) * F.col("n")) + F.lit(1)
     )
-    a = prefix.select(F.col("doc_id").alias("doc_a"), "s", F.col("n").alias("na"))
-    b = prefix.select(
-        F.col("doc_id").alias("doc_b"), F.col("s").alias("s2"), F.col("n").alias("nb")
+    a = prefix.select(
+        F.col("doc_id").alias("doc_a"),
+        "s",
+        F.col("n").alias("na"),
+        F.col("rn").alias("rn_a"),
     )
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("s").alias("s2"),
+        F.col("n").alias("nb"),
+        F.col("rn").alias("rn_b"),
+    )
+    # PPJoin positional filter (Xiao et al. §3.2, round-9): a match at
+    # canonical positions (i, j) bounds the pair's overlap by
+    # 1 + min(na - i, nb - j) (everything before the match on either side
+    # is disjoint at the FIRST common element, and after it at most the
+    # shorter suffix can match), while J >= t needs overlap >=
+    # t/(1+t)*(na+nb). Lossless at the pair level: a qualifying pair's
+    # first common prefix element always satisfies the bound, so the pair
+    # survives the distinct even if its later matches are filtered. The
+    # threshold as the exact fraction num/den (4/5 for 0.8):
+    # overlap*(num+den) >= num*(na+nb) — integer math, no FP ties. Zero
+    # extra bytes or joins; it only shrinks the candidate set the verify
+    # join ships (the round-9 sketch-screen experiment showed any
+    # EXTRA-pass screen costs more than the verify bytes it saves —
+    # SCALING.md records the negative result).
+    from fractions import Fraction
+
+    fr = Fraction(_JACCARD_T).limit_denominator(10**6)
+    num, den = fr.numerator, fr.denominator
+    pos_ok = (
+        F.lit(1) + F.least(F.col("na") - F.col("rn_a"), F.col("nb") - F.col("rn_b"))
+    ) * F.lit(num + den) >= F.lit(num) * (F.col("na") + F.col("nb"))
     return (
         a.join(
             b,
             (F.col("s") == F.col("s2"))
             & (F.col("doc_a") < F.col("doc_b"))
             & (F.col("nb").cast("double") >= F.lit(_JACCARD_T) * F.col("na"))
-            & (F.col("na").cast("double") >= F.lit(_JACCARD_T) * F.col("nb")),
+            & (F.col("na").cast("double") >= F.lit(_JACCARD_T) * F.col("nb"))
+            & pos_ok,
         )
         .select("doc_a", "doc_b")
         .distinct()

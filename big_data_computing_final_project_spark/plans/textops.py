@@ -1195,3 +1195,93 @@ def q221_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vocab_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# q223 — fertility x quality drill-down matrix (round-9, VERDICT r8 item
+# 8): per (source, quality band), document count, the band's share of its
+# source, and the tokenizer-fertility ratio (chars per whitespace word).
+# The analytical question q210 and q33 can't answer separately: when a
+# source's fertility creeps (q210's signal), is the creep concentrated in
+# its LOW-quality band — meaning a quality filter fixes the corpus — or
+# spread across bands, meaning the source needs re-extraction or a
+# different tokenizer. Bands cut the q33 composite score at 0.33/0.66;
+# the band expression is the same per-row double math on both sides (the
+# q33 precedent: its >= 0.5 filter hash-matches, so per-row quality is
+# engine-identical). share is one exact bigint/bigint division per output
+# row; chars_per_word divides two exact BIGINT sums (the q210 rule).
+#
+# Scale: one map-side-combinable hash aggregate keyed (source, band) —
+# the same single shuffle q210 pays — then a window over the aggregated
+# |sources| x 3 frame only (the q220 share idiom). Nothing
+# corpus-proportional crosses the wire after the first exchange.
+# ---------------------------------------------------------------------------
+
+_SQL_QUALITY = (
+    "least(length(text) / 500.0, 1.0) * 0.4"
+    f" + (1.0 - least({_SQL_PUNCT_RATIO} * 5.0, 1.0)) * 0.3"
+    f" + least({_SQL_STOP_RATIO} * 5.0, 1.0) * 0.3"
+)
+
+_Q223_ORACLE = f"""
+WITH d AS (
+  SELECT source,
+         CASE WHEN {_SQL_QUALITY} >= 0.66 THEN 'high'
+              WHEN {_SQL_QUALITY} >= 0.33 THEN 'mid'
+              ELSE 'low' END AS q_band,
+         length({_SQL_NORM}) AS n_chars,
+         len({_SQL_TOKS}) AS n_words
+  FROM documents WHERE text IS NOT NULL
+), a AS (
+  SELECT source, q_band,
+         COUNT(*) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         CAST(SUM(n_words) AS BIGINT) AS total_words
+  FROM d GROUP BY source, q_band
+)
+SELECT source, q_band, n_docs,
+       CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (PARTITION BY source)
+         AS source_share,
+       total_chars, total_words,
+       CAST(total_chars AS DOUBLE) / total_words AS chars_per_word
+FROM a
+ORDER BY source, q_band
+"""
+
+
+@register("q223_fertility_quality_matrix", oracle=_Q223_ORACLE)
+def q223_fertility_quality_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    q = X.quality_score(F.col("text"))
+    band = (
+        F.when(q >= 0.66, F.lit("high"))
+        .when(q >= 0.33, F.lit("mid"))
+        .otherwise(F.lit("low"))
+    )
+    d = docs.select(
+        "source",
+        band.alias("q_band"),
+        F.length(X.normalize(F.col("text"))).cast("bigint").alias("n_chars"),
+        F.size(X.tokens(F.col("text"))).cast("bigint").alias("n_words"),
+    )
+    agg = d.groupBy("source", "q_band").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum("n_words").cast("bigint").alias("total_words"),
+    )
+    w = Window.partitionBy("source")
+    return agg.select(
+        "source",
+        "q_band",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.sum("n_docs").over(w)).alias(
+            "source_share"
+        ),
+        "total_chars",
+        "total_words",
+        (F.col("total_chars").cast("double") / F.col("total_words")).alias(
+            "chars_per_word"
+        ),
+    ).orderBy("source", "q_band")

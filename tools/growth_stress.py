@@ -79,7 +79,18 @@ DEEP = ["q36_minhash_lsh_dedup", "q174_pagerank"]
 # the standard replica. Output pairs = epochs x docs x C(10,2) -> LINEAR
 # in the tier, making slope_input the honest statistic for the same code
 # paths.
-BOUNDED_QUERIES = ["q36_minhash_lsh_dedup", "q122_prefix_jaccard"]
+BOUNDED_QUERIES = [
+    "q36_minhash_lsh_dedup",
+    "q122_prefix_jaccard",
+    # round-9 extension (VERDICT r8 item 1): the remaining data-dependent-
+    # output heavy families, so every 100-TB claim rests on a measured
+    # linear-output tier
+    "q102_decontamination",
+    "q68_dedup_clusters",
+    "q208_near_dup_source_matrix",
+    "q82_pack_sequences",
+    "q40_embedding_near_dup",
+]
 BOUNDED_GROUP = 10
 
 
@@ -111,6 +122,42 @@ def ensure_bounded_docs(spark, dst: str, tier: int) -> None:
     ).parquet(f"{dst}/documents.parquet")
 
 
+def ensure_bounded_embeddings(spark, dst: str, tier: int) -> None:
+    """Bounded-group embeddings replica for q40: each epoch applies a
+    deterministic per-(epoch, dim) SIGN-FLIP pattern to every vector — a
+    diagonal +-1 orthogonal transform, so within-epoch cosine structure is
+    EXACTLY the original corpus's, while any two epochs' patterns differ on
+    ~half the dims, decorrelating cross-epoch pairs (64 dims: cos std ~1/8,
+    essentially nothing reaches the 0.4 gate). Each epoch's vectors are
+    then copied BOUNDED_GROUP times byte-identically — the exact-dup
+    collapse guard's design case: groups ride the output-bounded member
+    expansion, reps grow linearly with the tier."""
+    import pyspark.sql.functions as F
+
+    if os.path.exists(os.path.join(dst, "embeddings.parquet")):
+        return
+    os.makedirs(dst, exist_ok=True)
+    src = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    epochs = max(1, tier // BOUNDED_GROUP)
+    out = None
+    for e in range(epochs):
+        flip = lambda x, i: (  # noqa: E731
+            x
+            * F.when(F.xxhash64(i, F.lit(e)) % 2 == 0, F.lit(-1.0)).otherwise(
+                F.lit(1.0)
+            )
+        ).cast("float")
+        base = src.withColumn("embedding", F.transform("embedding", flip))
+        for i in range(BOUNDED_GROUP):
+            c = base.withColumn(
+                "vec_id",
+                F.col("vec_id") * (epochs * BOUNDED_GROUP)
+                + F.lit(e * BOUNDED_GROUP + i),
+            )
+            out = c if out is None else out.unionByName(c)
+    out.write.mode("overwrite").parquet(f"{dst}/embeddings.parquet")
+
+
 def _run(queries, name: str, sf_dir: str, runs: int = 1) -> tuple[float, int]:
     best, n = float("inf"), 0
     for _ in range(runs):
@@ -138,15 +185,20 @@ def _main_bounded() -> None:
     else); expected slope_input ~1 because output now grows WITH input."""
     out: dict[str, dict] = {}
     tiers = [10, 30, 100]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    only = set(args[1:])  # optional query subset after out_json
+    names = [n for n in BOUNDED_QUERIES if not only or n in only]
     dirs = {}
     for t in tiers:
         d = os.path.join(_WAREHOUSE, f"bounded{t}x")
         ensure_bounded_docs(spark, d, t)
+        if "q40_embedding_near_dup" in names:
+            ensure_bounded_embeddings(spark, d, t)
         dirs[t] = d
     queries = all_queries()
     spark.range(1000).count()  # warmup
     base_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    for name in BOUNDED_QUERIES:
+    for name in names:
         res: dict = {}
         for t in tiers:
             # a real cluster's reducer count scales with the data; with the
