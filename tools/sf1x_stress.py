@@ -91,6 +91,11 @@ QUERIES = [
     "q219_weighted_interp_percentiles",
     "q220_decode_health",
     "q221_vocab_coverage",
+    # round-9 additions: IVF cell-balance audit (KMeans fit + one keyed
+    # aggregate over the 10x embeddings), fertility x quality matrix
+    # ((source, band) aggregate over the 10x corpus)
+    "q222_ivf_cell_balance",
+    "q223_fertility_quality_matrix",
 ]
 
 
@@ -150,8 +155,12 @@ def main() -> None:
     ensure_data(spark)
     queries = all_queries()
     spark.range(1000).count()  # warmup
+    # optional subset: query names after out_json (per-round refreshes
+    # re-time only the round's queries; the full list is the r4 record)
+    only = set(sys.argv[2:])
+    names = [n for n in QUERIES if not only or n in only]
     timings: dict[str, float] = {}
-    for name in QUERIES:
+    for name in names:
         t0 = time.time()
         df = queries[name](spark, DST)
         df.write.format("noop").mode("overwrite").save()
