@@ -119,6 +119,8 @@ HEADLINE = [
     "q221_vocab_coverage",         # top-V token mass coverage on the prefix scan (round-8)
     "q222_ivf_cell_balance",       # IVF quantizer cell-balance audit (round-9)
     "q223_fertility_quality_matrix",  # fertility x quality drill-down (round-9)
+    "q224_segment_calibration",    # per-segment reliability bins (round-9)
+    "q225_ngram_novelty",          # boilerplate/novelty share by source (round-9)
 ]
 # Deliberately not benched: q68 (iterative CC — timing at this SF is
 # convergence-loop job overhead, not throughput) and exact pairwise

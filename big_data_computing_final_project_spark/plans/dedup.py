@@ -1615,3 +1615,94 @@ def q208_near_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q225 — n-gram novelty by source (round-9): what fraction of each
+# source's 3-shingle occurrences is UNIQUE to one document corpus-wide
+# (document frequency = 1). Low novelty = boilerplate/mirrored content
+# (the shingles recur across docs); high novelty = original text. The
+# memorization/boilerplate screen a curation pipeline runs next to dedup:
+# q34/q36 find the copies, this measures how much of what REMAINS is
+# recycled phrasing. Per source: distinct-shingle totals, the
+# occurrence-weighted novelty share, and a per-doc novelty distribution
+# summary (min/max of the per-doc unique share — order-independent
+# extremes, the q33 rule; the mean is deliberately not emitted — a
+# cross-row double sum is summation-order-dependent).
+#
+# All counts are exact BIGINTs; the two shares are single divisions of
+# exact sums (the q103/q210 parity rule). Scale: one hash aggregate on
+# the shingle (df table — the same aggregate q122's prefix order pays),
+# one posting join back (equi-join on the 8-byte hash), one aggregate
+# keyed doc_id, one keyed (source). No window over anything
+# corpus-proportional.
+# ---------------------------------------------------------------------------
+
+_Q225_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, source, unnest({_SQL_SHINGLES}) AS s
+  FROM (SELECT doc_id, source, {_SQL_TOKS} AS toks FROM documents WHERE text IS NOT NULL)
+), df AS (
+  SELECT s, COUNT(*) AS df FROM sh GROUP BY s
+), per_doc AS (
+  SELECT sh.doc_id, sh.source,
+         COUNT(*) AS n_sh,
+         SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS n_unique
+  FROM sh JOIN df USING (s)
+  GROUP BY sh.doc_id, sh.source
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_sh) AS BIGINT) AS total_shingles,
+       CAST(SUM(n_unique) AS BIGINT) AS unique_shingles,
+       CAST(SUM(n_unique) AS DOUBLE) / SUM(n_sh) AS novelty_share,
+       MIN(CAST(n_unique AS DOUBLE) / n_sh) AS min_doc_novelty,
+       MAX(CAST(n_unique AS DOUBLE) / n_sh) AS max_doc_novelty
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+# Docs with NULL text are excluded on both sides; docs shorter than 3
+# words yield their whole text as the single shingle (the
+# functions.text.shingles contract), so n_sh >= 1 and the divisions are
+# safe. The oracle reuses q35's _SQL_SHINGLES builder over _SQL_TOKS.
+
+
+@register("q225_ngram_novelty", oracle=_Q225_ORACLE)
+def q225_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    sh = docs.select(
+        "doc_id", "source", F.explode(X.shingles(F.col("text"), 3)).alias("s")
+    )
+    df_tab = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        sh.join(df_tab, "s")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum((F.col("df") == 1).cast("int")).alias("n_unique"),
+        )
+    )
+    doc_novelty = F.col("n_unique").cast("double") / F.col("n_sh")
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_sh").cast("bigint").alias("total_shingles"),
+            F.sum("n_unique").cast("bigint").alias("unique_shingles"),
+            F.min(doc_novelty).alias("min_doc_novelty"),
+            F.max(doc_novelty).alias("max_doc_novelty"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_shingles",
+            "unique_shingles",
+            (
+                F.col("unique_shingles").cast("double") / F.col("total_shingles")
+            ).alias("novelty_share"),
+            "min_doc_novelty",
+            "max_doc_novelty",
+        )
+        .orderBy("source")
+    )

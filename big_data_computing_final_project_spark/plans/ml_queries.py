@@ -517,3 +517,80 @@ def q143_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# q224 — per-segment calibration (round-9, the q143 x q160 composition the
+# r8 verdict suggested): a scorer can be calibrated OVERALL yet badly
+# calibrated on a subpopulation — the per-segment reliability table is the
+# diagnostic a deployed-model owner reads before trusting probabilities in
+# any one market segment. Same deterministic-scorer convention as
+# q123/q143 (c_custkey % 97, normalized to p = s/96) against a REAL
+# outcome (c_acctbal > 0), broken out by the REAL c_mktsegment dimension:
+# per (segment, bin) the q143 columns, plus the segment's worst |gap| and
+# a flagged boolean (max gap > 0.1) — the per-segment ECE is deliberately
+# NOT emitted (cross-bin double sum, summation-order-dependent across
+# engines — q143's documented parity rule; MAX is order-independent).
+# Scale: one map-side-combinable hash aggregate keyed (segment, bin),
+# then a window over the |segments| x 10 aggregated frame only.
+# ---------------------------------------------------------------------------
+
+_Q224_ORACLE = """
+WITH b AS (
+  SELECT c_mktsegment AS segment,
+         CAST(c_acctbal > 0 AS INT) AS y,
+         c_custkey % 97 AS s
+  FROM customer
+), a AS (
+  SELECT segment, s // 10 AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS npos,
+         CAST(SUM(s) AS BIGINT) AS sum_s
+  FROM b GROUP BY segment, bin
+), g AS (
+  SELECT segment, bin, n, npos,
+         sum_s / (96.0 * n) AS mean_pred,
+         npos / (1.0 * n) AS frac_pos,
+         abs(sum_s / (96.0 * n) - npos / (1.0 * n)) AS gap
+  FROM a
+)
+SELECT segment, bin, n, npos, mean_pred, frac_pos, gap,
+       MAX(gap) OVER (PARTITION BY segment) AS seg_max_gap,
+       MAX(gap) OVER (PARTITION BY segment) > 0.1 AS flagged
+FROM g
+ORDER BY segment, bin
+"""
+
+
+@register("q224_segment_calibration", oracle=_Q224_ORACLE)
+def q224_segment_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    b = cust.select(
+        F.col("c_mktsegment").alias("segment"),
+        (F.col("c_acctbal") > 0).cast("int").alias("y"),
+        (F.col("c_custkey") % 97).alias("s"),
+    )
+    g = b.groupBy("segment", F.floor(F.col("s") / 10).alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").cast("bigint").alias("npos"),
+        F.sum("s").cast("bigint").alias("sum_s"),
+    )
+    mean_pred = F.col("sum_s") / (F.lit(96.0) * F.col("n"))
+    frac_pos = F.col("npos") / (F.lit(1.0) * F.col("n"))
+    w = Window.partitionBy("segment")
+    scored = g.select(
+        "segment",
+        "bin",
+        "n",
+        "npos",
+        mean_pred.alias("mean_pred"),
+        frac_pos.alias("frac_pos"),
+        F.abs(mean_pred - frac_pos).alias("gap"),
+    )
+    return scored.select(
+        "*",
+        F.max("gap").over(w).alias("seg_max_gap"),
+        (F.max("gap").over(w) > F.lit(0.1)).alias("flagged"),
+    ).orderBy("segment", "bin")

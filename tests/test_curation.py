@@ -434,3 +434,61 @@ def test_q223_fertility_quality_matrix_invariants(spark, sf_dir):
             fert[src].n_docs, fert[src].total_chars, fert[src].total_words
         ), src
         assert abs(share - 1.0) < 1e-9, src
+
+
+def test_q224_segment_calibration_invariants(spark, sf_dir):
+    """q224: bins partition each segment's customer count; seg_max_gap is
+    the max of the segment's per-bin gaps; flagged follows the 0.1 rule."""
+    from collections import defaultdict
+
+    from big_data_computing_final_project_spark.catalog import load_table
+    from big_data_computing_final_project_spark.plans import all_queries
+
+    out = all_queries()["q224_segment_calibration"](spark, sf_dir).collect()
+    per = defaultdict(list)
+    for r in out:
+        per[r.segment].append(r)
+    cust = load_table(spark, sf_dir, "customer")
+    seg_counts = {
+        r.segment: r.n
+        for r in cust.groupBy(cust.c_mktsegment.alias("segment")).count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert set(per) == set(seg_counts)
+    for seg, rows in per.items():
+        assert sum(r.n for r in rows) == seg_counts[seg]
+        mx = max(r.gap for r in rows)
+        for r in rows:
+            assert r.seg_max_gap == mx
+            assert r.flagged == (mx > 0.1)
+            assert 0.0 <= r.mean_pred <= 1.0 and 0.0 <= r.frac_pos <= 1.0
+
+
+def test_q225_ngram_novelty_planted_and_invariants(spark, tmp_path, sf_dir):
+    """q225 on a planted corpus: a mirrored pair has zero unique shingles,
+    an original doc is fully unique; and on the real corpus the exact-sum
+    invariants hold (unique <= total, shares in [0,1], min <= max)."""
+    from _fixtures import write_planted_corpus
+
+    from big_data_computing_final_project_spark.plans import all_queries
+
+    q = all_queries()["q225_ngram_novelty"]
+    corpus = write_planted_corpus(
+        tmp_path / "nov",
+        [
+            (1, "alpha beta gamma delta epsilon", "en", "mirror"),
+            (2, "alpha beta gamma delta epsilon", "en", "mirror"),
+            (3, "one two three four five six", "en", "orig"),
+        ],
+    )
+    rows = {r.source: r for r in q(spark, corpus).collect()}
+    assert rows["mirror"].unique_shingles == 0
+    assert rows["mirror"].novelty_share == 0.0
+    assert rows["mirror"].max_doc_novelty == 0.0
+    assert rows["orig"].novelty_share == 1.0
+    assert rows["orig"].min_doc_novelty == 1.0
+
+    for r in q(spark, sf_dir).collect():
+        assert 0 <= r.unique_shingles <= r.total_shingles
+        assert 0.0 <= r.novelty_share <= 1.0
+        assert 0.0 <= r.min_doc_novelty <= r.max_doc_novelty <= 1.0
