@@ -490,6 +490,9 @@ def _dup_flow_ingest(batch: DataFrame, batch_id: int, store_dir: str) -> None:
     raw id can never overwrite the compacted keeper/edge history)."""
     spark = batch.sparkSession
     keepers_dir = os.path.join(store_dir, "keepers")
+    # heal a crashed compaction BEFORE writing (see _effective_batch_id)
+    _recover_compaction(keepers_dir)
+    _recover_compaction(os.path.join(store_dir, "edges"))
     eff_id = _effective_batch_id(store_dir, batch_id)
     w = Window.partitionBy("fp").orderBy("doc_id")
     ranked = batch.select("doc_id", "source", "fp").withColumn(
@@ -1249,6 +1252,7 @@ def _lsh_dedup_ingest(batch: DataFrame, batch_id: int, store_dir: str) -> None:
 
     spark = batch.sparkSession
     state_dir = os.path.join(store_dir, "state")
+    _recover_compaction(os.path.join(store_dir, "pairs"))  # heal crashed compaction
     eff_id = _effective_batch_id(store_dir, batch_id)
     # null-shingle docs (null text) can never verify; drop like batch q36
     cur = (
@@ -1444,7 +1448,18 @@ def _effective_batch_id(store_dir: str, batch_id: int, flat: bool = False) -> in
     prior history. Once a floor exists, EVERY raw id maps to
     floor+1+raw_id: injective and strictly monotone, so replayed and
     continuing batches can never collide with each other or with the
-    compacted delta. Before the first compaction this is the identity."""
+    compacted delta. Before the first compaction this is the identity.
+
+    Flat stores are also HEALED here (round-9 hardening): a compaction
+    that died between its two renames leaves the live dir missing with
+    `.old` holding all history; an ingest that recreated the live dir
+    would make the next _recover_compaction delete the backup — silent
+    history loss. Healing before the first post-crash write closes the
+    stream-resumes-before-any-fold window. Two-level stores heal their
+    swapped SUBDIRS at their own ingest sites (the marker parent is never
+    swapped)."""
+    if flat:
+        _recover_compaction(store_dir)
     floor = _read_compaction_floor(store_dir, flat=flat)
     return batch_id if floor is None else floor + 1 + batch_id
 
@@ -1777,8 +1792,11 @@ def _attribution_ingest(batch: DataFrame, batch_id: int, store_dir: str) -> None
 
     spark = batch.sparkSession
     clicks_dir = os.path.join(store_dir, "clicks")
-    # remap above the compaction floor (see _effective_batch_id): a replay
-    # of a folded raw id must never overwrite the compacted clicks/revenue
+    # heal a crashed compaction, then remap above the floor (see
+    # _effective_batch_id): a replay of a folded raw id must never
+    # overwrite the compacted clicks/revenue
+    _recover_compaction(clicks_dir)
+    _recover_compaction(os.path.join(store_dir, "revenue"))
     eff_id = _effective_batch_id(store_dir, batch_id)
     ts_us = epoch_us(F.col("ts"))
     ck = F.when(
@@ -1978,6 +1996,7 @@ def run_stream_revenue_monitor(
     def ingest(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         partials_dir = os.path.join(store_dir, "partials")
+        _recover_compaction(partials_dir)  # heal crashed compaction
         batch_id = _effective_batch_id(store_dir, batch_id)
         _daily_units(batch).write.mode("overwrite").parquet(
             os.path.join(partials_dir, f"batch_id={batch_id}")
@@ -2069,6 +2088,8 @@ def run_stream_basket_counts(
     is a streaming frame with (l_orderkey, l_partkey)."""
 
     def ingest(batch: DataFrame, batch_id: int) -> None:
+        for sub in ("pairs", "items", "baskets"):  # heal crashed compaction
+            _recover_compaction(os.path.join(store_dir, sub))
         batch_id = _effective_batch_id(store_dir, batch_id)
         li = batch.select("l_orderkey", "l_partkey")
         a = li.select("l_orderkey", F.col("l_partkey").alias("p1"))

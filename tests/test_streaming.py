@@ -1539,3 +1539,74 @@ def test_stream_decode_health_monitor_alerts_on_spike_quiet_when_clean(
         for r in decode_health_monitor_log(spark, store).collect()
     }
     assert shares[(1, "srcB")] == 6.0 / 11.0
+
+
+def test_ingest_heals_crashed_compaction_before_writing(spark, tmp_path):
+    """Round-9 hardening: a compaction that dies between its two renames
+    leaves the live store dir missing and `.old` holding ALL history. If
+    the stream resumes BEFORE any fold runs, the ingest used to recreate
+    the live dir — and the next _recover_compaction would then delete the
+    .old backup as a stale leftover, silently losing history. Ingests now
+    heal first: the post-crash fold must contain every batch."""
+    import os as _os
+
+    from big_data_computing_final_project_spark.streaming.events import (
+        _decode_health_ingest,
+        _dup_flow_ingest,
+        compact_decode_health_store,
+        compact_dup_flow_store,
+        decode_health_report_from_store,
+        dup_flow_matrix_from_store,
+    )
+
+    # --- flat store (decode-health) ---
+    rows = [(i, "srcA" if i % 2 == 0 else "srcB") for i in range(20)]
+
+    def media_df(sub):
+        from big_data_computing_final_project_spark.operators.multimodal import (
+            _mix_blob,
+        )
+
+        return spark.createDataFrame(
+            [(i, s, _mix_blob(i)) for i, s in sub],
+            "doc_id long, source string, content binary",
+        )
+
+    store = str(tmp_path / "dh_heal")
+    _decode_health_ingest(media_df(rows[:8]), 0, store)
+    _decode_health_ingest(media_df(rows[8:16]), 1, store)
+    before = {
+        (r.source, r.fmt, r.status): r.n_docs
+        for r in decode_health_report_from_store(spark, store).collect()
+    }
+    compact_decode_health_store(spark, store)
+    _os.rename(store, store + ".old")  # the mid-compaction crash window
+    _decode_health_ingest(media_df(rows[16:]), 2, store)
+    after = {
+        (r.source, r.fmt, r.status): r.n_docs
+        for r in decode_health_report_from_store(spark, store).collect()
+    }
+    # every pre-crash count is preserved (b2 adds on top)
+    assert all(after.get(k, 0) >= v for k, v in before.items()), (
+        "decode-health history lost after crashed compaction + resume"
+    )
+    assert sum(after.values()) == 20
+
+    # --- two-level store (dup-flow keepers) ---
+    def docs_df(sub):
+        return spark.createDataFrame(sub, "doc_id long, source string, fp string")
+
+    dstore = str(tmp_path / "df_heal")
+    _dup_flow_ingest(docs_df([(1, "a", "f1"), (2, "b", "f1")]), 0, dstore)
+    _dup_flow_ingest(docs_df([(3, "c", "f1")]), 1, dstore)
+    want = [tuple(r) for r in dup_flow_matrix_from_store(spark, dstore).collect()]
+    assert want  # a -> b and a -> c edges exist
+    compact_dup_flow_store(spark, dstore)
+    keepers = _os.path.join(dstore, "keepers")
+    _os.rename(keepers, keepers + ".old")  # crash window on one subdir
+    _dup_flow_ingest(docs_df([(4, "d", "f1")]), 2, dstore)
+    got = [tuple(r) for r in dup_flow_matrix_from_store(spark, dstore).collect()]
+    # keeper history healed: doc 4 is a DUP of keeper source 'a', never a
+    # fresh keeper (which is what a lost keeper store would make it)
+    assert {(r[0]) for r in got} == {"a"}
+    assert sum(r[2] for r in got) == 3  # three dup docs total
