@@ -96,6 +96,8 @@ QUERIES = [
     # ((source, band) aggregate over the 10x corpus)
     "q222_ivf_cell_balance",
     "q223_fertility_quality_matrix",
+    "q224_segment_calibration",
+    "q225_ngram_novelty",
 ]
 
 
