@@ -1671,9 +1671,19 @@ ORDER BY source
 @register("q225_ngram_novelty", oracle=_Q225_ORACLE)
 def q225_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    sh = docs.select(
-        "doc_id", "source", F.explode(X.shingles(F.col("text"), 3)).alias("s")
-    )
+    # Stage the tokenizer ONCE (q35/q122 rule): a plain explode over the
+    # inlined shingle expression triggers InferFiltersFromGenerate, which
+    # re-inlines the whole normalize+tokenize transform below the staging
+    # projection; explode_outer is row-identical here (shingle arrays of
+    # non-null text are never empty). The exploded posting frame feeds TWO
+    # consumers (the df aggregate and the join back), so localCheckpoint
+    # materializes it once instead of re-running the tokenizer per side.
+    toks = docs.select("doc_id", "source", X.tokens(F.col("text")).alias("toks"))
+    sh = toks.select(
+        "doc_id",
+        "source",
+        F.explode_outer(X.shingles_of_tokens(F.col("toks"), 3)).alias("s"),
+    ).localCheckpoint(eager=True)
     df_tab = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     per_doc = (
         sh.join(df_tab, "s")
