@@ -422,8 +422,9 @@ def integrity_report_from_store(spark: SparkSession, store_dir: str) -> DataFram
     rows, distinct orphan keys — reads only the staged partials (counts
     are 1 row/batch; orphans are linear in actual violations)."""
     counts = (
-        spark.read.option("basePath", f"{store_dir}/counts")
-        .parquet(f"{store_dir}/counts/batch_id=*")
+        _read_store_deltas(
+            spark, os.path.join(store_dir, "counts"), "n_rows bigint, n_null_fk bigint"
+        )
         .agg(
             F.sum("n_rows").cast("bigint").alias("n_rows"),
             F.sum("n_null_fk").cast("bigint").alias("n_null_fk"),
@@ -450,8 +451,9 @@ def dq_store_report(spark: SparkSession, store_dir: str) -> DataFrame:
     """Fold the per-batch audit store into one report (sum of additive
     violation counts per constraint)."""
     return (
-        spark.read.option("basePath", store_dir)
-        .parquet(f"{store_dir}/batch_id=*")
+        _read_store_deltas(
+            spark, store_dir, "constraint string, n_violations bigint, n_checked bigint"
+        )
         .groupBy("constraint")
         .agg(
             F.sum("n_violations").alias("n_violations"),
@@ -498,15 +500,11 @@ def _dup_flow_ingest(batch: DataFrame, batch_id: int, store_dir: str) -> None:
     ranked = batch.select("doc_id", "source", "fp").withColumn(
         "rn", F.row_number().over(w)
     )
-    if os.path.exists(keepers_dir):
-        prior = (
-            spark.read.option("basePath", keepers_dir)
-            .parquet(f"{keepers_dir}/batch_id=*")
-            .where(F.col("batch_id") < eff_id)
-            .select("fp", F.col("keeper_source").alias("store_keeper"))
-        )
-    else:
-        prior = spark.createDataFrame([], "fp string, store_keeper string")
+    prior = (
+        _read_store_deltas(spark, keepers_dir, "fp string, keeper_source string")
+        .where(F.col("batch_id") < eff_id)
+        .select("fp", F.col("keeper_source").alias("store_keeper"))
+    )
     # cached: both writes below consume it, and recomputation would scan
     # the (ever-growing) keeper store and re-run the rn window twice per
     # batch. The prior read filters batch_id < this batch, so the edges
@@ -594,13 +592,11 @@ def dup_flow_matrix_from_store(spark: SparkSession, store_dir: str) -> DataFrame
     incremental dup-flow store — read only the edge deltas (linear in
     duplicates), never the corpus."""
     edges_dir = os.path.join(store_dir, "edges")
-    _recover_compaction(edges_dir)
-    if not os.path.exists(edges_dir):
-        return spark.createDataFrame(
-            [],
-            "keeper_source string, dup_source string, n_docs bigint, n_groups bigint",
-        )
-    edges = spark.read.option("basePath", edges_dir).parquet(f"{edges_dir}/batch_id=*")
+    edges = _read_store_deltas(
+        spark,
+        edges_dir,
+        "fp string, keeper_source string, dup_source string, n_docs bigint",
+    )
     return (
         edges.groupBy("keeper_source", "dup_source")
         .agg(
@@ -657,22 +653,13 @@ def _psi_fold(
     """
     from ..plans.drift import psi_term_expr
 
-    _recover_compaction(store_dir)
-    if os.path.exists(store_dir):
-        cur = (
-            spark.read.schema(_counts_read_schema(key_cols))
-            .option("basePath", store_dir)
-            .parquet(f"{store_dir}/batch_id=*")
-            .groupBy(*key_cols, "bin")
-            .agg(F.sum("n").alias("n_cur"))
-        )
-    else:
-        # zero micro-batches processed: report ref-only bins, n_cur = 0
-        # (same empty-store contract as dup_flow_matrix_from_store)
-        cur = spark.createDataFrame(
-            [],
-            ", ".join([f"{k} string" for k in key_cols] + ["bin int", "n_cur bigint"]),
-        )
+    # zero micro-batches processed: empty fold -> ref-only bins, n_cur = 0
+    # via the full_outer + fill below (uniform empty-store contract)
+    cur = (
+        _read_store_deltas(spark, store_dir, _counts_read_schema(key_cols))
+        .groupBy(*key_cols, "bin")
+        .agg(F.sum("n").alias("n_cur"))
+    )
     joined = (
         ref_counts.select(*key_cols, "bin", "n_ref")
         .join(cur, [*key_cols, "bin"], "full_outer")
@@ -879,20 +866,34 @@ def ks_from_digest_store(
     )
 
 
+def _read_store_deltas(spark: SparkSession, store_dir: str, schema: str) -> DataFrame:
+    """Shared staged-store delta reader (ADVICE r9 fold — this pattern was
+    repeated verbatim at every ``*_from_store`` / prior-state site): heal a
+    crashed compaction, then read every ``batch_id=*`` delta with the
+    DECLARED schema plus the ``batch_id`` partition column. The explicit
+    schema is the PSI-store lesson — an empty micro-batch stages a
+    part-file-less batch_id dir, and schema INFERENCE over zero parquet
+    files raises; the declared schema reads it as simply empty. A store
+    that has never been written returns an empty frame of the same shape,
+    so every fold's zero-batch contract is uniform."""
+    _recover_compaction(store_dir)
+    full = schema + ", batch_id bigint"
+    if not os.path.exists(store_dir):
+        return spark.createDataFrame([], full)
+    return (
+        spark.read.schema(full)
+        .option("basePath", store_dir)
+        .parquet(f"{store_dir}/batch_id=*")
+    )
+
+
 def _monitor_log(spark: SparkSession, log_dir: str, schema: str) -> DataFrame:
-    """Shared append-only evaluation-log reader (explicit schema: a log
-    staged by an empty evaluation would otherwise break inference),
+    """Shared append-only evaluation-log reader (see _read_store_deltas),
     ordered by batch then any key columns."""
     cols = [c.split()[0] for c in schema.split(", ")]
-    if not os.path.exists(log_dir):
-        return spark.createDataFrame([], "batch_id bigint, " + schema)
-    return (
-        spark.read.schema(schema)
-        .option("basePath", log_dir)
-        .parquet(f"{log_dir}/batch_id=*")
-        .select("batch_id", *cols)
-        .orderBy("batch_id", *[c for c in cols if c in ("key", "source")])
-    )
+    return _read_store_deltas(spark, log_dir, schema).select(
+        "batch_id", *cols
+    ).orderBy("batch_id", *[c for c in cols if c in ("key", "source")])
 
 
 def run_stream_drift_monitor(
@@ -994,6 +995,128 @@ def run_stream_volume_counts(
     )
 
 
+_VOLUME_MONITOR_LOG_SCHEMA = (
+    "source string, n_docs bigint, share double, quiet boolean, "
+    "quiet_streak int, alert boolean"
+)
+
+
+def run_stream_volume_monitor(
+    docs: DataFrame,
+    known_sources: list[str],
+    store_dir: str,
+    checkpoint_dir: str,
+    min_share: float = 0.01,
+    k: int = 3,
+    timeout_sec: int = 120,
+) -> None:
+    """Volume-QUIET alert monitor (VERDICT r9 item 4) — the report-card
+    volume store's operational twin, mirroring the decode-health monitor:
+    per micro-batch, ingest the batch's (source, lang) volume partials
+    into ``store_dir/counts`` (the exact staged-delta contract of
+    run_stream_volume_counts — ``report_card_from_store`` reads the counts
+    dir directly) AND append one evaluation-log row PER KNOWN SOURCE: the
+    source's doc count and share OF THIS BATCH, whether the source went
+    quiet (share below ``min_share`` — the PSI zero-mass idiom: a feed's
+    total silence is the strongest drift signal, so share is 0.0 when the
+    source is absent or the batch is empty, never a skipped term), the
+    consecutive-quiet streak carried forward from the log itself, and
+    ``alert = quiet_streak >= k``. A crawl feed whose upstream died — the
+    collapse q157's batch report card only surfaces at audit time —
+    alerts on exactly the k-th quiet drop.
+
+    Scale shape: per batch one tiny groupBy over the batch, one read of
+    the batch's own just-staged partial rows (O(sources x langs), never
+    the corpus), one read of the log's latest row per source (O(batches x
+    sources) additive-log rows until compaction of counts; the log itself
+    is the monitor's state, the q165 EWMA-carry idiom). Both writes stage
+    under the same effective batch id (compaction-floor remapped, see
+    _effective_batch_id) — replay idempotent: a replayed batch overwrites
+    its own counts delta AND its own log rows, and its streak was derived
+    from strictly earlier log rows only."""
+    counts_dir = os.path.join(store_dir, "counts")
+    log_dir = os.path.join(store_dir, "log")
+
+    def monitor(batch: DataFrame, batch_id: int) -> None:
+        from ..functions import text as X
+
+        spark = batch.sparkSession
+        eff_id = _effective_batch_id(counts_dir, batch_id, flat=True)
+        # raw documents schema in (the run_stream_ingest_suite contract);
+        # token counts derived once per batch, same as the suite
+        _volume_ingest(
+            batch.select(
+                "source",
+                "lang",
+                "n_chars",
+                X.token_count(F.col("text")).cast("bigint").alias("n_toks"),
+            ),
+            batch_id,
+            counts_dir,
+        )
+        # this batch's per-source totals from its own just-staged partials
+        own = (
+            _read_store_deltas(
+                spark,
+                counts_dir,
+                "source string, lang string, n_docs bigint, n_tokens bigint, "
+                "n_chars bigint",
+            )
+            .where(F.col("batch_id") == eff_id)
+            .groupBy("source")
+            .agg(F.sum("n_docs").cast("bigint").alias("n_docs"))
+        )
+        known = spark.createDataFrame([(s,) for s in known_sources], "source string")
+        total = own.agg(F.sum("n_docs").alias("__total"))
+        # latest streak per source from strictly earlier log rows
+        prev = (
+            _read_store_deltas(spark, log_dir, _VOLUME_MONITOR_LOG_SCHEMA)
+            .where(F.col("batch_id") < eff_id)
+            .groupBy("source")
+            .agg(F.max_by("quiet_streak", "batch_id").alias("prev_streak"))
+        )
+        share = F.when(
+            F.coalesce(F.col("__total"), F.lit(0)) > 0,
+            F.coalesce(F.col("n_docs"), F.lit(0)).cast("double") / F.col("__total"),
+        ).otherwise(F.lit(0.0))
+        quiet = F.col("share") < F.lit(min_share)
+        streak = F.when(
+            F.col("quiet"), F.coalesce(F.col("prev_streak"), F.lit(0)) + F.lit(1)
+        ).otherwise(F.lit(0))
+        out = (
+            known.join(own, "source", "left")
+            .crossJoin(F.broadcast(total))
+            .join(prev, "source", "left")
+            .select(
+                "source",
+                F.coalesce(F.col("n_docs"), F.lit(0)).cast("bigint").alias("n_docs"),
+                share.alias("share"),
+                "prev_streak",
+            )
+            .withColumn("quiet", quiet)
+            .withColumn("quiet_streak", streak.cast("int"))
+            .withColumn("alert", F.col("quiet_streak") >= F.lit(k))
+            .select(
+                "source", "n_docs", "share", "quiet", "quiet_streak", "alert"
+            )
+        )
+        out.write.mode("overwrite").parquet(
+            os.path.join(log_dir, f"batch_id={eff_id}")
+        )
+
+    _run_foreach_batch(
+        docs, monitor, checkpoint_dir, timeout_sec, "run_stream_volume_monitor"
+    )
+
+
+def volume_monitor_log(spark: SparkSession, store_dir: str) -> DataFrame:
+    """The volume-quiet monitor's append-only evaluation log, ordered by
+    (batch, source)."""
+    return _monitor_log(
+        spark, os.path.join(store_dir, "log"), _VOLUME_MONITOR_LOG_SCHEMA
+    )
+
+
 def report_card_from_store(
     spark: SparkSession, vol_store_dir: str, flow_store_dir: str
 ) -> DataFrame:
@@ -1010,34 +1133,22 @@ def report_card_from_store(
     whoever arrives first, each member of a multi-copy group is counted
     exactly once for its own source — so the fold equals batch q157 under
     any arrival order, not just id-ordered drops (pytest pins both)."""
-    _recover_compaction(vol_store_dir)
-    if os.path.exists(vol_store_dir):
-        vol = (
-            spark.read.option("basePath", vol_store_dir)
-            .parquet(f"{vol_store_dir}/batch_id=*")
-        )
-    else:
-        vol = spark.createDataFrame(
-            [],
-            "source string, lang string, n_docs bigint, n_tokens bigint, "
-            "n_chars bigint",
-        )
+    vol = _read_store_deltas(
+        spark,
+        vol_store_dir,
+        "source string, lang string, n_docs bigint, n_tokens bigint, n_chars bigint",
+    )
     agg = vol.groupBy("source").agg(
         F.sum("n_docs").cast("bigint").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("n_tokens"),
         F.sum("n_chars").cast("bigint").alias("sum_chars"),
         F.countDistinct("lang").alias("n_langs"),
     )
-    edges_dir = os.path.join(flow_store_dir, "edges")
-    if os.path.exists(edges_dir):
-        edges = spark.read.option("basePath", edges_dir).parquet(
-            f"{edges_dir}/batch_id=*"
-        )
-    else:
-        edges = spark.createDataFrame(
-            [],
-            "fp string, keeper_source string, dup_source string, n_docs bigint",
-        )
+    edges = _read_store_deltas(
+        spark,
+        os.path.join(flow_store_dir, "edges"),
+        "fp string, keeper_source string, dup_source string, n_docs bigint",
+    )
     dup_side = edges.groupBy(F.col("dup_source").alias("source")).agg(
         F.sum("n_docs").cast("bigint").alias("n_dup")
     )
@@ -1260,20 +1371,14 @@ def _lsh_dedup_ingest(batch: DataFrame, batch_id: int, store_dir: str) -> None:
         .where(F.col("sh").isNotNull())
         .withColumn("bands", F.array(*band_key_structs(F.col("sh"))))
     )
-    _recover_compaction(state_dir)
-    if os.path.exists(state_dir):
-        state = (
-            spark.read.schema(_LSH_STATE_SCHEMA)
-            .option("basePath", state_dir)
-            .parquet(f"{state_dir}/batch_id=*")
-            .where(F.col("batch_id") < eff_id)
-            .drop("batch_id")
-        )
-        # idempotence across compaction: a doc whose id is already in state
-        # (its batch was folded into the compacted delta) must not re-ingest
-        cur = cur.join(state.select("doc_id"), "doc_id", "left_anti")
-    else:
-        state = spark.createDataFrame([], _LSH_STATE_SCHEMA)
+    state = (
+        _read_store_deltas(spark, state_dir, _LSH_STATE_SCHEMA)
+        .where(F.col("batch_id") < eff_id)
+        .drop("batch_id")
+    )
+    # idempotence across compaction: a doc whose id is already in state
+    # (its batch was folded into the compacted delta) must not re-ingest
+    cur = cur.join(state.select("doc_id"), "doc_id", "left_anti")
     cur = cur.localCheckpoint(eager=True)  # four consumers; shingling is the cost
 
     def exploded(df: DataFrame, side: str) -> DataFrame:
@@ -1373,14 +1478,8 @@ def run_stream_lsh_dedup(
 def near_dup_pairs_from_store(spark: SparkSession, store_dir: str) -> DataFrame:
     """Batch q36's (doc_a, doc_b, jac) folded from the LSH ingest store —
     reads only the pair deltas (linear in near-dups), never the corpus."""
-    pairs_dir = os.path.join(store_dir, "pairs")
-    _recover_compaction(pairs_dir)
-    if not os.path.exists(pairs_dir):
-        return spark.createDataFrame([], _LSH_PAIRS_SCHEMA)
     return (
-        spark.read.schema(_LSH_PAIRS_SCHEMA)
-        .option("basePath", pairs_dir)
-        .parquet(f"{pairs_dir}/batch_id=*")
+        _read_store_deltas(spark, os.path.join(store_dir, "pairs"), _LSH_PAIRS_SCHEMA)
         .select("doc_a", "doc_b", "jac")
         .orderBy("doc_a", "doc_b")
     )
@@ -1400,37 +1499,64 @@ def near_dup_pairs_from_store(spark: SparkSession, store_dir: str) -> DataFrame:
 # lookup's `batch_id < N` filter would see batch N's own compacted
 # keepers. Between availableNow drains — the natural maintenance window
 # — both hazards are impossible.
+#
+# BOUNDED DOUBLE-COUNT CAVEAT (ADVICE r9): the floor remap trades replay
+# idempotence for history safety on exactly ONE pathological schedule —
+# an uncommitted batch whose delta was compacted anyway (a violation of
+# the window contract above: crash between the delta write and the
+# checkpoint commit, compaction run before the stream resumes). The
+# replayed raw id then lands ABOVE the floor instead of overwriting its
+# own (now folded) delta, so ADDITIVE stores (counts/volume/basket/
+# attribution-revenue/revenue-partials/decode-health/dup-flow edges)
+# count that one batch twice, and a dup-flow replay can add self-edges;
+# latest-wins folds (CDC) and unique-row folds (LSH state) are unchanged.
+# The alternative — skipping raw ids at-or-below a folded high-water mark
+# — cannot distinguish this replay from a fresh-checkpoint restart (both
+# re-present low raw ids) without introspecting the engine's checkpoint,
+# and would silently DROP data on the restart path; a bounded duplicate
+# of one batch is the better failure. Honoring the maintenance-window
+# contract makes the schedule impossible in the first place.
 # ---------------------------------------------------------------------------
 
 
 _FLOOR_MARKER = "_compaction_floor"
 
 
-def _floor_marker_path(store_dir: str, flat: bool) -> str:
-    """Where a store's compaction-floor marker lives. Two-level stores
-    (lsh/dup-flow/attribution/basket/revenue-monitor) keep it INSIDE the
-    stable parent dir, beside the swapped subdirs. FLAT stores
-    (counts/volume/cdc/decode-health) ARE the swapped ``batch_id=*``
-    directory, so the marker must live OUTSIDE the rename-rename swap —
-    a sibling file — or compaction itself would discard it."""
-    if flat:
-        return store_dir.rstrip(os.sep) + "." + _FLOOR_MARKER
+def _floor_marker_path(store_dir: str) -> str:
+    """Where a store's compaction-floor marker lives: INSIDE the store
+    directory, for every store shape (ADVICE r9). Two-level stores keep it
+    in the stable parent beside the swapped subdirs; flat stores keep it
+    beside their ``batch_id=*`` partition dirs — the leading underscore
+    makes Spark's parquet reader skip it, and _compact_partitioned copies
+    it into the rebuilt directory BEFORE the rename-rename swap, so the
+    marker always travels with the store (a directory-level copy, move,
+    or backup can no longer detach the floor from the data it protects)."""
     return os.path.join(store_dir, _FLOOR_MARKER)
 
 
 def _read_compaction_floor(store_dir: str, flat: bool = False) -> int | None:
     """The highest batch_id folded by the last compaction (None before the
     first compaction). Written by every compact_*_store; once present,
-    ingests remap EVERY batch id above it (see _effective_batch_id)."""
+    ingests remap EVERY batch id above it (see _effective_batch_id).
+    ``flat`` additionally checks the pre-r10 sibling location
+    (``<store>._compaction_floor``) so stores written by earlier rounds
+    keep their floor."""
     try:
-        with open(_floor_marker_path(store_dir, flat)) as f:
+        with open(_floor_marker_path(store_dir)) as f:
             return int(f.read().strip())
     except (OSError, ValueError):
-        return None
+        pass
+    if flat:
+        try:
+            with open(store_dir.rstrip(os.sep) + "." + _FLOOR_MARKER) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            pass
+    return None
 
 
-def _write_compaction_floor(store_dir: str, floor: int, flat: bool = False) -> None:
-    path = _floor_marker_path(store_dir, flat)
+def _write_compaction_floor(store_dir: str, floor: int) -> None:
+    path = _floor_marker_path(store_dir)
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
         f.write(str(floor))
@@ -1512,6 +1638,13 @@ def _compact_partitioned(
     tmp = store_dir + ".compacting"
     shutil.rmtree(tmp, ignore_errors=True)
     merged.write.mode("overwrite").parquet(os.path.join(tmp, f"batch_id={target}"))
+    # carry the floor marker into the rebuilt dir BEFORE the swap: a crash
+    # between the swap and the caller's _write_compaction_floor must leave
+    # the previous floor in place, never strip it (an unfloored store would
+    # let a folded-id replay overwrite the compacted delta).
+    marker = _floor_marker_path(store_dir)
+    if os.path.exists(marker):
+        shutil.copyfile(marker, _floor_marker_path(tmp))
     old = store_dir + ".old"
     shutil.rmtree(old, ignore_errors=True)
     os.rename(store_dir, old)
@@ -1525,7 +1658,9 @@ def compact_counts_store(
 ) -> None:
     """Compact a (keyed or unkeyed) PSI bin-counts store: additive counts
     merge by summation; psi(_by_key)_from_store reads identically before
-    and after (pytest-pinned)."""
+    and after (pytest-pinned). Additive ⇒ subject to the one-batch
+    double-count caveat in the section contract above if an uncommitted
+    delta is compacted outside the maintenance window."""
     keys = list(key_cols or [])
     floor = _compact_partitioned(
         spark,
@@ -1534,12 +1669,14 @@ def compact_counts_store(
         lambda df: df.groupBy(*keys, "bin").agg(F.sum("n").alias("n")),
     )
     if floor is not None:
-        _write_compaction_floor(store_dir, floor, flat=True)
+        _write_compaction_floor(store_dir, floor)
 
 
 def compact_volume_store(spark: SparkSession, store_dir: str) -> None:
     """Compact the report-card volume store: all five measures are
-    additive per (source, lang) cell."""
+    additive per (source, lang) cell — additive ⇒ the one-batch
+    double-count caveat (section contract above) applies to an
+    uncommitted delta compacted outside the maintenance window."""
     floor = _compact_partitioned(
         spark,
         store_dir,
@@ -1551,7 +1688,7 @@ def compact_volume_store(spark: SparkSession, store_dir: str) -> None:
         ),
     )
     if floor is not None:
-        _write_compaction_floor(store_dir, floor, flat=True)
+        _write_compaction_floor(store_dir, floor)
 
 
 def compact_dup_flow_store(spark: SparkSession, store_dir: str) -> None:
@@ -1561,7 +1698,10 @@ def compact_dup_flow_store(spark: SparkSession, store_dir: str) -> None:
     n_docs per (fp, keeper_source, dup_source). Continued ingestion after
     compaction keeps working: the floor marker remaps every later ingest
     id above the compacted delta (see _effective_batch_id), and the keeper
-    lookup's `batch_id < N` filter always includes it."""
+    lookup's `batch_id < N` filter always includes it. Edge counts are
+    additive ⇒ a folded-id replay (window-contract violation) double-counts
+    that one batch's edges and can add self-edges — see the section
+    contract's bounded double-count caveat."""
     k_floor = _compact_partitioned(
         spark,
         os.path.join(store_dir, "keepers"),
@@ -1720,15 +1860,7 @@ def run_stream_cdc_ops(
 def _cdc_store_latest(spark: SparkSession, store_dir: str) -> DataFrame:
     from ..plans.cdc import CDC_OPS_SCHEMA, latest_cdc_ops
 
-    _recover_compaction(store_dir)
-    if not os.path.exists(store_dir):
-        return spark.createDataFrame([], CDC_OPS_SCHEMA)
-    deltas = (
-        spark.read.schema(CDC_OPS_SCHEMA)
-        .option("basePath", store_dir)
-        .parquet(f"{store_dir}/batch_id=*")
-    )
-    return latest_cdc_ops(deltas)
+    return latest_cdc_ops(_read_store_deltas(spark, store_dir, CDC_OPS_SCHEMA))
 
 
 def cdc_snapshot_from_store(
@@ -1755,7 +1887,7 @@ def compact_cdc_store(spark: SparkSession, store_dir: str) -> None:
 
     floor = _compact_partitioned(spark, store_dir, CDC_OPS_SCHEMA, latest_cdc_ops)
     if floor is not None:
-        _write_compaction_floor(store_dir, floor, flat=True)
+        _write_compaction_floor(store_dir, floor)
 
 
 # ---------------------------------------------------------------------------
@@ -1830,33 +1962,29 @@ def _attribution_ingest(batch: DataFrame, batch_id: int, store_dir: str) -> None
         purch = wb.where(F.col("event_type") == "purchase").select(
             "event_id", "user_id", "ts_us", "value", "batch_best"
         )
-        if os.path.exists(clicks_dir):
-            # explicit schema: the PSI-store lesson — a staged batch dir can
-            # exist with zero part files, and schema inference dies there
-            prior = (
-                spark.read.schema(
-                    "user_id bigint, click_key decimal(38,0), batch_id bigint"
-                )
-                .option("basePath", clicks_dir)
-                .parquet(f"{clicks_dir}/batch_id=*")
-                .where(F.col("batch_id") < eff_id)
-                .select("user_id", F.col("click_key").alias("store_key"))
+        # prior clicks from batches before this one (an empty prior — the
+        # first-ever batch — left-joins to null store_best, the same
+        # no-store contract the old else branch hand-built)
+        prior = (
+            _read_store_deltas(
+                spark, clicks_dir, "user_id bigint, click_key decimal(38,0)"
             )
-            from ..plans.customer import ATTR_KEY_UNITS_PER_US
+            .where(F.col("batch_id") < eff_id)
+            .select("user_id", F.col("click_key").alias("store_key"))
+        )
+        from ..plans.customer import ATTR_KEY_UNITS_PER_US
 
-            lo = (F.col("ts_us") - F.lit(ATTR_WINDOW_US)).cast(
-                "decimal(16,0)"
-            ) * F.lit(ATTR_KEY_UNITS_PER_US)
-            hi = F.col("ts_us").cast("decimal(16,0)") * F.lit(ATTR_KEY_UNITS_PER_US)
-            store_best = (
-                purch.join(prior, "user_id")
-                .where((F.col("store_key") >= lo) & (F.col("store_key") < hi))
-                .groupBy("event_id")
-                .agg(F.max("store_key").alias("store_best"))
-            )
-            purch = purch.join(store_best, "event_id", "left")
-        else:
-            purch = purch.withColumn("store_best", F.lit(None).cast("decimal(38,0)"))
+        lo = (F.col("ts_us") - F.lit(ATTR_WINDOW_US)).cast(
+            "decimal(16,0)"
+        ) * F.lit(ATTR_KEY_UNITS_PER_US)
+        hi = F.col("ts_us").cast("decimal(16,0)") * F.lit(ATTR_KEY_UNITS_PER_US)
+        store_best = (
+            purch.join(prior, "user_id")
+            .where((F.col("store_key") >= lo) & (F.col("store_key") < hi))
+            .groupBy("event_id")
+            .agg(F.max("store_key").alias("store_best"))
+        )
+        purch = purch.join(store_best, "event_id", "left")
 
         best = F.greatest("batch_best", "store_best")
         out = (
@@ -1904,17 +2032,10 @@ def attribution_from_store(spark: SparkSession, store_dir: str) -> DataFrame:
     batch query bit-for-bit."""
     from decimal import Decimal
 
-    rev_dir = os.path.join(store_dir, "revenue")
-    if not os.path.exists(rev_dir):
-        return spark.createDataFrame(
-            [], "campaign bigint, n_purchases bigint, attributed_revenue double"
-        )
-    rows = (
-        spark.read.schema(
-            "campaign bigint, n_purchases bigint, rev_units bigint, batch_id bigint"
-        )
-        .option("basePath", rev_dir)
-        .parquet(f"{rev_dir}/batch_id=*")
+    rows = _read_store_deltas(
+        spark,
+        os.path.join(store_dir, "revenue"),
+        "campaign bigint, n_purchases bigint, rev_units bigint",
     )
     return (
         rows.groupBy("campaign")
@@ -2190,7 +2311,9 @@ def basket_rules_from_store(
 
 
 def compact_basket_store(spark: SparkSession, store_dir: str) -> None:
-    """Compact the basket-count store: every partial is additive."""
+    """Compact the basket-count store: every partial is additive (⇒ the
+    section contract's one-batch double-count caveat applies to an
+    uncommitted delta compacted outside the maintenance window)."""
     floors = [
         _compact_partitioned(
             spark,
@@ -2217,7 +2340,8 @@ def compact_basket_store(spark: SparkSession, store_dir: str) -> None:
 
 
 def compact_revenue_monitor_store(spark: SparkSession, store_dir: str) -> None:
-    """Compact the revenue-monitor store's day partials (additive). The
+    """Compact the revenue-monitor store's day partials (additive ⇒ the
+    section contract's one-batch double-count caveat applies). The
     monitor/ directory is an immutable evaluation LOG, not mergeable state
     — it stays as written (the shared floor remap keeps later log ids
     clear of existing rows too, since the ingest stamps both dirs with
@@ -2233,7 +2357,8 @@ def compact_revenue_monitor_store(spark: SparkSession, store_dir: str) -> None:
 
 
 def compact_attribution_store(spark: SparkSession, store_dir: str) -> None:
-    """Compact the attribution store. revenue/ deltas are additive.
+    """Compact the attribution store. revenue/ deltas are additive (⇒ the
+    section contract's one-batch double-count caveat applies to them).
     clicks/ compact to the per-user MAX key, which is sufficient under the
     store's time-ordered contract: keys grow with ts, so a user's newest
     click is the only one any FUTURE purchase's [lo, hi) range can pick —
@@ -2317,15 +2442,7 @@ def decode_health_report_from_store(spark: SparkSession, store_dir: str) -> Data
     forward AND reversed drops in tests/test_streaming.py."""
     from pyspark.sql import Window
 
-    _recover_compaction(store_dir)
-    if os.path.exists(store_dir):
-        deltas = (
-            spark.read.schema(_HEALTH_COUNT_SCHEMA)
-            .option("basePath", store_dir)
-            .parquet(f"{store_dir}/batch_id=*")
-        )
-    else:
-        deltas = spark.createDataFrame([], _HEALTH_COUNT_SCHEMA)
+    deltas = _read_store_deltas(spark, store_dir, _HEALTH_COUNT_SCHEMA)
     counts = deltas.groupBy("source", "fmt", "status").agg(
         F.sum("n_docs").cast("bigint").alias("n_docs")
     )
@@ -2345,7 +2462,9 @@ def compact_decode_health_store(spark: SparkSession, store_dir: str) -> None:
     """Compact the decode-health store: counts merge by summation;
     decode_health_report_from_store reads identically before and after.
     Records the folded high-water mark in the store's floor marker so
-    later ingests remap above the compacted delta (ADVICE r8)."""
+    later ingests remap above the compacted delta (ADVICE r8). Additive ⇒
+    the section contract's one-batch double-count caveat applies to an
+    uncommitted delta compacted outside the maintenance window."""
     floor = _compact_partitioned(
         spark,
         store_dir,
@@ -2355,7 +2474,7 @@ def compact_decode_health_store(spark: SparkSession, store_dir: str) -> None:
         ),
     )
     if floor is not None:
-        _write_compaction_floor(store_dir, floor, flat=True)
+        _write_compaction_floor(store_dir, floor)
 
 
 def run_stream_decode_health_monitor(
@@ -2391,9 +2510,7 @@ def run_stream_decode_health_monitor(
         _decode_health_ingest(batch, batch_id, counts_dir)
         bad = F.sum(F.when(F.col("status") != "ok", F.col("n_docs")).otherwise(F.lit(0)))
         per_source = (
-            spark.read.schema(_HEALTH_COUNT_SCHEMA)
-            .option("basePath", counts_dir)
-            .parquet(f"{counts_dir}/batch_id=*")
+            _read_store_deltas(spark, counts_dir, _HEALTH_COUNT_SCHEMA)
             .groupBy("source")
             .agg(
                 F.sum("n_docs").cast("bigint").alias("n_docs"),

@@ -569,7 +569,10 @@ def test_counts_and_volume_store_compaction_fold_identical(spark, tmp_path):
     compact_counts_store(spark, store, ["key"])
     after = [tuple(r) for r in psi_by_key_from_store(spark, store, ref_counts).collect()]
     assert after == before and len(after) == 10
-    assert sorted(os.listdir(store)) == ["batch_id=1"]
+    # one folded delta at the MAX batch id, plus the floor marker — which
+    # since ADVICE r9 lives INSIDE the store dir so a directory-level
+    # copy/move keeps the floor attached to the data it protects
+    assert sorted(os.listdir(store)) == ["_compaction_floor", "batch_id=1"]
 
     # volume + flow stores via the suite, compacted, report card identical
     src2 = _write_doc_drops(tmp_path / "docs", _PLANTED_DROPS)
@@ -1480,6 +1483,16 @@ def test_flat_store_compaction_floor_survives_folded_id_replay(spark, tmp_path):
     got_cdc = sorted(tuple(r) for r in _cdc_store_latest(spark, c_store).collect())
     assert got_cdc == want_cdc, "CDC latest-wins fold changed under replay"
 
+    # --- the floor marker TRAVELS with the store (ADVICE r9): it lives
+    # inside the store dir, so a directory-level move/copy/backup keeps
+    # the floor attached and a folded-id replay at the new location still
+    # remaps above the compacted delta
+    moved = str(tmp_path / "cdc_flat_moved")
+    _os.rename(c_store, moved)
+    assert _effective_batch_id(moved, 1, flat=True) > 1, (
+        "floor marker detached from the store by a directory-level move"
+    )
+
 
 def test_stream_decode_health_monitor_alerts_on_spike_quiet_when_clean(
     spark, tmp_path
@@ -1539,6 +1552,91 @@ def test_stream_decode_health_monitor_alerts_on_spike_quiet_when_clean(
         for r in decode_health_monitor_log(spark, store).collect()
     }
     assert shares[(1, "srcB")] == 6.0 / 11.0
+
+
+def test_stream_volume_monitor_alerts_on_collapse_quiet_when_steady(spark, tmp_path):
+    """Volume-QUIET alert monitor (VERDICT r9 item 4): srcB's share
+    collapses to zero for two consecutive drops -> the quiet streak
+    reaches k=2 and alerts on exactly the second silent drop; when the
+    feed returns, the streak resets and the alert clears. srcA never goes
+    quiet. A steady twin corpus (both sources in every drop) produces a
+    log with zero quiet rows and zero alerts."""
+    from big_data_computing_final_project_spark.streaming.events import (
+        run_stream_volume_monitor,
+        volume_monitor_log,
+    )
+
+    def mk(i, s):
+        return (i, f"planted text body {i}", "en", s)
+
+    collapse = [
+        [mk(0, "srcA"), mk(1, "srcA"), mk(2, "srcB"), mk(3, "srcB")],
+        [mk(4, "srcA"), mk(5, "srcA"), mk(6, "srcB")],
+        [mk(7, "srcA"), mk(8, "srcA")],                 # srcB silent: streak 1
+        [mk(9, "srcA"), mk(10, "srcA")],                # srcB silent: streak 2 -> ALERT
+        [mk(11, "srcA"), mk(12, "srcB"), mk(13, "srcB")],  # feed returns: reset
+    ]
+    src = _write_doc_drops(tmp_path / "vm_collapse", collapse)
+    store = str(tmp_path / "volmon")
+    run_stream_volume_monitor(
+        _docs_stream(spark, src),
+        ["srcA", "srcB"],
+        store,
+        str(tmp_path / "ckpt_volmon"),
+        min_share=0.05,
+        k=2,
+    )
+    by = {
+        (r.batch_id, r.source): r
+        for r in volume_monitor_log(spark, store).collect()
+    }
+    assert len(by) == 10  # 5 drops x 2 known sources
+    a_rows = [by[(b, "srcA")] for b in range(5)]
+    assert all(not r.quiet and not r.alert and r.quiet_streak == 0 for r in a_rows)
+    b_rows = [by[(b, "srcB")] for b in range(5)]
+    assert [r.n_docs for r in b_rows] == [2, 1, 0, 0, 2]
+    assert [r.quiet for r in b_rows] == [False, False, True, True, False]
+    assert [r.quiet_streak for r in b_rows] == [0, 0, 1, 2, 0]
+    assert [r.alert for r in b_rows] == [False, False, False, True, False]
+    assert by[(0, "srcB")].share == 0.5
+    # the counts half doubles as a plain volume store: the fold over the
+    # staged partials equals the corpus totals per source
+    from big_data_computing_final_project_spark.streaming.events import (
+        _read_store_deltas,
+    )
+
+    from pyspark.sql import functions as F
+
+    vol = {
+        (r.source): r.n
+        for r in _read_store_deltas(
+            spark,
+            os.path.join(store, "counts"),
+            "source string, lang string, n_docs bigint, n_tokens bigint, "
+            "n_chars bigint",
+        )
+        .groupBy("source")
+        .agg(F.sum("n_docs").cast("bigint").alias("n"))
+        .collect()
+    }
+    assert vol == {"srcA": 9, "srcB": 5}
+
+    # steady twin: both sources present in every drop -> all-quiet log
+    steady = [
+        [mk(100 + 2 * i, "srcA"), mk(101 + 2 * i, "srcB")] for i in range(3)
+    ]
+    src2 = _write_doc_drops(tmp_path / "vm_steady", steady)
+    store2 = str(tmp_path / "volmon2")
+    run_stream_volume_monitor(
+        _docs_stream(spark, src2),
+        ["srcA", "srcB"],
+        store2,
+        str(tmp_path / "ckpt_volmon2"),
+        min_share=0.05,
+        k=2,
+    )
+    rows2 = volume_monitor_log(spark, store2).collect()
+    assert len(rows2) == 6 and not any(r.quiet or r.alert for r in rows2)
 
 
 def test_ingest_heals_crashed_compaction_before_writing(spark, tmp_path):
