@@ -684,11 +684,26 @@ _IVF_NLIST = 16
 _IVF_NPROBE = 4
 
 
+# session-scoped quantizer-state cache (VERDICT r9 item 1): the coarse fit
+# is a pure function of (application, sf_dir, nlist) — the same seeded
+# KMeans over the same parquet — so one Lloyd's run per session serves
+# every IVF consumer instead of each paying the fit again. Keyed on
+# applicationId so a stopped-and-restarted session can never see another
+# session's (dead) cached frames.
+_IVF_FIT_CACHE: dict = {}
+
+
 def _ivf_fit(spark: SparkSession, sf_dir: str):
     """KMeans coarse-quantizer fit + per-vector cell assignment — shared
     by the IVF probe path (_ivf_scored / q64 / q205) and the cell-balance
     audit (q222), so the audit measures the EXACT index state the probes
-    run against."""
+    run against. Returns (centroids as [nlist][dim] floats, assigned
+    frame); fits ONCE per (session, sf_dir, nlist) — q222's audit on top
+    of a probe-serving session costs one aggregate, not a re-fit."""
+    key = (spark.sparkContext.applicationId, sf_dir, _IVF_NLIST)
+    hit = _IVF_FIT_CACHE.get(key)
+    if hit is not None:
+        return hit
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -705,7 +720,13 @@ def _ivf_fit(spark: SparkSession, sf_dir: str):
         .select("vec_id", "e", norm(F.col("e")).alias("nc"), "cell")
         .cache()
     )
-    return km, assigned
+    centers = [[float(x) for x in c] for c in km.clusterCenters()]
+    # drop entries from previous (stopped) sessions — their cached frames
+    # reference a dead context and can never be read again
+    for k in [k for k in _IVF_FIT_CACHE if k[0] != key[0]]:
+        del _IVF_FIT_CACHE[k]
+    _IVF_FIT_CACHE[key] = (centers, assigned)
+    return centers, assigned
 
 
 def _ivf_scored(
@@ -714,10 +735,10 @@ def _ivf_scored(
     """The IVF probe-and-score frame shared by q64 and the IVF-pooled MMR
     (q205): (q_id, cand_id, cos_sim, e) for every candidate inside each
     query's nprobe nearest cells."""
-    km, assigned = _ivf_fit(spark, sf_dir)
+    centers, assigned = _ivf_fit(spark, sf_dir)
 
     centroids = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())],
+        [(i, c) for i, c in enumerate(centers)],
         "cell int, centroid array<double>",
     )
     q = assigned.filter(F.col("vec_id") < _N_QUERIES).select(
