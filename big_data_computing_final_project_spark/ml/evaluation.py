@@ -64,7 +64,10 @@ def classification_report(pred_df: DataFrame, label_col: str = "label", pred_col
 
 
 def roc_auc_exact(
-    pred_df: DataFrame, label_col: str = "label", score_col: str = "score"
+    pred_df: DataFrame,
+    label_col: str = "label",
+    score_col: str = "score",
+    bucket=None,
 ) -> DataFrame:
     """Exact ROC-AUC as the tie-corrected Mann-Whitney rank statistic
     (M11 — the reference computes ``roc_auc_score`` for every model,
@@ -73,25 +76,35 @@ def roc_auc_exact(
         AUC = (Σ_pos avg_rank − n⁺(n⁺+1)/2) / (n⁺ n⁻)
 
     Distributed shape: one hash aggregate groups N rows down to the
-    distinct-score histogram (cnt, pos per score), then a window over
-    those |scores| rows assigns average ranks. All arithmetic stays on
+    distinct-score histogram (cnt, pos per score), then the cumulative
+    ranks come from the BUCKETED prefix scan (operators/prefix.py — the
+    same split q152's CDF and q203's percentiles ride), so no stage
+    serializes all distinct scores into one task. ``bucket`` must be
+    monotone non-decreasing in the score with a bounded domain; the
+    default ``floor(score/8)`` suits integer scorers — with any bucket
+    the scan is never worse than the single-partition window it replaced
+    (distinct buckets ≤ distinct scores). All arithmetic stays on
     INTEGERS (2·avg_rank = 2·cum_before + cnt + 1) until the single final
     division, so any engine computes the identical double.
 
-    Scale note: the rank window is a single partition over DISTINCT
-    scores — exact AUC is meant for quantized/bucketed scorers (integer
-    scores, calibrated probability bins). For continuous model outputs at
-    100 TB use ``roc_auc_evaluator`` (Spark's binned
-    BinaryClassificationEvaluator) instead.
+    Scale note: exact AUC is meant for quantized/bucketed scorers
+    (integer scores, calibrated probability bins — bounded distinct
+    scores). For continuous model outputs at 100 TB use
+    ``roc_auc_evaluator`` (Spark's binned BinaryClassificationEvaluator)
+    instead.
     """
-    from pyspark.sql import Window
+    from ..operators.prefix import prefix_agg
 
     g = pred_df.groupBy(F.col(score_col).alias("s")).agg(
         F.count(F.lit(1)).alias("cnt"),
         F.sum(F.col(label_col).cast("bigint")).alias("pos"),
     )
-    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    r = g.withColumn("cum_before", F.sum("cnt").over(w) - F.col("cnt"))
+    b = bucket if bucket is not None else F.floor(F.col("s") / 8)
+    # strict prefix (cnt of strictly-lower scores); scores are unique after
+    # the groupBy, the strict-mode precondition. First row: empty frame ->
+    # NULL -> 0 strictly-lower rows.
+    r = prefix_agg(g, ["s"], "cnt", "cum_before", agg="sum", bucket=b, strict=True)
+    r = r.withColumn("cum_before", F.coalesce(F.col("cum_before"), F.lit(0)))
     t = r.agg(
         F.sum(F.col("pos") * (2 * F.col("cum_before") + F.col("cnt") + 1)).alias("s2"),
         F.sum("pos").alias("npos"),

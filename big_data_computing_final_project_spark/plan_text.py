@@ -73,7 +73,7 @@ PLAN_ONLY = {
     "q57", "q58", "q59", "q63", "q65", "q66", "q67", "q69", "q70", "q71",
     "q73", "q75", "q76", "q77", "q78", "q79", "q80", "q81", "q82", "q83",
     "q84", "q85", "q86", "q87", "q88", "q89", "q90", "q91", "q92", "q93",
-    "q94", "q95", "q96", "q97", "q98", "q99", "q100", "q102", "q103",
+    "q94", "q95", "q96", "q97", "q98", "q99", "q100", "q102", "q103", "q123",
     "q104", "q105", "q106", "q107", "q108", "q109", "q110", "q111", "q112", "q134",
     "q113", "q114", "q115", "q116", "q117", "q118", "q119", "q120", "q121",
     "q135", "q136", "q137", "q138", "q139", "q140", "q141", "q142", "q143", "q144",
