@@ -122,6 +122,8 @@ HEADLINE = [
     "q223_fertility_quality_matrix",  # fertility x quality drill-down (round-9)
     "q224_segment_calibration",    # per-segment reliability bins (round-9)
     "q225_ngram_novelty",          # boilerplate/novelty share by source (round-9)
+    "q226_dedup_adjusted_budget",  # token budget net of near-dup mass (round-10)
+    "q227_decode_quality_matrix",  # decode-health x text-quality join (round-10)
 ]
 # Deliberately not benched: q68 (iterative CC — timing at this SF is
 # convergence-loop job overhead, not throughput) and the exact pairwise

@@ -828,3 +828,153 @@ def q190_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "source", wt.alias("weight")), _Q190_K, F.col("weight")
     )
     return sampled.select("doc_id", "source", "weight").orderBy("source", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q226 — dedup-adjusted token-budget plan (VERDICT r9 item 6): q147's
+# sqrt-temperature split re-planned over q194's keeper semantics — the
+# budget a corpus team actually allocates, because a source whose token
+# mass is mostly near-duplicate copies of other documents contributes far
+# fewer EFFECTIVE tokens than its raw count claims. Per source: raw
+# tokens, effective tokens (each q68/q194 near-dup cluster counted ONCE,
+# at its keeper's — min doc_id — source and token count: what survives
+# dedup), the dup discount, and q147's plan re-run on the effective mass
+# (wt = floor(sqrt(eff)), planned = floor(BUDGET·wt/Σwt), repeat factor
+# vs effective tokens).
+#
+# Scale shape: the LSH candidate pairs + iterative min-label propagation
+# are exactly q194's (bounded candidate work, one shuffle join per CC
+# round); on top sit ONE min_by aggregate keyed on the cluster, two hash
+# aggregates keyed on source, and q147's O(sources) keyless offsets
+# window. All counts exact BIGINTs; every ratio is a single division of
+# exact sums (the q103/q210 parity rule). Guards mirror both engines:
+# CASE WHEN eff/raw > 0 so a degenerate source can't emit an engine-
+# specific division artifact.
+# ---------------------------------------------------------------------------
+
+from .dedup import _JACCARD_T, _SQL_SHINGLES, lsh_jaccard_pairs  # noqa: E402
+
+_Q226_ORACLE = f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, source, len({_SQL_TOKS}) AS nt FROM documents
+), docs AS (
+  SELECT doc_id, {_SQL_SHINGLES} AS sh
+  FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+), ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+co AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM co
+  JOIN (SELECT doc_id, len(sh) AS n FROM docs) la ON la.doc_id = doc_a
+  JOIN (SELECT doc_id, len(sh) AS n FROM docs) lb ON lb.doc_id = doc_b
+  WHERE CAST(common AS DOUBLE) / (la.n + lb.n - common) >= {_JACCARD_T}
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach AS (
+  SELECT doc_id, doc_id AS x FROM documents
+  UNION
+  SELECT r.doc_id, e.b AS x FROM reach r JOIN edges e ON e.a = r.x
+),
+labels AS (SELECT doc_id, MIN(x) AS cluster_id FROM reach GROUP BY doc_id),
+keep AS (
+  SELECT l.cluster_id,
+         min_by(t.source, t.doc_id) AS ksource,
+         min_by(t.nt, t.doc_id) AS knt
+  FROM labels l JOIN t ON t.doc_id = l.doc_id
+  GROUP BY l.cluster_id
+),
+eff AS (
+  SELECT ksource AS source, CAST(SUM(knt) AS BIGINT) AS eff_tokens
+  FROM keep GROUP BY ksource
+),
+raw AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(nt) AS BIGINT) AS raw_tokens
+  FROM t GROUP BY source
+),
+j AS (
+  SELECT r.source, r.n_docs, r.raw_tokens,
+         COALESCE(e.eff_tokens, 0) AS eff_tokens
+  FROM raw r LEFT JOIN eff e USING (source)
+),
+w AS (
+  SELECT *, CAST(floor(sqrt(CAST(eff_tokens AS DOUBLE))) AS BIGINT) AS wt
+  FROM j
+),
+tt AS (SELECT *, SUM(wt) OVER () AS tot_wt FROM w)
+SELECT source, n_docs, raw_tokens, eff_tokens,
+       CASE WHEN raw_tokens > 0
+            THEN CAST(eff_tokens AS DOUBLE) / raw_tokens END AS dup_discount,
+       wt,
+       CAST(floor(CAST({_BUDGET_TOKENS} * wt AS DOUBLE)
+                  / CAST(tot_wt AS DOUBLE)) AS BIGINT) AS planned_tokens,
+       CASE WHEN eff_tokens > 0
+            THEN CAST(floor(CAST({_BUDGET_TOKENS} * wt AS DOUBLE)
+                            / CAST(tot_wt AS DOUBLE)) AS DOUBLE)
+                 / CAST(eff_tokens AS DOUBLE) END AS repeat_factor
+FROM tt
+ORDER BY source
+"""
+
+
+@register("q226_dedup_adjusted_budget", oracle=_Q226_ORACLE)
+def q226_dedup_adjusted_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", X.token_count(F.col("text")).cast("bigint").alias("nt")
+    )
+    pairs = lsh_jaccard_pairs(spark, sf_dir, sort=False).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    labels = connected_components(
+        docs.select(F.col("doc_id").alias("id")), pairs
+    )
+    # each cluster counted once, at its keeper's source and token count
+    keep = (
+        docs.join(labels, docs.doc_id == labels.id)
+        .groupBy("component")
+        .agg(F.min_by(F.struct("source", "nt"), "doc_id").alias("k"))
+    )
+    eff = keep.groupBy(F.col("k.source").alias("source")).agg(
+        F.sum("k.nt").cast("bigint").alias("eff_tokens")
+    )
+    raw = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").cast("bigint").alias("raw_tokens"),
+    )
+    j = raw.join(eff, "source", "left").na.fill(0, ["eff_tokens"])
+    wt = F.floor(F.sqrt(F.col("eff_tokens").cast("double"))).cast("bigint")
+    win = Window.partitionBy()
+    w = j.withColumn("wt", wt)
+    planned = F.floor(
+        (F.lit(_BUDGET_TOKENS) * F.col("wt")).cast("double")
+        / F.sum("wt").over(win).cast("double")
+    ).cast("bigint")
+    return (
+        w.select(
+            "source",
+            "n_docs",
+            "raw_tokens",
+            "eff_tokens",
+            F.when(
+                F.col("raw_tokens") > 0,
+                F.col("eff_tokens").cast("double") / F.col("raw_tokens"),
+            ).alias("dup_discount"),
+            "wt",
+            planned.alias("planned_tokens"),
+            F.when(
+                F.col("eff_tokens") > 0,
+                planned.cast("double") / F.col("eff_tokens").cast("double"),
+            ).alias("repeat_factor"),
+        )
+        .orderBy("source")
+    )

@@ -139,3 +139,100 @@ def q220_decode_health(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_of_fmt"
         ),
     ).orderBy("source", "fmt", "status")
+
+
+# ---------------------------------------------------------------------------
+# q227 — decode-health × text-quality matrix (VERDICT r9 item 6): "is bad
+# media concentrated in low-quality sources?" — the q220 × q33 join a
+# curation pipeline runs before deciding whether to drop a source or just
+# its malformed blobs. Per (source, quality band of the SAME document's
+# text): doc count, malformed-media count (any decode status other than
+# 'ok' — planted-format rejections and magic-less garbage alike), the
+# malformed share within the band, and the band's share of its source.
+# Concentration reads directly: a source whose 'poor' band carries a much
+# higher malformed share than its 'good' band has a quality-correlated
+# media problem, not a random transport one.
+#
+# The Spark side runs the REAL mapInPandas header-decode over the
+# deterministic blob mix (q220's contract — the oracle mirrors the mix's
+# doc_id arithmetic, which q220 already proves equals the decode);
+# quality is q33's exact scalar. Scale: one Arrow decode pass + one
+# narrow quality projection, a 1:1 doc_id join, one hash aggregate keyed
+# (source, band), and a share window over the aggregated O(sources × 2)
+# frame. Ratios are single divisions of exact BIGINTs.
+# ---------------------------------------------------------------------------
+
+from .textops import _SQL_PUNCT_RATIO, _SQL_STOP_RATIO  # noqa: E402
+
+_Q227_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 11 = 0 OR doc_id % 7 = 0 THEN 1 ELSE 0 END
+           AS malformed
+  FROM documents
+), q AS (
+  SELECT doc_id,
+         CASE WHEN least(length(text) / 500.0, 1.0) * 0.4
+                   + (1.0 - least({_SQL_PUNCT_RATIO} * 5.0, 1.0)) * 0.3
+                   + least({_SQL_STOP_RATIO} * 5.0, 1.0) * 0.3 >= 0.5
+              THEN 'good' ELSE 'poor' END AS quality_band
+  FROM documents
+), c AS (
+  SELECT m.source, q.quality_band,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(m.malformed) AS BIGINT) AS n_malformed
+  FROM m JOIN q ON q.doc_id = m.doc_id
+  GROUP BY m.source, q.quality_band
+)
+SELECT source, quality_band, n_docs, n_malformed,
+       CAST(n_malformed AS DOUBLE) / n_docs AS malformed_share,
+       CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (PARTITION BY source)
+         AS band_share,
+       CAST(SUM(n_malformed) OVER (PARTITION BY source) AS BIGINT)
+         AS source_malformed
+FROM c
+ORDER BY source, quality_band
+"""
+
+
+@register("q227_decode_quality_matrix", oracle=_Q227_ORACLE)
+def q227_decode_quality_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions import text as X
+    from ..operators.multimodal import attach_media_mix, decode_health
+
+    docs = load_table(spark, sf_dir, "documents", fan_out_ok=False)  # see q51
+    health = decode_health(attach_media_mix(docs)).select(
+        "doc_id", "source", (F.col("status") != "ok").cast("int").alias("malformed")
+    )
+    band = (
+        F.when(X.quality_score(F.col("text")) >= 0.5, F.lit("good"))
+        .otherwise(F.lit("poor"))
+        .alias("quality_band")
+    )
+    qual = docs.select("doc_id", band)
+    c = (
+        health.join(qual, "doc_id")
+        .groupBy("source", "quality_band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("malformed").cast("bigint").alias("n_malformed"),
+        )
+    )
+    # share windows run over the aggregated (source, band) frame —
+    # bounded by sources × 2 bands, never corpus-sized (the q220 rule)
+    w = Window.partitionBy("source")
+    return c.select(
+        "source",
+        "quality_band",
+        "n_docs",
+        "n_malformed",
+        (F.col("n_malformed").cast("double") / F.col("n_docs")).alias(
+            "malformed_share"
+        ),
+        (F.col("n_docs").cast("double") / F.sum("n_docs").over(w)).alias(
+            "band_share"
+        ),
+        F.sum("n_malformed").over(w).cast("bigint").alias("source_malformed"),
+    ).orderBy("source", "quality_band")

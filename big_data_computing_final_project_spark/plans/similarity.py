@@ -461,13 +461,18 @@ def lsh_candidate_pairs(
     return within.unionByName(expanded)
 
 
-@register("q40_embedding_near_dup", oracle=_Q40_ORACLE)
-def q40_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_near_dup_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = _DUP_T
+) -> DataFrame:
     """Regime-chosen candidates (banded LSH / dense block join, see
     _band_params) -> exact sequential-fold rescore AT THE REP LEVEL ->
     verified pairs expanded to members (the q36 structure). One lazy
     DataFrame, no driver-side embedding collect anywhere (contrast the
-    retired GEMM twin below).
+    retired GEMM twin below). ``threshold`` parameterizes the gate so the
+    growth harness can measure BOTH regimes on the same replica: at the
+    registered 0.4 the dense block join runs (banding cannot prune —
+    q40), at >= ~0.75 (delta 0.01) _band_params prunes and the banded
+    path carries the same downstream rescore/expansion.
 
     Cosine depends only on content, so byte-identical embeddings rescore
     ONCE per distinct pair and only VERIFIED pairs expand to members —
@@ -491,7 +496,7 @@ def q40_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     reps_full = emb.groupBy("e").agg(F.min("vec_id").alias("gid")).cache()
     mem = emb.join(reps_full.select("gid", "e"), "e").select("vec_id", "gid")
     erep = reps_full.select("gid", "e", norm(F.col("e")).alias("n"))
-    rep_pairs = _rep_pairs_for(emb, _DUP_T, reps=reps_full.select("gid", "e"))
+    rep_pairs = _rep_pairs_for(emb, threshold, reps=reps_full.select("gid", "e"))
     ra = erep.select(F.col("gid").alias("ga"), F.col("e").alias("ea"), F.col("n").alias("na"))
     rb = erep.select(F.col("gid").alias("gb"), F.col("e").alias("eb"), F.col("n").alias("nb"))
     verified = (
@@ -504,7 +509,7 @@ def q40_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 dot(F.col("ea"), F.col("eb")), F.col("na") * F.col("nb")
             ).alias("cos_sim"),
         )
-        .filter(F.col("cos_sim") >= _DUP_T)
+        .filter(F.col("cos_sim") >= threshold)
     )
     # intra-group pairs: the self-cosine of the shared vector (== what the
     # oracle computes for two byte-identical arrays; NOT the literal 1.0 —
@@ -528,7 +533,7 @@ def q40_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # degenerate duplicates (zero-norm -> NULL self-cosine, NaN-bearing
         # -> NaN) must not leak rows the threshold-filtered oracle never
         # emits; for normal vectors self-cosine ~1.0 always passes
-        .filter(F.col("cos_sim") >= _DUP_T)
+        .filter(F.col("cos_sim") >= threshold)
     )
     # verified rep pairs expanded across their (disjoint) groups
     xa = mem.select(F.col("gid").alias("ga"), F.col("vec_id").alias("va"))
@@ -546,6 +551,14 @@ def q40_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+
+@register("q40_embedding_near_dup", oracle=_Q40_ORACLE)
+def q40_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embedding_near_dup_pairs at the registered 0.4 gate (dense regime
+    at this corpus/delta; see the helper's docstring)."""
+    return embedding_near_dup_pairs(spark, sf_dir, _DUP_T)
+
+
 # Retired oracle twin: the r2–r5 blocked-GEMM filter-verify path. Exact and
 # memory-bounded (driver holds one _GEMM_BLOCK_ROWS block at a time), but
 # n-squared total work with a driver-side block loop — kept UNREGISTERED as

@@ -492,3 +492,46 @@ def test_q225_ngram_novelty_planted_and_invariants(spark, tmp_path, sf_dir):
         assert 0 <= r.unique_shingles <= r.total_shingles
         assert 0.0 <= r.novelty_share <= 1.0
         assert 0.0 <= r.min_doc_novelty <= r.max_doc_novelty <= 1.0
+
+
+def test_q226_dedup_adjusted_budget_planted_and_invariants(spark, tmp_path, sf_dir):
+    """q226 on a planted corpus: doc 2 (srcB) is a byte-identical copy of
+    doc 1 (srcA), so the cluster's tokens count ONCE at the keeper's
+    source — srcA keeps its full mass (dup_discount 1.0) while srcB's
+    effective mass drops by exactly the duplicated document. On the real
+    corpus the exact-sum invariants hold."""
+    from _fixtures import write_planted_corpus
+
+    from big_data_computing_final_project_spark.plans import all_queries
+
+    q = all_queries()["q226_dedup_adjusted_budget"]
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = write_planted_corpus(
+        tmp_path / "budget",
+        [
+            (1, shared, "en", "srcA"),
+            (2, shared, "en", "srcB"),
+            (3, "one two three four five six seven eight nine ten", "en", "srcB"),
+        ],
+    )
+    rows = {r.source: r for r in q(spark, corpus).collect()}
+    a, b = rows["srcA"], rows["srcB"]
+    assert a.eff_tokens == a.raw_tokens and a.dup_discount == 1.0
+    # doc 2's tokens (== doc 1's: identical text) vanish from srcB's
+    # effective mass; doc 3 is its only keeper
+    assert b.eff_tokens == b.raw_tokens - a.raw_tokens
+    assert 0.0 < b.dup_discount < 1.0
+    for r in (a, b):
+        assert r.wt == int(float(r.eff_tokens) ** 0.5)
+        assert r.planned_tokens >= 0
+        if r.eff_tokens > 0:
+            assert abs(r.repeat_factor - r.planned_tokens / r.eff_tokens) < 1e-12
+
+    out = q(spark, sf_dir).collect()
+    assert out
+    from big_data_computing_final_project_spark.plans.curation import _BUDGET_TOKENS
+
+    assert sum(r.planned_tokens for r in out) <= _BUDGET_TOKENS
+    for r in out:
+        assert 0 < r.eff_tokens <= r.raw_tokens
+        assert 0.0 < r.dup_discount <= 1.0

@@ -537,3 +537,42 @@ def test_decode_video_mp4_box_walk(spark):
     bad = spark.createDataFrame([(9, b"\x00\x00\x00\x08free")], "doc_id long, content binary")
     with pytest.raises(Exception, match="NotImplementedError|ISO-BMFF"):
         decode_video(bad).collect()
+
+
+def test_q227_decode_quality_matrix_planted(spark, tmp_path):
+    """q227 on a planted corpus: malformed media (doc_id % 7 == 0 / % 11
+    == 0 under the deterministic mix) lands in chosen quality bands —
+    srcA is all-poor text with one malformed blob, srcB's good band
+    carries its only malformed blob — so the matrix separates
+    quality-correlated media problems from random ones."""
+    from _fixtures import write_planted_corpus
+
+    from big_data_computing_final_project_spark.plans import all_queries
+
+    good = ("the and of to in a is it for on " * 20).strip()  # long, stopword-rich
+    poor = "zxq"
+    corpus = write_planted_corpus(
+        tmp_path / "dqm",
+        [
+            (7, poor, "en", "srcA"),   # poor band, malformed (7 % 7 == 0)
+            (1, poor, "en", "srcA"),   # poor band, decodes ok
+            (14, good, "en", "srcB"),  # good band, malformed
+            (2, good, "en", "srcB"),   # good band, ok
+            (3, poor, "en", "srcB"),   # poor band, ok
+        ],
+    )
+    rows = {
+        (r.source, r.quality_band): r
+        for r in all_queries()["q227_decode_quality_matrix"](spark, corpus).collect()
+    }
+    assert set(rows) == {("srcA", "poor"), ("srcB", "good"), ("srcB", "poor")}
+    ap = rows[("srcA", "poor")]
+    assert (ap.n_docs, ap.n_malformed, ap.malformed_share, ap.band_share) == (
+        2, 1, 0.5, 1.0,
+    )
+    bg = rows[("srcB", "good")]
+    assert (bg.n_docs, bg.n_malformed, bg.malformed_share) == (2, 1, 0.5)
+    bp = rows[("srcB", "poor")]
+    assert (bp.n_docs, bp.n_malformed, bp.malformed_share) == (1, 0, 0.0)
+    assert abs(bg.band_share - 2 / 3) < 1e-12 and abs(bp.band_share - 1 / 3) < 1e-12
+    assert bg.source_malformed == bp.source_malformed == 1

@@ -90,8 +90,23 @@ BOUNDED_QUERIES = [
     "q208_near_dup_source_matrix",
     "q82_pack_sequences",
     "q40_embedding_near_dup",
+    # round-10 (VERDICT r9 item 3): q40's OTHER regime on the same replica —
+    # at threshold 0.8 (delta 0.01) _band_params returns (8, 27) and banded
+    # LSH prunes; within-group cosine stays exactly 1.0 under the sign-flip
+    # replica, so the groups pass this gate too and the output stays linear
+    # in the tier. The dense 0.4 entry above keeps measuring the
+    # enumeration regime; together both regime slopes are pinned.
+    "q40_embedding_near_dup@banded_t0.8",
 ]
 BOUNDED_GROUP = 10
+
+
+def _q40_banded(spark, sf_dir: str):
+    from big_data_computing_final_project_spark.plans.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    return embedding_near_dup_pairs(spark, sf_dir, 0.8)
 
 
 def ensure_bounded_docs(spark, dst: str, tier: int) -> None:
@@ -192,10 +207,11 @@ def _main_bounded() -> None:
     for t in tiers:
         d = os.path.join(_WAREHOUSE, f"bounded{t}x")
         ensure_bounded_docs(spark, d, t)
-        if "q40_embedding_near_dup" in names:
+        if any(n.startswith("q40_embedding_near_dup") for n in names):
             ensure_bounded_embeddings(spark, d, t)
         dirs[t] = d
-    queries = all_queries()
+    queries = dict(all_queries())
+    queries["q40_embedding_near_dup@banded_t0.8"] = _q40_banded
     spark.range(1000).count()  # warmup
     base_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     for name in names:
