@@ -122,11 +122,11 @@ HEADLINE = [
     "q223_fertility_quality_matrix",  # fertility x quality drill-down (round-9)
     "q224_segment_calibration",    # per-segment reliability bins (round-9)
     "q225_ngram_novelty",          # boilerplate/novelty share by source (round-9)
-    "q226_dedup_adjusted_budget",  # token budget net of near-dup mass (round-10)
     "q227_decode_quality_matrix",  # decode-health x text-quality join (round-10)
 ]
-# Deliberately not benched: q68 (iterative CC — timing at this SF is
-# convergence-loop job overhead, not throughput) and the exact pairwise
+# Deliberately not benched: q68 and q226 (both ride the iterative CC —
+# timing at this SF is convergence-loop job overhead, not throughput;
+# q226's non-CC work is two hash aggregates) and the exact pairwise
 # baseline q35 whose scale path is already represented (q35->q36). q64
 # joined the set in round 10 when the session-scoped quantizer cache made
 # its entry the IVF serving cost rather than a duplicate KMeans fit.
