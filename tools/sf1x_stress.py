@@ -98,6 +98,13 @@ QUERIES = [
     "q223_fertility_quality_matrix",
     "q224_segment_calibration",
     "q225_ngram_novelty",
+    # round-10 additions: IVF probe top-k (shares the session quantizer
+    # fit with q222 — run order pins who pays it), dedup-adjusted budget
+    # (CC over the 10x near-dup pair graph + keeper aggregates),
+    # decode-health x quality matrix (Arrow classify + 1:1 doc join)
+    "q64_ann_ivf_topk",
+    "q226_dedup_adjusted_budget",
+    "q227_decode_quality_matrix",
 ]
 
 
