@@ -483,13 +483,22 @@ def mixture_from_store(spark: SparkSession, store_dir: str) -> DataFrame:
     )
 
 
-def _dup_flow_ingest(batch: DataFrame, batch_id: int, store_dir: str) -> None:
+def _dup_flow_ingest(
+    batch: DataFrame, batch_id: int, store_dir: str, kept_dir: str | None = None
+) -> None:
     """One micro-batch of the dup-flow store (see run_stream_dup_flow):
     rank the batch within fp, look up the keeper store for batches < this
     one, stage this batch's new keepers and duplicate-flow edges under
     their batch_id directories (idempotent on replay; ids remap above the
     compaction floor — see _effective_batch_id — so a replay of a folded
-    raw id can never overwrite the compacted keeper/edge history)."""
+    raw id can never overwrite the compacted keeper/edge history).
+
+    ``kept_dir`` (round-10, the ingest-suite path): additionally stage a
+    per-source (kept_docs, kept_tokens) partial over THIS batch's new
+    keepers — the batch must then carry ``n_toks``. Kept mass is additive
+    across batches (each fp group's keeper is new exactly once), which is
+    what lets dedup_adjusted_budget_from_store re-plan the token budget
+    incrementally without ever re-reading the corpus."""
     spark = batch.sparkSession
     keepers_dir = os.path.join(store_dir, "keepers")
     # heal a crashed compaction BEFORE writing (see _effective_batch_id)
@@ -497,7 +506,8 @@ def _dup_flow_ingest(batch: DataFrame, batch_id: int, store_dir: str) -> None:
     _recover_compaction(os.path.join(store_dir, "edges"))
     eff_id = _effective_batch_id(store_dir, batch_id)
     w = Window.partitionBy("fp").orderBy("doc_id")
-    ranked = batch.select("doc_id", "source", "fp").withColumn(
+    cols = ["doc_id", "source", "fp"] + (["n_toks"] if kept_dir is not None else [])
+    ranked = batch.select(*cols).withColumn(
         "rn", F.row_number().over(w)
     )
     prior = (
@@ -511,12 +521,20 @@ def _dup_flow_ingest(batch: DataFrame, batch_id: int, store_dir: str) -> None:
     # action seeing the store AFTER the keeper write is still consistent.
     hit = ranked.join(prior, "fp", "left").cache()
     try:
-        new_keepers = hit.where(
+        new_keeper_rows = hit.where(
             F.col("store_keeper").isNull() & (F.col("rn") == 1)
-        ).select("fp", F.col("source").alias("keeper_source"))
-        new_keepers.write.mode("overwrite").parquet(
-            os.path.join(keepers_dir, f"batch_id={eff_id}")
         )
+        new_keeper_rows.select("fp", F.col("source").alias("keeper_source")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(keepers_dir, f"batch_id={eff_id}"))
+        if kept_dir is not None:
+            k_eff = _effective_batch_id(kept_dir, batch_id, flat=True)
+            new_keeper_rows.groupBy("source").agg(
+                F.count(F.lit(1)).cast("bigint").alias("kept_docs"),
+                F.sum("n_toks").cast("bigint").alias("kept_tokens"),
+            ).write.mode("overwrite").parquet(
+                os.path.join(kept_dir, f"batch_id={k_eff}")
+            )
         # within-batch keeper source per fp (the rn==1 row's source)
         batch_first = hit.where(F.col("rn") == 1).select(
             "fp", F.col("source").alias("batch_keeper")
@@ -1176,13 +1194,106 @@ def report_card_from_store(
     )
 
 
+_KEPT_SCHEMA = "source string, kept_docs bigint, kept_tokens bigint"
+
+
+def dedup_adjusted_budget_from_store(
+    spark: SparkSession,
+    vol_store_dir: str,
+    kept_store_dir: str,
+    budget_tokens: int | None = None,
+) -> DataFrame:
+    """The incremental twin of the dedup-adjusted token-budget plan
+    (q226's exact-dedup sibling, over stores only): per source — raw
+    token mass from the volume partials, EFFECTIVE mass from the kept
+    store (each exact-fp group's tokens counted once, at its
+    first-arrival keeper's source — the dup-flow store's keeper
+    contract), the dup discount, and q147's sqrt-temperature plan re-run
+    on the effective mass. Reads O(batches × sources) additive rows,
+    never the corpus: the budget re-plans after every crawl drop for the
+    cost of two tiny folds.
+
+    Matches the batch computation (min-doc_id keeper per fingerprint)
+    whenever arrival order respects doc_id order — the same contract as
+    q146's flow matrix (pytest-pinned). Sources whose every document
+    duplicates an earlier arrival keep a row with eff 0 / weight 0."""
+    if budget_tokens is None:
+        from ..plans.curation import _BUDGET_TOKENS as budget_tokens
+    raw = (
+        _read_store_deltas(
+            spark,
+            vol_store_dir,
+            "source string, lang string, n_docs bigint, n_tokens bigint, "
+            "n_chars bigint",
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("raw_tokens"),
+        )
+    )
+    eff = (
+        _read_store_deltas(spark, kept_store_dir, _KEPT_SCHEMA)
+        .groupBy("source")
+        .agg(F.sum("kept_tokens").cast("bigint").alias("eff_tokens"))
+    )
+    j = raw.join(eff, "source", "left").na.fill(0, ["eff_tokens"])
+    w = j.withColumn(
+        "wt", F.floor(F.sqrt(F.col("eff_tokens").cast("double"))).cast("bigint")
+    )
+    win = Window.partitionBy()  # O(sources) offsets frame, the q147 idiom
+    planned = F.floor(
+        (F.lit(budget_tokens) * F.col("wt")).cast("double")
+        / F.sum("wt").over(win).cast("double")
+    ).cast("bigint")
+    return (
+        w.select(
+            "source",
+            "n_docs",
+            "raw_tokens",
+            "eff_tokens",
+            F.when(
+                F.col("raw_tokens") > 0,
+                F.col("eff_tokens").cast("double") / F.col("raw_tokens"),
+            ).alias("dup_discount"),
+            "wt",
+            planned.alias("planned_tokens"),
+            F.when(
+                F.col("eff_tokens") > 0,
+                planned.cast("double") / F.col("eff_tokens").cast("double"),
+            ).alias("repeat_factor"),
+        )
+        .orderBy("source")
+    )
+
+
+def compact_kept_store(spark: SparkSession, store_dir: str) -> None:
+    """Compact the kept-mass store: per-source kept docs/tokens are
+    additive (each fp group's keeper is staged exactly once across the
+    stream — additive ⇒ the section contract's one-batch double-count
+    caveat applies to an uncommitted delta compacted outside the
+    maintenance window). dedup_adjusted_budget_from_store reads
+    identically before and after."""
+    floor = _compact_partitioned(
+        spark,
+        store_dir,
+        _KEPT_SCHEMA,
+        lambda df: df.groupBy("source").agg(
+            F.sum("kept_docs").alias("kept_docs"),
+            F.sum("kept_tokens").alias("kept_tokens"),
+        ),
+    )
+    if floor is not None:
+        _write_compaction_floor(store_dir, floor)
+
+
 def run_stream_ingest_suite(
     docs: DataFrame,
     root_dir: str,
     checkpoint_dir: str,
     timeout_sec: int = 120,
-) -> tuple[str, str]:
-    """ONE pass over the raw document stream feeding BOTH corpus-health
+) -> tuple[str, str, str]:
+    """ONE pass over the raw document stream feeding the corpus-health
     stores — the deployment shape for dedup-at-ingest: a crawl drop is
     read once, fingerprint and token count are computed once per batch,
     and the same cached micro-batch drives the dup-flow ingest (keepers +
@@ -1191,17 +1302,20 @@ def run_stream_ingest_suite(
     drop; here the normalize/tokenize map runs once for all consumers.
 
     ``docs`` is the raw documents schema (doc_id, text, lang, source,
-    n_chars). Stores land under ``root_dir/flow`` and ``root_dir/volume``
-    — exactly the layouts dup_flow_matrix_from_store and
-    report_card_from_store read. Returns (flow_dir, volume_dir).
+    n_chars). Stores land under ``root_dir/flow``, ``root_dir/volume``
+    and ``root_dir/kept`` — exactly the layouts
+    dup_flow_matrix_from_store, report_card_from_store and
+    dedup_adjusted_budget_from_store read. Returns (flow_dir, volume_dir,
+    kept_dir).
 
-    Both ingests stage by batch_id, so the suite inherits their replay
-    idempotence; a crash between the two writes is healed by the replay
-    overwriting both directories for that batch_id."""
+    All ingests stage by batch_id, so the suite inherits their replay
+    idempotence; a crash between the writes is healed by the replay
+    overwriting every directory for that batch_id."""
     from ..functions import text as X
 
     flow_dir = os.path.join(root_dir, "flow")
     vol_dir = os.path.join(root_dir, "volume")
+    kept_dir = os.path.join(root_dir, "kept")
 
     def ingest(batch: DataFrame, batch_id: int) -> None:
         enriched = batch.select(
@@ -1213,7 +1327,7 @@ def run_stream_ingest_suite(
             X.token_count(F.col("text")).cast("bigint").alias("n_toks"),
         ).cache()
         try:
-            _dup_flow_ingest(enriched, batch_id, flow_dir)
+            _dup_flow_ingest(enriched, batch_id, flow_dir, kept_dir=kept_dir)
             _volume_ingest(enriched, batch_id, vol_dir)
         finally:
             enriched.unpersist()
@@ -1221,7 +1335,7 @@ def run_stream_ingest_suite(
     _run_foreach_batch(
         docs, ingest, checkpoint_dir, timeout_sec, "run_stream_ingest_suite"
     )
-    return flow_dir, vol_dir
+    return flow_dir, vol_dir, kept_dir
 
 
 def run_stream_psi_counts_by_key(

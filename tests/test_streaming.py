@@ -451,7 +451,7 @@ def test_ingest_suite_single_pass_equals_batch_twins(spark, tmp_path):
     ]
 
     src_dir = _write_doc_drops(tmp_path / "arrivals", _PLANTED_DROPS)
-    flow_dir, vol_dir = run_stream_ingest_suite(
+    flow_dir, vol_dir, kept_dir = run_stream_ingest_suite(
         _docs_stream(spark, src_dir), str(tmp_path / "stores"), str(tmp_path / "ckpt_suite")
     )
 
@@ -461,6 +461,77 @@ def test_ingest_suite_single_pass_equals_batch_twins(spark, tmp_path):
         tuple(r) for r in report_card_from_store(spark, vol_dir, flow_dir).collect()
     ]
     assert got_card == want_card
+
+    # kept store + budget fold (round-10): the incremental dedup-adjusted
+    # budget must equal the batch computation (min-doc_id keeper per exact
+    # fingerprint -> per-source effective tokens -> q147's plan) — same
+    # id-ordered-drops contract as the flow matrix above
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from big_data_computing_final_project_spark.functions import text as X
+    from big_data_computing_final_project_spark.plans.curation import _BUDGET_TOKENS
+    from big_data_computing_final_project_spark.streaming.events import (
+        compact_kept_store,
+        dedup_adjusted_budget_from_store,
+    )
+
+    docs = spark.read.parquet(f"{corpus}/documents.parquet").select(
+        "doc_id",
+        "source",
+        X.fingerprint(F.col("text")).alias("fp"),
+        X.token_count(F.col("text")).cast("bigint").alias("nt"),
+    )
+    keep = docs.groupBy("fp").agg(
+        F.min_by(F.struct("source", "nt"), "doc_id").alias("k")
+    )
+    eff = keep.groupBy(F.col("k.source").alias("source")).agg(
+        F.sum("k.nt").cast("bigint").alias("eff_tokens")
+    )
+    raw = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").cast("bigint").alias("raw_tokens"),
+    )
+    j = raw.join(eff, "source", "left").na.fill(0, ["eff_tokens"]).withColumn(
+        "wt", F.floor(F.sqrt(F.col("eff_tokens").cast("double"))).cast("bigint")
+    )
+    planned = F.floor(
+        (F.lit(_BUDGET_TOKENS) * F.col("wt")).cast("double")
+        / F.sum("wt").over(Window.partitionBy()).cast("double")
+    ).cast("bigint")
+    want_budget = [
+        tuple(r)
+        for r in j.select(
+            "source",
+            "n_docs",
+            "raw_tokens",
+            "eff_tokens",
+            F.when(
+                F.col("raw_tokens") > 0,
+                F.col("eff_tokens").cast("double") / F.col("raw_tokens"),
+            ).alias("dup_discount"),
+            "wt",
+            planned.alias("planned_tokens"),
+            F.when(
+                F.col("eff_tokens") > 0,
+                planned.cast("double") / F.col("eff_tokens").cast("double"),
+            ).alias("repeat_factor"),
+        )
+        .orderBy("source")
+        .collect()
+    ]
+    got_budget = [
+        tuple(r)
+        for r in dedup_adjusted_budget_from_store(spark, vol_dir, kept_dir).collect()
+    ]
+    assert got_budget == want_budget
+    # compaction preserves the fold exactly
+    compact_kept_store(spark, kept_dir)
+    after = [
+        tuple(r)
+        for r in dedup_adjusted_budget_from_store(spark, vol_dir, kept_dir).collect()
+    ]
+    assert after == got_budget
 
 
 def test_store_compaction_preserves_folds_and_continued_ingest(spark, tmp_path):
@@ -576,7 +647,7 @@ def test_counts_and_volume_store_compaction_fold_identical(spark, tmp_path):
 
     # volume + flow stores via the suite, compacted, report card identical
     src2 = _write_doc_drops(tmp_path / "docs", _PLANTED_DROPS)
-    flow_dir, vol_dir = run_stream_ingest_suite(
+    flow_dir, vol_dir, kept_dir = run_stream_ingest_suite(
         _docs_stream(spark, src2), str(tmp_path / "stores"), str(tmp_path / "ckpt_suite")
     )
     card_before = [
