@@ -123,6 +123,7 @@ HEADLINE = [
     "q224_segment_calibration",    # per-segment reliability bins (round-9)
     "q225_ngram_novelty",          # boilerplate/novelty share by source (round-9)
     "q227_decode_quality_matrix",  # decode-health x text-quality join (round-10)
+    "q228_retrieval_ndcg",         # nDCG/recall@k retrieval eval (round-10)
 ]
 # Deliberately not benched: q68 and q226 (both ride the iterative CC —
 # timing at this SF is convergence-loop job overhead, not throughput;

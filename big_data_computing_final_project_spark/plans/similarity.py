@@ -1774,3 +1774,133 @@ def q200_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "cand_id", "cos_sim", "rk")
         .orderBy("q_id", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# q228 — retrieval-quality metrics (round-10): nDCG@k and recall@k of the
+# exact cosine top-k ranking (q38) against a deterministic relevance set
+# (candidate shares the query's embedding label — the standard
+# labels-as-relevance eval a retrieval stack runs before shipping an
+# index change; q38 is the ranking under test here, with the ANN paths
+# pinned to it by recall tests). Per query: relevant-candidate count,
+# hits@k, DCG, ideal DCG, nDCG, recall@k.
+#
+# Cross-engine float discipline: the per-rank gains 1/log2(rk+1) and the
+# ideal-DCG prefix sums are PYTHON-PRECOMPUTED literals embedded in both
+# the Spark plan and the oracle SQL (engine log2()s can differ in the
+# last ulp) — in the SQL as CAST('<repr>' AS DOUBLE), because DuckDB
+# types a bare decimal literal as DECIMAL and decimal division rounds
+# differently from IEEE binary (measured: last-ulp ndcg drift); per-query DCG folds a SORTED gain list left-to-right on
+# both sides (the q72 exact-sum idiom), and every ratio is one division.
+#
+# Scale shape: rides q38's scored top-k (broadcast queries x corpus scan
+# — or any ANN ranking at 100 TB); on top sit two label joins (one
+# broadcast-size), one groupBy over q_id (k rows each), and a broadcast
+# join to the O(labels) relevance counts. Metrics cost is O(queries·k)
+# beyond the ranking itself.
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+_NDCG_W = [1.0 / _math.log2(i + 1) for i in range(1, _K + 1)]
+_NDCG_IW = [0.0]
+for _w in _NDCG_W:
+    _NDCG_IW.append(_NDCG_IW[-1] + _w)
+
+_Q228_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+), q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < {_N_QUERIES}),
+scored AS (
+  SELECT q.q_id, v.vec_id AS cand_id,
+         list_sum(list_transform(list_zip(q.qe, v.e), p -> p[1] * p[2]))
+         / (sqrt(list_sum(list_transform(q.qe, x -> x * x)))
+            * sqrt(list_sum(list_transform(v.e, x -> x * x)))) AS cos_sim
+  FROM q, v
+  WHERE v.vec_id != q.q_id
+),
+topk AS (
+  SELECT q_id, cand_id, rk FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS rk
+    FROM scored
+  ) WHERE rk <= {_K}
+),
+lab AS (SELECT vec_id, label FROM embeddings),
+g AS (
+  SELECT t.q_id, lq.label AS ql,
+         CASE WHEN lq.label = lc.label
+              THEN ([{", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in _NDCG_W)}])[t.rk]
+              END AS gain
+  FROM topk t
+  JOIN lab lq ON lq.vec_id = t.q_id
+  JOIN lab lc ON lc.vec_id = t.cand_id
+),
+per AS (
+  SELECT q_id, ql,
+         CAST(COUNT(gain) AS BIGINT) AS hits_at_k,
+         COALESCE(list_sum(list_sort(list(gain) FILTER (WHERE gain IS NOT NULL))),
+                  0.0) AS dcg
+  FROM g GROUP BY q_id, ql
+),
+rel AS (SELECT label, CAST(COUNT(*) - 1 AS BIGINT) AS n_rel FROM lab GROUP BY label),
+m AS (
+  SELECT p.q_id, r.n_rel, p.hits_at_k, p.dcg,
+         ([{", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in _NDCG_IW)}])[LEAST(r.n_rel, {_K}) + 1]
+           AS idcg,
+         LEAST(r.n_rel, {_K}) AS cap
+  FROM per p JOIN rel r ON r.label = p.ql
+)
+SELECT q_id, n_rel, hits_at_k, dcg, idcg,
+       CASE WHEN idcg > 0 THEN dcg / idcg END AS ndcg,
+       CASE WHEN cap > 0 THEN CAST(hits_at_k AS DOUBLE) / cap END AS recall_at_k
+FROM m
+ORDER BY q_id
+"""
+
+
+@register("q228_retrieval_ndcg", oracle=_Q228_ORACLE)
+def q228_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    topk = q38_cosine_topk(spark, sf_dir).select("q_id", "cand_id", "rk")
+    lab = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    lq = lab.select(F.col("vec_id").alias("q_id"), F.col("label").alias("ql"))
+    lc = lab.select(F.col("vec_id").alias("cand_id"), F.col("label").alias("cl"))
+    warr = F.array(*[F.lit(x) for x in _NDCG_W])
+    gain = F.when(
+        F.col("ql") == F.col("cl"),
+        F.element_at(warr, F.col("rk").cast("int")),
+    )
+    g = topk.join(F.broadcast(lq), "q_id").join(lc, "cand_id").select(
+        "q_id", "ql", gain.alias("gain")
+    )
+    per = g.groupBy("q_id", "ql").agg(
+        F.count("gain").cast("bigint").alias("hits_at_k"),
+        # sorted sequential fold (the q72 exact-sum idiom): both engines
+        # add the <= k gains in the identical order; empty -> 0.0
+        F.aggregate(
+            F.array_sort(F.collect_list("gain")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("dcg"),
+    )
+    rel = lab.groupBy("label").agg(
+        (F.count(F.lit(1)) - 1).cast("bigint").alias("n_rel")
+    )
+    iwarr = F.array(*[F.lit(x) for x in _NDCG_IW])
+    cap = F.least(F.col("n_rel"), F.lit(_K))
+    joined = per.join(
+        F.broadcast(rel), per["ql"] == rel["label"]
+    ).withColumn("cap", cap).withColumn(
+        "idcg", F.element_at(iwarr, (F.col("cap") + 1).cast("int"))
+    )
+    return joined.select(
+        "q_id",
+        "n_rel",
+        "hits_at_k",
+        "dcg",
+        "idcg",
+        F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg")).alias("ndcg"),
+        F.when(
+            F.col("cap") > 0,
+            F.col("hits_at_k").cast("double") / F.col("cap"),
+        ).alias("recall_at_k"),
+    ).orderBy("q_id")

@@ -1202,3 +1202,50 @@ def test_sketch_screen_verify_is_lossless(spark, sf_dir):
     assert got == want
     assert set(got) == {(1, 2), (1, 4)}
     assert got[(1, 2)] == 0.8
+
+
+def test_q228_retrieval_ndcg_planted(spark, tmp_path):
+    """q228 on a planted ranking: query v0 (label 7) retrieves candidates
+    whose cosine order and labels are chosen by hand — hits at ranks 1,
+    3, 4; three relevant vectors corpus-wide (cap 3 < k) — so every
+    metric column is checked against the hand fold, including the
+    sorted-gain DCG and the capped ideal DCG."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_computing_final_project_spark.plans import all_queries
+
+    rows = [
+        (0, [1.0, 0.0], 7),       # the query (vec_id < 20)
+        (20, [1.0, 0.01], 7),     # rk 1, hit
+        (21, [0.9, 0.1], 0),      # rk 2, miss
+        (22, [0.5, 0.5], 7),      # rk 3, hit
+        (23, [0.0, 1.0], 7),      # rk 4, hit
+        (24, [-1.0, 0.0], 0),     # rk 5, miss
+    ]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array([r[1] for r in rows], pa.list_(pa.float32())),
+            "label": pa.array([r[2] for r in rows], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+    got = all_queries()["q228_retrieval_ndcg"](spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    w = [1.0 / math.log2(i + 1) for i in range(1, 6)]
+    dcg = 0.0
+    for x in sorted([w[0], w[2], w[3]]):  # hits at ranks 1, 3, 4, sorted fold
+        dcg += x
+    # ideal DCG is the PREFIX sum w1+w2+w3 folded in prefix order (the
+    # engine precomputes it as a running prefix, not a sorted fold)
+    idcg = (w[0] + w[1]) + w[2]
+    assert (r.q_id, r.n_rel, r.hits_at_k) == (0, 3, 3)
+    assert r.dcg == dcg
+    assert r.idcg == idcg
+    assert r.ndcg == dcg / idcg
+    assert r.recall_at_k == 1.0
