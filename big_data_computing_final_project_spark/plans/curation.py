@@ -929,9 +929,14 @@ ORDER BY source
 def q226_dedup_adjusted_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import connected_components
 
+    # staged once (the q35/q225 rule): the token-count projection feeds
+    # THREE consumers (the CC vertex list, the keeper join, the raw
+    # aggregate) — localCheckpoint materializes the tokenizer pass instead
+    # of re-running it per consumer. Build-time job is fine here: the CC
+    # rounds below already run jobs at plan time (q226 is not PLAN_ONLY).
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", X.token_count(F.col("text")).cast("bigint").alias("nt")
-    )
+    ).localCheckpoint(eager=True)
     pairs = lsh_jaccard_pairs(spark, sf_dir, sort=False).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
