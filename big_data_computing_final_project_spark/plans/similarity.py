@@ -1858,10 +1858,11 @@ ORDER BY q_id
 """
 
 
-@register("q228_retrieval_ndcg", oracle=_Q228_ORACLE)
-def q228_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    topk = q38_cosine_topk(spark, sf_dir).select("q_id", "cand_id", "rk")
-    lab = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+def retrieval_metrics(topk: DataFrame, lab: DataFrame) -> DataFrame:
+    """nDCG@k / recall@k of ANY (q_id, cand_id, rk) ranking against
+    label relevance — the shared metric core of q228 (exact ranking) and
+    q229 (IVF ranking): score an index change with the same yardstick as
+    the exact baseline. ``lab`` is (vec_id, label) over the corpus."""
     lq = lab.select(F.col("vec_id").alias("q_id"), F.col("label").alias("ql"))
     lc = lab.select(F.col("vec_id").alias("cand_id"), F.col("label").alias("cl"))
     warr = F.array(*[F.lit(x) for x in _NDCG_W])
@@ -1904,3 +1905,30 @@ def q228_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("hits_at_k").cast("double") / F.col("cap"),
         ).alias("recall_at_k"),
     ).orderBy("q_id")
+
+
+@register("q228_retrieval_ndcg", oracle=_Q228_ORACLE)
+def q228_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lab = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return retrieval_metrics(
+        q38_cosine_topk(spark, sf_dir).select("q_id", "cand_id", "rk"), lab
+    )
+
+
+# ---------------------------------------------------------------------------
+# q229 — the same retrieval metrics over the IVF (q64) ranking: the
+# apples-to-apples eval a team runs BEFORE switching the serving index —
+# does the approximate index lose ranking QUALITY (label relevance), not
+# just candidate recall (which the q64-vs-q38 recall pins already
+# measure)? Rows-only (the KMeans fit isn't SQL-expressible — the q64
+# contract); pytest pins invariants and that the metric core is the
+# SAME code scoring q228. Shares the session quantizer fit.
+# ---------------------------------------------------------------------------
+
+
+@register("q229_ann_retrieval_ndcg")
+def q229_ann_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lab = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return retrieval_metrics(
+        q64_ann_ivf_topk(spark, sf_dir).select("q_id", "cand_id", "rk"), lab
+    )

@@ -1249,3 +1249,21 @@ def test_q228_retrieval_ndcg_planted(spark, tmp_path):
     assert r.idcg == idcg
     assert r.ndcg == dcg / idcg
     assert r.recall_at_k == 1.0
+
+
+def test_q229_ann_retrieval_ndcg_invariants(spark, sf_dir):
+    """q229 scores the IVF ranking with q228's metric core: one row per
+    query, hits bounded by the relevance cap, nDCG/recall in [0, 1], and
+    the seeded quantizer makes the whole frame deterministic."""
+    from big_data_computing_final_project_spark.plans import all_queries
+
+    q = all_queries()["q229_ann_retrieval_ndcg"]
+    rows = q(spark, sf_dir).collect()
+    assert len(rows) == 20 and [r.q_id for r in rows] == sorted(r.q_id for r in rows)
+    for r in rows:
+        cap = min(r.n_rel, 5)
+        assert 0 <= r.hits_at_k <= cap
+        assert 0.0 <= r.dcg <= r.idcg
+        assert r.ndcg is None if r.idcg == 0 else 0.0 <= r.ndcg <= 1.0
+        assert r.recall_at_k is None if cap == 0 else 0.0 <= r.recall_at_k <= 1.0
+    assert [tuple(x) for x in q(spark, sf_dir).collect()] == [tuple(x) for x in rows]
