@@ -90,3 +90,13 @@ PLAN_ONLY = {
 # time (two-consumer materialization), so the snapshot tool owns its pin.
 
 UNSTABLE = {"q60", "q173"}  # q173: five COUNT(DISTINCT)s, same Expand rewrite
+
+# STATE_DEPENDENT: headline queries whose fresh-build plan depends on
+# SESSION state, not just code + SF — q64/q222 read the session quantizer
+# cache (the plan contains an InMemoryRelation only if another call fit
+# and materialized the assignment frame earlier in the session), q225
+# localCheckpoints its posting frame at build time. Pinning their exact
+# plan text in a shared pytest session is order-dependent (ADVICE r10),
+# so the sf0.1 headline pin skips them; tools/snapshot_plans.py (fresh
+# session, deterministic order) owns their archived snapshots.
+STATE_DEPENDENT = {"q64", "q222", "q225"}

@@ -10,6 +10,7 @@ DuckDB `list_sum`), so cosine values are bit-identical and need no rounding.
 from __future__ import annotations
 
 import math
+import os
 import random
 
 from pyspark.sql import DataFrame, SparkSession
@@ -698,13 +699,71 @@ _IVF_NPROBE = 4
 
 
 # session-scoped quantizer-state cache (VERDICT r9 item 1): a fitted
-# quantizer is a pure function of (application, sf_dir, config) — the
-# same seeded KMeans over the same parquet — so one fit per session
-# serves every consumer instead of each paying it again. Holds the IVF
-# coarse fit (centroids + cached assignment frame) and q200's PQ
+# quantizer is a pure function of (application, sf_dir, config, input
+# bytes) — the same seeded KMeans over the same parquet — so one fit per
+# session serves every consumer instead of each paying it again. Holds
+# the IVF coarse fit (centroids + cached assignment frame) and q200's PQ
 # codebooks. Keyed on applicationId so a stopped-and-restarted session
-# can never see another session's (dead) cached frames.
+# can never see another session's (dead) cached frames; each entry also
+# records a snapshot of the input parquet (paths+mtimes+sizes) so an
+# in-session rewrite of the data under an sf_dir invalidates the fit
+# instead of serving stale centroids (ADVICE r10). Eviction unpersists
+# any Spark-cached frames the entry pinned.
 _QUANTIZER_CACHE: dict = {}
+
+
+def _table_snapshot(sf_dir: str, table: str = "embeddings") -> tuple:
+    """Cheap fingerprint of a table's parquet input: (path, mtime_ns,
+    size) per data file. Cached fits validate against this before being
+    served."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(root, f)
+            for root, _, fs in os.walk(path)
+            for f in fs
+            if not f.startswith(("_", "."))
+        )
+    else:
+        files = [path]
+    out = []
+    for f in files:
+        try:
+            st = os.stat(f)
+        except OSError:
+            continue
+        out.append((f, st.st_mtime_ns, st.st_size))
+    return tuple(out)
+
+
+def _quantizer_cache_evict(key) -> None:
+    entry = _QUANTIZER_CACHE.pop(key, None)
+    if entry is None:
+        return
+    payload = entry[1]
+    for item in payload if isinstance(payload, (tuple, list)) else (payload,):
+        unpersist = getattr(item, "unpersist", None)
+        if callable(unpersist):
+            try:
+                unpersist()
+            except Exception:
+                pass  # frame belongs to a stopped session: nothing to free
+
+
+def _quantizer_cache_get(key, snapshot):
+    entry = _QUANTIZER_CACHE.get(key)
+    if entry is not None:
+        if entry[0] == snapshot:
+            return entry[1]
+        _quantizer_cache_evict(key)  # input parquet rewritten in-session
+    return None
+
+
+def _quantizer_cache_put(key, snapshot, payload) -> None:
+    # entries from previous (stopped) sessions reference a dead context
+    for k in [k for k in _QUANTIZER_CACHE if k[0] != key[0]]:
+        _quantizer_cache_evict(k)
+    _QUANTIZER_CACHE[key] = (snapshot, payload)
 
 
 def _ivf_fit(spark: SparkSession, sf_dir: str):
@@ -715,7 +774,8 @@ def _ivf_fit(spark: SparkSession, sf_dir: str):
     frame); fits ONCE per (session, sf_dir, nlist) — q222's audit on top
     of a probe-serving session costs one aggregate, not a re-fit."""
     key = (spark.sparkContext.applicationId, sf_dir, _IVF_NLIST)
-    hit = _QUANTIZER_CACHE.get(key)
+    snapshot = _table_snapshot(sf_dir)
+    hit = _quantizer_cache_get(key, snapshot)
     if hit is not None:
         return hit
     from pyspark.ml.clustering import KMeans
@@ -735,11 +795,7 @@ def _ivf_fit(spark: SparkSession, sf_dir: str):
         .cache()
     )
     centers = [[float(x) for x in c] for c in km.clusterCenters()]
-    # drop entries from previous (stopped) sessions — their cached frames
-    # reference a dead context and can never be read again
-    for k in [k for k in _QUANTIZER_CACHE if k[0] != key[0]]:
-        del _QUANTIZER_CACHE[k]
-    _QUANTIZER_CACHE[key] = (centers, assigned)
+    _quantizer_cache_put(key, snapshot, (centers, assigned))
     return centers, assigned
 
 
@@ -1707,12 +1763,11 @@ def q200_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same session-scoped quantizer-state reuse as _ivf_fit: the 8
     # per-subspace fits are a pure function of (application, sf_dir, M, K)
     pq_key = (spark.sparkContext.applicationId, sf_dir, _PQ_M, _PQ_K)
-    books = _QUANTIZER_CACHE.get(pq_key)
+    pq_snapshot = _table_snapshot(sf_dir)
+    books = _quantizer_cache_get(pq_key, pq_snapshot)
     if books is None:
         books = _pq_codebooks(spark, emb, dim)
-        for k in [k for k in _QUANTIZER_CACHE if k[0] != pq_key[0]]:
-            del _QUANTIZER_CACHE[k]
-        _QUANTIZER_CACHE[pq_key] = books
+        _quantizer_cache_put(pq_key, pq_snapshot, books)
     # the serving store: codes + exact norm only (no float vectors)
     store = emb.select(
         "vec_id", _pq_encode(books).alias("codes"), norm(F.col("e")).alias("nc")
@@ -1785,6 +1840,13 @@ def q200_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pinned to it by recall tests). Per query: relevant-candidate count,
 # hits@k, DCG, ideal DCG, nDCG, recall@k.
 #
+# recall_at_k is the CAPPED variant: denominator min(n_rel, k), so a
+# query with more relevant candidates than k can still score 1.0 when
+# every retrieved slot is relevant ("R-precision at k"). Standard-IR
+# recall@k divides by n_rel; compare against external tooling with that
+# in mind — the cap is deliberate (it measures ranking quality at the
+# retrieval depth, not corpus-wide coverage the ranking cannot reach).
+#
 # Cross-engine float discipline: the per-rank gains 1/log2(rk+1) and the
 # ideal-DCG prefix sums are PYTHON-PRECOMPUTED literals embedded in both
 # the Spark plan and the oracle SQL (engine log2()s can differ in the
@@ -1794,10 +1856,13 @@ def q200_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # both sides (the q72 exact-sum idiom), and every ratio is one division.
 #
 # Scale shape: rides q38's scored top-k (broadcast queries x corpus scan
-# — or any ANN ranking at 100 TB); on top sit two label joins (one
-# broadcast-size), one groupBy over q_id (k rows each), and a broadcast
-# join to the O(labels) relevance counts. Metrics cost is O(queries·k)
-# beyond the ranking itself.
+# — or any ANN ranking at 100 TB); on top sit two label joins — the
+# query-side one broadcasts only the O(queries) label slice (the caller
+# passes it pre-filtered; the fallback derives it by semi-joining the
+# corpus labels against the ranking's broadcast-size distinct q_ids —
+# never the full corpus label column) — one groupBy over q_id (k rows
+# each), and a broadcast join to the O(labels) relevance counts. Metrics
+# cost is O(queries·k) beyond the ranking itself.
 # ---------------------------------------------------------------------------
 
 import math as _math
@@ -1858,12 +1923,22 @@ ORDER BY q_id
 """
 
 
-def retrieval_metrics(topk: DataFrame, lab: DataFrame) -> DataFrame:
-    """nDCG@k / recall@k of ANY (q_id, cand_id, rk) ranking against
-    label relevance — the shared metric core of q228 (exact ranking) and
-    q229 (IVF ranking): score an index change with the same yardstick as
-    the exact baseline. ``lab`` is (vec_id, label) over the corpus."""
-    lq = lab.select(F.col("vec_id").alias("q_id"), F.col("label").alias("ql"))
+def retrieval_metrics(
+    topk: DataFrame, lab: DataFrame, query_lab: DataFrame | None = None
+) -> DataFrame:
+    """nDCG@k / (capped, see header) recall@k of ANY (q_id, cand_id, rk)
+    ranking against label relevance — the shared metric core of
+    q228 (exact ranking) and q229/q230/q231 (ANN rankings): score an
+    index change with the same yardstick as the exact baseline. ``lab``
+    is (vec_id, label) over the corpus; ``query_lab`` is the O(queries)
+    slice of it covering the ranking's q_ids — pass it when the caller
+    knows the query set (all registered queries do), else it is derived
+    by semi-joining ``lab`` against the ranking's distinct q_ids (one
+    extra pass over the ranking, still never a corpus-wide broadcast)."""
+    if query_lab is None:
+        qids = topk.select(F.col("q_id").alias("vec_id")).distinct()
+        query_lab = lab.join(F.broadcast(qids), "vec_id", "semi")
+    lq = query_lab.select(F.col("vec_id").alias("q_id"), F.col("label").alias("ql"))
     lc = lab.select(F.col("vec_id").alias("cand_id"), F.col("label").alias("cl"))
     warr = F.array(*[F.lit(x) for x in _NDCG_W])
     gain = F.when(
@@ -1911,7 +1986,9 @@ def retrieval_metrics(topk: DataFrame, lab: DataFrame) -> DataFrame:
 def q228_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     lab = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
     return retrieval_metrics(
-        q38_cosine_topk(spark, sf_dir).select("q_id", "cand_id", "rk"), lab
+        q38_cosine_topk(spark, sf_dir).select("q_id", "cand_id", "rk"),
+        lab,
+        query_lab=lab.filter(F.col("vec_id") < _N_QUERIES),
     )
 
 
@@ -1930,5 +2007,7 @@ def q228_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q229_ann_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     lab = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
     return retrieval_metrics(
-        q64_ann_ivf_topk(spark, sf_dir).select("q_id", "cand_id", "rk"), lab
+        q64_ann_ivf_topk(spark, sf_dir).select("q_id", "cand_id", "rk"),
+        lab,
+        query_lab=lab.filter(F.col("vec_id") < _N_QUERIES),
     )

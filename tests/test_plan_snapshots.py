@@ -23,6 +23,7 @@ import pytest
 
 from big_data_computing_final_project_spark.plan_text import (
     PLAN_ONLY,
+    STATE_DEPENDENT,
     UNSTABLE,
     plan_text,
 )
@@ -75,7 +76,15 @@ SNAP01_SF_DIR = "/root/testdata/sf0.1"
 def _headline_cases() -> list[str]:
     from bench import HEADLINE
 
-    return sorted(n for n in HEADLINE if n in all_queries())
+    # STATE_DEPENDENT builds (session quantizer cache, build-time
+    # localCheckpoint) produce plans that vary with pytest execution
+    # order — exact-text pins for them would be order-dependent flakes
+    # (ADVICE r10); the snapshot tool owns their archives.
+    return sorted(
+        n
+        for n in HEADLINE
+        if n in all_queries() and n.split("_")[0] not in STATE_DEPENDENT
+    )
 
 
 @pytest.mark.parametrize("name", _headline_cases())
