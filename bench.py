@@ -193,7 +193,20 @@ def main() -> None:
     calibration_sec = round(_calibration_probe(spark), 3)
     machine_factor = round(calibration_sec / REF_PROBE_SEC, 3)
 
-    # Warm timings (best of 2 runs): the first execution of a query pays
+    # Untimed warmup pass of the WHOLE set first (VERDICT r10 item 2):
+    # min-of-2 back-to-back runs alone was not enough — session-level
+    # cold state (JIT of operator codepaths shared ACROSS queries, page
+    # cache, cached frames built by other queries' executions) left both
+    # back-to-back runs slow on a fresh box, printing +75-146% phantom
+    # "regressions" into the r10 driver record at an identical plans_sha
+    # (judge: q198 5.6 s on first execution, 2.0 s on an immediate
+    # repeat). One full pass puts every query's shared state in steady
+    # state before any clock starts; the timed min-of-2 below then
+    # measures plan work, reproducible across same-box runs.
+    for name in names:
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    # Warm timings (min of 2 runs): the first execution of a query pays
     # one-off whole-stage-codegen compilation and parquet footer reads;
     # steady-state throughput is what scales to a long-lived cluster.
     timings: dict[str, float] = {}
@@ -244,6 +257,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "sf": sf_val,
+                # timing semantics changed in round 11: cross-round
+                # per-query comparison restarts from BENCH_r11
+                "timing": "warmup_pass_then_min_of_2",
                 "plan_sha": plan_shas,
                 "calibration": calibration,
                 "value_normalized": round(total / machine_factor, 3),
@@ -289,6 +305,7 @@ def main() -> None:
             "value": total,
             "unit": "sec",
             "sf": sf_val,
+            "timing": "warmup_pass_then_min_of_2",
             "value_normalized": round(total / machine_factor, 3),
             "machine_factor": machine_factor,
             "plans_sha": plans_sha,
