@@ -927,22 +927,19 @@ ORDER BY source
 
 @register("q226_dedup_adjusted_budget", oracle=_Q226_ORACLE)
 def q226_dedup_adjusted_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.graph import connected_components
+    from .dedup import dedup_cluster_labels
 
     # staged once (the q35/q225 rule): the token-count projection feeds
-    # THREE consumers (the CC vertex list, the keeper join, the raw
-    # aggregate) — localCheckpoint materializes the tokenizer pass instead
-    # of re-running it per consumer. Build-time job is fine here: the CC
-    # rounds below already run jobs at plan time (q226 is not PLAN_ONLY).
+    # TWO consumers (the keeper join, the raw aggregate) —
+    # localCheckpoint materializes the tokenizer pass instead of
+    # re-running it per consumer. Build-time job is fine here: the CC
+    # labels already run jobs at plan time (q226 is not PLAN_ONLY).
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", X.token_count(F.col("text")).cast("bigint").alias("nt")
     ).localCheckpoint(eager=True)
-    pairs = lsh_jaccard_pairs(spark, sf_dir, sort=False).select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    )
-    labels = connected_components(
-        docs.select(F.col("doc_id").alias("id")), pairs
-    )
+    # session-cached CC labels (VERDICT r10 item 1): the propagation
+    # rounds run once per (session, sf_dir), shared with q68/q194
+    labels = dedup_cluster_labels(spark, sf_dir)
     # each cluster counted once, at its keeper's source and token count
     keep = (
         docs.join(labels, docs.doc_id == labels.id)

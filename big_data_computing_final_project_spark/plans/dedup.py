@@ -590,6 +590,43 @@ ORDER BY doc_id
 """
 
 
+def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached near-dup cluster labels ``(id, component)`` over the
+    default LSH pair graph — the shared clustering state of q68 (cluster
+    table), q194 (keeper weights), and q226 (dedup-adjusted budget): all
+    three ask "which cluster does each doc belong to" under the SAME edge
+    config, so the connected-components label-propagation rounds (Spark
+    jobs at plan time — one shuffle join + min-aggregate per round) run
+    ONCE per (session, sf_dir) instead of per call (VERDICT r10 item 1,
+    the same rework shape the quantizer cache closed for IVF). The labels
+    frame is connected_components output — already materialized via
+    localCheckpoint, so serving it from cache is plan-only. Cache
+    mechanics (applicationId keying, input-snapshot validation over
+    documents.parquet, unpersist-on-evict): operators/session_cache.py."""
+    from ..operators import session_cache
+    from ..operators.graph import connected_components
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        "cc_labels_lsh",
+        _JACCARD_T,
+        _BANDS,
+        _ROWS_PER_BAND,
+    )
+    snapshot = session_cache.table_snapshot(sf_dir, "documents")
+    hit = session_cache.get(key, snapshot)
+    if hit is not None:
+        return hit
+    docs = load_table(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    pairs = lsh_jaccard_pairs(spark, sf_dir, sort=False).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    labels = connected_components(docs, pairs)
+    session_cache.put(key, snapshot, labels)
+    return labels
+
+
 @register("q68_dedup_clusters", oracle=_Q68_ORACLE)
 def q68_dedup_clusters(
     spark: SparkSession, sf_dir: str, edge_source: str = "lsh"
@@ -612,15 +649,18 @@ def q68_dedup_clusters(
 
     from ..operators.graph import connected_components
 
-    docs = load_table(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
     if edge_source == "lsh":
-        pairs = lsh_jaccard_pairs(spark, sf_dir, sort=False)
+        labels = dedup_cluster_labels(spark, sf_dir)  # session-cached CC
     elif edge_source == "exact":
-        pairs = _exact_jaccard_pairs(_shingled(spark, sf_dir), sort=False)
+        docs = load_table(spark, sf_dir, "documents").select(
+            F.col("doc_id").alias("id")
+        )
+        pairs = _exact_jaccard_pairs(_shingled(spark, sf_dir), sort=False).select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        )
+        labels = connected_components(docs, pairs)
     else:
         raise ValueError(f"unknown edge_source {edge_source!r}")
-    pairs = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    labels = connected_components(docs, pairs)
     return (
         labels.select(F.col("id").alias("doc_id"), F.col("component").alias("cluster_id"))
         .withColumn("cluster_size", F.count(F.lit(1)).over(Window.partitionBy("cluster_id")))
@@ -1456,16 +1496,11 @@ def q194_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(keeper_doc_id, weight, weight_share): one row per near-dup cluster
     keeper (min doc_id), weighted by cluster multiplicity so downstream
     sampling preserves the pre-dedup distribution. Scale shape: the q68
-    component labels (LSH edges, bounded candidate work) + ONE hash
-    aggregate; the corpus size joins in as a broadcast 1-row aggregate."""
-    from ..operators.graph import connected_components
-
-    docs = load_table(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
-    pairs = lsh_jaccard_pairs(spark, sf_dir, sort=False).select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    )
-    labels = connected_components(docs, pairs)
-    n_total = docs.agg(F.count(F.lit(1)).alias("__n"))
+    component labels (LSH edges, bounded candidate work, session-cached —
+    see dedup_cluster_labels) + ONE hash aggregate; the corpus size joins
+    in as a broadcast 1-row aggregate."""
+    labels = dedup_cluster_labels(spark, sf_dir)
+    n_total = labels.agg(F.count(F.lit(1)).alias("__n"))
     return (
         labels.groupBy(F.col("component").alias("keeper_doc_id"))
         .agg(F.count(F.lit(1)).alias("weight"))

@@ -10,7 +10,6 @@ DuckDB `list_sum`), so cosine values are bit-identical and need no rounding.
 from __future__ import annotations
 
 import math
-import os
 import random
 
 from pyspark.sql import DataFrame, SparkSession
@@ -703,67 +702,14 @@ _IVF_NPROBE = 4
 # bytes) — the same seeded KMeans over the same parquet — so one fit per
 # session serves every consumer instead of each paying it again. Holds
 # the IVF coarse fit (centroids + cached assignment frame) and q200's PQ
-# codebooks. Keyed on applicationId so a stopped-and-restarted session
-# can never see another session's (dead) cached frames; each entry also
-# records a snapshot of the input parquet (paths+mtimes+sizes) so an
-# in-session rewrite of the data under an sf_dir invalidates the fit
-# instead of serving stale centroids (ADVICE r10). Eviction unpersists
-# any Spark-cached frames the entry pinned.
-_QUANTIZER_CACHE: dict = {}
+# codebooks. The cache mechanics (applicationId keying, input-snapshot
+# validation, unpersist-on-evict) live in operators/session_cache.py,
+# shared with the dedup CC label cache since round 11.
+from ..operators import session_cache as _state_cache
 
-
-def _table_snapshot(sf_dir: str, table: str = "embeddings") -> tuple:
-    """Cheap fingerprint of a table's parquet input: (path, mtime_ns,
-    size) per data file. Cached fits validate against this before being
-    served."""
-    path = os.path.join(sf_dir, f"{table}.parquet")
-    if os.path.isdir(path):
-        files = sorted(
-            os.path.join(root, f)
-            for root, _, fs in os.walk(path)
-            for f in fs
-            if not f.startswith(("_", "."))
-        )
-    else:
-        files = [path]
-    out = []
-    for f in files:
-        try:
-            st = os.stat(f)
-        except OSError:
-            continue
-        out.append((f, st.st_mtime_ns, st.st_size))
-    return tuple(out)
-
-
-def _quantizer_cache_evict(key) -> None:
-    entry = _QUANTIZER_CACHE.pop(key, None)
-    if entry is None:
-        return
-    payload = entry[1]
-    for item in payload if isinstance(payload, (tuple, list)) else (payload,):
-        unpersist = getattr(item, "unpersist", None)
-        if callable(unpersist):
-            try:
-                unpersist()
-            except Exception:
-                pass  # frame belongs to a stopped session: nothing to free
-
-
-def _quantizer_cache_get(key, snapshot):
-    entry = _QUANTIZER_CACHE.get(key)
-    if entry is not None:
-        if entry[0] == snapshot:
-            return entry[1]
-        _quantizer_cache_evict(key)  # input parquet rewritten in-session
-    return None
-
-
-def _quantizer_cache_put(key, snapshot, payload) -> None:
-    # entries from previous (stopped) sessions reference a dead context
-    for k in [k for k in _QUANTIZER_CACHE if k[0] != key[0]]:
-        _quantizer_cache_evict(k)
-    _QUANTIZER_CACHE[key] = (snapshot, payload)
+_table_snapshot = _state_cache.table_snapshot
+_quantizer_cache_get = _state_cache.get
+_quantizer_cache_put = _state_cache.put
 
 
 def _ivf_fit(spark: SparkSession, sf_dir: str):
@@ -774,7 +720,7 @@ def _ivf_fit(spark: SparkSession, sf_dir: str):
     frame); fits ONCE per (session, sf_dir, nlist) — q222's audit on top
     of a probe-serving session costs one aggregate, not a re-fit."""
     key = (spark.sparkContext.applicationId, sf_dir, _IVF_NLIST)
-    snapshot = _table_snapshot(sf_dir)
+    snapshot = _table_snapshot(sf_dir, "embeddings")
     hit = _quantizer_cache_get(key, snapshot)
     if hit is not None:
         return hit
@@ -1763,7 +1709,7 @@ def q200_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same session-scoped quantizer-state reuse as _ivf_fit: the 8
     # per-subspace fits are a pure function of (application, sf_dir, M, K)
     pq_key = (spark.sparkContext.applicationId, sf_dir, _PQ_M, _PQ_K)
-    pq_snapshot = _table_snapshot(sf_dir)
+    pq_snapshot = _table_snapshot(sf_dir, "embeddings")
     books = _quantizer_cache_get(pq_key, pq_snapshot)
     if books is None:
         books = _pq_codebooks(spark, emb, dim)

@@ -1267,3 +1267,70 @@ def test_q229_ann_retrieval_ndcg_invariants(spark, sf_dir):
         assert r.ndcg is None if r.idcg == 0 else 0.0 <= r.ndcg <= 1.0
         assert r.recall_at_k is None if cap == 0 else 0.0 <= r.recall_at_k <= 1.0
     assert [tuple(x) for x in q(spark, sf_dir).collect()] == [tuple(x) for x in rows]
+
+
+def test_session_cache_evicts_and_unpersists():
+    """operators/session_cache mechanics (shared by the quantizer and the
+    CC label caches): a stale snapshot evicts AND unpersists the pinned
+    frame; inserting under another applicationId evicts (and frees)
+    every other application's entries."""
+    from big_data_computing_final_project_spark.operators import session_cache
+
+    class FakeFrame:
+        def __init__(self):
+            self.freed = False
+
+        def unpersist(self):
+            self.freed = True
+
+    key = ("appA", "sf_dir", "test_entry")
+    snap1 = (("f", 1, 10),)
+    f1 = FakeFrame()
+    session_cache.put(key, snap1, (["state"], f1))
+    assert session_cache.get(key, snap1)[1] is f1
+    # input rewritten -> snapshot mismatch: evict + unpersist, miss
+    assert session_cache.get(key, (("f", 2, 11),)) is None
+    assert f1.freed
+    # a new application's insert evicts (and frees) the old app's entries
+    f2 = FakeFrame()
+    session_cache.put(key, snap1, f2)
+    session_cache.put(("appB", "sf_dir", "test_entry"), snap1, "x")
+    assert f2.freed
+    assert session_cache.get(key, snap1) is None
+    session_cache.evict(("appB", "sf_dir", "test_entry"))
+
+
+def test_dedup_cluster_labels_session_cache(spark, tmp_path):
+    """The CC label cache (VERDICT r10 item 1): a second call serves the
+    SAME frame (the propagation rounds ran once), and an in-session
+    rewrite of documents.parquet invalidates instead of serving stale
+    labels (ADVICE r10)."""
+    import time
+
+    from big_data_computing_final_project_spark.plans.dedup import (
+        dedup_cluster_labels,
+    )
+
+    sf_dir = str(tmp_path)
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+
+    def write_docs(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{sf_dir}/documents.parquet")
+
+    dup = "the quick brown fox jumps over the lazy dog again and again"
+    other = "completely different text with nothing shared at all in here"
+    write_docs([(1, dup, "en", "a", 60), (2, dup, "en", "a", 60), (3, other, "en", "b", 61)])
+    first = dedup_cluster_labels(spark, sf_dir)
+    assert dedup_cluster_labels(spark, sf_dir) is first  # cache hit
+    got = {r.id: r.component for r in first.collect()}
+    assert got[2] == got[1] and got[3] != got[1]
+
+    # rewrite in-session: docs 1/2 no longer duplicates
+    time.sleep(0.01)
+    fresh = "another unrelated document holding entirely new content today"
+    write_docs([(1, dup, "en", "a", 60), (2, fresh, "en", "a", 62), (3, other, "en", "b", 61)])
+    refit = dedup_cluster_labels(spark, sf_dir)
+    assert refit is not first
+    assert len({r.component for r in refit.collect()}) == 3
