@@ -84,7 +84,7 @@ PLAN_ONLY = {
     "q181", "q182", "q183", "q184", "q185", "q186", "q187", "q188", "q189",
     "q191", "q195", "q196", "q197", "q198", "q203",
     "q204", "q206", "q207", "q208", "q209", "q210", "q211", "q212", "q213", "q214", "q215", "q216", "q217", "q218",
-    "q219", "q220", "q221", "q223", "q224", "q227", "q228",
+    "q219", "q220", "q221", "q223", "q224", "q227", "q228", "q230",
 }
 # q225 left out since round 10: its posting frame localCheckpoints at build
 # time (two-consumer materialization), so the snapshot tool owns its pin.

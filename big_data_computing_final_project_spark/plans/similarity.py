@@ -1957,3 +1957,39 @@ def q229_ann_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         lab,
         query_lab=lab.filter(F.col("vec_id") < _N_QUERIES),
     )
+
+
+# ---------------------------------------------------------------------------
+# q230/q231 — the rest of the index-eval matrix (round 11): q229 scores
+# the IVF ranking; q230 scores the int8 multi-probe ANN (q133, the
+# fully-quantized serving store) and q231 the PQ-ADC index (q200), each
+# through the SAME retrieval_metrics core as the exact baseline q228 —
+# these are the indexes a team would actually serve, and before swapping
+# one in they need its ranking-QUALITY number, not just candidate recall
+# (which the q133/q200 recall pins already measure). Rows-only: q133
+# rides the collected hyperplane bucketer (the q39 contract) and q200
+# the seeded per-subspace KMeans codebooks (the q200 contract) — neither
+# is SQL-expressible; pytest pins determinism and the nDCG floor vs
+# q228. q231 shares the session codebook cache, so the marginal cost on
+# a serving session is the ranking itself plus O(queries·k) metric rows.
+# ---------------------------------------------------------------------------
+
+
+@register("q230_int8_retrieval_ndcg")
+def q230_int8_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lab = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return retrieval_metrics(
+        q133_int8_ann_topk(spark, sf_dir).select("q_id", "cand_id", "rk"),
+        lab,
+        query_lab=lab.filter(F.col("vec_id") < _N_QUERIES),
+    )
+
+
+@register("q231_pq_retrieval_ndcg")
+def q231_pq_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lab = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return retrieval_metrics(
+        q200_pq_ann_topk(spark, sf_dir).select("q_id", "cand_id", "rk"),
+        lab,
+        query_lab=lab.filter(F.col("vec_id") < _N_QUERIES),
+    )

@@ -1334,3 +1334,37 @@ def test_dedup_cluster_labels_session_cache(spark, tmp_path):
     refit = dedup_cluster_labels(spark, sf_dir)
     assert refit is not first
     assert len({r.component for r in refit.collect()}) == 3
+
+
+def _retrieval_invariants(rows):
+    assert len(rows) == 20 and [r.q_id for r in rows] == sorted(r.q_id for r in rows)
+    for r in rows:
+        cap = min(r.n_rel, 5)
+        assert 0 <= r.hits_at_k <= cap
+        assert 0.0 <= r.dcg <= r.idcg
+        assert r.ndcg is None if r.idcg == 0 else 0.0 <= r.ndcg <= 1.0
+        assert r.recall_at_k is None if cap == 0 else 0.0 <= r.recall_at_k <= 1.0
+
+
+def test_q230_q231_index_eval_matrix(spark, sf_dir):
+    """q230 (int8 multi-probe) and q231 (PQ-ADC) complete the index-eval
+    matrix: same metric core as q228, so the ranking-INDEPENDENT columns
+    (n_rel, idcg — functions of labels alone) must match the exact
+    baseline per query; invariants + determinism hold per index."""
+    from big_data_computing_final_project_spark.plans import all_queries
+
+    q = all_queries()
+    exact = q["q228_retrieval_ndcg"](spark, sf_dir).collect()
+    base = {r.q_id: (r.n_rel, r.idcg) for r in exact}
+    exact_dcg = sum(r.dcg for r in exact)
+    for name in ["q230_int8_retrieval_ndcg", "q231_pq_retrieval_ndcg"]:
+        rows = q[name](spark, sf_dir).collect()
+        _retrieval_invariants(rows)
+        assert {r.q_id: (r.n_rel, r.idcg) for r in rows} == base, name
+        # floor vs the exact baseline: a high-recall index at this SF
+        # cannot lose more than half the exact ranking's total relevance
+        # mass (measured: int8/PQ total DCG sits within ±25% of exact)
+        assert sum(r.dcg for r in rows) >= 0.5 * exact_dcg, name
+        assert [tuple(x) for x in q[name](spark, sf_dir).collect()] == [
+            tuple(x) for x in rows
+        ]
