@@ -510,10 +510,20 @@ def _dup_flow_ingest(
     ranked = batch.select(*cols).withColumn(
         "rn", F.row_number().over(w)
     )
+    # keeper_doc_id (round 11): which document created the keeper entry —
+    # read as null from pre-r11 deltas (explicit schema over parquet
+    # missing the column), which simply disables the self-edge guard for
+    # that row, matching the old behavior
     prior = (
-        _read_store_deltas(spark, keepers_dir, "fp string, keeper_source string")
+        _read_store_deltas(
+            spark, keepers_dir, "fp string, keeper_source string, keeper_doc_id long"
+        )
         .where(F.col("batch_id") < eff_id)
-        .select("fp", F.col("keeper_source").alias("store_keeper"))
+        .select(
+            "fp",
+            F.col("keeper_source").alias("store_keeper"),
+            F.col("keeper_doc_id").alias("store_keeper_doc"),
+        )
     )
     # cached: both writes below consume it, and recomputation would scan
     # the (ever-growing) keeper store and re-run the rn window twice per
@@ -524,9 +534,13 @@ def _dup_flow_ingest(
         new_keeper_rows = hit.where(
             F.col("store_keeper").isNull() & (F.col("rn") == 1)
         )
-        new_keeper_rows.select("fp", F.col("source").alias("keeper_source")).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(keepers_dir, f"batch_id={eff_id}"))
+        new_keeper_rows.select(
+            "fp",
+            F.col("source").alias("keeper_source"),
+            F.col("doc_id").alias("keeper_doc_id"),
+        ).write.mode("overwrite").parquet(
+            os.path.join(keepers_dir, f"batch_id={eff_id}")
+        )
         if kept_dir is not None:
             k_eff = _effective_batch_id(kept_dir, batch_id, flat=True)
             new_keeper_rows.groupBy("source").agg(
@@ -542,6 +556,18 @@ def _dup_flow_ingest(
         dup_rows = (
             hit.join(batch_first, "fp")
             .where(F.col("store_keeper").isNotNull() | (F.col("rn") > 1))
+            # self-edge guard (VERDICT r10 item 7): a document can never be
+            # a duplicate of ITSELF. The only way doc_id equals the store
+            # keeper's doc id is the bounded-double-count replay schedule
+            # (this batch's keeper delta was compacted before its commit,
+            # so the replay sees its OWN keeper entry below the floor) —
+            # drop exactly those rows, so the accepted one-batch edge
+            # double-count can never also manufacture a self-edge. Null
+            # store_keeper_doc (pre-r11 delta) keeps the old behavior.
+            .where(
+                F.col("store_keeper_doc").isNull()
+                | (F.col("doc_id") != F.col("store_keeper_doc"))
+            )
             .select(
                 "fp",
                 F.coalesce("store_keeper", "batch_keeper").alias("keeper_source"),
@@ -573,10 +599,15 @@ def run_stream_dup_flow(
     its own directories (at-least-once in, exactly-once effect — the
     run_stream_heavy_hitters idiom):
 
-      keepers/batch_id=N/  (fp, keeper_source) — fps FIRST kept by batch N
-                           (within-batch min doc_id, not already kept by
-                           any batch < N; the lookup filters batch_id < N,
-                           so a replay never sees its own earlier write).
+      keepers/batch_id=N/  (fp, keeper_source, keeper_doc_id) — fps FIRST
+                           kept by batch N (within-batch min doc_id, not
+                           already kept by any batch < N; the lookup
+                           filters batch_id < N, so a replay never sees
+                           its own earlier write). keeper_doc_id feeds
+                           the self-edge guard: a folded-id replay that
+                           sees its OWN compacted keeper entry is
+                           recognized by doc identity and never emits
+                           itself as a duplicate.
       edges/batch_id=N/    (fp, keeper_source, dup_source, n_docs) — batch
                            N's duplicate flows: every row whose fp was
                            already kept (by the store, or by an earlier
@@ -1622,8 +1653,13 @@ def near_dup_pairs_from_store(spark: SparkSession, store_dir: str) -> DataFrame:
 # replayed raw id then lands ABOVE the floor instead of overwriting its
 # own (now folded) delta, so ADDITIVE stores (counts/volume/basket/
 # attribution-revenue/revenue-partials/decode-health/dup-flow edges)
-# count that one batch twice, and a dup-flow replay can add self-edges;
-# latest-wins folds (CDC) and unique-row folds (LSH state) are unchanged.
+# count that one batch twice; latest-wins folds (CDC) and unique-row
+# folds (LSH state) are unchanged. The dup-flow SELF-edge this schedule
+# could once manufacture (the replayed keeper counted as a dup of
+# itself) is gone since round 11: the keeper store records
+# keeper_doc_id and the ingest drops any dup row whose doc IS the
+# stored keeper (VERDICT r10 item 7) — only the bounded edge
+# double-count remains.
 # The alternative — skipping raw ids at-or-below a folded high-water mark
 # — cannot distinguish this replay from a fresh-checkpoint restart (both
 # re-present low raw ids) without introspecting the engine's checkpoint,
@@ -1814,13 +1850,14 @@ def compact_dup_flow_store(spark: SparkSession, store_dir: str) -> None:
     id above the compacted delta (see _effective_batch_id), and the keeper
     lookup's `batch_id < N` filter always includes it. Edge counts are
     additive ⇒ a folded-id replay (window-contract violation) double-counts
-    that one batch's edges and can add self-edges — see the section
-    contract's bounded double-count caveat."""
+    that one batch's edges — but can no longer add self-edges (the
+    keeper_doc_id guard in _dup_flow_ingest); see the section contract's
+    bounded double-count caveat."""
     k_floor = _compact_partitioned(
         spark,
         os.path.join(store_dir, "keepers"),
-        "fp string, keeper_source string",
-        lambda df: df.select("fp", "keeper_source"),
+        "fp string, keeper_source string, keeper_doc_id long",
+        lambda df: df.select("fp", "keeper_source", "keeper_doc_id"),
     )
     e_floor = _compact_partitioned(
         spark,

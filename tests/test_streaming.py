@@ -1779,3 +1779,41 @@ def test_ingest_heals_crashed_compaction_before_writing(spark, tmp_path):
     # fresh keeper (which is what a lost keeper store would make it)
     assert {(r[0]) for r in got} == {"a"}
     assert sum(r[2] for r in got) == 3  # three dup docs total
+
+
+def test_dup_flow_folded_replay_manufactures_no_self_edges(spark, tmp_path):
+    """The bounded double-count schedule (a batch's delta compacted before
+    its checkpoint commit, then replayed above the floor — a violation of
+    the maintenance-window contract) double-counts that batch's EDGES,
+    which is accepted and documented; since round 11 it must no longer
+    manufacture a SELF-edge: the replayed keeper doc recognizes its own
+    folded keeper entry by keeper_doc_id and never emits itself as a
+    duplicate (VERDICT r10 item 7)."""
+    from big_data_computing_final_project_spark.streaming.events import (
+        _dup_flow_ingest,
+        compact_dup_flow_store,
+        dup_flow_matrix_from_store,
+    )
+
+    store = str(tmp_path / "flowstore")
+    batch = spark.createDataFrame(
+        [(1, "srcA", "x"), (2, "srcB", "x")],
+        "doc_id long, source string, fp string",
+    )
+    _dup_flow_ingest(batch, 0, store)
+    before = {
+        (r.keeper_source, r.dup_source): (r.n_docs, r.n_groups)
+        for r in dup_flow_matrix_from_store(spark, store).collect()
+    }
+    assert before == {("srcA", "srcB"): (1, 1)}
+
+    compact_dup_flow_store(spark, store)  # folds batch 0, writes the floor
+    _dup_flow_ingest(batch, 0, store)  # the window-contract-violating replay
+
+    after = {
+        (r.keeper_source, r.dup_source): (r.n_docs, r.n_groups)
+        for r in dup_flow_matrix_from_store(spark, store).collect()
+    }
+    # the accepted bounded double-count: the A->B edge counts twice ...
+    # ... and NO srcA->srcA self-edge from doc 1 seeing its own keeper
+    assert after == {("srcA", "srcB"): (2, 1)}
