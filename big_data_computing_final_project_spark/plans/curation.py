@@ -925,6 +925,41 @@ ORDER BY source
 """
 
 
+def budget_plan_columns(j: DataFrame, budget_tokens: int = _BUDGET_TOKENS) -> DataFrame:
+    """The q226 budget projection over a ``(source, n_docs, raw_tokens,
+    eff_tokens)`` frame: dup discount, integerized sqrt-temperature
+    weight, planned tokens, repeat factor. Shared by batch q226 and the
+    store folds in streaming/events.py (exact-fp kept store, near-dup
+    labels store) so the batch and streaming twins cannot drift on the
+    formula. Window math runs on the O(sources) frame only."""
+    wt = F.floor(F.sqrt(F.col("eff_tokens").cast("double"))).cast("bigint")
+    win = Window.partitionBy()
+    w = j.withColumn("wt", wt)
+    planned = F.floor(
+        (F.lit(budget_tokens) * F.col("wt")).cast("double")
+        / F.sum("wt").over(win).cast("double")
+    ).cast("bigint")
+    return (
+        w.select(
+            "source",
+            "n_docs",
+            "raw_tokens",
+            "eff_tokens",
+            F.when(
+                F.col("raw_tokens") > 0,
+                F.col("eff_tokens").cast("double") / F.col("raw_tokens"),
+            ).alias("dup_discount"),
+            "wt",
+            planned.alias("planned_tokens"),
+            F.when(
+                F.col("eff_tokens") > 0,
+                planned.cast("double") / F.col("eff_tokens").cast("double"),
+            ).alias("repeat_factor"),
+        )
+        .orderBy("source")
+    )
+
+
 @register("q226_dedup_adjusted_budget", oracle=_Q226_ORACLE)
 def q226_dedup_adjusted_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import dedup_cluster_labels
@@ -954,29 +989,4 @@ def q226_dedup_adjusted_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("nt").cast("bigint").alias("raw_tokens"),
     )
     j = raw.join(eff, "source", "left").na.fill(0, ["eff_tokens"])
-    wt = F.floor(F.sqrt(F.col("eff_tokens").cast("double"))).cast("bigint")
-    win = Window.partitionBy()
-    w = j.withColumn("wt", wt)
-    planned = F.floor(
-        (F.lit(_BUDGET_TOKENS) * F.col("wt")).cast("double")
-        / F.sum("wt").over(win).cast("double")
-    ).cast("bigint")
-    return (
-        w.select(
-            "source",
-            "n_docs",
-            "raw_tokens",
-            "eff_tokens",
-            F.when(
-                F.col("raw_tokens") > 0,
-                F.col("eff_tokens").cast("double") / F.col("raw_tokens"),
-            ).alias("dup_discount"),
-            "wt",
-            planned.alias("planned_tokens"),
-            F.when(
-                F.col("eff_tokens") > 0,
-                planned.cast("double") / F.col("eff_tokens").cast("double"),
-            ).alias("repeat_factor"),
-        )
-        .orderBy("source")
-    )
+    return budget_plan_columns(j)

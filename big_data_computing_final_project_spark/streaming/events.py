@@ -1268,34 +1268,10 @@ def dedup_adjusted_budget_from_store(
         .groupBy("source")
         .agg(F.sum("kept_tokens").cast("bigint").alias("eff_tokens"))
     )
+    from ..plans.curation import budget_plan_columns
+
     j = raw.join(eff, "source", "left").na.fill(0, ["eff_tokens"])
-    w = j.withColumn(
-        "wt", F.floor(F.sqrt(F.col("eff_tokens").cast("double"))).cast("bigint")
-    )
-    win = Window.partitionBy()  # O(sources) offsets frame, the q147 idiom
-    planned = F.floor(
-        (F.lit(budget_tokens) * F.col("wt")).cast("double")
-        / F.sum("wt").over(win).cast("double")
-    ).cast("bigint")
-    return (
-        w.select(
-            "source",
-            "n_docs",
-            "raw_tokens",
-            "eff_tokens",
-            F.when(
-                F.col("raw_tokens") > 0,
-                F.col("eff_tokens").cast("double") / F.col("raw_tokens"),
-            ).alias("dup_discount"),
-            "wt",
-            planned.alias("planned_tokens"),
-            F.when(
-                F.col("eff_tokens") > 0,
-                planned.cast("double") / F.col("eff_tokens").cast("double"),
-            ).alias("repeat_factor"),
-        )
-        .orderBy("source")
-    )
+    return budget_plan_columns(j, budget_tokens)
 
 
 def compact_kept_store(spark: SparkSession, store_dir: str) -> None:
@@ -1480,7 +1456,9 @@ _LSH_STATE_SCHEMA = (
 _LSH_PAIRS_SCHEMA = "doc_a bigint, doc_b bigint, jac double"
 
 
-def _lsh_dedup_ingest(batch: DataFrame, batch_id: int, store_dir: str) -> None:
+def _lsh_dedup_ingest(
+    batch: DataFrame, batch_id: int, store_dir: str, labels_dir: str | None = None
+) -> None:
     """One micro-batch of the LSH near-dup store: shingle + band the batch,
     find candidates within the batch AND against the stored band keys of
     batches < this one, exact-Jaccard-verify candidates only, stage the
@@ -1570,12 +1548,23 @@ def _lsh_dedup_ingest(batch: DataFrame, batch_id: int, store_dir: str) -> None:
         .select("doc_a", "doc_b", (common.cast("double") / union).alias("jac"))
         .filter(F.col("jac") >= _JACCARD_T)
     )
-    pairs.write.mode("overwrite").parquet(
-        os.path.join(store_dir, "pairs", f"batch_id={eff_id}")
-    )
+    pairs_delta = os.path.join(store_dir, "pairs", f"batch_id={eff_id}")
+    pairs.write.mode("overwrite").parquet(pairs_delta)
     cur.select("doc_id", "sh", "bands").write.mode("overwrite").parquet(
         os.path.join(state_dir, f"batch_id={eff_id}")
     )
+    if labels_dir is not None:
+        # near-dup cluster-label maintenance (round 11): the batch must
+        # carry (source, n_toks). Pairs are read BACK from the staged
+        # delta — already materialized, so the candidate join never
+        # recomputes, and a folded-id replay (empty cur ⇒ empty delta)
+        # makes the label update a no-op by construction.
+        _near_dup_label_ingest(
+            batch.select("doc_id", "source", "n_toks"),
+            batch_id,
+            labels_dir,
+            spark.read.schema(_LSH_PAIRS_SCHEMA).parquet(pairs_delta),
+        )
 
 
 def run_stream_lsh_dedup(
@@ -1628,6 +1617,202 @@ def near_dup_pairs_from_store(spark: SparkSession, store_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "jac")
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental NEAR-dup cluster labels + kept-mass accounting (VERDICT r10
+# item 3): the exact-fp kept store nets out only byte-identical
+# duplication, so its budget OVERSTATES each source's effective tokens vs
+# batch q226 (which nets near-dup clusters via connected components). The
+# LSH ingest already completes every near-dup pair at ingest; this store
+# maintains CLUSTER-STABLE incremental keepers on top of it.
+#
+# Invariant that makes it fold-simple: a cluster's label is its min
+# doc_id, and min-label propagation only ever DECREASES a doc's label —
+# so the store stages (doc_id, source, nt, label) rows where the CURRENT
+# label of a doc is the MIN over its staged rows. The fold is a
+# commutative, idempotent min — replaying a batch (even the folded-id
+# schedule that double-counts additive stores) re-stages rows whose min
+# is unchanged, so this store has NO bounded-double-count caveat. A doc
+# is its cluster's keeper iff label == doc_id, which is exactly batch
+# q226's min-doc_id keeper — making the budget fold two tiny aggregates.
+#
+# Per batch, the merge works on the LABEL-CONTRACTED graph: each new pair
+# connects its endpoints' CURRENT labels; connected components over that
+# (tiny — bounded by 2x the batch's new pairs) yield the label remap, and
+# every doc whose current label was remapped gets one update row. A label
+# value, once remapped away, is never current again, so update rows are
+# found by a broadcast join of the staged rows against the remap — no
+# corpus-wide fold per batch.
+# ---------------------------------------------------------------------------
+
+_ND_LABELS_SCHEMA = "doc_id bigint, source string, nt bigint, label bigint"
+
+
+def _near_dup_label_ingest(
+    meta: DataFrame, batch_id: int, labels_dir: str, pairs: DataFrame
+) -> None:
+    """One micro-batch of the near-dup label store. ``meta`` is the
+    batch's (doc_id, source, n_toks); ``pairs`` the near-dup pairs this
+    batch COMPLETED (from the LSH ingest's staged delta — both docs in
+    this batch, or one here and one stored)."""
+    spark = meta.sparkSession
+    eff_id = _effective_batch_id(labels_dir, batch_id, flat=True)
+    prior_rows = (
+        _read_store_deltas(spark, labels_dir, _ND_LABELS_SCHEMA)
+        .where(F.col("batch_id") < eff_id)
+        .drop("batch_id")
+    )
+    # docs new to the store start self-labeled (their own singleton
+    # cluster); a folded-id replay finds them all already present
+    new_docs = (
+        meta.join(prior_rows.select("doc_id"), "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_toks").cast("bigint").alias("nt"),
+            F.col("doc_id").alias("label"),
+        )
+        .localCheckpoint(eager=True)  # consumed by endpoint lookup + delta
+    )
+    all_rows = prior_rows.unionByName(new_docs)
+    if pairs.isEmpty():
+        new_docs.write.mode("overwrite").parquet(
+            os.path.join(labels_dir, f"batch_id={eff_id}")
+        )
+        return
+    # current labels of the pairs' endpoints (tiny set): min over a doc's
+    # staged rows IS its current label
+    ep_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    ep = (
+        all_rows.join(F.broadcast(ep_ids), "doc_id")
+        .groupBy("doc_id")
+        .agg(F.min("label").alias("label"))
+    )
+    la = ep.select(F.col("doc_id").alias("doc_a"), F.col("label").alias("src"))
+    lb = ep.select(F.col("doc_id").alias("doc_b"), F.col("label").alias("dst"))
+    label_edges = (
+        pairs.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    verts = (
+        label_edges.select(F.col("src").alias("id"))
+        .unionByName(label_edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    from ..operators.graph import connected_components
+
+    comp = connected_components(verts, label_edges)
+    remap = comp.where(F.col("id") != F.col("component"))
+    # one update row per doc whose CURRENT label was merged away; stale
+    # rows never match (a remapped-away label is never current again)
+    changed = (
+        all_rows.join(F.broadcast(remap), all_rows["label"] == remap["id"])
+        .select("doc_id", "source", "nt", F.col("component").alias("label"))
+    )
+    new_docs.unionByName(changed).write.mode("overwrite").parquet(
+        os.path.join(labels_dir, f"batch_id={eff_id}")
+    )
+
+
+def run_stream_neardup_ingest_suite(
+    docs: DataFrame,
+    root_dir: str,
+    checkpoint_dir: str,
+    timeout_sec: int = 120,
+) -> tuple[str, str]:
+    """ONE pass over the raw document stream feeding near-dup detection
+    AND cluster-keeper accounting: each crawl drop is shingled once by
+    the LSH ingest (state + completed pairs under ``root_dir/lsh``), and
+    the same batch's pairs drive the cluster-label store under
+    ``root_dir/labels`` — so ``dedup_adjusted_budget_from_labels_store``
+    re-plans the q226 budget (NEAR-dup-netted, not just exact-fp) after
+    every drop without re-reading the corpus. ``docs`` is the raw
+    documents schema. Returns (lsh_dir, labels_dir)."""
+    from ..functions import text as X
+
+    lsh_dir = os.path.join(root_dir, "lsh")
+    labels_dir = os.path.join(root_dir, "labels")
+
+    def ingest(batch: DataFrame, batch_id: int) -> None:
+        enriched = batch.select(
+            "doc_id",
+            "text",
+            "source",
+            X.token_count(F.col("text")).cast("bigint").alias("n_toks"),
+        ).cache()
+        try:
+            _lsh_dedup_ingest(enriched, batch_id, lsh_dir, labels_dir=labels_dir)
+        finally:
+            enriched.unpersist()
+
+    _run_foreach_batch(
+        docs, ingest, checkpoint_dir, timeout_sec, "run_stream_neardup_ingest_suite"
+    )
+    return lsh_dir, labels_dir
+
+
+def dedup_adjusted_budget_from_labels_store(
+    spark: SparkSession, labels_dir: str, budget_tokens: int | None = None
+) -> DataFrame:
+    """Batch q226 folded from the near-dup label store: current labels
+    are the min per doc over the staged rows; keepers are docs whose
+    label is their own id (batch q226's min-doc_id keeper, by the CC
+    label convention); effective mass counts each CLUSTER once at its
+    keeper's source. Equals batch q226 exactly after the backlog drains —
+    arrival-order-independent, because the pair set is (pinned) and the
+    min-label fold is commutative. Reads O(docs + updates) narrow store
+    rows, never the corpus."""
+    if budget_tokens is None:
+        from ..plans.curation import _BUDGET_TOKENS as budget_tokens
+    from ..plans.curation import budget_plan_columns
+
+    cur = (
+        _read_store_deltas(spark, labels_dir, _ND_LABELS_SCHEMA)
+        .groupBy("doc_id")
+        .agg(
+            F.min("label").alias("label"),
+            F.max("source").alias("source"),
+            F.max("nt").alias("nt"),
+        )
+    )
+    raw = cur.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").cast("bigint").alias("raw_tokens"),
+    )
+    eff = (
+        cur.where(F.col("doc_id") == F.col("label"))
+        .groupBy("source")
+        .agg(F.sum("nt").cast("bigint").alias("eff_tokens"))
+    )
+    j = raw.join(eff, "source", "left").na.fill(0, ["eff_tokens"])
+    return budget_plan_columns(j, budget_tokens)
+
+
+def compact_near_dup_labels_store(spark: SparkSession, labels_dir: str) -> None:
+    """Compact the near-dup label store to one row per doc at its current
+    (min) label. The fold is idempotent min/max, so compaction is exact
+    under any schedule; the floor marker keeps later ingest ids above the
+    folded delta like every flat store."""
+    floor = _compact_partitioned(
+        spark,
+        labels_dir,
+        _ND_LABELS_SCHEMA,
+        lambda df: df.groupBy("doc_id").agg(
+            F.max("source").alias("source"),
+            F.max("nt").alias("nt"),
+            F.min("label").alias("label"),
+        ).select("doc_id", "source", "nt", "label"),
+    )
+    if floor is not None:
+        _write_compaction_floor(labels_dir, floor)
 
 
 # ---------------------------------------------------------------------------

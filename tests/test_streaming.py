@@ -1817,3 +1817,96 @@ def test_dup_flow_folded_replay_manufactures_no_self_edges(spark, tmp_path):
     # the accepted bounded double-count: the A->B edge counts twice ...
     # ... and NO srcA->srcA self-edge from doc 1 seeing its own keeper
     assert after == {("srcA", "srcB"): (2, 1)}
+
+
+def test_neardup_labels_store_budget_equals_batch_q226_any_arrival(spark, tmp_path):
+    """VERDICT r10 item 3: the near-dup label store's budget fold must
+    equal batch q226 (NEAR-dup-netted effective tokens, not just
+    exact-fp) after the backlog drains — for in-order AND reversed
+    drops: the pair set is arrival-independent (pinned) and the
+    min-label fold is commutative."""
+    from big_data_computing_final_project_spark.streaming.events import (
+        dedup_adjusted_budget_from_labels_store,
+        run_stream_neardup_ingest_suite,
+    )
+
+    corpus = _write_corpus_nd(tmp_path / "ndl_corpus")
+    want = [
+        tuple(r)
+        for r in all_queries()["q226_dedup_adjusted_budget"](spark, corpus).collect()
+    ]
+    # planted: cluster {1,2,3,4} keeps doc 1 (srcA); doc 5 singleton
+    # (srcA) — srcB/srcC contribute raw mass but zero effective mass
+    assert [(r[0], r[3] > 0) for r in want] == [
+        ("srcA", True), ("srcB", False), ("srcC", False)
+    ]
+
+    for case, order in (("fwd", _ND_DROPS), ("rev", list(reversed(_ND_DROPS)))):
+        src_dir = _write_doc_drops(tmp_path / f"ndl_arrivals_{case}", order)
+        _, labels_dir = run_stream_neardup_ingest_suite(
+            _docs_stream(spark, src_dir),
+            str(tmp_path / f"ndl_root_{case}"),
+            str(tmp_path / f"ndl_ckpt_{case}"),
+        )
+        got = [
+            tuple(r)
+            for r in dedup_adjusted_budget_from_labels_store(
+                spark, labels_dir
+            ).collect()
+        ]
+        assert got == want, case
+
+
+def test_neardup_labels_store_compaction_and_continued_ingest(spark, tmp_path):
+    """Mid-stream compaction of BOTH suite stores (LSH + labels) must
+    preserve the budget fold and keep the continued stream consistent:
+    the final budget equals batch q226 on the full corpus."""
+    from big_data_computing_final_project_spark.streaming.events import (
+        compact_lsh_dedup_store,
+        compact_near_dup_labels_store,
+        dedup_adjusted_budget_from_labels_store,
+        run_stream_neardup_ingest_suite,
+    )
+
+    corpus = _write_corpus_nd(tmp_path / "ndl_corpus_c")
+    src_dir = tmp_path / "ndl_arrivals_c"
+    _write_doc_drops(src_dir, _ND_DROPS[0:2])
+    root = str(tmp_path / "ndl_root_c")
+    ckpt = str(tmp_path / "ndl_ckpt_c")
+
+    def _go():
+        return run_stream_neardup_ingest_suite(
+            _docs_stream(spark, str(src_dir)), root, ckpt
+        )
+
+    lsh_dir, labels_dir = _go()
+    before = [
+        tuple(r)
+        for r in dedup_adjusted_budget_from_labels_store(spark, labels_dir).collect()
+    ]
+    compact_lsh_dedup_store(spark, lsh_dir)
+    compact_near_dup_labels_store(spark, labels_dir)
+    after = [
+        tuple(r)
+        for r in dedup_adjusted_budget_from_labels_store(spark, labels_dir).collect()
+    ]
+    assert after == before
+
+    # continue the third drop on the SAME checkpoint
+    import time as _time
+
+    import pyarrow.parquet as pq
+
+    p = str(src_dir / "drop_late.parquet")
+    pq.write_table(_docs_tbl(_ND_DROPS[2]), p)
+    os.utime(p, (_time.time(), _time.time()))
+    _go()
+    final = [
+        tuple(r)
+        for r in dedup_adjusted_budget_from_labels_store(spark, labels_dir).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in all_queries()["q226_dedup_adjusted_budget"](spark, corpus).collect()
+    ]
+    assert final == want
