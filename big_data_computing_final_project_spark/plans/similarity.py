@@ -745,14 +745,46 @@ def _ivf_fit(spark: SparkSession, sf_dir: str):
     return centers, assigned
 
 
-def _ivf_scored(
-    spark: SparkSession, sf_dir: str, nprobe: int = _IVF_NPROBE
-) -> DataFrame:
-    """The IVF probe-and-score frame shared by q64 and the IVF-pooled MMR
-    (q205): (q_id, cand_id, cos_sim, e) for every candidate inside each
-    query's nprobe nearest cells."""
-    centers, assigned = _ivf_fit(spark, sf_dir)
+def ivf_cell_udf(centers: list):
+    """Frozen-centers cell assignment as an Arrow-batched kernel: argmin
+    Euclidean distance == argmax(x·c − |c|²/2) (the |x|² term is constant
+    across centers), computed as ONE numpy GEMM per Arrow batch. This is
+    the ingest-time assignment path: the inline column expression for
+    nlist×dim=1024 literal terms overflows janino codegen (measured) and
+    falls back to interpreted, while the GEMM stays vectorized at any
+    nlist. Ties take the lowest cell index, matching MLlib's findClosest
+    (parity with _ivf_fit's transform pinned by the store≡q222 test)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
 
+    C = np.array(centers, dtype=np.float64)
+    half = (C * C).sum(axis=1) / 2.0
+
+    def _cell_of(e):
+        if len(e) == 0:
+            return pd.Series([], dtype="int32")
+        m = np.array(list(e), dtype=np.float64)
+        return pd.Series(np.argmax(m @ C.T - half, axis=1).astype("int32"))
+
+    # real annotation objects (the module's deferred-annotation mode would
+    # hand pandas_udf unresolvable strings)
+    _cell_of.__annotations__ = {"e": pd.Series, "return": pd.Series}
+    return pandas_udf(_cell_of, "int")
+
+
+def ivf_probe_scored(
+    spark: SparkSession,
+    centers: list,
+    assigned: DataFrame,
+    nprobe: int = _IVF_NPROBE,
+) -> DataFrame:
+    """The IVF probe-and-score core over ANY quantizer state: ``centers``
+    is the [nlist][dim] coarse centroids, ``assigned`` the (vec_id, e,
+    nc, cell) index frame. Shared by the session-fit path (_ivf_scored →
+    q64/q205) and the store-built index (streaming ivf_topk_from_store),
+    so the serving and the incrementally-maintained index probe through
+    the SAME code."""
     centroids = spark.createDataFrame(
         [(i, c) for i, c in enumerate(centers)],
         "cell int, centroid array<double>",
@@ -790,9 +822,19 @@ def _ivf_scored(
     )
 
 
-@register("q64_ann_ivf_topk")
-def q64_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    scored = _ivf_scored(spark, sf_dir)
+def _ivf_scored(
+    spark: SparkSession, sf_dir: str, nprobe: int = _IVF_NPROBE
+) -> DataFrame:
+    """The session-fit probe frame shared by q64 and the IVF-pooled MMR
+    (q205): (q_id, cand_id, cos_sim, e) for every candidate inside each
+    query's nprobe nearest cells."""
+    centers, assigned = _ivf_fit(spark, sf_dir)
+    return ivf_probe_scored(spark, centers, assigned, nprobe)
+
+
+def ivf_topk(scored: DataFrame) -> DataFrame:
+    """Exact rerank of a probe frame to the per-query top-_K — shared by
+    q64 and the store-built index path (streaming ivf_topk_from_store)."""
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
@@ -800,6 +842,11 @@ def q64_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "cand_id", "cos_sim", "rk")
         .orderBy("q_id", "rk")
     )
+
+
+@register("q64_ann_ivf_topk")
+def q64_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_topk(_ivf_scored(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -832,8 +879,16 @@ def ivf_cell_balance(assigned: DataFrame, nlist: int) -> DataFrame:
     recommendation flips to 'rebalance' when the hottest cell exceeds 4x
     the uniform ideal or more than a quarter of cells are empty (the
     q172 salt threshold, restated for lists)."""
-    spark = assigned.sparkSession
     counts = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vecs"))
+    return cell_balance_from_counts(counts, nlist)
+
+
+def cell_balance_from_counts(counts: DataFrame, nlist: int) -> DataFrame:
+    """The q222 audit math over pre-aggregated (cell, n_vecs) counts —
+    the form the streaming IVF ingest store folds to, so the live
+    monitor and the batch audit share ONE implementation and cannot
+    drift on thresholds."""
+    spark = counts.sparkSession
     spine = spark.range(nlist).select(F.col("id").cast("int").alias("cell"))
     full = spine.join(counts, "cell", "left").na.fill(0, ["n_vecs"])
     whole = Window.partitionBy()

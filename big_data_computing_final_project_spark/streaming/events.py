@@ -2883,3 +2883,202 @@ def decode_health_monitor_log(spark: SparkSession, store_dir: str) -> DataFrame:
         "source string, n_docs bigint, n_malformed bigint, "
         "malformed_share double, alert boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental IVF index maintenance at ingest (VERDICT r10 item 4): the
+# serving-index lifecycle is auditable (q222) and evaluable (q229) but new
+# vectors only entered the index by re-fitting. This store assigns each
+# arriving embedding to the FROZEN coarse-quantizer cells (the _ivf_fit
+# centers — the only state a 100-TB ingest tier ships) with the numpy-GEMM
+# Arrow kernel (ivf_cell_udf: the inline nlist×dim column expression
+# overflows janino codegen and drops to interpreted; the GEMM stays
+# vectorized), stages per-batch assignments + cell-count partials, and
+# appends a live cell-balance log row per batch — alerting the moment the
+# LIVE imbalance factor crosses q222's rebalance threshold, instead of at
+# the next audit. The monitor math is IMPORTED from
+# plans/similarity.cell_balance_from_counts, so the live monitor and the
+# batch audit cannot drift on thresholds.
+#
+# Store layout (marker + _effective_batch_id contract like dup-flow):
+#   centers/           (cell, centroid) — the frozen quantizer, written
+#                      once by the runner; probing reads it back so the
+#                      store IS a self-contained servable index.
+#   assign/batch_id=N/ (vec_id, cell) — batch N's NEW vectors (an
+#                      anti-join drops ids already indexed, so a folded-id
+#                      replay is a no-op like the LSH state store).
+#   counts/batch_id=N/ (cell, n_vecs) — additive per-cell partials of
+#                      batch N's new vectors.
+#   log/batch_id=N/    one row: cumulative n_vecs, imbalance_factor,
+#                      empty_cell_rate, alert.
+# ---------------------------------------------------------------------------
+
+_IVF_ASSIGN_SCHEMA = "vec_id bigint, cell int"
+_IVF_COUNTS_SCHEMA = "cell int, n_vecs bigint"
+_IVF_MONITOR_LOG_SCHEMA = (
+    "n_vecs bigint, imbalance_factor double, empty_cell_rate double, alert boolean"
+)
+
+
+def run_stream_ivf_assign(
+    vectors: DataFrame,
+    centers: list,
+    store_dir: str,
+    checkpoint_dir: str,
+    timeout_sec: int = 120,
+) -> None:
+    """foreachBatch incremental IVF maintenance: ``vectors`` is a
+    streaming frame of (vec_id, embedding); ``centers`` the [nlist][dim]
+    frozen coarse centroids (from plans/similarity._ivf_fit, or any
+    quantizer with the same shape)."""
+    from ..plans.similarity import as_double, cell_balance_from_counts, ivf_cell_udf
+
+    nlist = len(centers)
+    assign_dir = os.path.join(store_dir, "assign")
+    counts_dir = os.path.join(store_dir, "counts")
+    log_dir = os.path.join(store_dir, "log")
+    centers_dir = os.path.join(store_dir, "centers")
+    cell_of = ivf_cell_udf(centers)
+
+    def ingest(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if not os.path.exists(centers_dir):
+            spark.createDataFrame(
+                [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+                "cell int, centroid array<double>",
+            ).coalesce(1).write.mode("overwrite").parquet(centers_dir)
+        _recover_compaction(assign_dir)
+        _recover_compaction(counts_dir)
+        eff_id = _effective_batch_id(store_dir, batch_id)
+        prior = (
+            _read_store_deltas(spark, assign_dir, _IVF_ASSIGN_SCHEMA)
+            .where(F.col("batch_id") < eff_id)
+            .select("vec_id")
+        )
+        new_vecs = batch.join(prior, "vec_id", "left_anti").select(
+            "vec_id", cell_of(as_double(F.col("embedding"))).alias("cell")
+        )
+        new_vecs.write.mode("overwrite").parquet(
+            os.path.join(assign_dir, f"batch_id={eff_id}")
+        )
+        # counts partial from the just-staged delta (materialized — the
+        # Arrow assignment never recomputes)
+        own = spark.read.schema(_IVF_ASSIGN_SCHEMA).parquet(
+            os.path.join(assign_dir, f"batch_id={eff_id}")
+        )
+        own.groupBy("cell").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs")
+        ).write.mode("overwrite").parquet(
+            os.path.join(counts_dir, f"batch_id={eff_id}")
+        )
+        # live balance over the CUMULATIVE counts (<= this batch): one
+        # fold of O(batches x nlist) additive rows, then q222's math on
+        # exactly nlist rows
+        cum = (
+            _read_store_deltas(spark, counts_dir, _IVF_COUNTS_SCHEMA)
+            .where(F.col("batch_id") <= eff_id)
+            .groupBy("cell")
+            .agg(F.sum("n_vecs").cast("bigint").alias("n_vecs"))
+        )
+        balance = cell_balance_from_counts(cum, nlist)
+        (
+            balance.agg(
+                F.sum("n_vecs").cast("bigint").alias("n_vecs"),
+                F.max("imbalance_factor").alias("imbalance_factor"),
+                F.max("empty_cell_rate").alias("empty_cell_rate"),
+                F.max((F.col("recommendation") == "rebalance").cast("boolean")).alias(
+                    "alert"
+                ),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(log_dir, f"batch_id={eff_id}"))
+        )
+
+    _run_foreach_batch(
+        vectors, ingest, checkpoint_dir, timeout_sec, "run_stream_ivf_assign"
+    )
+
+
+def ivf_balance_from_store(spark: SparkSession, store_dir: str, nlist: int) -> DataFrame:
+    """Batch q222's audit frame folded from the IVF ingest store's count
+    partials — equals q222 on the same corpus + quantizer exactly (the
+    assignment kernel ties to KMeans.transform, pinned), reading
+    O(batches x nlist) additive rows, never the vectors."""
+    from ..plans.similarity import cell_balance_from_counts
+
+    counts = (
+        _read_store_deltas(spark, os.path.join(store_dir, "counts"), _IVF_COUNTS_SCHEMA)
+        .groupBy("cell")
+        .agg(F.sum("n_vecs").cast("bigint").alias("n_vecs"))
+    )
+    return cell_balance_from_counts(counts, nlist)
+
+
+def ivf_monitor_log(spark: SparkSession, store_dir: str) -> DataFrame:
+    """The live cell-balance evaluation log, one row per drained batch."""
+    return _monitor_log(
+        spark, os.path.join(store_dir, "log"), _IVF_MONITOR_LOG_SCHEMA
+    )
+
+
+def ivf_topk_from_store(
+    spark: SparkSession, sf_dir: str, store_dir: str, nprobe: int | None = None
+) -> DataFrame:
+    """q64's probe-and-rerank over the STORE-built index: centers from
+    the store's frozen quantizer, cell assignments from the store fold,
+    float vectors + norms joined back from the embeddings table (the
+    store ships codes-and-cells, not floats — the IVF serving layout).
+    Probes and reranks through plans/similarity.ivf_probe_scored/
+    ivf_topk — the same code as the session-fit index, so recall can
+    only differ through the assignment itself (pinned equal)."""
+    from ..catalog import load_table
+    from ..plans.similarity import (
+        _IVF_NPROBE,
+        as_double,
+        ivf_probe_scored,
+        ivf_topk,
+        norm,
+    )
+
+    centers_rows = (
+        spark.read.schema("cell int, centroid array<double>")
+        .parquet(os.path.join(store_dir, "centers"))
+        .orderBy("cell")
+        .collect()
+    )
+    centers = [list(r.centroid) for r in centers_rows]
+    assign = _read_store_deltas(
+        spark, os.path.join(store_dir, "assign"), _IVF_ASSIGN_SCHEMA
+    ).select("vec_id", "cell")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e")
+    )
+    assigned = emb.join(assign, "vec_id").select(
+        "vec_id", "e", norm(F.col("e")).alias("nc"), "cell"
+    )
+    return ivf_topk(
+        ivf_probe_scored(
+            spark, centers, assigned, nprobe if nprobe is not None else _IVF_NPROBE
+        )
+    )
+
+
+def compact_ivf_assign_store(spark: SparkSession, store_dir: str) -> None:
+    """Compact the IVF ingest store: assignments are unique per vec_id
+    (the anti-join ingest contract — plain rewrite), counts sum per
+    cell. The log is an append-only evaluation record and is kept."""
+    a_floor = _compact_partitioned(
+        spark,
+        os.path.join(store_dir, "assign"),
+        _IVF_ASSIGN_SCHEMA,
+        lambda df: df.select("vec_id", "cell"),
+    )
+    c_floor = _compact_partitioned(
+        spark,
+        os.path.join(store_dir, "counts"),
+        _IVF_COUNTS_SCHEMA,
+        lambda df: df.groupBy("cell").agg(F.sum("n_vecs").cast("bigint").alias("n_vecs")),
+    )
+    floors = [f for f in (a_floor, c_floor) if f is not None]
+    if floors:
+        _write_compaction_floor(store_dir, max(floors))

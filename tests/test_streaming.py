@@ -1910,3 +1910,165 @@ def test_neardup_labels_store_compaction_and_continued_ingest(spark, tmp_path):
         for r in all_queries()["q226_dedup_adjusted_budget"](spark, corpus).collect()
     ]
     assert final == want
+
+
+def _vec_tbl(rows):
+    import pyarrow as pa
+
+    return pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array([r[1] for r in rows], pa.list_(pa.float32())),
+        }
+    )
+
+
+def _vec_stream(spark, src_dir: str):
+    return (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+
+
+def test_stream_ivf_assign_store_equals_batch_audit_and_probe(spark, tmp_path, sf_dir):
+    """VERDICT r10 item 4: stream the corpus embeddings through the IVF
+    ingest store (frozen _ivf_fit centers). The store's count fold must
+    equal batch q222 exactly (assignment kernel ties to
+    KMeans.transform), and probing the STORE-built index must reproduce
+    q64 row-for-row (same probe/rerank code, same assignments)."""
+    import time
+
+    import pyarrow.parquet as pq
+
+    from big_data_computing_final_project_spark.plans.similarity import (
+        _IVF_NLIST,
+        _ivf_fit,
+    )
+    from big_data_computing_final_project_spark.streaming.events import (
+        ivf_balance_from_store,
+        ivf_monitor_log,
+        ivf_topk_from_store,
+        run_stream_ivf_assign,
+    )
+
+    centers, _ = _ivf_fit(spark, sf_dir)
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).select(
+        ["vec_id", "embedding"]
+    )
+    n = tbl.num_rows
+    src = tmp_path / "vec_drops"
+    src.mkdir()
+    base = time.time() - 3600
+    cuts = [(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)]
+    for i, (lo, hi) in enumerate(cuts):
+        p = str(src / f"drop_{i}.parquet")
+        pq.write_table(tbl.slice(lo, hi - lo), p)
+        os.utime(p, (base + 10 * i,) * 2)
+
+    store = str(tmp_path / "ivf_store")
+    run_stream_ivf_assign(
+        _vec_stream(spark, str(src)), centers, store, str(tmp_path / "ivf_ckpt")
+    )
+
+    got = [tuple(r) for r in ivf_balance_from_store(spark, store, _IVF_NLIST).collect()]
+    want = [
+        tuple(r) for r in all_queries()["q222_ivf_cell_balance"](spark, sf_dir).collect()
+    ]
+    assert got == want
+
+    got_topk = [tuple(r) for r in ivf_topk_from_store(spark, sf_dir, store).collect()]
+    want_topk = [
+        tuple(r) for r in all_queries()["q64_ann_ivf_topk"](spark, sf_dir).collect()
+    ]
+    assert got_topk == want_topk
+
+    log = ivf_monitor_log(spark, store).collect()
+    assert len(log) == 3 and log[-1].n_vecs == n
+    # the final live verdict agrees with the batch audit's recommendation
+    assert log[-1].alert == any(r[5] == "rebalance" for r in want)
+
+
+def test_stream_ivf_monitor_alerts_on_hot_cell_drip(spark, tmp_path):
+    """The live cell-balance monitor stays quiet while drops are
+    balanced and fires exactly when a hot-cell drip pushes the
+    cumulative imbalance factor over q222's rebalance threshold."""
+    import time
+
+    import pyarrow.parquet as pq
+
+    from big_data_computing_final_project_spark.streaming.events import (
+        ivf_monitor_log,
+        run_stream_ivf_assign,
+    )
+
+    centers = [[4.0 * i, 4.0 * i] for i in range(8)]
+    balanced1 = [(i, [4.0 * i + 0.1, 4.0 * i - 0.1]) for i in range(8)]
+    balanced2 = [(10 + i, [4.0 * i - 0.1, 4.0 * i + 0.1]) for i in range(8)]
+    hot = [(100 + j, [0.01 * j, -0.01 * j]) for j in range(30)]  # all cell 0
+
+    src = tmp_path / "hot_drops"
+    src.mkdir()
+    base = time.time() - 3600
+    for i, rows in enumerate([balanced1, balanced2, hot]):
+        p = str(src / f"drop_{i}.parquet")
+        pq.write_table(_vec_tbl(rows), p)
+        os.utime(p, (base + 10 * i,) * 2)
+
+    store = str(tmp_path / "hot_store")
+    run_stream_ivf_assign(
+        _vec_stream(spark, str(src)), centers, store, str(tmp_path / "hot_ckpt")
+    )
+    log = ivf_monitor_log(spark, store).collect()
+    # quiet on both balanced drops; cumulative counts after the drip are
+    # cell0=32 of 46 total -> imbalance 32*8/46 = 5.57 > 4 -> alert
+    assert [r.alert for r in log] == [False, False, True]
+    assert log[0].imbalance_factor == 1.0
+    assert log[-1].imbalance_factor > 4.0
+
+
+def test_stream_ivf_store_compaction_and_continued_ingest(spark, tmp_path):
+    """Compacting the IVF ingest store mid-stream preserves the balance
+    fold, and the continued stream's anti-join still drops replayed or
+    already-indexed ids (the folded-delta contract)."""
+    import time
+
+    import pyarrow.parquet as pq
+
+    from big_data_computing_final_project_spark.plans.similarity import (
+        cell_balance_from_counts,
+    )
+    from big_data_computing_final_project_spark.streaming.events import (
+        compact_ivf_assign_store,
+        ivf_balance_from_store,
+        run_stream_ivf_assign,
+    )
+
+    centers = [[4.0 * i, 4.0 * i] for i in range(4)]
+    d1 = [(i, [4.0 * i + 0.1, 4.0 * i - 0.1]) for i in range(4)]
+    d2 = [(10 + i, [4.0 * i - 0.1, 4.0 * i + 0.1]) for i in range(4)]
+    src = tmp_path / "cmp_drops"
+    src.mkdir()
+    base = time.time() - 3600
+    for i, rows in enumerate([d1, d2]):
+        p = str(src / f"drop_{i}.parquet")
+        pq.write_table(_vec_tbl(rows), p)
+        os.utime(p, (base + 10 * i,) * 2)
+
+    store = str(tmp_path / "cmp_store")
+    ckpt = str(tmp_path / "cmp_ckpt")
+    run_stream_ivf_assign(_vec_stream(spark, str(src)), centers, store, ckpt)
+    before = [tuple(r) for r in ivf_balance_from_store(spark, store, 4).collect()]
+    compact_ivf_assign_store(spark, store)
+    after = [tuple(r) for r in ivf_balance_from_store(spark, store, 4).collect()]
+    assert after == before
+
+    # continue: a late drop REPEATING d2's ids plus one new vector — the
+    # replayed ids must not double-index
+    late = [(10, [0.1, -0.1]), (99, [12.1, 11.9])]
+    p = str(src / "drop_late.parquet")
+    pq.write_table(_vec_tbl(late), p)
+    os.utime(p, (time.time(), time.time()))
+    run_stream_ivf_assign(_vec_stream(spark, str(src)), centers, store, ckpt)
+    final = {r.cell: r.n_vecs for r in ivf_balance_from_store(spark, store, 4).collect()}
+    assert final == {0: 2, 1: 2, 2: 2, 3: 3}  # only vec 99 (cell 3) added
