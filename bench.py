@@ -124,6 +124,7 @@ HEADLINE = [
     "q225_ngram_novelty",          # boilerplate/novelty share by source (round-9)
     "q227_decode_quality_matrix",  # decode-health x text-quality join (round-10)
     "q228_retrieval_ndcg",         # nDCG/recall@k retrieval eval (round-10)
+    "q232_curation_scorecard",     # per-source renewal scorecard: q157+q210+q220+q225 (round-11)
 ]
 # Deliberately not benched: q68 and q226 (both ride the iterative CC —
 # timing at this SF is convergence-loop job overhead, not throughput;

@@ -99,4 +99,4 @@ UNSTABLE = {"q60", "q173"}  # q173: five COUNT(DISTINCT)s, same Expand rewrite
 # plan text in a shared pytest session is order-dependent (ADVICE r10),
 # so the sf0.1 headline pin skips them; tools/snapshot_plans.py (fresh
 # session, deterministic order) owns their archived snapshots.
-STATE_DEPENDENT = {"q64", "q222", "q225"}
+STATE_DEPENDENT = {"q64", "q222", "q225", "q232"}  # q232 rides q225's checkpoint

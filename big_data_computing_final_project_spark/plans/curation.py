@@ -990,3 +990,142 @@ def q226_dedup_adjusted_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = raw.join(eff, "source", "left").na.fill(0, ["eff_tokens"])
     return budget_plan_columns(j)
+
+
+# ---------------------------------------------------------------------------
+# q232 — per-source curation scorecard (round 11): the ONE table a data
+# lead reads before a crawl renewal, joining the four per-source health
+# signals the registry already measures separately — exact-dup exposure
+# (q157's fingerprint window), tokenizer fertility (q210), media decode
+# health (q220's real decoders, folded to a malformed share), and n-gram
+# novelty (q225's boilerplate signal) — plus a flag count and a
+# renew/review/reduce recommendation from fixed thresholds. Every ratio
+# is one bigint/bigint division and every threshold literal is spelled
+# identically on both engines (CAST('<repr>' AS DOUBLE) in the oracle —
+# the DECIMAL-literal lesson), so the flags are deterministic
+# cross-engine.
+#
+# Scale shape: three corpus passes that cannot be merged (text-stats
+# fold, binary decode pass, shingle posting lists), each ending in an
+# O(sources) aggregate; the scorecard joins those kilobyte frames. At
+# 100 TB each pass is the corresponding registered query's documented
+# shape — the composition adds only the tiny joins.
+# ---------------------------------------------------------------------------
+
+_SC_DUP_T = 0.25   # dup_rate above this -> dedup before renewal
+_SC_MAL_T = 0.25   # malformed media share above this -> crawl is damaged
+_SC_NOV_T = 0.32   # novelty below this -> boilerplate-heavy source
+_SC_CPW_T = 8.0    # chars/word above this -> encoding damage / wrong lang
+
+_Q232_ORACLE = f"""
+WITH rep AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) FILTER (grp_sz > 1) AS DOUBLE) / COUNT(*) AS dup_rate
+  FROM (SELECT source, CAST(len({_SQL_TOKS}) AS BIGINT) AS n_toks,
+               COUNT(*) OVER (PARTITION BY md5({_SQL_NORM})) AS grp_sz
+        FROM documents)
+  GROUP BY source
+),
+fert AS (
+  SELECT source,
+         CAST(SUM(length({_SQL_NORM})) AS DOUBLE) / SUM(len({_SQL_TOKS}))
+           AS chars_per_word
+  FROM documents WHERE text IS NOT NULL GROUP BY source
+),
+med AS (
+  SELECT source,
+         CAST(COUNT(*) FILTER (WHERE NOT ok) AS DOUBLE) / COUNT(*)
+           AS malformed_share
+  FROM (SELECT source, (doc_id % 11 <> 0 AND doc_id % 7 <> 0) AS ok
+        FROM documents)
+  GROUP BY source
+),
+sh AS (
+  SELECT source, unnest({_SQL_SHINGLES}) AS s
+  FROM (SELECT doc_id, source, {_SQL_TOKS} AS toks
+        FROM documents WHERE text IS NOT NULL)
+),
+df AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+nov AS (
+  SELECT source,
+         CAST(COUNT(*) FILTER (WHERE df.df = 1) AS DOUBLE) / COUNT(*)
+           AS novelty_share
+  FROM sh JOIN df USING (s) GROUP BY source
+),
+j AS (
+  SELECT rep.source, rep.n_docs, rep.n_tokens, rep.dup_rate,
+         fert.chars_per_word, med.malformed_share, nov.novelty_share
+  FROM rep
+  LEFT JOIN fert USING (source)
+  LEFT JOIN med USING (source)
+  LEFT JOIN nov USING (source)
+),
+f AS (
+  SELECT *,
+         CAST(COALESCE(dup_rate > CAST('{_SC_DUP_T!r}' AS DOUBLE), FALSE) AS INT)
+         + CAST(COALESCE(malformed_share > CAST('{_SC_MAL_T!r}' AS DOUBLE), FALSE) AS INT)
+         + CAST(COALESCE(novelty_share < CAST('{_SC_NOV_T!r}' AS DOUBLE), FALSE) AS INT)
+         + CAST(COALESCE(chars_per_word > CAST('{_SC_CPW_T!r}' AS DOUBLE), FALSE) AS INT)
+           AS n_flags
+  FROM j
+)
+SELECT source, n_docs, n_tokens, dup_rate, chars_per_word, malformed_share,
+       novelty_share, n_flags,
+       CASE WHEN n_flags = 0 THEN 'renew'
+            WHEN n_flags = 1 THEN 'review'
+            ELSE 'reduce' END AS recommendation
+FROM f
+ORDER BY source
+"""
+
+
+@register("q232_curation_scorecard", oracle=_Q232_ORACLE)
+def q232_curation_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_media_mix, decode_health
+    from .dedup import q225_ngram_novelty
+    from .textops import q210_tokenizer_fertility
+
+    rep = q157_corpus_report_card(spark, sf_dir).select(
+        "source", "n_docs", "n_tokens", "dup_rate"
+    )
+    fert = q210_tokenizer_fertility(spark, sf_dir).select("source", "chars_per_word")
+    # the REAL decode path (q220's contract), not the oracle's planted
+    # restatement — the scorecard stays honest about what the decoders saw
+    docs = load_table(spark, sf_dir, "documents", fan_out_ok=False)  # see q51
+    med = (
+        decode_health(attach_media_mix(docs))
+        .groupBy("source")
+        .agg(
+            (
+                F.sum((F.col("status") != "ok").cast("int")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("malformed_share")
+        )
+    )
+    nov = q225_ngram_novelty(spark, sf_dir).select("source", "novelty_share")
+    j = (
+        rep.join(fert, "source", "left")
+        .join(med, "source", "left")
+        .join(nov, "source", "left")
+    )
+
+    def flag(c: Column) -> Column:
+        return F.coalesce(c, F.lit(False)).cast("int")
+
+    n_flags = (
+        flag(F.col("dup_rate") > F.lit(_SC_DUP_T))
+        + flag(F.col("malformed_share") > F.lit(_SC_MAL_T))
+        + flag(F.col("novelty_share") < F.lit(_SC_NOV_T))
+        + flag(F.col("chars_per_word") > F.lit(_SC_CPW_T))
+    )
+    return (
+        j.withColumn("n_flags", n_flags)
+        .withColumn(
+            "recommendation",
+            F.when(F.col("n_flags") == 0, F.lit("renew"))
+            .when(F.col("n_flags") == 1, F.lit("review"))
+            .otherwise(F.lit("reduce")),
+        )
+        .orderBy("source")
+    )

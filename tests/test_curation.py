@@ -535,3 +535,61 @@ def test_q226_dedup_adjusted_budget_planted_and_invariants(spark, tmp_path, sf_d
     for r in out:
         assert 0 < r.eff_tokens <= r.raw_tokens
         assert 0.0 < r.dup_discount <= 1.0
+
+
+def test_q232_curation_scorecard_planted_flags(spark, tmp_path, sf_dir):
+    """q232 on a planted corpus where each flag fires in isolation:
+    srcDup (3 identical docs -> dup + zero-novelty flags, 'reduce'),
+    srcBad (ids = 7/14/21 -> every blob malformed by the q220 planting
+    rule, 'review'), srcWide (long words -> fertility flag, 'review'),
+    srcClean (none, 'renew'). On the real corpus: flag arithmetic and
+    the recommendation mapping hold row-by-row."""
+    from _fixtures import write_planted_corpus
+
+    from big_data_computing_final_project_spark.plans import all_queries
+    from big_data_computing_final_project_spark.plans.curation import (
+        _SC_CPW_T,
+        _SC_DUP_T,
+        _SC_MAL_T,
+        _SC_NOV_T,
+    )
+
+    q = all_queries()["q232_curation_scorecard"]
+    dup = "alpha beta gamma delta epsilon zeta eta theta"
+    corpus = write_planted_corpus(
+        tmp_path / "scorecard",
+        [
+            (1, "one two three four five six seven eight", "en", "srcClean"),
+            (2, "nine ten eleven twelve thirteen fourteen", "en", "srcClean"),
+            (4, dup, "en", "srcDup"),
+            (5, dup, "en", "srcDup"),
+            (6, dup, "en", "srcDup"),
+            (7, "crawl fetch parse index rank serve cache", "en", "srcBad"),
+            (14, "shard merge sort spill flush commit sync", "en", "srcBad"),
+            (21, "queue retry backoff jitter deadline abort", "en", "srcBad"),
+            (8, "supercalifragilisticexpialidocious anthropomorphization internationalization incomprehensibilities", "en", "srcWide"),
+        ],
+    )
+    rows = {r.source: r for r in q(spark, corpus).collect()}
+    assert rows["srcClean"].n_flags == 0
+    assert rows["srcClean"].recommendation == "renew"
+    assert rows["srcDup"].dup_rate == 1.0 and rows["srcDup"].novelty_share == 0.0
+    assert rows["srcDup"].n_flags == 2 and rows["srcDup"].recommendation == "reduce"
+    assert rows["srcBad"].malformed_share == 1.0
+    assert rows["srcBad"].n_flags == 1 and rows["srcBad"].recommendation == "review"
+    assert rows["srcWide"].chars_per_word > _SC_CPW_T
+    assert rows["srcWide"].n_flags == 1 and rows["srcWide"].recommendation == "review"
+
+    out = q(spark, sf_dir).collect()
+    assert len(out) > 0
+    for r in out:
+        expect = sum(
+            [
+                r.dup_rate > _SC_DUP_T,
+                r.malformed_share > _SC_MAL_T,
+                r.novelty_share < _SC_NOV_T,
+                r.chars_per_word > _SC_CPW_T,
+            ]
+        )
+        assert r.n_flags == expect
+        assert r.recommendation == {0: "renew", 1: "review"}.get(r.n_flags, "reduce")
