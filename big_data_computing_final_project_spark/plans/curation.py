@@ -1129,3 +1129,198 @@ def q232_curation_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q233 — contamination-aware clean-token budget (round 11): "how many
+# CLEAN NOVEL tokens does each source really contribute?" — q226 nets out
+# near-dup mass; q233 additionally nets out benchmark contamination
+# (q102: a train-split doc containing >= 50% of a held-out doc's
+# 3-shingles leaks eval answers). Per near-dup cluster the counted
+# representative is the CLEAN keeper — the min doc_id among members that
+# are NOT contaminated (a pipeline drops the contaminated copy and keeps
+# the clean twin); a cluster whose every member is contaminated
+# contributes nothing. The sqrt-temperature plan then re-runs on the
+# clean mass only.
+#
+# Scale shape: q226's pieces (session-cached CC labels + two tiny keeper
+# aggregates) plus q102's broadcast-bench containment join; the contam
+# set is O(contaminated docs) and joins the label frame as a broadcast
+# anti-join. The oracle composes the recursive-CTE CC with the q102 core
+# over one shared shingle table.
+# ---------------------------------------------------------------------------
+
+from .dedup import (  # noqa: E402
+    _CONTAIN_T,
+    _JACCARD_T,
+    _SQL_SHINGLES,
+)
+
+_Q233_ORACLE = f"""
+WITH RECURSIVE docs AS (
+  SELECT doc_id, {_SQL_BUCKET} AS b, {_SQL_SHINGLES} AS sh
+  FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+), ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+co AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM co
+  JOIN (SELECT doc_id, len(sh) AS n FROM docs) la ON la.doc_id = doc_a
+  JOIN (SELECT doc_id, len(sh) AS n FROM docs) lb ON lb.doc_id = doc_b
+  WHERE CAST(common AS DOUBLE) / (la.n + lb.n - common) >= {_JACCARD_T}
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach AS (
+  SELECT doc_id, doc_id AS x FROM documents
+  UNION
+  SELECT r.doc_id, e.b AS x FROM reach r JOIN edges e ON e.a = r.x
+),
+labels AS (SELECT doc_id, MIN(x) AS cluster_id FROM reach GROUP BY doc_id),
+ext AS (SELECT doc_id, unnest(sh) AS s FROM docs WHERE b < 80),
+exq AS (SELECT doc_id, unnest(sh) AS s FROM docs WHERE b >= 90),
+cp AS (
+  SELECT ext.doc_id AS train_doc, exq.doc_id AS bench_doc, COUNT(*) AS common
+  FROM ext JOIN exq ON ext.s = exq.s
+  GROUP BY train_doc, bench_doc
+),
+contam AS (
+  SELECT DISTINCT train_doc AS doc_id
+  FROM cp
+  JOIN (SELECT doc_id, len(sh) AS n FROM docs WHERE b >= 90) lq
+    ON lq.doc_id = cp.bench_doc
+  WHERE CAST(common AS DOUBLE) / lq.n >= {_CONTAIN_T}
+),
+t AS (
+  SELECT doc_id, source, CAST(len({_SQL_TOKS}) AS BIGINT) AS nt
+  FROM documents
+),
+eff AS (
+  SELECT t.source, CAST(SUM(t.nt) AS BIGINT) AS eff_tokens
+  FROM labels l JOIN t ON t.doc_id = l.doc_id
+  WHERE l.doc_id = l.cluster_id
+  GROUP BY t.source
+),
+ck AS (
+  SELECT l.cluster_id, MIN(l.doc_id) AS keeper
+  FROM labels l LEFT JOIN contam c ON c.doc_id = l.doc_id
+  WHERE c.doc_id IS NULL
+  GROUP BY l.cluster_id
+),
+clean AS (
+  SELECT t.source, CAST(SUM(t.nt) AS BIGINT) AS clean_tokens
+  FROM ck JOIN t ON t.doc_id = ck.keeper
+  GROUP BY t.source
+),
+raw AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(nt) AS BIGINT) AS raw_tokens
+  FROM t GROUP BY source
+),
+j AS (
+  SELECT r.source, r.n_docs, r.raw_tokens,
+         COALESCE(e.eff_tokens, 0) AS eff_tokens,
+         COALESCE(c.clean_tokens, 0) AS clean_tokens
+  FROM raw r
+  LEFT JOIN eff e USING (source)
+  LEFT JOIN clean c USING (source)
+),
+w AS (
+  SELECT *, CAST(floor(sqrt(CAST(clean_tokens AS DOUBLE))) AS BIGINT) AS wt
+  FROM j
+),
+tt AS (SELECT *, SUM(wt) OVER () AS tot_wt FROM w)
+SELECT source, n_docs, raw_tokens, eff_tokens, clean_tokens,
+       CASE WHEN raw_tokens > 0
+            THEN CAST(clean_tokens AS DOUBLE) / raw_tokens END AS clean_share,
+       wt,
+       CAST(floor(CAST({_BUDGET_TOKENS} * wt AS DOUBLE)
+                  / CAST(tot_wt AS DOUBLE)) AS BIGINT) AS planned_tokens,
+       CASE WHEN clean_tokens > 0
+            THEN CAST(floor(CAST({_BUDGET_TOKENS} * wt AS DOUBLE)
+                            / CAST(tot_wt AS DOUBLE)) AS DOUBLE)
+                 / CAST(clean_tokens AS DOUBLE) END AS repeat_factor
+FROM tt
+ORDER BY source
+"""
+
+
+@register("q233_clean_token_budget", oracle=_Q233_ORACLE)
+def q233_clean_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import dedup_cluster_labels, q102_decontamination
+
+    # staged once: the token-count projection feeds raw + two keeper
+    # joins; build-time job fine (the CC labels already run jobs)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", X.token_count(F.col("text")).cast("bigint").alias("nt")
+    ).localCheckpoint(eager=True)
+    labels = dedup_cluster_labels(spark, sf_dir)  # session-cached CC
+    contam = (
+        q102_decontamination(spark, sf_dir)
+        .select(F.col("train_doc").alias("id"))
+        .distinct()
+    )
+    # dedup keeper == cluster min == the component label itself (q226)
+    eff = (
+        docs.join(
+            labels.where(F.col("id") == F.col("component")).select("id"),
+            docs["doc_id"] == F.col("id"),
+        )
+        .groupBy("source")
+        .agg(F.sum("nt").cast("bigint").alias("eff_tokens"))
+    )
+    # clean keeper: min NON-contaminated member per cluster (broadcast
+    # anti-join against the O(contaminated) id set)
+    clean_keeper = (
+        labels.join(F.broadcast(contam), "id", "left_anti")
+        .groupBy("component")
+        .agg(F.min("id").alias("keeper"))
+    )
+    clean = (
+        docs.join(clean_keeper, docs["doc_id"] == clean_keeper["keeper"])
+        .groupBy("source")
+        .agg(F.sum("nt").cast("bigint").alias("clean_tokens"))
+    )
+    raw = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").cast("bigint").alias("raw_tokens"),
+    )
+    j = (
+        raw.join(eff, "source", "left")
+        .join(clean, "source", "left")
+        .na.fill(0, ["eff_tokens", "clean_tokens"])
+    )
+    wt = F.floor(F.sqrt(F.col("clean_tokens").cast("double"))).cast("bigint")
+    win = Window.partitionBy()
+    w = j.withColumn("wt", wt)
+    planned = F.floor(
+        (F.lit(_BUDGET_TOKENS) * F.col("wt")).cast("double")
+        / F.sum("wt").over(win).cast("double")
+    ).cast("bigint")
+    return (
+        w.select(
+            "source",
+            "n_docs",
+            "raw_tokens",
+            "eff_tokens",
+            "clean_tokens",
+            F.when(
+                F.col("raw_tokens") > 0,
+                F.col("clean_tokens").cast("double") / F.col("raw_tokens"),
+            ).alias("clean_share"),
+            "wt",
+            planned.alias("planned_tokens"),
+            F.when(
+                F.col("clean_tokens") > 0,
+                planned.cast("double") / F.col("clean_tokens").cast("double"),
+            ).alias("repeat_factor"),
+        )
+        .orderBy("source")
+    )

@@ -593,3 +593,52 @@ def test_q232_curation_scorecard_planted_flags(spark, tmp_path, sf_dir):
         )
         assert r.n_flags == expect
         assert r.recommendation == {0: "renew", 1: "review"}.get(r.n_flags, "reduce")
+
+
+def test_q233_clean_token_budget_planted_and_invariants(spark, tmp_path, sf_dir):
+    """q233 on a planted corpus: cluster {1,2} (jac 58/68) has a
+    CONTAMINATED dedup keeper (doc 1 contains 3/3 of bench doc 9's
+    shingles; md5 buckets: 1-8,10 train, 9/11 bench) — the clean mass
+    falls to the clean twin doc 2; srcB's only doc fully contains bench
+    doc 11 so its clean mass is 0; clean singletons keep everything.
+    On the real corpus: clean <= eff <= raw and the plan math holds."""
+    from _fixtures import write_planted_corpus
+
+    from big_data_computing_final_project_spark.plans import all_queries
+
+    q = all_queries()["q233_clean_token_budget"]
+    tail = " ".join(f"w{i}" for i in range(1, 61))
+    corpus = write_planted_corpus(
+        tmp_path / "cleanbudget",
+        [
+            (1, "leak1 leak2 leak3 leak4 leak5 " + tail, "en", "srcA"),
+            (2, "x1 x2 x3 x4 x5 " + tail, "en", "srcA"),
+            (3, "secret one two three four filler words here more stuff", "en", "srcB"),
+            (4, "clean unrelated content entirely different words here today", "en", "srcC"),
+            (9, "leak1 leak2 leak3 leak4 leak5", "en", "srcEval"),
+            (11, "secret one two three four", "en", "srcEval"),
+        ],
+    )
+    rows = {r.source: r for r in q(spark, corpus).collect()}
+    a = rows["srcA"]
+    assert (a.n_docs, a.raw_tokens, a.eff_tokens, a.clean_tokens) == (2, 130, 65, 65)
+    assert a.clean_share == 0.5
+    b = rows["srcB"]
+    assert (b.raw_tokens, b.eff_tokens, b.clean_tokens) == (10, 10, 0)
+    assert b.repeat_factor is None and b.wt == 0
+    c = rows["srcC"]
+    assert c.eff_tokens == c.clean_tokens == c.raw_tokens
+    ev = rows["srcEval"]  # bench docs are never "contaminated train docs"
+    assert ev.clean_tokens == ev.raw_tokens == 10
+
+    from big_data_computing_final_project_spark.plans.curation import _BUDGET_TOKENS
+
+    out = q(spark, sf_dir).collect()
+    assert out and sum(r.planned_tokens for r in out) <= _BUDGET_TOKENS
+    # per source clean <=/>= eff is NOT an invariant: a contaminated
+    # dedup keeper moves the cluster's clean mass to a different member
+    # (different nt, possibly a different source) — observed at sf0.01.
+    for r in out:
+        assert 0 <= r.clean_tokens <= r.raw_tokens
+        assert 0 <= r.eff_tokens <= r.raw_tokens
+        assert r.wt == int(float(r.clean_tokens) ** 0.5)
