@@ -1299,7 +1299,8 @@ def run_stream_ingest_suite(
     root_dir: str,
     checkpoint_dir: str,
     timeout_sec: int = 120,
-) -> tuple[str, str, str]:
+    near_dup: bool = False,
+) -> tuple[str, ...]:
     """ONE pass over the raw document stream feeding the corpus-health
     stores — the deployment shape for dedup-at-ingest: a crawl drop is
     read once, fingerprint and token count are computed once per batch,
@@ -1317,16 +1318,27 @@ def run_stream_ingest_suite(
 
     All ingests stage by batch_id, so the suite inherits their replay
     idempotence; a crash between the writes is healed by the replay
-    overwriting every directory for that batch_id."""
+    overwriting every directory for that batch_id.
+
+    ``near_dup=True`` (round 11) widens the same single pass to the
+    near-dup stores: the cached batch additionally drives the LSH ingest
+    (``root_dir/lsh``) and the cluster-label store (``root_dir/labels``)
+    — shingling and banding run once per drop alongside the fingerprint
+    stores, so EVERY corpus-health fold (flow matrix, report card,
+    exact-fp budget, NEAR-dup budget) maintains itself from one read of
+    the crawl. Returns two extra dirs in that case."""
     from ..functions import text as X
 
     flow_dir = os.path.join(root_dir, "flow")
     vol_dir = os.path.join(root_dir, "volume")
     kept_dir = os.path.join(root_dir, "kept")
+    lsh_dir = os.path.join(root_dir, "lsh")
+    labels_dir = os.path.join(root_dir, "labels")
 
     def ingest(batch: DataFrame, batch_id: int) -> None:
         enriched = batch.select(
             "doc_id",
+            *(["text"] if near_dup else []),  # LSH shingles need the text
             "source",
             "lang",
             "n_chars",
@@ -1336,12 +1348,16 @@ def run_stream_ingest_suite(
         try:
             _dup_flow_ingest(enriched, batch_id, flow_dir, kept_dir=kept_dir)
             _volume_ingest(enriched, batch_id, vol_dir)
+            if near_dup:
+                _lsh_dedup_ingest(enriched, batch_id, lsh_dir, labels_dir=labels_dir)
         finally:
             enriched.unpersist()
 
     _run_foreach_batch(
         docs, ingest, checkpoint_dir, timeout_sec, "run_stream_ingest_suite"
     )
+    if near_dup:
+        return flow_dir, vol_dir, kept_dir, lsh_dir, labels_dir
     return flow_dir, vol_dir, kept_dir
 
 

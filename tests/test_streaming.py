@@ -2072,3 +2072,50 @@ def test_stream_ivf_store_compaction_and_continued_ingest(spark, tmp_path):
     run_stream_ivf_assign(_vec_stream(spark, str(src)), centers, store, ckpt)
     final = {r.cell: r.n_vecs for r in ivf_balance_from_store(spark, store, 4).collect()}
     assert final == {0: 2, 1: 2, 2: 2, 3: 3}  # only vec 99 (cell 3) added
+
+
+def test_ingest_suite_near_dup_one_pass_all_folds(spark, tmp_path):
+    """run_stream_ingest_suite(near_dup=True): ONE pass over the planted
+    near-dup drops maintains every corpus-health store — the flow matrix
+    (exact-fp), the exact-fp budget, the LSH pair store, AND the
+    cluster-label budget — each folding to its batch twin."""
+    from big_data_computing_final_project_spark.streaming.events import (
+        dedup_adjusted_budget_from_labels_store,
+        dup_flow_matrix_from_store,
+        near_dup_pairs_from_store,
+        run_stream_ingest_suite,
+    )
+
+    corpus = _write_corpus_nd(tmp_path / "suite_nd_corpus")
+    src_dir = _write_doc_drops(tmp_path / "suite_nd_arrivals", _ND_DROPS)
+    dirs = run_stream_ingest_suite(
+        _docs_stream(spark, str(src_dir)),
+        str(tmp_path / "suite_nd_root"),
+        str(tmp_path / "suite_nd_ckpt"),
+        near_dup=True,
+    )
+    assert len(dirs) == 5
+    flow_dir, _, _, lsh_dir, labels_dir = dirs
+
+    got_pairs = [tuple(r) for r in near_dup_pairs_from_store(spark, lsh_dir).collect()]
+    want_pairs = [
+        tuple(r)
+        for r in all_queries()["q36_minhash_lsh_dedup"](spark, corpus).collect()
+    ]
+    assert got_pairs == want_pairs
+
+    got_budget = [
+        tuple(r)
+        for r in dedup_adjusted_budget_from_labels_store(spark, labels_dir).collect()
+    ]
+    want_budget = [
+        tuple(r)
+        for r in all_queries()["q226_dedup_adjusted_budget"](spark, corpus).collect()
+    ]
+    assert got_budget == want_budget
+
+    got_flow = [tuple(r) for r in dup_flow_matrix_from_store(spark, flow_dir).collect()]
+    want_flow = [
+        tuple(r) for r in all_queries()["q146_dup_flow_matrix"](spark, corpus).collect()
+    ]
+    assert got_flow == want_flow
