@@ -3079,6 +3079,25 @@ def ivf_topk_from_store(
     )
 
 
+def ivf_retrieval_metrics_from_store(
+    spark: SparkSession, sf_dir: str, store_dir: str
+) -> DataFrame:
+    """q229's ranking-quality eval over the STORE-built index: nDCG@k /
+    capped recall@k of ivf_topk_from_store's ranking through the shared
+    retrieval-metric core — the full serving lifecycle without a re-fit:
+    maintain the index at ingest, probe it, and score the live ranking
+    with the same yardstick as the exact baseline."""
+    from ..catalog import load_table
+    from ..plans.similarity import _N_QUERIES, retrieval_metrics
+
+    lab = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return retrieval_metrics(
+        ivf_topk_from_store(spark, sf_dir, store_dir).select("q_id", "cand_id", "rk"),
+        lab,
+        query_lab=lab.filter(F.col("vec_id") < _N_QUERIES),
+    )
+
+
 def compact_ivf_assign_store(spark: SparkSession, store_dir: str) -> None:
     """Compact the IVF ingest store: assignments are unique per vec_id
     (the anti-join ingest contract — plain rewrite), counts sum per

@@ -1988,6 +1988,21 @@ def test_stream_ivf_assign_store_equals_batch_audit_and_probe(spark, tmp_path, s
     # the final live verdict agrees with the batch audit's recommendation
     assert log[-1].alert == any(r[5] == "rebalance" for r in want)
 
+    # full lifecycle: scoring the store-built ranking through the shared
+    # metric core reproduces q229 (same assignments -> same ranking)
+    from big_data_computing_final_project_spark.streaming.events import (
+        ivf_retrieval_metrics_from_store,
+    )
+
+    got_eval = [
+        tuple(r) for r in ivf_retrieval_metrics_from_store(spark, sf_dir, store).collect()
+    ]
+    want_eval = [
+        tuple(r)
+        for r in all_queries()["q229_ann_retrieval_ndcg"](spark, sf_dir).collect()
+    ]
+    assert got_eval == want_eval
+
 
 def test_stream_ivf_monitor_alerts_on_hot_cell_drip(spark, tmp_path):
     """The live cell-balance monitor stays quiet while drops are
