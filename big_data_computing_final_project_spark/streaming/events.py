@@ -1717,7 +1717,15 @@ def _near_dup_label_ingest(
         .where(F.col("src") != F.col("dst"))
         .select("src", "dst")
         .distinct()
+        .localCheckpoint(eager=True)  # consumed by the guard + CC rounds
     )
+    if label_edges.isEmpty():
+        # every pair lies within an existing cluster — no merges; the
+        # steady-state fast path once clusters have formed
+        new_docs.write.mode("overwrite").parquet(
+            os.path.join(labels_dir, f"batch_id={eff_id}")
+        )
+        return
     verts = (
         label_edges.select(F.col("src").alias("id"))
         .unionByName(label_edges.select(F.col("dst").alias("id")))

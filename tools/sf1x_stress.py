@@ -105,6 +105,14 @@ QUERIES = [
     "q64_ann_ivf_topk",
     "q226_dedup_adjusted_budget",
     "q227_decode_quality_matrix",
+    # round-11 additions: the index-eval pair (int8 probe + PQ fit/ADC
+    # over the 10x store), the curation scorecard (three corpus passes),
+    # and the clean budget (shares q226's session CC labels — marginal
+    # cost only, the q222-after-q64 argument)
+    "q230_int8_retrieval_ndcg",
+    "q231_pq_retrieval_ndcg",
+    "q232_curation_scorecard",
+    "q233_clean_token_budget",
 ]
 
 
