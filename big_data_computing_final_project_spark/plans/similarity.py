@@ -1782,21 +1782,44 @@ def q200_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", as_double(F.col("embedding")).alias("e")
     )
     dim = len(emb.select("e").first()["e"])
+    books = _pq_books(spark, sf_dir, emb, dim)
+    # the serving store: codes + exact norm only (no float vectors)
+    store = emb.select(
+        "vec_id", _pq_encode(books).alias("codes"), norm(F.col("e")).alias("nc")
+    )
+    return _pq_adc_rank(spark, emb, books, store)
+
+
+def _pq_books(
+    spark: SparkSession, sf_dir: str, emb: DataFrame, dim: int
+) -> list[list[list[float]]]:
+    """The session-cached codebook fit behind q200 and the persisted-index
+    saver (sources/ann_index.py): same session-scoped quantizer-state
+    reuse as _ivf_fit — the 8 per-subspace fits are a pure function of
+    (application, sf_dir, M, K, input bytes)."""
     if dim % _PQ_M != 0:
         raise ValueError(f"embedding dim {dim} not divisible by {_PQ_M} subspaces")
-    d = dim // _PQ_M
-    # same session-scoped quantizer-state reuse as _ivf_fit: the 8
-    # per-subspace fits are a pure function of (application, sf_dir, M, K)
     pq_key = (spark.sparkContext.applicationId, sf_dir, _PQ_M, _PQ_K)
     pq_snapshot = _table_snapshot(sf_dir, "embeddings")
     books = _quantizer_cache_get(pq_key, pq_snapshot)
     if books is None:
         books = _pq_codebooks(spark, emb, dim)
         _quantizer_cache_put(pq_key, pq_snapshot, books)
-    # the serving store: codes + exact norm only (no float vectors)
-    store = emb.select(
-        "vec_id", _pq_encode(books).alias("codes"), norm(F.col("e")).alias("nc")
-    )
+    return books
+
+
+def _pq_adc_rank(
+    spark: SparkSession,
+    emb: DataFrame,
+    books: list[list[list[float]]],
+    store: DataFrame,
+) -> DataFrame:
+    """ADC shortlist + exact rerank over ANY (codebooks, code store) pair —
+    the session-built store (q200) and the persisted index
+    (sources/ann_index.pq_topk_from_index) rank through this one body, so
+    a loaded index is pinned row-for-row to the session fit. ``emb``
+    supplies the query vectors and the rerank floats only."""
+    d = len(books[0][0])
     # per-query LUTs: flat array of dots packed PER ACTUAL BOOK LENGTH —
     # KMeans can return fewer than _PQ_K centers for a degenerate
     # subspace, so the ADC index uses cumulative offsets, not a fixed
