@@ -1109,6 +1109,15 @@ def q232_curation_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(med, "source", "left")
         .join(nov, "source", "left")
     )
+    return scorecard_columns(j)
+
+
+def scorecard_columns(j: DataFrame) -> DataFrame:
+    """Flags + recommendation over a joined per-source signal frame of
+    (source, n_docs, n_tokens, dup_rate, chars_per_word, malformed_share,
+    novelty_share) — ONE formula serving batch q232 and the store fold
+    (streaming/events.curation_scorecard_from_stores), so the live
+    scorecard can never drift from the batch definition."""
 
     def flag(c: Column) -> Column:
         return F.coalesce(c, F.lit(False)).cast("int")

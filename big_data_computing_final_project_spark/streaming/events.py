@@ -1300,6 +1300,7 @@ def run_stream_ingest_suite(
     checkpoint_dir: str,
     timeout_sec: int = 120,
     near_dup: bool = False,
+    scorecard: bool = False,
 ) -> tuple[str, ...]:
     """ONE pass over the raw document stream feeding the corpus-health
     stores — the deployment shape for dedup-at-ingest: a crawl drop is
@@ -1326,7 +1327,15 @@ def run_stream_ingest_suite(
     — shingling and banding run once per drop alongside the fingerprint
     stores, so EVERY corpus-health fold (flow matrix, report card,
     exact-fp budget, NEAR-dup budget) maintains itself from one read of
-    the crawl. Returns two extra dirs in that case."""
+    the crawl. Returns two extra dirs in that case.
+
+    ``scorecard=True`` (round 11) further widens the pass to the three
+    stores the live curation scorecard needs beyond flow+volume —
+    fertility sums (``root_dir/fert``), decode-health counts
+    (``root_dir/health``) and shingle-occurrence counts
+    (``root_dir/shingles``) — so curation_scorecard_from_stores can
+    re-derive batch q232's exact table after every drop without ever
+    re-reading the corpus. Returns those dirs appended."""
     from ..functions import text as X
 
     flow_dir = os.path.join(root_dir, "flow")
@@ -1334,11 +1343,15 @@ def run_stream_ingest_suite(
     kept_dir = os.path.join(root_dir, "kept")
     lsh_dir = os.path.join(root_dir, "lsh")
     labels_dir = os.path.join(root_dir, "labels")
+    fert_dir = os.path.join(root_dir, "fert")
+    health_dir = os.path.join(root_dir, "health")
+    sh_dir = os.path.join(root_dir, "shingles")
 
     def ingest(batch: DataFrame, batch_id: int) -> None:
         enriched = batch.select(
             "doc_id",
-            *(["text"] if near_dup else []),  # LSH shingles need the text
+            # LSH shingles / scorecard tokenizer need the text
+            *(["text"] if near_dup or scorecard else []),
             "source",
             "lang",
             "n_chars",
@@ -1350,15 +1363,185 @@ def run_stream_ingest_suite(
             _volume_ingest(enriched, batch_id, vol_dir)
             if near_dup:
                 _lsh_dedup_ingest(enriched, batch_id, lsh_dir, labels_dir=labels_dir)
+            if scorecard:
+                _scorecard_ingest(enriched, batch_id, fert_dir, health_dir, sh_dir)
         finally:
             enriched.unpersist()
 
     _run_foreach_batch(
         docs, ingest, checkpoint_dir, timeout_sec, "run_stream_ingest_suite"
     )
+    out = [flow_dir, vol_dir, kept_dir]
     if near_dup:
-        return flow_dir, vol_dir, kept_dir, lsh_dir, labels_dir
-    return flow_dir, vol_dir, kept_dir
+        out += [lsh_dir, labels_dir]
+    if scorecard:
+        out += [fert_dir, health_dir, sh_dir]
+    return tuple(out)
+
+
+_FERT_SCHEMA = "source string, n_docs bigint, norm_chars bigint, n_words bigint"
+_SHINGLE_SCHEMA = "sh bigint, source string, cnt bigint"
+
+
+def _scorecard_ingest(
+    batch: DataFrame, batch_id: int, fert_dir: str, health_dir: str, sh_dir: str
+) -> None:
+    """One micro-batch of the scorecard stores (the q232 signals flow +
+    volume don't already carry):
+
+    - fert: per-source additive (n_docs, normalized chars, whitespace
+      words) over non-null text — q210's fertility numerator/denominator.
+    - health: decode-health counts via the SHARED _decode_health_ingest
+      (the real header decoders, q220's contract) over the batch's media.
+    - shingles: per (shingle-hash, source) occurrence counts — q225's
+      posting-list masses, additive across batches. The key is xxhash64
+      of the 3-shingle, not the string: 8 bytes/row instead of the
+      shingle text. A 64-bit collision merges two shingles' df (novelty
+      reads marginally LOW, never high); at test corpus sizes collision
+      probability is ~1e-8, and at 10^12 corpus shingles the expected
+      handful of collisions moves a share ratio in the 12th decimal —
+      the honest trade for a 3-5x smaller store.
+
+    All three stage additive rows under batch_id=N (remapped above each
+    store's own compaction floor), so replays overwrite their own deltas
+    and the folds commute with arrival order."""
+    from ..functions import text as X
+    from ..operators.multimodal import attach_media_mix
+
+    nn = batch.filter(F.col("text").isNotNull())
+    eff_f = _effective_batch_id(fert_dir, batch_id, flat=True)
+    (
+        nn.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.length(X.normalize(F.col("text"))).cast("bigint"))
+            .cast("bigint")
+            .alias("norm_chars"),
+            # the suite already tokenized once per doc (token_count ==
+            # size(tokens) on non-null text) — reuse its n_toks column
+            # instead of a second tokenize pass
+            F.sum("n_toks").cast("bigint").alias("n_words"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(fert_dir, f"batch_id={eff_f}"))
+    )
+    _decode_health_ingest(
+        attach_media_mix(batch.select("doc_id", "source")), batch_id, health_dir
+    )
+    eff_s = _effective_batch_id(sh_dir, batch_id, flat=True)
+    (
+        nn.select(
+            "source",
+            F.explode_outer(
+                X.shingles_of_tokens(X.tokens(F.col("text")), 3)
+            ).alias("s"),
+        )
+        .groupBy(F.xxhash64("s").alias("sh"), "source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(sh_dir, f"batch_id={eff_s}"))
+    )
+
+
+def curation_scorecard_from_stores(spark: SparkSession, root_dir: str) -> DataFrame:
+    """Batch q232's per-source curation scorecard folded ENTIRELY from the
+    ingest-suite stores — the one table a data lead reads, maintained
+    live: after any crawl drop the fold re-derives dup exposure (flow +
+    volume stores), tokenizer fertility (fert store), media decode health
+    (health store) and n-gram novelty (shingle store), then applies the
+    SAME scorecard_columns formula as the batch plan. Reads O(batches x
+    sources) additive rows everywhere except the shingle fold, which is
+    one hash aggregate over O(distinct shingles) store rows — the store
+    IS the posting-list df table, so novelty costs a groupBy, not a
+    corpus re-tokenize.
+
+    Tuple-exact equal to batch q232 after full ingest (pinned fwd +
+    reversed arrival + mid-stream compaction in tests/test_streaming.py);
+    novelty's only divergence channel is a 64-bit shingle-hash collision
+    (see _scorecard_ingest)."""
+    from ..plans.curation import scorecard_columns
+
+    rep = report_card_from_store(
+        spark, os.path.join(root_dir, "volume"), os.path.join(root_dir, "flow")
+    ).select("source", "n_docs", "n_tokens", "dup_rate")
+    fert = (
+        _read_store_deltas(spark, os.path.join(root_dir, "fert"), _FERT_SCHEMA)
+        .groupBy("source")
+        .agg(
+            (
+                F.sum("norm_chars").cast("double") / F.sum("n_words")
+            ).alias("chars_per_word")
+        )
+    )
+    health = _read_store_deltas(
+        spark, os.path.join(root_dir, "health"), _HEALTH_COUNT_SCHEMA
+    )
+    med = health.groupBy("source").agg(
+        (
+            F.sum(F.when(F.col("status") != "ok", F.col("n_docs")).otherwise(0))
+            .cast("double")
+            / F.sum("n_docs")
+        ).alias("malformed_share")
+    )
+    sh = (
+        _read_store_deltas(spark, os.path.join(root_dir, "shingles"), _SHINGLE_SCHEMA)
+        .groupBy("sh", "source")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    df_tab = sh.groupBy("sh").agg(F.sum("cnt").alias("df"))
+    nov = (
+        sh.join(df_tab, "sh")
+        .groupBy("source")
+        .agg(
+            (
+                F.sum(F.when(F.col("df") == 1, F.col("cnt")).otherwise(0))
+                .cast("double")
+                / F.sum("cnt")
+            ).alias("novelty_share")
+        )
+    )
+    j = (
+        rep.join(fert, "source", "left")
+        .join(med, "source", "left")
+        .join(nov, "source", "left")
+    )
+    return scorecard_columns(j)
+
+
+def compact_fert_store(spark: SparkSession, store_dir: str) -> None:
+    """Compact the fertility store: per-source sums are additive;
+    curation_scorecard_from_stores reads identically before and after.
+    Additive ⇒ the section contract's one-batch double-count caveat
+    applies to an uncommitted delta compacted outside the maintenance
+    window."""
+    floor = _compact_partitioned(
+        spark,
+        store_dir,
+        _FERT_SCHEMA,
+        lambda df: df.groupBy("source").agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("norm_chars").alias("norm_chars"),
+            F.sum("n_words").alias("n_words"),
+        ),
+    )
+    if floor is not None:
+        _write_compaction_floor(store_dir, floor)
+
+
+def compact_shingle_store(spark: SparkSession, store_dir: str) -> None:
+    """Compact the shingle-occurrence store: (sh, source) counts merge by
+    summation — the df fold and novelty shares read identically before
+    and after. This is the store that earns compaction: its deltas grow
+    with distinct shingles per batch, and the fold collapses every
+    shingle's history to one row."""
+    floor = _compact_partitioned(
+        spark,
+        store_dir,
+        _SHINGLE_SCHEMA,
+        lambda df: df.groupBy("sh", "source").agg(F.sum("cnt").alias("cnt")),
+    )
+    if floor is not None:
+        _write_compaction_floor(store_dir, floor)
 
 
 def run_stream_psi_counts_by_key(

@@ -2134,3 +2134,92 @@ def test_ingest_suite_near_dup_one_pass_all_folds(spark, tmp_path):
         tuple(r) for r in all_queries()["q146_dup_flow_matrix"](spark, corpus).collect()
     ]
     assert got_flow == want_flow
+
+
+# ---------------------------------------------------------------------------
+# live curation scorecard (round 11): the q232 table folded from stores
+# ---------------------------------------------------------------------------
+
+
+def test_scorecard_suite_fold_equals_batch_q232(spark, tmp_path):
+    """run_stream_ingest_suite(scorecard=True): after full ingest the
+    store fold must equal batch q232 TUPLE-EXACTLY — under forward AND
+    reversed arrival (every scorecard signal is either additive or the
+    arrival-order-independent dup exposure), so the live table can never
+    disagree with what a batch rebuild would say."""
+    from big_data_computing_final_project_spark.streaming.events import (
+        curation_scorecard_from_stores,
+        run_stream_ingest_suite,
+    )
+
+    corpus = _write_corpus(tmp_path / "sc_corpus")
+    want = [
+        tuple(r)
+        for r in all_queries()["q232_curation_scorecard"](spark, corpus).collect()
+    ]
+    assert len(want) > 0
+
+    for case, drops in (
+        ("fwd", _PLANTED_DROPS),
+        ("rev", list(reversed(_PLANTED_DROPS))),
+    ):
+        src_dir = _write_doc_drops(tmp_path / f"sc_arrivals_{case}", drops)
+        root = str(tmp_path / f"sc_root_{case}")
+        dirs = run_stream_ingest_suite(
+            _docs_stream(spark, src_dir),
+            root,
+            str(tmp_path / f"sc_ckpt_{case}"),
+            scorecard=True,
+        )
+        assert len(dirs) == 6  # flow, volume, kept + fert, health, shingles
+        got = [
+            tuple(r) for r in curation_scorecard_from_stores(spark, root).collect()
+        ]
+        assert got == want, case
+
+
+def test_scorecard_stores_compaction_and_continued_ingest(spark, tmp_path):
+    """Compacting every scorecard store mid-stream must leave the fold
+    identical, and a continued ingest on the SAME checkpoint must land
+    above the compaction floors — the final fold equals batch q232 over
+    the full corpus."""
+    import time as _time
+
+    import pyarrow.parquet as pq
+
+    from big_data_computing_final_project_spark.streaming.events import (
+        compact_decode_health_store,
+        compact_fert_store,
+        compact_shingle_store,
+        curation_scorecard_from_stores,
+        run_stream_ingest_suite,
+    )
+
+    corpus = _write_corpus(tmp_path / "scc_corpus")
+    src_dir = tmp_path / "scc_arrivals"
+    _write_doc_drops(src_dir, _PLANTED_DROPS[0:2])
+    root = str(tmp_path / "scc_root")
+    ckpt = str(tmp_path / "scc_ckpt")
+    run_stream_ingest_suite(
+        _docs_stream(spark, str(src_dir)), root, ckpt, scorecard=True
+    )
+    before = [tuple(r) for r in curation_scorecard_from_stores(spark, root).collect()]
+    compact_fert_store(spark, os.path.join(root, "fert"))
+    compact_shingle_store(spark, os.path.join(root, "shingles"))
+    compact_decode_health_store(spark, os.path.join(root, "health"))
+    after = [tuple(r) for r in curation_scorecard_from_stores(spark, root).collect()]
+    assert after == before
+
+    # continue the stream: the third drop arrives after compaction
+    p = str(src_dir / "drop_late.parquet")
+    pq.write_table(_docs_tbl(_PLANTED_DROPS[2]), p)
+    os.utime(p, (_time.time(), _time.time()))
+    run_stream_ingest_suite(
+        _docs_stream(spark, str(src_dir)), root, ckpt, scorecard=True
+    )
+    final = [tuple(r) for r in curation_scorecard_from_stores(spark, root).collect()]
+    want = [
+        tuple(r)
+        for r in all_queries()["q232_curation_scorecard"](spark, corpus).collect()
+    ]
+    assert final == want
