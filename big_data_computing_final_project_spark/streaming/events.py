@@ -3308,3 +3308,224 @@ def compact_ivf_assign_store(spark: SparkSession, store_dir: str) -> None:
     floors = [f for f in (a_floor, c_floor) if f is not None]
     if floors:
         _write_compaction_floor(store_dir, max(floors))
+
+
+# ---------------------------------------------------------------------------
+# Incremental PQ index maintenance at ingest (round 11): the PQ serving
+# store (q200's codes + norms) gains the same lifecycle the IVF index got
+# — new vectors are ENCODED at ingest against the FROZEN per-subspace
+# codebooks (the only state a 100-TB ingest tier ships; encoding is
+# plans/similarity._pq_encode, the SAME column expression the batch store
+# uses, so stored codes are bit-identical to a batch rebuild), staged as
+# additive deltas, and served through the shared ADC+rerank core. A
+# per-(subspace, code) count partial feeds a codebook-health monitor:
+# a hot code means a degenerate subspace codebook (vectors crowding one
+# centroid — the PQ analogue of a hot IVF cell), measured with the SAME
+# cell_balance_from_counts math as q222, per subspace.
+#
+# Store layout (marker + _effective_batch_id contract like the IVF store):
+#   books/             (m, k, centroid) — frozen codebooks, written once;
+#                      reading them back makes the store self-contained.
+#   codes/batch_id=N/  (vec_id, codes, nc) — batch N's NEW vectors
+#                      (anti-join; folded-id replay is a no-op).
+#   counts/batch_id=N/ (m, code, n_vecs) — additive code-usage partials.
+#   log/batch_id=N/    one row: cumulative n_vecs, worst per-subspace
+#                      imbalance factor, alert.
+# ---------------------------------------------------------------------------
+
+_PQ_CODES_SCHEMA = "vec_id bigint, codes array<int>, nc double"
+_PQ_COUNTS_SCHEMA = "m int, code int, n_vecs bigint"
+_PQ_MONITOR_LOG_SCHEMA = "n_vecs bigint, imbalance_factor double, alert boolean"
+
+
+def run_stream_pq_encode(
+    vectors: DataFrame,
+    books: list,
+    store_dir: str,
+    checkpoint_dir: str,
+    timeout_sec: int = 120,
+) -> None:
+    """foreachBatch incremental PQ maintenance: ``vectors`` is a streaming
+    frame of (vec_id, embedding); ``books`` the [m][k][sub_dim] frozen
+    codebooks (from plans/similarity._pq_books, or sources/ann_index's
+    loaded index)."""
+    from ..plans.similarity import _pq_encode, as_double, cell_balance_from_counts, norm
+
+    books_dir = os.path.join(store_dir, "books")
+    codes_dir = os.path.join(store_dir, "codes")
+    counts_dir = os.path.join(store_dir, "counts")
+    log_dir = os.path.join(store_dir, "log")
+
+    def ingest(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if not os.path.exists(books_dir):
+            spark.createDataFrame(
+                [
+                    (m, k, [float(x) for x in c])
+                    for m, book in enumerate(books)
+                    for k, c in enumerate(book)
+                ],
+                "m int, k int, centroid array<double>",
+            ).coalesce(1).write.mode("overwrite").parquet(books_dir)
+        _recover_compaction(codes_dir)
+        _recover_compaction(counts_dir)
+        eff_id = _effective_batch_id(store_dir, batch_id)
+        prior = (
+            _read_store_deltas(spark, codes_dir, _PQ_CODES_SCHEMA)
+            .where(F.col("batch_id") < eff_id)
+            .select("vec_id")
+        )
+        new_codes = (
+            batch.join(prior, "vec_id", "left_anti")
+            .select("vec_id", as_double(F.col("embedding")).alias("e"))
+            .select(
+                "vec_id", _pq_encode(books).alias("codes"), norm(F.col("e")).alias("nc")
+            )
+        )
+        new_codes.write.mode("overwrite").parquet(
+            os.path.join(codes_dir, f"batch_id={eff_id}")
+        )
+        # code-usage partial from the just-staged delta (materialized —
+        # the encode expression never recomputes)
+        own = spark.read.schema(_PQ_CODES_SCHEMA).parquet(
+            os.path.join(codes_dir, f"batch_id={eff_id}")
+        )
+        (
+            own.select(F.posexplode("codes").alias("m", "code"))
+            .groupBy("m", "code")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(counts_dir, f"batch_id={eff_id}"))
+        )
+        # codebook health over the CUMULATIVE counts: q222's balance math
+        # per subspace (K cells each), alert on the worst subspace
+        cum = (
+            _read_store_deltas(spark, counts_dir, _PQ_COUNTS_SCHEMA)
+            .where(F.col("batch_id") <= eff_id)
+            .groupBy("m", "code")
+            .agg(F.sum("n_vecs").cast("bigint").alias("n_vecs"))
+        )
+        per_sub = [
+            cell_balance_from_counts(
+                cum.where(F.col("m") == m).select(
+                    F.col("code").alias("cell"), "n_vecs"
+                ),
+                len(books[m]),
+            ).agg(
+                F.sum("n_vecs").cast("bigint").alias("n_vecs"),
+                F.max("imbalance_factor").alias("imbalance_factor"),
+                F.max(
+                    (F.col("recommendation") == "rebalance").cast("boolean")
+                ).alias("alert"),
+            )
+            for m in range(len(books))
+        ]
+        worst = per_sub[0]
+        for frame in per_sub[1:]:
+            worst = worst.unionByName(frame)
+        (
+            worst.agg(
+                F.max("n_vecs").cast("bigint").alias("n_vecs"),
+                F.max("imbalance_factor").alias("imbalance_factor"),
+                F.max("alert").alias("alert"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(log_dir, f"batch_id={eff_id}"))
+        )
+
+    _run_foreach_batch(
+        vectors, ingest, checkpoint_dir, timeout_sec, "run_stream_pq_encode"
+    )
+
+
+def pq_code_balance_from_store(
+    spark: SparkSession, store_dir: str
+) -> DataFrame:
+    """Per-(subspace, code) usage audit folded from the count partials:
+    q222's balance columns per subspace, reading O(batches x M x K)
+    additive rows, never the vectors. A 'rebalance' row means that
+    subspace's codebook no longer matches the data distribution — the
+    refit signal for the PQ half of the index lifecycle."""
+    from ..plans.similarity import cell_balance_from_counts
+
+    books_rows = (
+        spark.read.schema("m int, k int, centroid array<double>")
+        .parquet(os.path.join(store_dir, "books"))
+        .groupBy("m")
+        .agg(F.count(F.lit(1)).alias("kk"))
+        .orderBy("m")
+        .collect()
+    )
+    cum = (
+        _read_store_deltas(spark, os.path.join(store_dir, "counts"), _PQ_COUNTS_SCHEMA)
+        .groupBy("m", "code")
+        .agg(F.sum("n_vecs").cast("bigint").alias("n_vecs"))
+    )
+    out = None
+    for r in books_rows:
+        part = cell_balance_from_counts(
+            cum.where(F.col("m") == r["m"]).select(
+                F.col("code").alias("cell"), "n_vecs"
+            ),
+            int(r["kk"]),
+        ).select(F.lit(r["m"]).alias("m"), "*")
+        out = part if out is None else out.unionByName(part)
+    return out.orderBy("m", "cell")
+
+
+def pq_monitor_log(spark: SparkSession, store_dir: str) -> DataFrame:
+    """The codebook-health evaluation log, one row per drained batch."""
+    return _monitor_log(
+        spark, os.path.join(store_dir, "log"), _PQ_MONITOR_LOG_SCHEMA
+    )
+
+
+def pq_topk_from_store(
+    spark: SparkSession, sf_dir: str, store_dir: str
+) -> DataFrame:
+    """q200's ADC-shortlist + exact-rerank ranking over the STORE-built
+    code table: books from the store's frozen codebooks, codes from the
+    store fold, float vectors joined back from the embeddings table for
+    queries and rerank survivors only. Ranks through the SAME
+    _pq_adc_rank body as q200, so the incrementally-maintained index is
+    pinned row-for-row to the session-built one."""
+    from ..catalog import load_table
+    from ..plans.similarity import _pq_adc_rank, as_double
+
+    rows = spark.read.schema("m int, k int, centroid array<double>").parquet(
+        os.path.join(store_dir, "books")
+    ).collect()
+    by_m: dict = {}
+    for r in rows:
+        by_m.setdefault(r["m"], {})[r["k"]] = [float(x) for x in r["centroid"]]
+    books = [[by_m[m][k] for k in sorted(by_m[m])] for m in sorted(by_m)]
+    store = _read_store_deltas(
+        spark, os.path.join(store_dir, "codes"), _PQ_CODES_SCHEMA
+    ).select("vec_id", "codes", "nc")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e")
+    )
+    return _pq_adc_rank(spark, emb, books, store)
+
+
+def compact_pq_code_store(spark: SparkSession, store_dir: str) -> None:
+    """Compact the PQ ingest store: codes are unique per vec_id (anti-join
+    ingest contract — plain rewrite), counts sum per (m, code). The log
+    is an append-only evaluation record and is kept."""
+    c_floor = _compact_partitioned(
+        spark,
+        os.path.join(store_dir, "codes"),
+        _PQ_CODES_SCHEMA,
+        lambda df: df.select("vec_id", "codes", "nc"),
+    )
+    u_floor = _compact_partitioned(
+        spark,
+        os.path.join(store_dir, "counts"),
+        _PQ_COUNTS_SCHEMA,
+        lambda df: df.groupBy("m", "code").agg(
+            F.sum("n_vecs").cast("bigint").alias("n_vecs")
+        ),
+    )
+    floors = [f for f in (c_floor, u_floor) if f is not None]
+    if floors:
+        _write_compaction_floor(store_dir, max(floors))

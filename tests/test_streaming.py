@@ -2223,3 +2223,134 @@ def test_scorecard_stores_compaction_and_continued_ingest(spark, tmp_path):
         for r in all_queries()["q232_curation_scorecard"](spark, corpus).collect()
     ]
     assert final == want
+
+
+# ---------------------------------------------------------------------------
+# incremental PQ maintenance (round 11): the q200 code store at ingest
+# ---------------------------------------------------------------------------
+
+
+def test_stream_pq_encode_store_equals_batch_q200(spark, tmp_path, sf_dir):
+    """Stream the corpus embeddings through the PQ encode store (frozen
+    _pq_books codebooks). Serving the STORE-built code table must
+    reproduce q200 row-for-row (same encode expression, same ADC+rerank
+    core), and the code-usage audit must account for every vector."""
+    import time
+
+    import pyarrow.parquet as pq
+
+    from big_data_computing_final_project_spark.catalog import load_table
+    from big_data_computing_final_project_spark.plans.similarity import (
+        _PQ_K,
+        _pq_books,
+        as_double,
+    )
+    from big_data_computing_final_project_spark.streaming.events import (
+        pq_code_balance_from_store,
+        pq_monitor_log,
+        pq_topk_from_store,
+        run_stream_pq_encode,
+    )
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e")
+    )
+    dim = len(emb.select("e").first()["e"])
+    books = _pq_books(spark, sf_dir, emb, dim)
+
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).select(
+        ["vec_id", "embedding"]
+    )
+    n = tbl.num_rows
+    src = tmp_path / "pq_vec_drops"
+    src.mkdir()
+    base = time.time() - 3600
+    cuts = [(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)]
+    for i, (lo, hi) in enumerate(cuts):
+        p = str(src / f"drop_{i}.parquet")
+        pq.write_table(tbl.slice(lo, hi - lo), p)
+        os.utime(p, (base + 10 * i,) * 2)
+
+    store = str(tmp_path / "pq_store")
+    run_stream_pq_encode(
+        _vec_stream(spark, str(src)), books, store, str(tmp_path / "pq_ckpt")
+    )
+
+    got_topk = [tuple(r) for r in pq_topk_from_store(spark, sf_dir, store).collect()]
+    want_topk = [
+        tuple(r) for r in all_queries()["q200_pq_ann_topk"](spark, sf_dir).collect()
+    ]
+    assert got_topk == want_topk and len(got_topk) > 0
+
+    bal = pq_code_balance_from_store(spark, store)
+    per_m = {
+        r["m"]: r["total"]
+        for r in bal.groupBy("m").agg(F.sum("n_vecs").alias("total")).collect()
+    }
+    assert per_m == {m: n for m in range(len(books))}
+    # every subspace audited over its full code range (empty codes kept)
+    assert bal.count() == sum(len(b) for b in books)
+    assert all(len(b) <= _PQ_K for b in books)
+
+    log = pq_monitor_log(spark, store).collect()
+    assert len(log) == 3 and log[-1].n_vecs == n
+
+
+def test_stream_pq_store_compaction_and_continued_ingest(spark, tmp_path, sf_dir):
+    """Compacting the PQ store mid-stream leaves the served ranking and
+    the usage audit identical; a continued ingest on the SAME checkpoint
+    lands above the floor and completes the corpus."""
+    import time
+
+    import pyarrow.parquet as pq
+
+    from big_data_computing_final_project_spark.catalog import load_table
+    from big_data_computing_final_project_spark.plans.similarity import (
+        _pq_books,
+        as_double,
+    )
+    from big_data_computing_final_project_spark.streaming.events import (
+        compact_pq_code_store,
+        pq_code_balance_from_store,
+        pq_topk_from_store,
+        run_stream_pq_encode,
+    )
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e")
+    )
+    dim = len(emb.select("e").first()["e"])
+    books = _pq_books(spark, sf_dir, emb, dim)
+
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).select(
+        ["vec_id", "embedding"]
+    )
+    n = tbl.num_rows
+    src = tmp_path / "pqc_vec_drops"
+    src.mkdir()
+    base = time.time() - 3600
+    for i, (lo, hi) in enumerate([(0, n // 2), (n // 2, 3 * n // 4)]):
+        p = str(src / f"drop_{i}.parquet")
+        pq.write_table(tbl.slice(lo, hi - lo), p)
+        os.utime(p, (base + 10 * i,) * 2)
+
+    store = str(tmp_path / "pqc_store")
+    ckpt = str(tmp_path / "pqc_ckpt")
+    run_stream_pq_encode(_vec_stream(spark, str(src)), books, store, ckpt)
+    before = [tuple(r) for r in pq_code_balance_from_store(spark, store).collect()]
+    compact_pq_code_store(spark, store)
+    after = [tuple(r) for r in pq_code_balance_from_store(spark, store).collect()]
+    assert after == before
+
+    p = str(src / "drop_late.parquet")
+    pq.write_table(tbl.slice(3 * n // 4, n - 3 * n // 4), p)
+    os.utime(p, (time.time(),) * 2)
+    run_stream_pq_encode(_vec_stream(spark, str(src)), books, store, ckpt)
+
+    got_topk = [tuple(r) for r in pq_topk_from_store(spark, sf_dir, store).collect()]
+    want_topk = [
+        tuple(r) for r in all_queries()["q200_pq_ann_topk"](spark, sf_dir).collect()
+    ]
+    assert got_topk == want_topk
