@@ -1751,3 +1751,104 @@ def q225_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q234 — near-dup cluster-size distribution (round 11): the shape of the
+# duplication, not just its mass. q68 lists the clusters and q226 nets
+# out their token mass; this answers the question a data lead asks next:
+# is the duplication DIFFUSE (many pairs/triples — organic near-copies,
+# dedup is routine) or HEAD-HEAVY (one mega-cluster — a boilerplate
+# template or mirror, worth fixing at the crawler)? One row per distinct
+# cluster size: how many clusters, how many docs they hold, their doc
+# share, and the cumulative share held by clusters AT LEAST this large
+# (read top-down: the head line of the distribution).
+#
+# Scale shape: the session-cached CC labels (dedup_cluster_labels — the
+# marginal-cost argument q233 established) + TWO hash aggregates
+# (component -> size, size -> count) and window math over O(distinct
+# sizes) rows — a bounded-domain frame (the q191 class), never
+# corpus-proportional.
+# ---------------------------------------------------------------------------
+
+_Q234_ORACLE = f"""
+WITH RECURSIVE docs AS (
+  SELECT doc_id, {_SQL_SHINGLES} AS sh
+  FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+), ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+co AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM co
+  JOIN (SELECT doc_id, len(sh) AS n FROM docs) la ON la.doc_id = doc_a
+  JOIN (SELECT doc_id, len(sh) AS n FROM docs) lb ON lb.doc_id = doc_b
+  WHERE CAST(common AS DOUBLE) / (la.n + lb.n - common) >= {_JACCARD_T}
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach AS (
+  SELECT doc_id, doc_id AS x FROM documents
+  UNION
+  SELECT r.doc_id, e.b AS x FROM reach r JOIN edges e ON e.a = r.x
+),
+labels AS (SELECT doc_id, MIN(x) AS cluster_id FROM reach GROUP BY doc_id),
+sizes AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM labels GROUP BY cluster_id
+),
+dist AS (
+  SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+  FROM sizes GROUP BY cluster_size
+)
+SELECT cluster_size, n_clusters, n_docs,
+       CAST(n_docs AS DOUBLE) / (SELECT COUNT(*) FROM documents) AS doc_share,
+       CAST(SUM(n_docs) OVER (ORDER BY cluster_size DESC) AS DOUBLE)
+         / (SELECT COUNT(*) FROM documents) AS cum_share_at_least
+FROM dist
+ORDER BY cluster_size
+"""
+
+
+@register("q234_dedup_cluster_sizes", oracle=_Q234_ORACLE)
+def q234_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cluster_size, n_clusters, n_docs, doc_share, cum_share_at_least):
+    the near-dup cluster-size histogram over the session-cached component
+    labels, with the head-mass readout (share of the corpus sitting in
+    clusters >= each size). cum_share_at_least at cluster_size=1 is 1.0
+    by construction; the first row BELOW 1.0 going down the table is
+    where dedup stops mattering."""
+    labels = dedup_cluster_labels(spark, sf_dir)
+    n_total = labels.agg(F.count(F.lit(1)).alias("__n"))
+    sizes = labels.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    dist = sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters")
+    )
+    w = Window.orderBy(F.col("cluster_size").desc())
+    return (
+        dist.select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).cast("bigint").alias("n_docs"),
+        )
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            "n_docs",
+            (F.col("n_docs").cast("double") / F.col("__n")).alias("doc_share"),
+            (
+                F.sum("n_docs").over(w).cast("double") / F.col("__n")
+            ).alias("cum_share_at_least"),
+        )
+        .orderBy("cluster_size")
+    )

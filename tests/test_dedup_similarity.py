@@ -1368,3 +1368,55 @@ def test_q230_q231_index_eval_matrix(spark, sf_dir):
         assert [tuple(x) for x in q[name](spark, sf_dir).collect()] == [
             tuple(x) for x in rows
         ]
+
+
+def test_q234_cluster_size_distribution_planted(spark, tmp_path):
+    """q234 on a planted corpus with a known cluster structure: one
+    3-copy template, one 2-copy pair, two singletons — the histogram,
+    shares and head-mass column are fully determined."""
+    from big_data_computing_final_project_spark.plans import all_queries
+
+    sf_dir = str(tmp_path)
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    tri = "the quick brown fox jumps over the lazy dog again and again"
+    duo = "an entirely different template reused across two mirror sites"
+    rows = [
+        (1, tri, "en", "a", 60),
+        (2, tri, "en", "b", 60),
+        (3, tri, "en", "c", 60),
+        (4, duo, "en", "a", 61),
+        (5, duo, "en", "b", 61),
+        (6, "unique document content number six with its own words", "en", "a", 53),
+        (7, "another singleton holding completely unrelated material", "en", "b", 55),
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+        f"{sf_dir}/documents.parquet"
+    )
+    got = [
+        tuple(r)
+        for r in all_queries()["q234_dedup_cluster_sizes"](spark, sf_dir).collect()
+    ]
+    assert got == [
+        (1, 2, 2, 2 / 7, 1.0),
+        (2, 1, 2, 2 / 7, 5 / 7),
+        (3, 1, 3, 3 / 7, 3 / 7),
+    ]
+
+
+def test_q234_rides_the_session_label_cache(spark, sf_dir):
+    """q234 over the shared corpus: doc mass accounts for every document,
+    head-mass is monotone decreasing in cluster size, and the call costs
+    one cached-label reuse (same frame as dedup_cluster_labels)."""
+    from big_data_computing_final_project_spark.plans import all_queries
+    from big_data_computing_final_project_spark.plans.dedup import (
+        dedup_cluster_labels,
+    )
+
+    labels = dedup_cluster_labels(spark, sf_dir)
+    n = labels.count()
+    rows = all_queries()["q234_dedup_cluster_sizes"](spark, sf_dir).collect()
+    assert sum(r.n_docs for r in rows) == n
+    assert sum(r.cluster_size * r.n_clusters for r in rows) == n
+    shares = [r.cum_share_at_least for r in rows]
+    assert shares == sorted(shares, reverse=True)
+    assert abs(rows[0].cum_share_at_least - 1.0) < 1e-12

@@ -113,6 +113,9 @@ QUERIES = [
     "q231_pq_retrieval_ndcg",
     "q232_curation_scorecard",
     "q233_clean_token_budget",
+    # cluster-size histogram: shares q68/q226's session CC labels —
+    # marginal cost only (two tiny aggregates after the one build)
+    "q234_dedup_cluster_sizes",
 ]
 
 
