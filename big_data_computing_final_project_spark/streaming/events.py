@@ -1544,6 +1544,106 @@ def compact_shingle_store(spark: SparkSession, store_dir: str) -> None:
         _write_compaction_floor(store_dir, floor)
 
 
+_SCORECARD_LOG_SCHEMA = (
+    "source string, n_flags int, recommendation string, degraded boolean"
+)
+
+def _rec_rank() -> F.Column:
+    """renew < review < reduce as an ordinal (built lazily — Column
+    construction needs a live SparkContext, so no module-level exprs)."""
+    return (
+        F.when(F.col("recommendation") == "renew", 0)
+        .when(F.col("recommendation") == "review", 1)
+        .otherwise(2)
+    )
+
+
+def run_stream_scorecard_monitor(
+    docs: DataFrame,
+    root_dir: str,
+    checkpoint_dir: str,
+    timeout_sec: int = 120,
+) -> None:
+    """Operational endpoint of the live scorecard: the same one-pass
+    scorecard-store ingest as run_stream_ingest_suite(scorecard=True),
+    plus one evaluation-log row PER SOURCE after every drop — the current
+    flag count and recommendation, and ``degraded``: did this drop push
+    the source's recommendation strictly WORSE (renew→review→reduce) than
+    its last logged verdict? A crawl source that starts flooding
+    duplicates or broken media pages the data lead on the drop that
+    crossed the threshold, months before the renewal review reads q232.
+
+    Scale shape: per batch the suite's staged ingests (additive rows) +
+    the scorecard fold (store rows only, the shingle fold's hash
+    aggregate dominating) + an O(sources) log row set. The log stages by
+    effective batch id like every monitor — replay idempotent, the
+    degraded flag computed against strictly-earlier rows only."""
+    from ..functions import text as X
+
+    flow_dir = os.path.join(root_dir, "flow")
+    vol_dir = os.path.join(root_dir, "volume")
+    kept_dir = os.path.join(root_dir, "kept")
+    fert_dir = os.path.join(root_dir, "fert")
+    health_dir = os.path.join(root_dir, "health")
+    sh_dir = os.path.join(root_dir, "shingles")
+    log_dir = os.path.join(root_dir, "log")
+
+    def monitor(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        enriched = batch.select(
+            "doc_id",
+            "text",
+            "source",
+            "lang",
+            "n_chars",
+            X.fingerprint(F.col("text")).alias("fp"),
+            X.token_count(F.col("text")).cast("bigint").alias("n_toks"),
+        ).cache()
+        try:
+            _dup_flow_ingest(enriched, batch_id, flow_dir, kept_dir=kept_dir)
+            _volume_ingest(enriched, batch_id, vol_dir)
+            _scorecard_ingest(enriched, batch_id, fert_dir, health_dir, sh_dir)
+        finally:
+            enriched.unpersist()
+        eff_id = _effective_batch_id(log_dir, batch_id, flat=True)
+        sc = curation_scorecard_from_stores(spark, root_dir).select(
+            "source", "n_flags", "recommendation", _rec_rank().alias("rk")
+        )
+        prev = (
+            _read_store_deltas(spark, log_dir, _SCORECARD_LOG_SCHEMA)
+            .where(F.col("batch_id") < eff_id)
+            .groupBy("source")
+            .agg(F.max_by("recommendation", "batch_id").alias("recommendation"))
+            .select("source", _rec_rank().alias("prev_rk"))
+        )
+        (
+            sc.join(prev, "source", "left")
+            .select(
+                "source",
+                "n_flags",
+                "recommendation",
+                # first sighting of a source is a baseline, not a downgrade
+                (F.col("rk") > F.coalesce(F.col("prev_rk"), F.col("rk"))).alias(
+                    "degraded"
+                ),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(log_dir, f"batch_id={eff_id}"))
+        )
+
+    _run_foreach_batch(
+        docs, monitor, checkpoint_dir, timeout_sec, "run_stream_scorecard_monitor"
+    )
+
+
+def scorecard_monitor_log(spark: SparkSession, root_dir: str) -> DataFrame:
+    """The scorecard monitor's append-only evaluation log, ordered by
+    (batch, source)."""
+    return _monitor_log(
+        spark, os.path.join(root_dir, "log"), _SCORECARD_LOG_SCHEMA
+    )
+
+
 def run_stream_psi_counts_by_key(
     values: DataFrame,
     ref_edges: DataFrame,

@@ -2354,3 +2354,58 @@ def test_stream_pq_store_compaction_and_continued_ingest(spark, tmp_path, sf_dir
         tuple(r) for r in all_queries()["q200_pq_ann_topk"](spark, sf_dir).collect()
     ]
     assert got_topk == want_topk
+
+
+def test_scorecard_monitor_pages_on_source_degradation(spark, tmp_path):
+    """The scorecard degradation monitor: every source baselines
+    un-degraded on first sighting; the drop that floods srcB with
+    duplicates flips its recommendation strictly worse and fires
+    ``degraded`` on exactly that batch; the final log row per source
+    equals batch q232's verdict over the full corpus."""
+    from _fixtures import write_planted_corpus
+
+    from big_data_computing_final_project_spark.streaming.events import (
+        run_stream_scorecard_monitor,
+        scorecard_monitor_log,
+    )
+
+    tmpl = "the quick brown fox jumps over the lazy dog near the river bank"
+    docs1 = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "srcA"),
+        (2, "one two three four five six seven eight nine ten eleven", "en", "srcA"),
+        (3, tmpl, "en", "srcB"),
+        (4, "completely fresh wording with original content in every slot", "en", "srcB"),
+    ]
+    docs2 = [(5, tmpl, "en", "srcB"), (6, tmpl, "en", "srcB"), (8, tmpl, "en", "srcB")]
+
+    corpus = write_planted_corpus(tmp_path / "mon_corpus", docs1 + docs2)
+    src_dir = _write_doc_drops(tmp_path / "mon_arrivals", [docs1, docs2])
+    root = str(tmp_path / "mon_root")
+    run_stream_scorecard_monitor(
+        _docs_stream(spark, src_dir), root, str(tmp_path / "mon_ckpt")
+    )
+
+    log = scorecard_monitor_log(spark, root).collect()
+    by_batch = {}
+    for r in log:
+        by_batch.setdefault(r.batch_id, {})[r.source] = r
+    assert set(by_batch) == {0, 1}
+    # batch 0: both sources clean baselines
+    assert by_batch[0]["srcA"].recommendation == "renew"
+    assert by_batch[0]["srcB"].recommendation == "renew"
+    assert not by_batch[0]["srcA"].degraded and not by_batch[0]["srcB"].degraded
+    # batch 1: the dup flood degrades srcB and only srcB
+    assert by_batch[1]["srcB"].degraded
+    assert by_batch[1]["srcB"].recommendation in ("review", "reduce")
+    assert by_batch[1]["srcA"].recommendation == "renew"
+    assert not by_batch[1]["srcA"].degraded
+
+    # the final verdicts equal batch q232 over the full corpus
+    want = {
+        r["source"]: (r["n_flags"], r["recommendation"])
+        for r in all_queries()["q232_curation_scorecard"](spark, corpus).collect()
+    }
+    got = {
+        s: (r.n_flags, r.recommendation) for s, r in by_batch[1].items()
+    }
+    assert got == want
