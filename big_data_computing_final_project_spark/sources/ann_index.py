@@ -138,6 +138,56 @@ def ivf_topk_from_index(
     return ivf_topk(ivf_probe_scored(spark, centers, lists))
 
 
+def save_ivf_index_from_store(
+    spark: SparkSession, sf_dir: str, store_dir: str, index_dir: str
+) -> None:
+    """Promote a live IVF ingest store (streaming/events.
+    run_stream_ivf_assign) to the servable partitioned artifact — the
+    compaction-to-serving handoff of the index lifecycle: the ingest tier
+    maintains (vec_id, cell) deltas and the balance monitor; when the
+    index is due to ship, this folds the store, joins the float vectors
+    back from the embeddings table ONCE, and writes the cell-partitioned
+    inverted lists + centers that ivf_topk_from_index serves with dynamic
+    partition pruning. No quantizer runs; the store's frozen centers ARE
+    the index's."""
+    from ..catalog import load_table
+    from ..plans.similarity import as_double, norm
+
+    from ..streaming.events import _IVF_ASSIGN_SCHEMA, _read_store_deltas
+
+    center_rows = (
+        spark.read.schema("cell int, centroid array<double>")
+        .parquet(os.path.join(store_dir, "centers"))
+        .orderBy("cell")
+        .collect()
+    )
+    assign = _read_store_deltas(
+        spark, os.path.join(store_dir, "assign"), _IVF_ASSIGN_SCHEMA
+    ).select("vec_id", "cell")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e")
+    )
+    lists = emb.join(assign, "vec_id").select(
+        "vec_id", "e", norm(F.col("e")).alias("nc"), "cell"
+    )
+    spark.createDataFrame(
+        [(r["cell"], [float(x) for x in r["centroid"]]) for r in center_rows],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(index_dir, "centers"))
+    lists.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(index_dir, "lists")
+    )
+    _write_meta(
+        index_dir,
+        {
+            "kind": "ivf",
+            "nlist": len(center_rows),
+            "dim": len(center_rows[0]["centroid"]),
+            "snapshot": [list(t) for t in table_snapshot(sf_dir, "embeddings")],
+        },
+    )
+
+
 # ---------------------------------------------------------------------------
 # PQ: per-subspace codebooks + encoded code store
 # ---------------------------------------------------------------------------

@@ -68,3 +68,47 @@ def test_stale_and_mismatched_indexes_refused(spark, sf_dir, tmp_path):
     # that never see the source table)
     centers, _ = load_ivf_index(spark, idx)
     assert len(centers) > 0
+
+
+def test_store_promotion_serves_identically(spark, sf_dir, tmp_path):
+    """The compaction-to-serving handoff: an IVF ingest store promoted to
+    the partitioned artifact must serve q64's exact ranking with no
+    quantizer run — the full lifecycle ingest → monitor → promote →
+    serve."""
+    import time
+
+    import pyarrow.parquet as pq
+
+    from big_data_computing_final_project_spark.plans.similarity import _ivf_fit
+    from big_data_computing_final_project_spark.sources.ann_index import (
+        save_ivf_index_from_store,
+    )
+    from big_data_computing_final_project_spark.streaming.events import (
+        run_stream_ivf_assign,
+    )
+
+    centers, _ = _ivf_fit(spark, sf_dir)
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).select(
+        ["vec_id", "embedding"]
+    )
+    n = tbl.num_rows
+    src = tmp_path / "promo_drops"
+    src.mkdir()
+    base = time.time() - 3600
+    for i, (lo, hi) in enumerate([(0, n // 2), (n // 2, n)]):
+        p = str(src / f"drop_{i}.parquet")
+        pq.write_table(tbl.slice(lo, hi - lo), p)
+        os.utime(p, (base + 10 * i,) * 2)
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    store = str(tmp_path / "promo_store")
+    run_stream_ivf_assign(stream, centers, store, str(tmp_path / "promo_ckpt"))
+
+    idx = str(tmp_path / "promo_idx")
+    save_ivf_index_from_store(spark, sf_dir, store, idx)
+    got = [tuple(r) for r in ivf_topk_from_index(spark, idx, sf_dir).collect()]
+    want = [tuple(r) for r in all_queries()["q64_ann_ivf_topk"](spark, sf_dir).collect()]
+    assert got == want and len(got) > 0
