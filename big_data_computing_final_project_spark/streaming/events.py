@@ -1336,7 +1336,6 @@ def run_stream_ingest_suite(
     (``root_dir/shingles``) — so curation_scorecard_from_stores can
     re-derive batch q232's exact table after every drop without ever
     re-reading the corpus. Returns those dirs appended."""
-    from ..functions import text as X
 
     flow_dir = os.path.join(root_dir, "flow")
     vol_dir = os.path.join(root_dir, "volume")
@@ -1348,15 +1347,9 @@ def run_stream_ingest_suite(
     sh_dir = os.path.join(root_dir, "shingles")
 
     def ingest(batch: DataFrame, batch_id: int) -> None:
-        enriched = batch.select(
-            "doc_id",
-            # LSH shingles / scorecard tokenizer need the text
-            *(["text"] if near_dup or scorecard else []),
-            "source",
-            "lang",
-            "n_chars",
-            X.fingerprint(F.col("text")).alias("fp"),
-            X.token_count(F.col("text")).cast("bigint").alias("n_toks"),
+        # LSH shingles / scorecard tokenizer need the text
+        enriched = _enriched_docs_batch(
+            batch, with_text=near_dup or scorecard
         ).cache()
         try:
             _dup_flow_ingest(enriched, batch_id, flow_dir, kept_dir=kept_dir)
@@ -1377,6 +1370,23 @@ def run_stream_ingest_suite(
     if scorecard:
         out += [fert_dir, health_dir, sh_dir]
     return tuple(out)
+
+
+def _enriched_docs_batch(batch: DataFrame, with_text: bool) -> DataFrame:
+    """The one-pass ingest projection shared by run_stream_ingest_suite
+    and run_stream_scorecard_monitor: fingerprint + token count computed
+    once per micro-batch for every downstream store."""
+    from ..functions import text as X
+
+    return batch.select(
+        "doc_id",
+        *(["text"] if with_text else []),
+        "source",
+        "lang",
+        "n_chars",
+        X.fingerprint(F.col("text")).alias("fp"),
+        X.token_count(F.col("text")).cast("bigint").alias("n_toks"),
+    )
 
 
 _FERT_SCHEMA = "source string, n_docs bigint, norm_chars bigint, n_words bigint"
@@ -1575,10 +1585,12 @@ def run_stream_scorecard_monitor(
 
     Scale shape: per batch the suite's staged ingests (additive rows) +
     the scorecard fold (store rows only, the shingle fold's hash
-    aggregate dominating) + an O(sources) log row set. The log stages by
-    effective batch id like every monitor — replay idempotent, the
-    degraded flag computed against strictly-earlier rows only."""
-    from ..functions import text as X
+    aggregate dominating — O(distinct shingles), so a paging cadence at
+    large corpus scale wants compact_shingle_store run on a maintenance
+    schedule to keep the fold at one row per shingle) + an O(sources)
+    log row set. The log stages by effective batch id like every monitor
+    — replay idempotent, the degraded flag computed against
+    strictly-earlier rows only."""
 
     flow_dir = os.path.join(root_dir, "flow")
     vol_dir = os.path.join(root_dir, "volume")
@@ -1590,15 +1602,7 @@ def run_stream_scorecard_monitor(
 
     def monitor(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        enriched = batch.select(
-            "doc_id",
-            "text",
-            "source",
-            "lang",
-            "n_chars",
-            X.fingerprint(F.col("text")).alias("fp"),
-            X.token_count(F.col("text")).cast("bigint").alias("n_toks"),
-        ).cache()
+        enriched = _enriched_docs_batch(batch, with_text=True).cache()
         try:
             _dup_flow_ingest(enriched, batch_id, flow_dir, kept_dir=kept_dir)
             _volume_ingest(enriched, batch_id, vol_dir)
