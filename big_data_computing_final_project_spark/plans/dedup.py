@@ -1852,3 +1852,105 @@ def q234_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# q235 — benchmark-leak attribution by source (round 11): q102 lists the
+# leaking (train_doc, bench_doc) pairs; this rolls them up to the table a
+# data lead acts on — WHICH SOURCE is feeding eval answers into the
+# training split, how much of its train mass leaks, and how many bench
+# docs it touches. Complements q233 (which nets leaked mass out of the
+# budget) with the attribution needed to fix the leak at the crawler.
+#
+# Scale shape: q102's containment core unchanged (size-guarded broadcast
+# of the bench postings, shuffle fallback at corpus-proportional bench
+# sides), then one broadcast-size join of the O(leaking docs) pair set
+# back to the train docs and two O(sources) hash aggregates.
+# ---------------------------------------------------------------------------
+
+_Q235_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, {_SQL_BUCKET} AS b, {_SQL_SHINGLES} AS sh
+  FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+),
+ext AS (SELECT doc_id, unnest(sh) AS s FROM docs WHERE b < {_B_TRAIN}),
+exq AS (SELECT doc_id, unnest(sh) AS s FROM docs WHERE b >= {_B_BENCH}),
+cp AS (
+  SELECT ext.doc_id AS train_doc, exq.doc_id AS bench_doc, COUNT(*) AS common
+  FROM ext JOIN exq ON ext.s = exq.s
+  GROUP BY train_doc, bench_doc
+),
+leakp AS (
+  SELECT cp.train_doc, cp.bench_doc
+  FROM cp
+  JOIN (SELECT doc_id, len(sh) AS n FROM docs WHERE b >= {_B_BENCH}) lq
+    ON lq.doc_id = cp.bench_doc
+  WHERE CAST(common AS DOUBLE) / lq.n >= {_CONTAIN_T}
+),
+tr AS (
+  SELECT doc_id, source FROM documents WHERE {_SQL_BUCKET} < {_B_TRAIN}
+),
+base AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_train_docs
+  FROM tr GROUP BY source
+),
+lk AS (
+  SELECT tr.source,
+         CAST(COUNT(DISTINCT l.train_doc) AS BIGINT) AS n_leaking,
+         CAST(COUNT(DISTINCT l.bench_doc) AS BIGINT) AS n_bench_hit
+  FROM leakp l JOIN tr ON tr.doc_id = l.train_doc
+  GROUP BY tr.source
+)
+SELECT base.source, base.n_train_docs,
+       CAST(COALESCE(lk.n_leaking, 0) AS BIGINT) AS n_leaking,
+       CAST(COALESCE(lk.n_leaking, 0) AS DOUBLE) / base.n_train_docs
+         AS leak_rate,
+       CAST(COALESCE(lk.n_bench_hit, 0) AS BIGINT) AS n_bench_hit
+FROM base LEFT JOIN lk USING (source)
+ORDER BY source
+"""
+
+
+@register("q235_benchmark_leak_by_source", oracle=_Q235_ORACLE)
+def q235_benchmark_leak_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_train_docs, n_leaking, leak_rate, n_bench_hit) over the
+    train split: leak attribution per crawl source. Sources with no
+    train-split documents have no row (the rate is train-mass relative);
+    a leaking source names both its exposure (share of its train docs
+    that leak) and its blast radius (distinct bench docs touched)."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(X.md5_bucket(F.col("doc_id")) < _B_TRAIN).select(
+        "doc_id", "source"
+    )
+    # join keyed on the doc id, NO broadcast hint: train is
+    # corpus-proportional (never broadcast it — the retrieval_metrics
+    # lesson), and the leak side's size is data-dependent post-filter
+    # stats the estimator can't see — AQE converts to broadcast at
+    # runtime exactly when the leak set is as small as it should be
+    leak = (
+        q102_decontamination(spark, sf_dir)
+        .select("train_doc", "bench_doc")
+        .join(train, F.col("train_doc") == F.col("doc_id"))
+        .groupBy("source")
+        .agg(
+            F.countDistinct("train_doc").alias("n_leaking"),
+            F.countDistinct("bench_doc").alias("n_bench_hit"),
+        )
+    )
+    base = train.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_train_docs")
+    )
+    return (
+        base.join(leak, "source", "left")
+        .na.fill(0, ["n_leaking", "n_bench_hit"])
+        .select(
+            "source",
+            "n_train_docs",
+            F.col("n_leaking").cast("bigint").alias("n_leaking"),
+            (
+                F.col("n_leaking").cast("double") / F.col("n_train_docs")
+            ).alias("leak_rate"),
+            F.col("n_bench_hit").cast("bigint").alias("n_bench_hit"),
+        )
+        .orderBy("source")
+    )

@@ -1420,3 +1420,42 @@ def test_q234_rides_the_session_label_cache(spark, sf_dir):
     shares = [r.cum_share_at_least for r in rows]
     assert shares == sorted(shares, reverse=True)
     assert abs(rows[0].cum_share_at_least - 1.0) < 1e-12
+
+
+def test_q235_leak_attribution_planted(spark, tmp_path):
+    """q235 on a planted corpus with hash-verified bucket membership
+    (md5_60(doc_id) % 100: ids 1-5,7 < 80 = train; 9, 11 >= 90 = bench):
+    srcA's doc 1 embeds bench doc 9's full text, so srcA leaks 1 of its 2
+    train docs into 1 bench doc; srcB is clean; srcC (bench-only) has no
+    train row. Cross-engine: the Spark result hash-matches the DuckDB
+    oracle on the same planted corpus."""
+    import duckdb
+
+    from _fixtures import write_planted_corpus
+
+    from big_data_computing_final_project_spark.plans import all_oracles, all_queries
+    from tools.check_oracle import frame_digest
+
+    t9 = "nine green bottles hanging quietly on the old stone wall"
+    rows = [
+        (1, t9 + " plus trailing training prose that keeps going onward", "en", "srcA"),
+        (2, "calm ordinary training text with nothing shared anywhere here", "en", "srcA"),
+        (3, "more clean training material in its own distinct wording", "en", "srcB"),
+        (4, "yet another clean training document with private phrasing", "en", "srcB"),
+        (9, t9, "en", "srcC"),
+        (11, "an unleaked benchmark item with entirely separate content", "en", "srcC"),
+    ]
+    corpus = write_planted_corpus(tmp_path / "leak_corpus", rows)
+    got_rows = all_queries()["q235_benchmark_leak_by_source"](spark, corpus).collect()
+    got = {r.source: (r.n_train_docs, r.n_leaking, r.leak_rate, r.n_bench_hit) for r in got_rows}
+    assert got == {"srcA": (2, 1, 0.5, 1), "srcB": (2, 0, 0.0, 0)}
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{corpus}/documents.parquet'")
+    res = con.sql(all_oracles()["q235_benchmark_leak_by_source"])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    sdf = all_queries()["q235_benchmark_leak_by_source"](spark, corpus)
+    assert frame_digest(sdf.columns, [tuple(r) for r in got_rows]) == frame_digest(
+        dcols, drows
+    )

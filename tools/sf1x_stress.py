@@ -116,6 +116,8 @@ QUERIES = [
     # cluster-size histogram: shares q68/q226's session CC labels —
     # marginal cost only (two tiny aggregates after the one build)
     "q234_dedup_cluster_sizes",
+    # leak attribution: q102's containment core + two O(sources) aggs
+    "q235_benchmark_leak_by_source",
 ]
 
 
