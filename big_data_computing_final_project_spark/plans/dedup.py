@@ -1825,9 +1825,18 @@ def q234_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters >= each size). cum_share_at_least at cluster_size=1 is 1.0
     by construction; the first row BELOW 1.0 going down the table is
     where dedup stops mattering."""
-    labels = dedup_cluster_labels(spark, sf_dir)
+    return cluster_size_distribution(dedup_cluster_labels(spark, sf_dir))
+
+
+def cluster_size_distribution(
+    labels: DataFrame, label_col: str = "component"
+) -> DataFrame:
+    """q234's histogram math over ANY (doc, label) frame — the batch
+    labels and the streaming label store (streaming/events.
+    cluster_sizes_from_labels_store) fold through this one body, so the
+    live histogram can never drift from the batch definition."""
     n_total = labels.agg(F.count(F.lit(1)).alias("__n"))
-    sizes = labels.groupBy("component").agg(
+    sizes = labels.groupBy(label_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("cluster_size")
     )
     dist = sizes.groupBy("cluster_size").agg(

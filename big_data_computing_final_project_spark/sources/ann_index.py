@@ -224,6 +224,40 @@ def save_pq_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
     )
 
 
+def save_pq_index_from_store(
+    spark: SparkSession, sf_dir: str, store_dir: str, index_dir: str
+) -> None:
+    """Promote a live PQ ingest store (streaming/events.
+    run_stream_pq_encode) to the persisted serving artifact: fold the
+    code deltas, copy the frozen codebooks, record the source snapshot.
+    No encode runs — the store's codes are already bit-identical to a
+    batch rebuild (the shared _pq_encode expression), so the promoted
+    index serves q200's exact ranking."""
+    from ..streaming.events import _PQ_CODES_SCHEMA, _read_store_deltas
+
+    books = spark.read.schema("m int, k int, centroid array<double>").parquet(
+        os.path.join(store_dir, "books")
+    )
+    codes = _read_store_deltas(
+        spark, os.path.join(store_dir, "codes"), _PQ_CODES_SCHEMA
+    ).select("vec_id", "codes", "nc")
+    n_m = books.agg(F.countDistinct("m").alias("n")).collect()[0]["n"]
+    dim_row = books.orderBy("m", "k").first()
+    books.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(index_dir, "books")
+    )
+    codes.write.mode("overwrite").parquet(os.path.join(index_dir, "codes"))
+    _write_meta(
+        index_dir,
+        {
+            "kind": "pq",
+            "m": int(n_m),
+            "dim": int(n_m) * len(dim_row["centroid"]),
+            "snapshot": [list(t) for t in table_snapshot(sf_dir, "embeddings")],
+        },
+    )
+
+
 def load_pq_index(
     spark: SparkSession, index_dir: str, sf_dir: str | None = None
 ) -> tuple[list, DataFrame]:

@@ -2107,6 +2107,27 @@ def dedup_adjusted_budget_from_labels_store(
     return budget_plan_columns(j, budget_tokens)
 
 
+def cluster_sizes_from_labels_store(
+    spark: SparkSession, labels_dir: str
+) -> DataFrame:
+    """Batch q234's cluster-size histogram folded from the near-dup label
+    store: current labels are the min per doc over the staged rows (the
+    idempotent fold), then q234's own histogram math
+    (plans/dedup.cluster_size_distribution) — the live answer to "did
+    this drop grow a mega-template?" without re-running LSH or CC.
+    Equals batch q234 exactly after the backlog drains, for the same
+    reason the budget fold equals q226 (converged min labels ARE the
+    component labels, pinned)."""
+    from ..plans.dedup import cluster_size_distribution
+
+    cur = (
+        _read_store_deltas(spark, labels_dir, _ND_LABELS_SCHEMA)
+        .groupBy("doc_id")
+        .agg(F.min("label").alias("label"))
+    )
+    return cluster_size_distribution(cur, label_col="label")
+
+
 def compact_near_dup_labels_store(spark: SparkSession, labels_dir: str) -> None:
     """Compact the near-dup label store to one row per doc at its current
     (min) label. The fold is idempotent min/max, so compaction is exact

@@ -112,3 +112,55 @@ def test_store_promotion_serves_identically(spark, sf_dir, tmp_path):
     got = [tuple(r) for r in ivf_topk_from_index(spark, idx, sf_dir).collect()]
     want = [tuple(r) for r in all_queries()["q64_ann_ivf_topk"](spark, sf_dir).collect()]
     assert got == want and len(got) > 0
+
+
+def test_pq_store_promotion_serves_identically(spark, sf_dir, tmp_path):
+    """A live PQ ingest store promoted to the persisted artifact serves
+    q200's exact ranking with no encode run — the PQ half of the
+    compaction-to-serving handoff."""
+    import time
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from big_data_computing_final_project_spark.catalog import load_table
+    from big_data_computing_final_project_spark.plans.similarity import (
+        _pq_books,
+        as_double,
+    )
+    from big_data_computing_final_project_spark.sources.ann_index import (
+        save_pq_index_from_store,
+    )
+    from big_data_computing_final_project_spark.streaming.events import (
+        run_stream_pq_encode,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e")
+    )
+    dim = len(emb.select("e").first()["e"])
+    books = _pq_books(spark, sf_dir, emb, dim)
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).select(
+        ["vec_id", "embedding"]
+    )
+    n = tbl.num_rows
+    src = tmp_path / "pq_promo_drops"
+    src.mkdir()
+    base = time.time() - 3600
+    for i, (lo, hi) in enumerate([(0, n // 2), (n // 2, n)]):
+        p = str(src / f"drop_{i}.parquet")
+        pq.write_table(tbl.slice(lo, hi - lo), p)
+        os.utime(p, (base + 10 * i,) * 2)
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    store = str(tmp_path / "pq_promo_store")
+    run_stream_pq_encode(stream, books, store, str(tmp_path / "pq_promo_ckpt"))
+
+    idx = str(tmp_path / "pq_promo_idx")
+    save_pq_index_from_store(spark, sf_dir, store, idx)
+    got = [tuple(r) for r in pq_topk_from_index(spark, idx, sf_dir).collect()]
+    want = [tuple(r) for r in all_queries()["q200_pq_ann_topk"](spark, sf_dir).collect()]
+    assert got == want and len(got) > 0

@@ -2409,3 +2409,34 @@ def test_scorecard_monitor_pages_on_source_degradation(spark, tmp_path):
         s: (r.n_flags, r.recommendation) for s, r in by_batch[1].items()
     }
     assert got == want
+
+
+def test_cluster_sizes_fold_equals_batch_q234(spark, tmp_path):
+    """The label store's cluster-size fold equals batch q234 tuple-exactly
+    after the near-dup ingest drains (converged min labels are the
+    component labels), under forward AND reversed arrival."""
+    from big_data_computing_final_project_spark.streaming.events import (
+        cluster_sizes_from_labels_store,
+        run_stream_ingest_suite,
+    )
+
+    corpus = _write_corpus_nd(tmp_path / "cs_corpus")
+    want = [
+        tuple(r)
+        for r in all_queries()["q234_dedup_cluster_sizes"](spark, corpus).collect()
+    ]
+    assert len(want) > 0
+    for case, drops in (("fwd", _ND_DROPS), ("rev", list(reversed(_ND_DROPS)))):
+        src_dir = _write_doc_drops(tmp_path / f"cs_arrivals_{case}", drops)
+        dirs = run_stream_ingest_suite(
+            _docs_stream(spark, src_dir),
+            str(tmp_path / f"cs_root_{case}"),
+            str(tmp_path / f"cs_ckpt_{case}"),
+            near_dup=True,
+        )
+        labels_dir = dirs[4]
+        got = [
+            tuple(r)
+            for r in cluster_sizes_from_labels_store(spark, labels_dir).collect()
+        ]
+        assert got == want, case
