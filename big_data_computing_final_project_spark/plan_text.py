@@ -89,7 +89,8 @@ PLAN_ONLY = {
 # q225 left out since round 10: its posting frame localCheckpoints at build
 # time (two-consumer materialization), so the snapshot tool owns its pin.
 
-UNSTABLE = {"q60", "q173"}  # q173: five COUNT(DISTINCT)s, same Expand rewrite
+# q173: five COUNT(DISTINCT)s; q235: two — the same Expand rewrite
+UNSTABLE = {"q60", "q173", "q235"}
 
 # STATE_DEPENDENT: headline queries whose fresh-build plan depends on
 # SESSION state, not just code + SF — q64/q222 read the session quantizer

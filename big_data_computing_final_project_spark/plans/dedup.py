@@ -1935,7 +1935,11 @@ def q235_benchmark_leak_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
     # corpus-proportional (never broadcast it — the retrieval_metrics
     # lesson), and the leak side's size is data-dependent post-filter
     # stats the estimator can't see — AQE converts to broadcast at
-    # runtime exactly when the leak set is as small as it should be
+    # runtime exactly when the leak set is as small as it should be.
+    # ONE aggregate with two COUNT(DISTINCT)s: the single-pass shape a
+    # 100-TB leak set wants; its Expand rewrite orders branches
+    # session-dependently (the q173 instability), so q235 sits in
+    # UNSTABLE — results are deterministic, only the plan TEXT flaps.
     leak = (
         q102_decontamination(spark, sf_dir)
         .select("train_doc", "bench_doc")
