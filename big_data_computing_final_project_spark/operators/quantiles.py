@@ -87,7 +87,13 @@ def exact_quantiles(
     n_agg = (
         F.count(F.lit(1)) if weight is None else F.sum("__w")
     ).alias("n")
-    c = vals.groupBy(*groups, "val").agg(n_agg)
+    # r11 (guide §1.2/§5): the collapsed (group, val, n) frame is consumed
+    # by the prefix scan TWICE (bucket partials + tagged rows), the total
+    # count, and — in linear mode — two rank lookups; uncached, each
+    # consumer re-executed the full fact scan + collapse (3-5 traversals).
+    # The frame is bounded by distinct-value cardinality, far below the
+    # fact: cache it, scan the fact once.
+    c = vals.groupBy(*groups, "val").agg(n_agg).cache()
     if isinstance(bucket, str):
         if bucket != "auto":
             raise ValueError(f"bucket must be a Column, None, or 'auto', got {bucket!r}")
@@ -106,6 +112,11 @@ def exact_quantiles(
     w = prefix_agg(
         c, ["val"], "n", "cum", agg="sum", bucket=b, partition_cols=groups or None
     )
+    if mode == "linear":
+        # linear mode probes the cumulative frame twice (lo + hi ranks);
+        # cache it so the prefix join/window runs once (same row count as
+        # the cached collapse — narrow)
+        w = w.cache()
     spark = df.sparkSession
     qf = spark.range(1).select(
         F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")

@@ -763,6 +763,8 @@ def q197_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast_if_small(part), "l_partkey")
         .groupBy("brand", "val")
         .agg(F.sum(F.col("l_quantity").cast("decimal(38,4)")).alias("w"))
+        .cache()  # r11: three consumers (prefix-scan partials + tagged
+        # rows + brand totals) — the lineitem join/collapse runs once
     )
     cum = prefix_agg(
         pa,

@@ -174,18 +174,25 @@ LIMIT {_Q178_TOPK}
 
 @register("q178_basket_rules", oracle=_Q178_ORACLE)
 def q178_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r11 (guide §2.3/§2.4): dedup (orderkey, partkey) ONCE and share the
+    # cached frame across all three aggregates. Every COUNT(DISTINCT
+    # l_orderkey) then degenerates to a plain COUNT — (orderkey, partkey)
+    # is unique by construction, and so is (orderkey, p1, p2) out of the
+    # self-join — which removes the two-phase distinct aggregate from the
+    # widest shuffle (the pair counts) and the duplicate lineitem scans.
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    baskets = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
-    item = li.groupBy(F.col("l_partkey").alias("p")).agg(
-        F.countDistinct("l_orderkey").alias("n_p")
+    dl = li.distinct().cache()
+    baskets = dl.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    item = dl.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count(F.lit(1)).alias("n_p")
     )
-    a = li.select("l_orderkey", F.col("l_partkey").alias("p1"))
-    b = li.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    a = dl.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    b = dl.select("l_orderkey", F.col("l_partkey").alias("p2"))
     pair = (
         a.join(b, "l_orderkey")
         .filter(F.col("p1") < F.col("p2"))
         .groupBy("p1", "p2")
-        .agg(F.countDistinct("l_orderkey").alias("n_both"))
+        .agg(F.count(F.lit(1)).alias("n_both"))
     )
     i1 = item.select(F.col("p").alias("p1"), F.col("n_p").alias("n_ante_fwd"))
     i2 = item.select(F.col("p").alias("p2"), F.col("n_p").alias("n_cons_fwd"))

@@ -572,24 +572,43 @@ SELECT '{child}.{fk}' AS edge,
 
 @register("q206_referential_integrity", oracle=_q206_oracle())
 def q206_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r11 (guide §1.2): each edge used to run TWO child traversals (a
+    # totals scan + an anti-join scan) — 14 fact passes for 7 edges, six
+    # of them over lineitem. Now one pass per edge: LEFT join against the
+    # parent's DISTINCT keys (distinct makes the outer join multiplicity-
+    # safe even on a dirty parent, and anti-join/NOT EXISTS semantics
+    # never counted parent duplicates anyway) and fold totals + null-fk +
+    # orphan counters into ONE conditional aggregate. The three lineitem
+    # edges additionally share one cached 3-FK projection, so lineitem is
+    # scanned once per query, not six times. Per-edge aggs keep a single
+    # COUNT(DISTINCT) each — no Expand-rewrite plan instability.
+    shared_li = None
     frames = []
     for child, fk, parent, pk in _Q206_EDGES:
-        c = _t(spark, sf_dir, child)
-        p = _t(spark, sf_dir, parent).select(F.col(pk).alias("__pk"))
-        totals = c.agg(
-            F.count(F.lit(1)).alias("n_child_rows"),
-            F.count(F.when(F.col(fk).isNull(), 1)).alias("n_null_fk"),
-        )
-        orphans = (
-            c.filter(F.col(fk).isNotNull())
-            .join(broadcast_if_small(p), F.col(fk) == F.col("__pk"), "left_anti")
+        if child == "lineitem":
+            if shared_li is None:
+                shared_li = (
+                    _t(spark, sf_dir, "lineitem")
+                    .select("l_orderkey", "l_partkey", "l_suppkey")
+                    .cache()
+                )
+            c = shared_li
+        else:
+            c = _t(spark, sf_dir, child)
+        p = _t(spark, sf_dir, parent).select(F.col(pk).alias("__pk")).distinct()
+        orphan = F.col(fk).isNotNull() & F.col("__pk").isNull()
+        row = (
+            c.select(fk)
+            .join(broadcast_if_small(p), F.col(fk) == F.col("__pk"), "left")
             .agg(
-                F.count(F.lit(1)).alias("n_orphans"),
-                F.countDistinct(fk).alias("n_orphan_keys"),
+                F.count(F.lit(1)).alias("n_child_rows"),
+                F.count(F.when(F.col(fk).isNull(), 1)).alias("n_null_fk"),
+                F.count(F.when(orphan, 1)).alias("n_orphans"),
+                F.countDistinct(F.when(orphan, F.col(fk))).alias("n_orphan_keys"),
             )
         )
         frames.append(
-            totals.crossJoin(F.broadcast(orphans)).select(
+            row.select(
                 F.lit(f"{child}.{fk}").alias("edge"),
                 "n_child_rows",
                 "n_null_fk",

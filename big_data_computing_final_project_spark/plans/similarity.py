@@ -1747,22 +1747,41 @@ def _pq_codebooks(spark: SparkSession, emb: DataFrame, dim: int) -> list[list[li
 
 def _pq_encode(books: list[list[list[float]]]) -> F.Column:
     """codes array<int>: per subspace, the index of the nearest codebook
-    centroid (first-min tie-break via array_position — deterministic)."""
+    centroid (first-min tie-break via array_position — deterministic).
+
+    r11 (guide §7.3 driver-side work): the expression is assembled as ONE
+    SQL string handed to a single F.expr() parse. The Column-by-Column
+    form built ~4k py4j-proxied operator nodes (M*K centroids x sub_dim
+    terms x several calls each) — measured 18 s of pure driver time PER
+    PLAN BUILD at M=8, K=16, d=8, paid again on every bench/sweep rebuild.
+    The SQL text parses in the JVM in milliseconds and yields the
+    identical expression tree: `xD` double literals reproduce F.lit(c)
+    bit-exactly (repr round-trips, Double.parseDouble is correctly
+    rounded), the leading `0 +` matches Python sum()'s int seed, and
+    left-associative `+`/`*` keep the same IEEE fold order."""
     d = len(books[0][0])
+
+    def _sum_sql(terms: list[str]) -> str:
+        # Python sum() seeds with int 0 and pyspark's __radd__ emits it as
+        # `t0 + 0`; reproduce that exact tree so the plan text (and the
+        # archived snapshots) do not move
+        return " + ".join([terms[0], "0", *terms[1:]])
+
     codes = []
     for m, book in enumerate(books):
-        dists = F.array(
-            *[
-                sum(
-                    (F.col("e")[m * d + i] - F.lit(c[i]))
-                    * (F.col("e")[m * d + i] - F.lit(c[i]))
+        dists = ", ".join(
+            _sum_sql(
+                [
+                    f"(e[{m * d + i}] - {c[i]!r}D) * (e[{m * d + i}] - {c[i]!r}D)"
                     for i in range(d)
-                )
-                for c in book
-            ]
+                ]
+            )
+            for c in book
         )
-        codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
-    return F.array(*codes)
+        codes.append(
+            f"cast(array_position(array({dists}), array_min(array({dists}))) - 1 as int)"
+        )
+    return F.expr("array(" + ", ".join(codes) + ")")
 
 
 _PQ_SHORTLIST = 100  # ADC shortlist width fed to the exact rerank
@@ -1830,12 +1849,20 @@ def _pq_adc_rank(
     offsets = [0]
     for book in books:
         offsets.append(offsets[-1] + len(book))
-    lut = F.array(
-        *[
-            sum(F.col("qe")[m * d + i] * F.lit(c[i]) for i in range(d))
+    # one SQL parse instead of ~1k py4j-built nodes — same tree, same IEEE
+    # fold order (see _pq_encode's r11 note; `t0 + 0 + t1...` matches the
+    # Python sum() tree exactly)
+    lut = F.expr(
+        "array("
+        + ", ".join(
+            " + ".join(
+                [f"qe[{m * d}] * {c[0]!r}D", "0"]
+                + [f"qe[{m * d + i}] * {c[i]!r}D" for i in range(1, d)]
+            )
             for m, book in enumerate(books)
             for c in book
-        ]
+        )
+        + ")"
     )
     ql = q.select("q_id", "nq", lut.alias("lut"))
     adc = sum(

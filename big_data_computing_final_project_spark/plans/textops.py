@@ -1162,10 +1162,12 @@ def q221_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.lit(1) - F.length(F.conv(F.col("freq").cast("string"), 10, 2))
         ).cast("bigint").alias("neg_octave"),
-    )
+    ).cache()  # r11: the two prefix scans and the totals agg each
+    # re-executed the corpus explode + token count (5 documents scans in
+    # the plan); the vocab-sized frame is the natural cache point
     ranked = prefix_agg(
         tf, ["neg_freq", "token"], "one", "rk", bucket=F.col("neg_octave")
-    )
+    ).cache()  # consumed twice by the second prefix scan (partials + rows)
     ranked = prefix_agg(
         ranked, ["neg_freq", "token"], "freq", "cum", bucket=F.col("neg_octave")
     )

@@ -485,6 +485,14 @@ def test_bench_broadcast_is_size_guarded(spark, sf_dir, name):
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "0")
+        # r11: q132 caches its enriched frames; the expected-result run
+        # above materializes them and a rebuild would reuse the
+        # InMemoryRelation (whose embedded child plan still shows the
+        # default-threshold broadcast). The guard exists to pin the
+        # PLANNER's fresh decision under the shrunk threshold, so drop
+        # session caches before rebuilding (recompute-safe: all cached
+        # frames are derived state).
+        spark.catalog.clearCache()
         df = _Q[name](spark, sf_dir)
         # pre-execution plan: with the hint dropped and the threshold at 0
         # the shingle-postings join must be a shuffle join (other forced
