@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions import text as X
-from ..operators.prefix import prefix_agg
+from ..operators.prefix import prefix_agg, prefix_agg_multi
 from .registry import register
 
 _N_BINS = 10
@@ -222,13 +222,26 @@ def q152_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = orders.select(
         F.col("o_totalprice").alias("v"), (_obucket() < 80).alias("is_ref")
     )
-    per = d.groupBy("v").agg(
-        F.count(F.when(F.col("is_ref"), 1)).alias("nr"),
-        F.count(F.when(~F.col("is_ref"), 1)).alias("nc"),
+    # r12 (VERDICT r11 item 6): the two chained prefix scans collapse into
+    # ONE bucketed pass (prefix_agg_multi — both cumsums share the partial
+    # groupBy, offset window, within-bucket sort and join), and the
+    # distinct-value frame is cached for its three consumers (partials +
+    # row join + totals) — it previously re-ran the orders scan + collapse
+    # per consumer. The cache is bounded by the value domain, the same
+    # cardinality argument as exact_quantiles' collapsed frame (SCALING.md
+    # persist-vs-recompute policy).
+    per = (
+        d.groupBy("v")
+        .agg(
+            F.count(F.when(F.col("is_ref"), 1)).alias("nr"),
+            F.count(F.when(~F.col("is_ref"), 1)).alias("nc"),
+        )
+        .cache()
     )
     bkt = F.floor(F.col("v") / 1000).cast("bigint")
-    c = prefix_agg(per, ["v"], "nr", "cr", agg="sum", bucket=bkt)
-    c = prefix_agg(c, ["v"], "nc", "cc", agg="sum", bucket=bkt)
+    c = prefix_agg_multi(
+        per, ["v"], [("nr", "cr", "sum"), ("nc", "cc", "sum")], bucket=bkt
+    )
     tot = per.agg(F.sum("nr").alias("tr"), F.sum("nc").alias("tc"))
     return (
         c.crossJoin(F.broadcast(tot))

@@ -313,38 +313,65 @@ _Q172_ORACLE = (
 @register("q172_partition_skew_audit", oracle=_Q172_ORACLE)
 def q172_partition_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-
-    def one(name: str) -> DataFrame:
-        counts = li.groupBy(_spark_candidate(name).alias("k")).agg(
-            F.count(F.lit(1)).alias("c")
+    # r12 (guide §1.2/§6, VERDICT r11 item 4): ONE fact scan for all four
+    # candidates instead of one scan per candidate. Each row explodes into
+    # its four (candidate, key) pairs; the partial aggregate on
+    # (candidate, k) combines map-side, so the bytes crossing the exchange
+    # are exactly the union of the four per-candidate key-count partials
+    # the old plan shuffled — the explode multiplies in-task rows only,
+    # never the shuffle.
+    counts = (
+        li.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(name).alias("candidate"),
+                            _spark_candidate(name).alias("k"),
+                        )
+                        for name, _ in _Q172_CANDIDATES
+                    ]
+                )
+            ).alias("ck")
         )
-        # Distributed Gini: an unpartitioned row_number over the keys frame
-        # would serialize |keys| rows into one task (the q170 cliff, here at
-        # 1e9 partition keys). Keys with EQUAL count form a contiguous rank
-        # block whose rank-sum has a closed form —
-        #   sum_{i=off+1..off+g} (2i - n - 1) = g * (2*off + g - n)
-        # — so only the DISTINCT count values need the (tiny) cumulative
-        # window; the per-key global sort disappears. The oracle keeps the
-        # ROW_NUMBER form, which doubles as the proof the algebra is right.
-        cgrp = counts.groupBy("c").agg(F.count(F.lit(1)).alias("g"))
-        cum = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
-        whole = Window.partitionBy()
-        blocks = cgrp.select(
-            "c",
-            "g",
-            F.coalesce(F.sum("g").over(cum), F.lit(0)).alias("off"),
-            F.sum("g").over(whole).alias("n"),
-        )
-        # block rows c*g <= total rows (int64-safe); the rank factor can
-        # push the product past 2^63 at extreme scale, so it goes decimal
-        contrib = (F.col("c") * F.col("g")).cast("decimal(38,0)") * (
-            2 * F.col("off") + F.col("g") - F.col("n")
-        ).cast("decimal(38,0)")
-        mx = F.max("c")
-        tot = F.sum(F.col("c") * F.col("g"))
-        nk = F.sum("g")
-        return blocks.agg(
-            F.lit(name).alias("candidate"),
+        .select(F.col("ck.candidate").alias("candidate"), F.col("ck.k").alias("k"))
+        .groupBy("candidate", "k")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # Distributed Gini: an unpartitioned row_number over the keys frame
+    # would serialize |keys| rows into one task (the q170 cliff, here at
+    # 1e9 partition keys). Keys with EQUAL count form a contiguous rank
+    # block whose rank-sum has a closed form —
+    #   sum_{i=off+1..off+g} (2i - n - 1) = g * (2*off + g - n)
+    # — so only the DISTINCT count values need the (tiny) cumulative
+    # window, partitioned per candidate; the per-key global sort
+    # disappears. The oracle keeps the ROW_NUMBER form, which doubles as
+    # the proof the algebra is right.
+    cgrp = counts.groupBy("candidate", "c").agg(F.count(F.lit(1)).alias("g"))
+    cum = (
+        Window.partitionBy("candidate")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    whole = Window.partitionBy("candidate")
+    blocks = cgrp.select(
+        "candidate",
+        "c",
+        "g",
+        F.coalesce(F.sum("g").over(cum), F.lit(0)).alias("off"),
+        F.sum("g").over(whole).alias("n"),
+    )
+    # block rows c*g <= total rows (int64-safe); the rank factor can
+    # push the product past 2^63 at extreme scale, so it goes decimal
+    contrib = (F.col("c") * F.col("g")).cast("decimal(38,0)") * (
+        2 * F.col("off") + F.col("g") - F.col("n")
+    ).cast("decimal(38,0)")
+    mx = F.max("c")
+    tot = F.sum(F.col("c") * F.col("g"))
+    nk = F.sum("g")
+    return (
+        blocks.groupBy("candidate")
+        .agg(
             nk.cast("bigint").alias("n_keys"),
             tot.cast("bigint").alias("total_rows"),
             mx.cast("bigint").alias("max_rows"),
@@ -358,11 +385,8 @@ def q172_partition_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit("hash"))
             .alias("recommendation"),
         )
-
-    out = one(_Q172_CANDIDATES[0][0])
-    for name, _ in _Q172_CANDIDATES[1:]:
-        out = out.unionAll(one(name))
-    return out.orderBy("candidate")
+        .orderBy("candidate")
+    )
 
 
 # ---------------------------------------------------------------------------

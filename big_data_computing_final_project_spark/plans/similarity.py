@@ -1742,12 +1742,34 @@ def _pq_codebooks(spark: SparkSession, emb: DataFrame, dim: int) -> list[list[li
             books = list(pool.map(fit, range(_PQ_M)))
     finally:
         staged.unpersist()
+    _assert_finite_books(books)
     return books
+
+
+def _assert_finite_books(books: list[list[list[float]]]) -> None:
+    """Fail fast on a degenerate KMeans fit (ADVICE r11): a non-finite
+    centroid would previously surface only as an unparseable `infD` SQL
+    literal deep in the encode expression; the numpy kernels would
+    silently propagate it into every distance. M*K*d ≈ 1k checks —
+    negligible next to the fit."""
+    for m, book in enumerate(books):
+        for k, c in enumerate(book):
+            for x in c:
+                if not math.isfinite(x):
+                    raise ValueError(
+                        f"PQ codebook m={m} k={k} contains non-finite value "
+                        f"{x!r} — degenerate KMeans fit on that subspace"
+                    )
 
 
 def _pq_encode(books: list[list[list[float]]]) -> F.Column:
     """codes array<int>: per subspace, the index of the nearest codebook
     centroid (first-min tie-break via array_position — deterministic).
+
+    r12: this SQL-expression form is the REFERENCE implementation — the
+    serving paths encode through the `_pq_encode_frame` numpy kernel
+    (guide §4.2), and the kernel is pinned bit-identical to this tree by
+    tests/test_dedup_similarity.py::test_pq_kernel_matches_expression.
 
     r11 (guide §7.3 driver-side work): the expression is assembled as ONE
     SQL string handed to a single F.expr() parse. The Column-by-Column
@@ -1759,6 +1781,7 @@ def _pq_encode(books: list[list[list[float]]]) -> F.Column:
     bit-exactly (repr round-trips, Double.parseDouble is correctly
     rounded), the leading `0 +` matches Python sum()'s int seed, and
     left-associative `+`/`*` keep the same IEEE fold order."""
+    _assert_finite_books(books)
     d = len(books[0][0])
 
     def _sum_sql(terms: list[str]) -> str:
@@ -1784,6 +1807,107 @@ def _pq_encode(books: list[list[list[float]]]) -> F.Column:
     return F.expr("array(" + ", ".join(codes) + ")")
 
 
+def _list_col_matrix(arr, n: int, width: int, what: str):
+    """Arrow list column -> (n, width) float64/int numpy matrix, with the
+    preconditions the bit-exactness argument needs made explicit: no
+    nulls, every list exactly ``width`` long."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    if arr.null_count:
+        raise ValueError(f"PQ kernel: NULL {what} row in batch")
+    lens = pc.list_value_length(arr).to_numpy()
+    if n and (lens != width).any():
+        raise ValueError(
+            f"PQ kernel: {what} length mismatch (expected {width}, "
+            f"got {sorted(set(lens.tolist()))[:4]})"
+        )
+    return arr.flatten().to_numpy(zero_copy_only=False).reshape(n, width)
+
+
+def _pq_encode_frame(df: DataFrame, books: list[list[list[float]]]) -> DataFrame:
+    """(vec_id, e) -> (vec_id, codes array<int>, nc double): the PQ store
+    build as ONE mapInArrow numpy kernel (guide §4.2) instead of the r11
+    giant inline expression (M*K*d ≈ 1k multiply-adds per row, which
+    janino either compiles slowly or drops to interpreted mode — the same
+    cliff the streaming IVF assigner hit). Shared by q200's session store,
+    the persisted-index saver (sources/ann_index.save_pq_index) and the
+    streaming ingest encoder (streaming/events.run_stream_pq_encode), so
+    every store stays bit-identical across paths.
+
+    Bit-exactness vs the reference expressions `_pq_encode(books)` +
+    `norm(e)` (pinned by test_pq_kernel_matches_expression): numpy float64
+    ops are the same IEEE-754 doubles the JVM evaluates, every sum is
+    accumulated in the reference's left-associative order term by term
+    (including the `t0 + 0` seed Python sum() leaves in the tree), and
+    np.argmin's first-minimum tie-break equals array_position(...,
+    array_min(...)). Non-finite embeddings are rejected loudly — there the
+    two argmin semantics genuinely diverge (Spark's array_min skips NaN,
+    np.argmin returns it), so the kernel refuses instead of silently
+    disagreeing with the reference."""
+    import numpy as np
+    import pyarrow as pa
+
+    _assert_finite_books(books)
+    d = len(books[0][0])
+    m_books = [np.asarray(book, dtype=np.float64) for book in books]
+    dim = len(books) * d
+    out_schema = "vec_id bigint, codes array<int>, nc double"
+    pa_schema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("codes", pa.list_(pa.int32())),
+            ("nc", pa.float64()),
+        ]
+    )
+
+    def encode(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            vid = batch.column(0)
+            if vid.null_count:
+                raise ValueError("PQ kernel: NULL vec_id row in batch")
+            X = _list_col_matrix(batch.column(1), n, dim, "embedding")
+            if not np.isfinite(X).all():
+                raise ValueError(
+                    "PQ kernel: non-finite embedding value (argmin tie "
+                    "semantics would diverge from the reference expression)"
+                )
+            # |e|: dot()'s left fold is seeded 0.0; 0.0 + t0 == t0 for the
+            # non-negative squares, so the seed add is elided exactly
+            acc = X[:, 0] * X[:, 0]
+            for i in range(1, dim):
+                acc = acc + X[:, i] * X[:, i]
+            nc = np.sqrt(acc)
+            codes = np.empty((n, len(m_books)), dtype=np.int32)
+            for m, book in enumerate(m_books):
+                base = m * d
+                dists = np.empty((n, len(book)), dtype=np.float64)
+                for k in range(len(book)):
+                    t = X[:, base] - book[k, 0]
+                    dk = t * t
+                    dk = dk + 0.0  # the `t0 + 0` sum() seed in the reference
+                    for i in range(1, d):
+                        t = X[:, base + i] - book[k, i]
+                        dk = dk + t * t
+                    dists[:, k] = dk
+                codes[:, m] = np.argmin(dists, axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    vid.cast(pa.int64()),
+                    pa.FixedSizeListArray.from_arrays(
+                        pa.array(codes.reshape(-1), type=pa.int32()), codes.shape[1]
+                    ).cast(pa.list_(pa.int32())),
+                    pa.array(nc, type=pa.float64()),
+                ],
+                schema=pa_schema,
+            )
+
+    return df.select("vec_id", "e").mapInArrow(encode, out_schema)
+
+
 _PQ_SHORTLIST = 100  # ADC shortlist width fed to the exact rerank
 
 
@@ -1802,10 +1926,9 @@ def q200_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dim = len(emb.select("e").first()["e"])
     books = _pq_books(spark, sf_dir, emb, dim)
-    # the serving store: codes + exact norm only (no float vectors)
-    store = emb.select(
-        "vec_id", _pq_encode(books).alias("codes"), norm(F.col("e")).alias("nc")
-    )
+    # the serving store: codes + exact norm only (no float vectors) —
+    # encoded through the numpy kernel (r12, guide §4.2)
+    store = _pq_encode_frame(emb, books)
     return _pq_adc_rank(spark, emb, books, store)
 
 
@@ -1827,31 +1950,141 @@ def _pq_books(
     return books
 
 
-def _pq_adc_rank(
-    spark: SparkSession,
-    emb: DataFrame,
-    books: list[list[list[float]]],
-    store: DataFrame,
-) -> DataFrame:
-    """ADC shortlist + exact rerank over ANY (codebooks, code store) pair —
-    the session-built store (q200) and the persisted index
-    (sources/ann_index.pq_topk_from_index) rank through this one body, so
-    a loaded index is pinned row-for-row to the session fit. ``emb``
-    supplies the query vectors and the rerank floats only."""
+def _pq_query_luts(
+    books: list[list[list[float]]], q_rows: list[tuple[int, list[float]]]
+) -> list[list[float]]:
+    """Per-query ADC lookup tables (flat dot-product arrays, packed per
+    ACTUAL book length — a degenerate KMeans fit can return fewer than
+    _PQ_K centers, so indexing uses cumulative offsets, not a fixed
+    m*_PQ_K stride). Computed in plain Python floats, which ARE IEEE
+    doubles, in the reference expression's exact fold order
+    (`t0 + 0 + t1 + ...` — see _pq_adc_scored_expr)."""
     d = len(books[0][0])
-    # per-query LUTs: flat array of dots packed PER ACTUAL BOOK LENGTH —
-    # KMeans can return fewer than _PQ_K centers for a degenerate
-    # subspace, so the ADC index uses cumulative offsets, not a fixed
-    # m*_PQ_K stride (a short book would misalign every later subspace)
-    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), norm(F.col("e")).alias("nq")
-    )
+    luts = []
+    for _qid, qe in q_rows:
+        row = []
+        for m, book in enumerate(books):
+            base = m * d
+            for c in book:
+                acc = qe[base] * c[0]
+                acc = acc + 0.0
+                for i in range(1, d):
+                    acc = acc + qe[base + i] * c[i]
+                row.append(acc)
+        luts.append(row)
+    return luts
+
+
+def _pq_adc_scored(
+    store: DataFrame,
+    books: list[list[list[float]]],
+    q_rows: list[tuple[int, list[float]]],
+    local_top: int | None,
+) -> DataFrame:
+    """(q_id, cand_id, adc_score) for every (query, store row) pair with
+    vec_id != q_id — the ADC LUT gather + sum as a mapInArrow numpy kernel
+    over the code store (guide §4.2; r12, VERDICT r11 item 1), replacing
+    the broadcast-nested-loop join against a 1k-term codegen'd gather
+    expression. The queries (≤ _N_QUERIES rows) ride the task closure —
+    the same frozen-state shape as the streaming IVF assigner kernel.
+
+    ``local_top``: when set, each task pre-selects its per-query exact
+    top-``local_top`` rows by (adc_score desc, cand_id asc) before
+    emitting — the distributive half of the shortlist's row_number, so the
+    downstream window shuffles O(tasks x queries x shortlist) rows instead
+    of O(corpus x queries). Rows with a non-finite or null-div score are
+    always emitted (Spark orders NaN above +Inf; numpy cannot reproduce
+    that order, so such rows bypass the local cut and the JVM window
+    alone ranks them). Pass None to emit every pair (the equivalence pin
+    compares that full frame against _pq_adc_scored_expr bit-for-bit).
+
+    Bit-exactness vs the reference expression: the LUT values come from
+    _pq_query_luts (same fold), the M-term gather sum is accumulated in
+    sum()'s left-associative order, and the final division by nc is one
+    IEEE op on both sides."""
+    import numpy as np
+    import pyarrow as pa
+
+    _assert_finite_books(books)
+    n_m = len(books)
     offsets = [0]
     for book in books:
         offsets.append(offsets[-1] + len(book))
-    # one SQL parse instead of ~1k py4j-built nodes — same tree, same IEEE
-    # fold order (see _pq_encode's r11 note; `t0 + 0 + t1...` matches the
-    # Python sum() tree exactly)
+    offs = np.asarray(offsets[:-1], dtype=np.int64)
+    lut_mat = np.asarray(_pq_query_luts(books, q_rows), dtype=np.float64)
+    qids = np.asarray([int(qid) for qid, _ in q_rows], dtype=np.int64)
+    n_q = len(qids)
+    pa_schema = pa.schema(
+        [
+            ("q_id", pa.int64()),
+            ("cand_id", pa.int64()),
+            ("adc_score", pa.float64()),
+        ]
+    )
+
+    def score(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0 or n_q == 0:
+                continue
+            vid_col = batch.column(0)
+            if vid_col.null_count or batch.column(2).null_count:
+                raise ValueError("PQ kernel: NULL vec_id/nc row in batch")
+            vid = vid_col.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+            codes = _list_col_matrix(batch.column(1), n, n_m, "codes")
+            nc = batch.column(2).to_numpy(zero_copy_only=False)
+            idx = codes.astype(np.int64, copy=False) + offs[None, :]
+            if idx.min() < 0 or idx.max() >= lut_mat.shape[1]:
+                raise ValueError("PQ kernel: code outside codebook range")
+            out_q, out_c, out_s = [], [], []
+            for qi in range(n_q):
+                lut = lut_mat[qi]
+                acc = lut[idx[:, 0]]
+                acc = acc + 0.0  # the `l0 + 0` sum() seed in the reference
+                for m in range(1, n_m):
+                    acc = acc + lut[idx[:, m]]
+                s = acc / nc
+                keep = vid != qids[qi]
+                v, sv = vid[keep], s[keep]
+                if local_top is not None and v.size > local_top:
+                    fin = np.isfinite(sv)
+                    if fin.all():
+                        sel = np.lexsort((v, -sv))[:local_top]
+                    else:
+                        f = np.nonzero(fin)[0]
+                        if f.size > local_top:
+                            f = f[np.lexsort((v[f], -sv[f]))[:local_top]]
+                        sel = np.concatenate([f, np.nonzero(~fin)[0]])
+                    v, sv = v[sel], sv[sel]
+                out_q.append(np.full(v.size, qids[qi], dtype=np.int64))
+                out_c.append(v)
+                out_s.append(sv)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_q), type=pa.int64()),
+                    pa.array(np.concatenate(out_c), type=pa.int64()),
+                    pa.array(np.concatenate(out_s), type=pa.float64()),
+                ],
+                schema=pa_schema,
+            )
+
+    return store.select("vec_id", "codes", "nc").mapInArrow(
+        score, "q_id bigint, cand_id bigint, adc_score double"
+    )
+
+
+def _pq_adc_scored_expr(
+    books: list[list[list[float]]], q: DataFrame, store: DataFrame
+) -> DataFrame:
+    """REFERENCE implementation of the ADC scored frame (r11 shape, kept
+    verbatim for the kernel equivalence pin): per-query LUT as one parsed
+    SQL expression, broadcast-joined against the store, gather + sum as
+    JVM element_at expressions. `t0 + 0 + t1...` matches Python sum()'s
+    fold; the kernel must reproduce every score bit-for-bit."""
+    d = len(books[0][0])
+    offsets = [0]
+    for book in books:
+        offsets.append(offsets[-1] + len(book))
     lut = F.expr(
         "array("
         + ", ".join(
@@ -1864,13 +2097,13 @@ def _pq_adc_rank(
         )
         + ")"
     )
-    ql = q.select("q_id", "nq", lut.alias("lut"))
+    ql = q.select("q_id", lut.alias("lut"))
     adc = sum(
         F.element_at(F.col("lut"), F.col("codes")[m].cast("int") + offsets[m] + 1)
-        for m in range(_PQ_M)
+        for m in range(len(books))
     )
-    scored = (
-        F.broadcast(ql.drop("nq"))
+    return (
+        F.broadcast(ql)
         .join(store, F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",
@@ -1878,6 +2111,33 @@ def _pq_adc_rank(
             (adc / F.col("nc")).alias("adc_score"),  # |q| constant per query
         )
     )
+
+
+def _pq_adc_rank(
+    spark: SparkSession,
+    emb: DataFrame,
+    books: list[list[list[float]]],
+    store: DataFrame,
+) -> DataFrame:
+    """ADC shortlist + exact rerank over ANY (codebooks, code store) pair —
+    the session-built store (q200), the persisted index
+    (sources/ann_index.pq_topk_from_index) and the streaming store
+    (streaming/events.pq_topk_from_store) rank through this one body, so a
+    loaded index is pinned row-for-row to the session fit. ``emb``
+    supplies the query vectors and the rerank floats only.
+
+    The query slice (vec_id < _N_QUERIES, a pushed-down scan filter) is
+    collected once at plan-build time — O(queries) rows, the same bounded
+    driver transfer the previous broadcast build paid — and ships to the
+    ADC kernel as frozen LUT state."""
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), norm(F.col("e")).alias("nq")
+    )
+    q_rows = sorted(
+        (r["q_id"], [float(x) for x in r["qe"]])
+        for r in q.select("q_id", "qe").collect()
+    )
+    scored = _pq_adc_scored(store, books, q_rows, _PQ_SHORTLIST)
     w = Window.partitionBy("q_id").orderBy(F.col("adc_score").desc(), F.col("cand_id"))
     shortlist = (
         scored.withColumn("rk", F.row_number().over(w))

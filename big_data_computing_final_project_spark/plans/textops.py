@@ -1142,7 +1142,7 @@ ORDER BY v.vocab_size
 
 @register("q221_vocab_coverage", oracle=_Q221_ORACLE)
 def q221_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.prefix import prefix_agg
+    from ..operators.prefix import prefix_agg_multi
 
     docs = load_table(spark, sf_dir, "documents")
     tf = (
@@ -1165,11 +1165,15 @@ def q221_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cache()  # r11: the two prefix scans and the totals agg each
     # re-executed the corpus explode + token count (5 documents scans in
     # the plan); the vocab-sized frame is the natural cache point
-    ranked = prefix_agg(
-        tf, ["neg_freq", "token"], "one", "rk", bucket=F.col("neg_octave")
-    ).cache()  # consumed twice by the second prefix scan (partials + rows)
-    ranked = prefix_agg(
-        ranked, ["neg_freq", "token"], "freq", "cum", bucket=F.col("neg_octave")
+    # r12 (VERDICT r11 item 6): rank + cumulative mass share ONE bucketed
+    # prefix pass (prefix_agg_multi) instead of two chained scans — one
+    # partial groupBy, one offset window, one within-bucket sort, one
+    # join; the intermediate ranked cache disappears with the second pass
+    ranked = prefix_agg_multi(
+        tf,
+        ["neg_freq", "token"],
+        [("one", "rk", "sum"), ("freq", "cum", "sum")],
+        bucket=F.col("neg_octave"),
     )
     tot = tf.agg(
         F.sum("freq").alias("total_occ"), F.count(F.lit(1)).alias("n_vocab")
@@ -1180,7 +1184,12 @@ def q221_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("vocab_size")
     )
     return (
-        ranked.crossJoin(F.broadcast(sizes))
+        # only ranks <= the largest candidate size can satisfy ANY
+        # rk <= vocab_size predicate — pre-filtering bounds the 4-way
+        # crossJoin fan-out at |max size| rows however large the
+        # vocabulary grows (r12; the rank filter rides the prefix pass)
+        ranked.filter(F.col("rk") <= F.lit(max(_Q221_VOCAB_SIZES)))
+        .crossJoin(F.broadcast(sizes))
         .filter(F.col("rk") <= F.col("vocab_size"))
         .groupBy("vocab_size")
         .agg(F.max("cum").cast("bigint").alias("covered_occurrences"))

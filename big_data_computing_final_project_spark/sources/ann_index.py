@@ -199,7 +199,7 @@ def save_pq_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
     (vec_id, codes, nc) — the 64x-compressed table ADC scans instead of
     the float corpus."""
     from ..catalog import load_table
-    from ..plans.similarity import _pq_books, _pq_encode, as_double, norm
+    from ..plans.similarity import _pq_books, _pq_encode_frame, as_double
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("e")
@@ -210,9 +210,9 @@ def save_pq_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
         [(m, k, c) for m, book in enumerate(books) for k, c in enumerate(book)],
         "m int, k int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(index_dir, "books"))
-    emb.select(
-        "vec_id", _pq_encode(books).alias("codes"), norm(F.col("e")).alias("nc")
-    ).write.mode("overwrite").parquet(os.path.join(index_dir, "codes"))
+    _pq_encode_frame(emb, books).write.mode("overwrite").parquet(
+        os.path.join(index_dir, "codes")
+    )
     _write_meta(
         index_dir,
         {
@@ -231,7 +231,7 @@ def save_pq_index_from_store(
     run_stream_pq_encode) to the persisted serving artifact: fold the
     code deltas, copy the frozen codebooks, record the source snapshot.
     No encode runs — the store's codes are already bit-identical to a
-    batch rebuild (the shared _pq_encode expression), so the promoted
+    batch rebuild (the shared _pq_encode_frame kernel), so the promoted
     index serves q200's exact ranking."""
     from ..streaming.events import _PQ_CODES_SCHEMA, _read_store_deltas
 

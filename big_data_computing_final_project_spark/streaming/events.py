@@ -3440,8 +3440,8 @@ def compact_ivf_assign_store(spark: SparkSession, store_dir: str) -> None:
 # store (q200's codes + norms) gains the same lifecycle the IVF index got
 # — new vectors are ENCODED at ingest against the FROZEN per-subspace
 # codebooks (the only state a 100-TB ingest tier ships; encoding is
-# plans/similarity._pq_encode, the SAME column expression the batch store
-# uses, so stored codes are bit-identical to a batch rebuild), staged as
+# plans/similarity._pq_encode_frame, the SAME numpy Arrow kernel the batch
+# store uses, so stored codes are bit-identical to a batch rebuild), staged as
 # additive deltas, and served through the shared ADC+rerank core. A
 # per-(subspace, code) count partial feeds a codebook-health monitor:
 # a hot code means a degenerate subspace codebook (vectors crowding one
@@ -3474,7 +3474,11 @@ def run_stream_pq_encode(
     frame of (vec_id, embedding); ``books`` the [m][k][sub_dim] frozen
     codebooks (from plans/similarity._pq_books, or sources/ann_index's
     loaded index)."""
-    from ..plans.similarity import _pq_encode, as_double, cell_balance_from_counts, norm
+    from ..plans.similarity import (
+        _pq_encode_frame,
+        as_double,
+        cell_balance_from_counts,
+    )
 
     books_dir = os.path.join(store_dir, "books")
     codes_dir = os.path.join(store_dir, "codes")
@@ -3500,12 +3504,11 @@ def run_stream_pq_encode(
             .where(F.col("batch_id") < eff_id)
             .select("vec_id")
         )
-        new_codes = (
-            batch.join(prior, "vec_id", "left_anti")
-            .select("vec_id", as_double(F.col("embedding")).alias("e"))
-            .select(
-                "vec_id", _pq_encode(books).alias("codes"), norm(F.col("e")).alias("nc")
-            )
+        new_codes = _pq_encode_frame(
+            batch.join(prior, "vec_id", "left_anti").select(
+                "vec_id", as_double(F.col("embedding")).alias("e")
+            ),
+            books,
         )
         new_codes.write.mode("overwrite").parquet(
             os.path.join(codes_dir, f"batch_id={eff_id}")

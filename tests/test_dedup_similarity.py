@@ -974,6 +974,84 @@ def test_pq_ann_recall_and_determinism(spark, sf_dir):
         assert truth[k] == approx[k]  # exact rerank: bit-identical fold
 
 
+def test_pq_kernel_matches_expression(spark, sf_dir):
+    """r12 equivalence pin (VERDICT r11 item 1): the mapInArrow numpy
+    kernels serving q200/q231/the index paths must be BIT-identical to
+    the r11 JVM expression trees they replaced — encode codes + stored
+    norms, every (query, candidate) ADC score, and the shortlist that the
+    per-task exact pre-selection feeds the row_number window (exercised
+    across multiple partitions so the distributive top-k cut is what is
+    being pinned, not a single-task pass-through). Doubles compare by bit
+    pattern (float.hex), not tolerance."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from big_data_computing_final_project_spark.catalog import load_table
+    from big_data_computing_final_project_spark.plans.similarity import (
+        _N_QUERIES,
+        _PQ_SHORTLIST,
+        _pq_adc_scored,
+        _pq_adc_scored_expr,
+        _pq_books,
+        _pq_encode,
+        _pq_encode_frame,
+        as_double,
+        norm,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e")
+    )
+    dim = len(emb.select("e").first()["e"])
+    books = _pq_books(spark, sf_dir, emb, dim)
+
+    # 1. encode kernel == reference expression (codes exact, nc bit-exact)
+    ref_store = emb.select(
+        "vec_id", _pq_encode(books).alias("codes"), norm(F.col("e")).alias("nc")
+    )
+    want = sorted(
+        (r["vec_id"], tuple(r["codes"]), r["nc"].hex()) for r in ref_store.collect()
+    )
+    got = sorted(
+        (r["vec_id"], tuple(r["codes"]), r["nc"].hex())
+        for r in _pq_encode_frame(emb, books).collect()
+    )
+    assert got == want
+
+    # 2. ADC kernel (no local cut) == reference scored frame, score-bit-exact
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe")
+    )
+    q_rows = sorted((r["q_id"], [float(x) for x in r["qe"]]) for r in q.collect())
+    want_sc = sorted(
+        (r["q_id"], r["cand_id"], r["adc_score"].hex())
+        for r in _pq_adc_scored_expr(books, q, ref_store).collect()
+    )
+    got_sc = sorted(
+        (r["q_id"], r["cand_id"], r["adc_score"].hex())
+        for r in _pq_adc_scored(ref_store, books, q_rows, None).collect()
+    )
+    assert got_sc == want_sc
+
+    # 3. the per-task exact top-_PQ_SHORTLIST cut feeds the window the same
+    # shortlist the full pair set produces, across several partitions
+    w = Window.partitionBy("q_id").orderBy(F.col("adc_score").desc(), F.col("cand_id"))
+    def shortlist(scored):
+        return sorted(
+            (r["q_id"], r["cand_id"])
+            for r in scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= _PQ_SHORTLIST)
+            .select("q_id", "cand_id")
+            .collect()
+        )
+
+    full = shortlist(_pq_adc_scored_expr(books, q, ref_store))
+    cut = shortlist(
+        _pq_adc_scored(ref_store.repartition(7), books, q_rows, _PQ_SHORTLIST)
+    )
+    assert cut == full
+
+
 def test_q40_band_params_regimes():
     """The closed-form chooser bands where banding prunes and goes dense
     where it can't: 0.95/0.9/0.8 pick 8-bit bands at bounded table counts;
