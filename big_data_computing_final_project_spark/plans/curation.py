@@ -1107,12 +1107,44 @@ ORDER BY source
 def q232_curation_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import attach_media_mix, decode_health
     from .dedup import q225_ngram_novelty
-    from .textops import q210_tokenizer_fertility
 
-    rep = q157_corpus_report_card(spark, sf_dir).select(
-        "source", "n_docs", "n_tokens", "dup_rate"
+    # r12 (VERDICT r11 item 8): the dup-exposure signal (q157's
+    # fingerprint window) and the fertility signal (q210's normalize +
+    # tokenize sums) used to be two separate corpus scans, each running
+    # the tokenizer; they now share ONE cached per-doc frame (narrow,
+    # corpus-linear — SCALING.md persist-vs-recompute policy, the
+    # q127/q132 precedent). The aggregate expressions are q157's/q210's
+    # verbatim, so the scorecard columns are value-identical
+    # (oracle-gated at both SFs). The remaining passes genuinely cannot
+    # merge: the decode pass reads media bytes, the novelty pass needs
+    # the token ARRAYS (shingle posting lists), this one only counts.
+    tdocs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(X.fingerprint(F.col("text")))
+    d = tdocs.select(
+        "source",
+        X.token_count(F.col("text")).cast("bigint").alias("n_toks"),
+        F.count(F.lit(1)).over(w).alias("grp_sz"),
+        F.length(X.normalize(F.col("text"))).cast("bigint").alias("norm_chars"),
+        F.size(X.tokens(F.col("text"))).cast("bigint").alias("n_words"),
+        F.col("text").isNotNull().alias("has_text"),
+    ).cache()
+    n_docs = F.count(F.lit(1))
+    dup_docs = F.count(F.when(F.col("grp_sz") > 1, 1))
+    rep = d.groupBy("source").agg(
+        n_docs.alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("n_tokens"),
+        (dup_docs.cast("double") / n_docs).alias("dup_rate"),
     )
-    fert = q210_tokenizer_fertility(spark, sf_dir).select("source", "chars_per_word")
+    fert = (
+        d.filter(F.col("has_text"))
+        .groupBy("source")
+        .agg(
+            (
+                F.sum("norm_chars").cast("bigint").cast("double")
+                / F.sum("n_words").cast("bigint")
+            ).alias("chars_per_word")
+        )
+    )
     # the REAL decode path (q220's contract), not the oracle's planted
     # restatement — the scorecard stays honest about what the decoders saw
     docs = load_table(spark, sf_dir, "documents", fan_out_ok=False)  # see q51
